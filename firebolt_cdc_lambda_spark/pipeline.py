@@ -1,0 +1,165 @@
+"""The per-batch CDC pipeline — lifecycle §3.1 of the reference as ONE
+lazy DataFrame DAG.
+
+Reference flow (lambda/handler.py:736-1000), 7 remote SQL round-trips
+with materialization barriers between each:
+
+    staging CTAS -> ingestion_seq CTAS -> schema evolution -> dedup CTAS
+    -> merge-column resolution -> MERGE (retried) -> ledger INSERT
+
+Spark flow (this module): read -> ingestion_seq -> schema gate -> window
+dedup -> bucketed snapshot merge, analyzed and optimized by Catalyst as a
+unit; no intermediate materialization, no MVCC conflict/retry machinery
+(a single writer per table per batch, by construction — the entire
+conflict saga of FIX_TRANSACTION_CONFLICTS.md:9-16 disappears).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import TableKeys
+from .operators.dedup import deduplicate, needs_dedup
+from .operators.evolution import SchemaReport, diff_schemas, evolve_target, merge_columns
+from .operators.merge import KeyedTable
+from .operators.ordering import CDC_META_COLS
+from .sources.ingest import is_full_load_file, parse_cdc_path, read_cdc_files
+from .sources.ledger import FileLedger
+
+
+@dataclass
+class BatchResult:
+    status: str
+    table: str | None = None
+    rows: int = 0
+    deduped: bool = False
+    buckets_rewritten: int = 0
+    duration_sec: float = 0.0
+    schema_report: SchemaReport | None = None
+    reason: str | None = None
+    alerts: list[str] = field(default_factory=list)
+
+
+class CdcPipeline:
+    """Batch-mode CDC engine for one warehouse of keyed tables.
+
+    ``table_root`` holds one KeyedTable snapshot per source table.  The
+    streaming wrapper (streaming/cdc_stream.py) calls ``process_batch``
+    from foreachBatch; the batch/reload path calls ``process_file`` per
+    path (replays are no-ops via the ledger, mirroring
+    retrigger_lambda_selective.py:72-116).
+    """
+
+    def __init__(self, spark: SparkSession, table_root: str,
+                 table_keys: TableKeys | None = None,
+                 ledger: FileLedger | None = None,
+                 num_buckets: int = 64,
+                 insert_deletes: bool = False,
+                 version_col: str | None = None,
+                 alert_hook=None):
+        self.spark = spark
+        self.table_root = table_root.rstrip("/")
+        self.table_keys = table_keys or TableKeys()
+        self.ledger = ledger
+        self.num_buckets = num_buckets
+        self.insert_deletes = insert_deletes
+        self.version_col = version_col
+        self.alert_hook = alert_hook or (lambda msg: None)
+
+    def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
+        return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
+                          num_buckets=self.num_buckets)
+
+    # -- entry point 1: one file (lambda_handler analogue) ----------------
+    def process_file(self, file_key: str) -> BatchResult:
+        t0 = time.time()
+        parsed = parse_cdc_path(file_key)
+        if parsed is None:
+            return BatchResult("skipped", reason="path does not match CDC grammar")
+        table, _date, filename = parsed
+        if is_full_load_file(filename):
+            return BatchResult("skipped", table=table, reason="full-load LOAD* file")
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return BatchResult("skipped", table=table, reason="null primary key (table not configured for CDC)")
+        if self.ledger is not None and self.ledger.is_processed(file_key):
+            return BatchResult("already_processed", table=table)
+        try:
+            staging = read_cdc_files(self.spark, file_key)
+            result = self.process_batch(table, keys, staging)
+            if self.ledger is not None:
+                self.ledger.record(file_key, "completed")
+            result.duration_sec = time.time() - t0
+            return result
+        except Exception as exc:
+            if self.ledger is not None:
+                self.ledger.record(file_key, "failed", str(exc))
+            raise
+
+    # -- the core batch body (shared by batch + streaming) ----------------
+    def process_batch(self, table: str, keys: Sequence[str],
+                      staging: DataFrame) -> BatchResult:
+        t0 = time.time()
+        target = self.target_for(table, keys)
+
+        if not target.exists():
+            # bootstrap: first batch creates the table (schema from Parquet,
+            # metadata columns excluded — FIX_9_DECIMAL_TABLES.sql:35 EXCLUDE)
+            deduped = deduplicate(staging, keys, check_bypass=True)
+            out_cols = [c for c in deduped.columns if c not in CDC_META_COLS]
+            target.init(deduped.select(*out_cols))
+            return BatchResult("bootstrapped", table=table,
+                               rows=target.read().count(),
+                               duration_sec=time.time() - t0)
+
+        current = target.read()
+
+        # step 2 — schema evolution gate (driver-side planning)
+        report = diff_schemas(current.schema, staging)
+        for name, dtype in report.manual:
+            self.alert_hook(f"[{table}] column '{name}' type {dtype.simpleString()} "
+                            "requires manual intervention")
+        for name, src, tgt in report.type_changed:
+            self.alert_hook(f"[{table}] column '{name}' type changed "
+                            f"{tgt.simpleString()} -> {src.simpleString()} (not applied)")
+
+        # step 3 — dedup with bypass check (lambda/handler.py:422-437)
+        did_dedup = needs_dedup(staging, keys)
+        deduped = deduplicate(staging, keys) if did_dedup else staging
+
+        # step 4 — merge-column resolution incl. strict decimal gate,
+        # against the POST-evolution schema (ALTER runs before MERGE in the
+        # reference lifecycle, steps 2 vs 5)
+        from pyspark.sql import types as T
+        evolved_schema = T.StructType(
+            list(current.schema.fields)
+            + [T.StructField(n, t, True) for n, t in report.added])
+        cols = merge_columns(evolved_schema, deduped, keys, report=report)
+        keep = list(keys) + [c for c in cols if c not in keys]
+        meta_keep = [c for c in deduped.columns
+                     if c in CDC_META_COLS or c == self.version_col]
+        stg = deduped.select(*keep, *[c for c in meta_keep if c not in keep])
+
+        # apply safe ADDs structurally (ALTER TABLE ADD COLUMN analogue):
+        # temp-dir swap rewrite, because `evolved` reads the target's own path.
+        if report.added:
+            evolved = evolve_target(current, report)
+            target.rewrite(evolved)
+
+        # step 5 — bucketed snapshot merge (replaces MERGE + retry loop)
+        n_buckets = target.merge_batch(
+            stg, insert_deletes=self.insert_deletes, version_col=self.version_col)
+
+        return BatchResult("completed", table=table, rows=stg.count(),
+                           deduped=did_dedup, buckets_rewritten=n_buckets,
+                           duration_sec=time.time() - t0, schema_report=report)
+
+    # -- entry point 2: reload driver (retrigger analogue) ----------------
+    def reload(self, file_keys: Sequence[str]) -> list[BatchResult]:
+        """Replay a path list; already-processed files are no-ops
+        (SELECTIVE_RELOAD_GUIDE.md flow)."""
+        return [self.process_file(k) for k in file_keys]

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine is designed for a multi-executor cluster reading ~100 TB; the
+local[{N}] session used in tests/bench only changes the master URL, not the
+plan shapes.  AQE is on so skewed CDC keys and small post-filter shuffles
+are re-planned at runtime; dynamic partition overwrite enables the
+bucket-pruned snapshot merge (see operators/merge.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "firebolt-cdc-lambda-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # deterministic cross-engine comparisons (DuckDB oracle is tz-naive)
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime re-planning: skew joins, coalesced shuffles
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for the (few) pandas-UDF paths
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bucket-pruned snapshot merge rewrites only affected partitions
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

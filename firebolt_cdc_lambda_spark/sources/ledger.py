@@ -1,0 +1,79 @@
+"""File-processing ledger — observability analogue of ``cdc_processed_files``.
+
+The reference uses a metadata table for file-level exactly-once
+(lambda/handler.py:664-703: check before work, INSERT
+completed/failed after; statuses 'completed'/'batch_processed'/'failed').
+In the Spark engine, exactly-once is the Structured Streaming file-source
+checkpoint's job; this ledger is kept for *observability and batch-mode
+idempotency* (re-running a batch reload skips completed files), plus the
+probabilistic 30-day GC (AUTOMATIC_CLEANUP.md:10-63).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType([
+    T.StructField("file_key", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("error_message", T.StringType(), True),
+    T.StructField("processed_at", T.TimestampType(), False),
+])
+
+COMPLETED_STATUSES = ("completed", "batch_processed")
+
+
+class FileLedger:
+    def __init__(self, spark: SparkSession, path: str,
+                 cleanup_probability: float = 0.01, days_to_keep: int = 30):
+        self.spark = spark
+        self.path = path
+        self.cleanup_probability = cleanup_probability
+        self.days_to_keep = days_to_keep
+
+    def _read(self):
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def is_processed(self, file_key: str) -> bool:
+        """Idempotency check (lambda/handler.py:664-675): completed or
+        batch_processed ⇒ skip."""
+        return bool(
+            self._read()
+            .where((F.col("file_key") == file_key)
+                   & F.col("status").isin(*COMPLETED_STATUSES))
+            .limit(1)
+            .take(1)
+        )
+
+    def record(self, file_key: str, status: str, error_message: str | None = None) -> None:
+        """Append one ledger row (lambda/handler.py:679-703).  Error text
+        truncated to 500 chars like the reference (:694) — no quote
+        escaping needed, writes are parameterized by construction."""
+        if error_message:
+            error_message = error_message[:500]
+        row = Row(file_key=file_key, status=status, error_message=error_message,
+                  processed_at=_dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))
+        (self.spark.createDataFrame([row], LEDGER_SCHEMA)
+         .write.mode("append").parquet(self.path))
+        self.maybe_cleanup()
+
+    def maybe_cleanup(self, force: bool = False) -> None:
+        """Probabilistic GC: with p=1% drop entries older than 30 days
+        (AUTOMATIC_CLEANUP.md:10-63)."""
+        if not force and random.random() >= self.cleanup_probability:
+            return
+        cutoff = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(
+            days=self.days_to_keep)
+        kept = self._read().where(F.col("processed_at") >= F.lit(cutoff))
+        kept.cache()
+        kept.count()
+        kept.write.mode("overwrite").parquet(self.path)
+        kept.unpersist()

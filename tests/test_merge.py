@@ -1,0 +1,125 @@
+"""MERGE semantics (reference lambda/handler.py:563-614) and the bucketed
+KeyedTable snapshot writer."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable, MergeKeyError, merge_cdc
+
+TS = dt.datetime(2024, 1, 1)
+TS2 = dt.datetime(2024, 1, 2)
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def target(spark):
+    return df_of(spark, [
+        Row(id=1, name="alice", bal=10.0),
+        Row(id=2, name="bob", bal=20.0),
+        Row(id=3, name="carol", bal=30.0),
+    ])
+
+
+def test_upsert_and_delete(spark, target):
+    stg = df_of(spark, [
+        Row(id=2, name="bob2", bal=25.0, Op="U", load_timestamp=TS),
+        Row(id=3, name=None, bal=None, Op="D", load_timestamp=TS),
+        Row(id=4, name="dave", bal=40.0, Op="I", load_timestamp=TS),
+    ])
+    out = merge_cdc(target, stg, ["id"])
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}           # 3 deleted
+    assert rows[1]["name"] == "alice"       # untouched
+    assert rows[2]["name"] == "bob2" and rows[2]["bal"] == 25.0
+    assert rows[4]["name"] == "dave"
+
+
+def test_update_preserves_target_only_columns(spark):
+    # UPDATE SET covers only staging∩target columns (lambda/handler.py:582-583)
+    target = df_of(spark, [Row(id=1, name="alice", extra="keepme")])
+    stg = df_of(spark, [Row(id=1, name="alice2", Op="U", load_timestamp=TS)])
+    out = merge_cdc(target, stg, ["id"]).collect()
+    assert out[0]["name"] == "alice2" and out[0]["extra"] == "keepme"
+
+
+def test_insert_missing_target_columns_null(spark, target):
+    stg = df_of(spark, [Row(id=9, name="zed", Op="I", load_timestamp=TS)])  # no bal
+    rows = {r["id"]: r for r in merge_cdc(target, stg, ["id"]).collect()}
+    assert rows[9]["bal"] is None
+
+
+def test_metadata_columns_never_land(spark, target):
+    stg = df_of(spark, [Row(id=5, name="eve", bal=1.0, Op="I",
+                            load_timestamp=TS, ingestion_seq=1, rn=1)])
+    out = merge_cdc(target, stg, ["id"])
+    assert set(out.columns) == {"id", "name", "bal"}
+
+
+def test_unmatched_delete_default_not_inserted(spark, target):
+    stg = df_of(spark, [Row(id=99, name="ghost", bal=0.0, Op="D", load_timestamp=TS)])
+    assert merge_cdc(target, stg, ["id"]).where("id = 99").count() == 0
+    # reference-parity mode inserts it (quirk at lambda/handler.py:609-612)
+    assert merge_cdc(target, stg, ["id"], insert_deletes=True).where("id = 99").count() == 1
+
+
+def test_version_aware_merge_skips_stale(spark):
+    target = df_of(spark, [Row(id=1, v="new", load_timestamp=TS2)])
+    stale = df_of(spark, [Row(id=1, v="old", Op="U", load_timestamp=TS)])
+    out = merge_cdc(target, stale, ["id"], version_col="load_timestamp").collect()
+    assert out[0]["v"] == "new"            # stale replay is a no-op
+    fresh = df_of(spark, [Row(id=1, v="newer", Op="U",
+                              load_timestamp=dt.datetime(2024, 1, 3))])
+    out2 = merge_cdc(target, fresh, ["id"], version_col="load_timestamp").collect()
+    assert out2[0]["v"] == "newer"
+
+
+def test_composite_key_merge(spark):
+    target = df_of(spark, [Row(a=1, b=1, v="x"), Row(a=1, b=2, v="y")])
+    stg = df_of(spark, [Row(a=1, b=2, v="y2", Op="U", load_timestamp=TS)])
+    rows = {(r["a"], r["b"]): r["v"] for r in merge_cdc(target, stg, ["a", "b"]).collect()}
+    assert rows == {(1, 1): "x", (1, 2): "y2"}
+
+
+def test_missing_key_raises(spark, target):
+    stg = df_of(spark, [Row(other=1, Op="I", load_timestamp=TS)])
+    with pytest.raises(MergeKeyError):
+        merge_cdc(target, stg, ["id"])
+
+
+def test_keyed_table_bucket_pruned_merge(spark, tmp_path, target):
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=8)
+    kt.init(target)
+    stg = df_of(spark, [
+        Row(id=2, name="bob2", bal=25.0, Op="U", load_timestamp=TS),
+        Row(id=3, name=None, bal=None, Op="D", load_timestamp=TS),
+        Row(id=10, name="new", bal=1.0, Op="I", load_timestamp=TS),
+    ])
+    n = kt.merge_batch(stg)
+    assert 1 <= n <= 3                      # only touched buckets rewritten
+    rows = {r["id"]: r for r in kt.read().collect()}
+    assert set(rows) == {1, 2, 10}
+    assert rows[2]["bal"] == 25.0
+
+
+def test_keyed_table_delete_empties_bucket(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "t2"), ["id"], num_buckets=4)
+    kt.init(df_of(spark, [Row(id=1, v="a")]))
+    stg = df_of(spark, [Row(id=1, v="x", Op="D", load_timestamp=TS)])
+    kt.merge_batch(stg)
+    assert kt.read().count() == 0
+
+
+def test_keyed_table_idempotent_replay_with_version(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "t3"), ["id"], num_buckets=4)
+    kt.init(df_of(spark, [Row(id=1, v="v1", load_timestamp=TS)]))
+    batch = df_of(spark, [Row(id=1, v="v2", Op="U", load_timestamp=TS2)])
+    kt.merge_batch(batch, version_col="load_timestamp")
+    kt.merge_batch(batch, version_col="load_timestamp")  # replay
+    rows = kt.read().collect()
+    assert len(rows) == 1 and rows[0]["v"] == "v2"

@@ -1,0 +1,137 @@
+"""End-to-end batch CDC pipeline over on-disk files in the reference's
+``fair/<table>/YYYY/MM/DD/<file>.parquet`` layout (lambda/handler.py:765-777)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from firebolt_cdc_lambda_spark.config import TableKeys, infer_primary_key
+from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+from firebolt_cdc_lambda_spark.sources.ingest import is_full_load_file, parse_cdc_path
+from firebolt_cdc_lambda_spark.sources.ledger import FileLedger
+
+TS = dt.datetime(2024, 1, 1, 10, 0)
+TS2 = dt.datetime(2024, 1, 2, 10, 0)
+
+
+def write_cdc_file(spark, root, table, date, name, rows):
+    y, m, d = date.split("-")
+    path = f"{root}/fair/{table}/{y}/{m}/{d}/{name}"
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_path_grammar():
+    assert parse_cdc_path("bucket/fair/users/2025/11/03/f1.parquet") == (
+        "users", "2025-11-03", "f1.parquet")
+    assert parse_cdc_path("fair/users/2025/11/03/f1.parquet") is not None
+    assert parse_cdc_path("other/users/2025/11/03/f1.parquet") is None
+    assert parse_cdc_path("fair/users/2025/11/f1.parquet") is None
+    assert is_full_load_file("LOAD00000001.parquet")
+    assert not is_full_load_file("20240101-120000.parquet")
+
+
+def test_pk_heuristics():
+    assert infer_primary_key("users", ["id", "name"]) == ["id"]
+    assert infer_primary_key("users", ["users_id", "name"]) == ["users_id"]
+    assert infer_primary_key("users", ["a", "b"]) is None
+
+
+def test_table_keys_registry():
+    tk = TableKeys.from_json('{"a": "id", "b": ["k1", "k2"], "c": null, "d": "x, y"}')
+    assert tk.resolve("a") == ["id"]
+    assert tk.resolve("b") == ["k1", "k2"]
+    assert tk.resolve("c") is None and tk.should_skip("c")
+    assert tk.resolve("d") == ["x", "y"]
+    assert tk.resolve("unknown") == ["id"]  # default key (lambda/handler.py:722-726)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    root = str(tmp_path / "cdc")
+    warehouse = str(tmp_path / "warehouse")
+    ledger = FileLedger(spark, str(tmp_path / "ledger"), cleanup_probability=0.0)
+    pipe = CdcPipeline(spark, warehouse, TableKeys.from_json('{"users": "id"}'),
+                       ledger=ledger, num_buckets=8)
+    return root, pipe
+
+
+def test_full_cdc_lifecycle(spark, env):
+    root, pipe = env
+    # batch 1: bootstrap inserts (with an in-file duplicate to dedup)
+    f1 = write_cdc_file(spark, root, "users", "2024-01-01", "b1.parquet", [
+        Row(id=1, name="alice", Op="I", load_timestamp=TS),
+        Row(id=1, name="alice_v2", Op="U", load_timestamp=TS2),
+        Row(id=2, name="bob", Op="I", load_timestamp=TS),
+    ])
+    r1 = pipe.process_file(f1)
+    assert r1.status == "bootstrapped"
+    tbl = pipe.target_for("users", ["id"])
+    rows = {r["id"]: r["name"] for r in tbl.read().collect()}
+    assert rows == {1: "alice_v2", 2: "bob"}
+    assert "Op" not in tbl.read().columns  # metadata excluded from production
+
+    # batch 2: update + delete + insert
+    f2 = write_cdc_file(spark, root, "users", "2024-01-02", "b2.parquet", [
+        Row(id=2, name="bob2", Op="U", load_timestamp=TS2),
+        Row(id=1, name="gone", Op="D", load_timestamp=TS2),
+        Row(id=3, name="carol", Op="I", load_timestamp=TS2),
+    ])
+    r2 = pipe.process_file(f2)
+    assert r2.status == "completed"
+    rows = {r["id"]: r["name"] for r in tbl.read().collect()}
+    assert rows == {2: "bob2", 3: "carol"}
+
+    # replay of batch 2 is a no-op via the ledger (lambda/handler.py:801-804)
+    r3 = pipe.process_file(f2)
+    assert r3.status == "already_processed"
+    assert tbl.read().count() == 2
+
+
+def test_load_file_and_unknown_table_skipped(spark, env):
+    root, pipe = env
+    f = write_cdc_file(spark, root, "users", "2024-01-01", "LOAD001.parquet",
+                       [Row(id=1, name="x", Op="I", load_timestamp=TS)])
+    assert pipe.process_file(f).status == "skipped"
+    assert pipe.process_file("/nope/whatever.parquet").status == "skipped"
+
+
+def test_null_pk_table_skipped(spark, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "w"),
+                       TableKeys.from_json('{"nokeys": null}'))
+    root = str(tmp_path / "cdc")
+    f = write_cdc_file(spark, root, "nokeys", "2024-01-01", "b.parquet",
+                       [Row(id=1, Op="I", load_timestamp=TS)])
+    assert pipe.process_file(f).status == "skipped"
+
+
+def test_schema_evolution_mid_stream(spark, env):
+    root, pipe = env
+    f1 = write_cdc_file(spark, root, "users", "2024-01-01", "b1.parquet",
+                        [Row(id=1, name="a", Op="I", load_timestamp=TS)])
+    pipe.process_file(f1)
+    # batch 2 brings a new safe column -> auto-added, old rows NULL
+    f2 = write_cdc_file(spark, root, "users", "2024-01-02", "b2.parquet",
+                        [Row(id=2, name="b", email="b@x.com", Op="I", load_timestamp=TS2)])
+    r = pipe.process_file(f2)
+    assert r.status == "completed"
+    assert [n for n, _ in r.schema_report.added] == ["email"]
+    tbl = pipe.target_for("users", ["id"]).read()
+    rows = {r["id"]: r["email"] for r in tbl.collect()}
+    assert rows == {1: None, 2: "b@x.com"}
+
+
+def test_reload_is_idempotent(spark, env):
+    root, pipe = env
+    files = [
+        write_cdc_file(spark, root, "users", "2024-01-01", "b1.parquet",
+                       [Row(id=1, name="a", Op="I", load_timestamp=TS)]),
+        write_cdc_file(spark, root, "users", "2024-01-02", "b2.parquet",
+                       [Row(id=1, name="a2", Op="U", load_timestamp=TS2)]),
+    ]
+    pipe.reload(files)
+    results = pipe.reload(files)  # full replay
+    assert all(r.status == "already_processed" for r in results)
+    rows = pipe.target_for("users", ["id"]).read().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "a2"
