@@ -1,0 +1,197 @@
+"""Headline analytic queries (TPC-H-flavored) + windowed analytics.
+
+These are the bench.py workload: scan-heavy aggregation (q1), selective
+join + top-k (q3), multi-way join (q5), window top-n per group, and
+gap-based sessionization (lag + running sum — the batch shape of a
+streaming session window).
+
+All measures use exact decimal aggregation (see corpus.base docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import Query, davg, dec, dsum, load_table, sql_davg, sql_dsum
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+# -- Q1: pricing summary (scan + grouped multi-agg) ----------------------
+def q1_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    disc = dec("l_discount", 4, 9)
+    tax = dec("l_tax", 4, 9)
+    price = dec("l_extendedprice")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit(_Q1_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(9,4)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(9,4)") - disc)
+                  * (F.lit(1).cast("decimal(9,4)") + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
+         * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DOUBLE) AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- Q3: shipping priority (selective join + top-k) ----------------------
+def q3_shipping_priority(spark, sf):
+    c = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").where(F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf, "lineitem").where(F.to_date("l_shipdate") > F.lit("1996-01-01"))
+    disc = dec("l_discount", 4, 9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"),
+                 "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(9,4)") - disc))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- Q5-flavored: revenue by nation (multi-way join) ---------------------
+def q5_nation_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = F.broadcast(load_table(spark, sf, "customer"))
+    s = F.broadcast(load_table(spark, sf, "supplier"))
+    n = F.broadcast(load_table(spark, sf, "nation"))
+    disc = dec("l_discount", 4, 9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(9,4)") - disc))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("lineitem_count"))
+    )
+
+
+Q5_SQL = """
+SELECT n.n_name AS nation_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS lineitem_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# -- window: top-3 orders per market segment -----------------------------
+def window_topn_per_segment(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = F.broadcast(load_table(spark, sf, "customer"))
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (j.withColumn("rank_in_segment", F.row_number().over(w))
+            .where(F.col("rank_in_segment") <= 3)
+            .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice"))
+
+
+WINDOW_TOPN_SQL = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank_in_segment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rank_in_segment <= 3
+"""
+
+
+# -- sessionization: 30-min-gap sessions via lag + running sum -----------
+def events_sessionization(spark, sf):
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_idx",
+                    F.sum("new_session").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (sessions.groupBy("user_id")
+            .agg(F.max("session_idx").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+EVENTS_SESSIONIZATION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": Query(q1_pricing_summary, Q1_SQL,
+                                "scan + grouped multi-agg (A3/A4 shape at scale)"),
+    "q3_shipping_priority": Query(q3_shipping_priority, Q3_SQL,
+                                  "selective join + top-k (J1, O2)"),
+    "q5_nation_revenue": Query(q5_nation_revenue, Q5_SQL,
+                               "multi-way join, broadcast dims (J1)"),
+    "window_topn_per_segment": Query(window_topn_per_segment, WINDOW_TOPN_SQL,
+                                     "window rank per group (W1 analytic form)"),
+    "events_sessionization": Query(events_sessionization, EVENTS_SESSIONIZATION_SQL,
+                                   "gap sessionization: lag + running sum"),
+}

@@ -1,0 +1,148 @@
+"""CDC core semantics as oracle-checked queries.
+
+The testdata has no CDC wire columns, so each query *derives* them
+deterministically from ``events`` (both engines derive identically):
+
+    key            = user_id
+    Op             = error->'D', purchase->'U', else 'I'
+    load_timestamp = date_trunc('hour', ts)   (coarse -> real ties, so the
+                                               cascade's lower levels matter)
+    updated        = ts
+    ingestion_seq  = event_id
+
+This exercises W1 (dedup rank), W2 (5-level cascade incl. Op-priority
+CASE and COALESCE-epoch ordering), A2 (bypass stats), and J6 (merge)
+end-to-end through the SAME operator code the pipeline uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import deduplicate
+from ..operators.merge import merge_cdc
+from .base import Query, load_table
+
+_OP_EXPR = (
+    "CASE WHEN event_type = 'error' THEN 'D' "
+    "WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END"
+)
+
+
+def _cdc_events(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.withColumn("Op", F.expr(_OP_EXPR))
+        .withColumn("load_timestamp", F.date_trunc("hour", "ts"))
+        .withColumn("updated", F.col("ts"))
+        .withColumn("ingestion_seq", F.col("event_id"))
+    )
+
+
+# -- W1: plain last-writer-wins dedup ------------------------------------
+def cdc_dedup_last_writer(spark, sf):
+    e = load_table(spark, sf, "events")
+    out = deduplicate(e, ["user_id"],
+                      order=[F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+CDC_DEDUP_LAST_WRITER_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+) WHERE rn = 1
+"""
+
+
+# -- W1+W2: the full 5-level cascade (lambda/handler.py:345-404) ---------
+def cdc_dedup_cascade(spark, sf):
+    out = deduplicate(_cdc_events(spark, sf), ["user_id"])  # default cascade
+    return out.select("user_id", "event_id", "Op",
+                      F.unix_micros("load_timestamp").alias("load_ts_us"))
+
+
+CDC_DEDUP_CASCADE_SQL = f"""
+SELECT user_id, event_id, "Op", EPOCH_US(load_timestamp) AS load_ts_us FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY load_timestamp DESC,
+               CASE "Op" WHEN 'D' THEN 3 WHEN 'U' THEN 2 WHEN 'I' THEN 1 ELSE 0 END DESC,
+               COALESCE(EPOCH_US(updated), 0) DESC,
+               ingestion_seq DESC
+  ) AS rn
+  FROM (
+    SELECT *, {_OP_EXPR} AS "Op",
+           DATE_TRUNC('hour', ts) AS load_timestamp,
+           ts AS updated,
+           event_id AS ingestion_seq
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+  )
+) WHERE rn = 1
+"""
+
+
+# -- A2: dedup-bypass stats (lambda/handler.py:422-431) ------------------
+def cdc_dedup_bypass_stats(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct("user_id").alias("unique_keys"),
+        (F.count(F.lit(1)) != F.count_distinct("user_id")).alias("needs_dedup"),
+    )
+
+
+CDC_DEDUP_BYPASS_STATS_SQL = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT user_id) AS unique_keys,
+       COUNT(*) <> COUNT(DISTINCT user_id) AS needs_dedup
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+"""
+
+
+# -- J6: MERGE upsert+delete through the real operator -------------------
+def cdc_merge_upsert_delete(spark, sf):
+    e = load_table(spark, sf, "events")
+    half = e.agg(F.floor(F.max("event_id") / 2).cast("long")).first()[0]
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    target = (deduplicate(e.where(F.col("event_id") < half), ["user_id"], order=order)
+              .select("user_id", "event_id", "value"))
+    staging = (deduplicate(
+        e.where(F.col("event_id") >= half)
+        .withColumn("Op", F.expr(_OP_EXPR))
+        .withColumn("load_timestamp", F.col("ts")),
+        ["user_id"], order=order))
+    return merge_cdc(target, staging, ["user_id"])
+
+
+CDC_MERGE_UPSERT_DELETE_SQL = f"""
+WITH half AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS h FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+tgt AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e, half WHERE e.event_id < half.h
+  ) WHERE rn = 1
+),
+stg AS (
+  SELECT user_id, event_id, value, {_OP_EXPR} AS op FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e, half WHERE e.event_id >= half.h
+  ) WHERE rn = 1
+)
+SELECT t.user_id, t.event_id, t.value FROM tgt t
+WHERE t.user_id NOT IN (SELECT user_id FROM stg)
+UNION ALL
+SELECT user_id, event_id, value FROM stg WHERE op <> 'D'
+"""
+
+
+QUERIES = {
+    "cdc_dedup_last_writer": Query(cdc_dedup_last_writer, CDC_DEDUP_LAST_WRITER_SQL,
+                                   "W1 dedup rank, last writer wins"),
+    "cdc_dedup_cascade": Query(cdc_dedup_cascade, CDC_DEDUP_CASCADE_SQL,
+                               "W1+W2 full 5-level ordering cascade"),
+    "cdc_dedup_bypass_stats": Query(cdc_dedup_bypass_stats, CDC_DEDUP_BYPASS_STATS_SQL,
+                                    "A2 count vs count-distinct bypass check"),
+    "cdc_merge_upsert_delete": Query(cdc_merge_upsert_delete, CDC_MERGE_UPSERT_DELETE_SQL,
+                                     "J6 MERGE upsert+delete via snapshot resolve"),
+}

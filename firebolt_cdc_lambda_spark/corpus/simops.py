@@ -1,0 +1,338 @@
+"""Near-duplicate detection + similarity search at training-data scale
+(beyond-reference surface, SURVEY §7.2 M6).
+
+Operators:
+  * dedup_ngram_jaccard — baseline: candidate pairs by shared character
+    5-gram shingle, verified by exact Jaccard.  O(pairs-sharing-a-shingle);
+    fine for a micro-batch, quadratic at corpus scale.
+  * dedup_minhash_lsh — the scale path: 8 minhash permutations, 4 bands
+    of 2 rows; candidates only where a band collides, then exact-Jaccard
+    verify.  Shuffle cost O(docs·k) + O(collisions), never O(n²).
+  * dedup_simhash — 16-bit simhash signatures; pairs within Hamming
+    distance 3, pre-bucketed on the high byte.
+  * ann_cosine_topk — brute-force cosine top-k (the exact baseline).
+  * ann_lsh_bucket_topk — sign-bit-bucketed ANN (the approximate scale
+    path: each query only scans its bucket).
+
+Cross-engine determinism: all hashing is explicit integer arithmetic
+(polynomial rolling hash, modular minhash) — no engine-native hash
+functions, which differ between Spark and DuckDB.  Cosine is computed on
+integer-quantized vectors (round(x*1000)) so dot products are exact and
+the single final IEEE division/sqrt is bit-identical.
+
+The corpora inject deterministic near-duplicates (a shifted copy of
+every 20th document) so the queries have non-trivial output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .base import Query, load_table
+from .textops import _CLEAN_DUCK, _CLEAN_SPARK, _h_expr
+
+# -- shared shingle machinery --------------------------------------------
+
+_NEARDUP_OFFSET = 1_000_000
+
+# (a, b) pairs for minhash permutations; p prime. a*h <= 1e6 * 2.4e8 < 2^53.
+_MINHASH_PERMS = (
+    (123457, 886731), (594521, 193939), (354761, 902389), (781937, 359791),
+    (279551, 645131), (909091, 122807), (443389, 777001), (671771, 500009),
+)
+_MINHASH_P = 1_000_003
+_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))  # 4 bands x 2 rows
+_JACCARD_THRESHOLD = 0.5
+
+
+def _neardup_corpus(spark, sf) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    base = d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+    shifted = (d.where(F.col("doc_id") % 20 == 0)
+               .selectExpr(f"doc_id + {_NEARDUP_OFFSET} AS doc_id",
+                           f"substr({_CLEAN_SPARK}, 4) AS clean"))
+    return base.unionByName(shifted)
+
+
+_NEARDUP_CORPUS_SQL = f"""
+SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents
+UNION ALL
+SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id, substr({_CLEAN_DUCK}, 4) AS clean
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h): h = 31-polynomial hash of each char 5-gram."""
+    h = _h_expr("clean", "i")
+    return (corpus.where("length(clean) >= 5")
+            .selectExpr("doc_id",
+                        f"explode(transform(sequence(1, length(clean) - 4), i -> {h})) AS h")
+            .distinct())
+
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, {_h_expr('clean', 'i')} AS h
+FROM (
+  SELECT doc_id, clean, unnest(range(1, length(clean) - 3)) AS i
+  FROM corpus WHERE length(clean) >= 5
+)
+"""
+
+_JACCARD_VERIFY_SQL = f"""
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2,
+       CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) AS jaccard
+FROM inter i
+JOIN sz z1 ON z1.doc_id = i.d1
+JOIN sz z2 ON z2.doc_id = i.d2
+WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def _jaccard_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.selectExpr("doc_id AS s1_doc", "h AS s1_h")
+    s2 = sh.selectExpr("doc_id AS s2_doc", "h AS s2_h")
+    inter = (cand
+             .join(s1, F.col("d1") == F.col("s1_doc"))
+             .join(s2, (F.col("d2") == F.col("s2_doc")) & (F.col("s1_h") == F.col("s2_h")))
+             .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("i")))
+    z1 = sz.selectExpr("doc_id AS z1_doc", "n AS n1")
+    z2 = sz.selectExpr("doc_id AS z2_doc", "n AS n2")
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (inter
+            .join(z1, F.col("d1") == F.col("z1_doc"))
+            .join(z2, F.col("d2") == F.col("z2_doc"))
+            .where(jac >= _JACCARD_THRESHOLD)
+            .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"),
+                    jac.alias("jaccard")))
+
+
+# -- n-gram Jaccard (baseline: all pairs sharing a shingle) --------------
+def dedup_ngram_jaccard(spark, sf):
+    sh = _shingles(_neardup_corpus(spark, sf))
+    a = sh.selectExpr("doc_id AS d1", "h")
+    b = sh.selectExpr("doc_id AS d2", "h AS hb")
+    cand = (a.join(b, (F.col("h") == F.col("hb")) & (F.col("d1") < F.col("d2")))
+            .select("d1", "d2").distinct())
+    return _jaccard_verify(sh, cand)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+{_JACCARD_VERIFY_SQL}
+"""
+
+
+# -- MinHash + LSH (the scale path) --------------------------------------
+def dedup_minhash_lsh(spark, sf):
+    sh = _shingles(_neardup_corpus(spark, sf))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = [
+        (F.col(f"mh{i}") * F.lit(_MINHASH_P) + F.col(f"mh{j}")).alias(f"band{bi}")
+        for bi, (i, j) in enumerate(_BANDS)
+    ]
+    sig = sig.select("doc_id", *bands)
+    cands = None
+    for bi in range(len(_BANDS)):
+        a = sig.selectExpr("doc_id AS d1", f"band{bi} AS bk")
+        b = sig.selectExpr("doc_id AS d2", f"band{bi} AS bk2")
+        c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
+             .select("d1", "d2"))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.distinct()
+    return _jaccard_verify(sh, cand)
+
+
+_mh_cols = ",\n       ".join(
+    f"MIN(CAST(({a} * h + {b}) % {_MINHASH_P} AS BIGINT)) AS mh{k}"
+    for k, (a, b) in enumerate(_MINHASH_PERMS))
+_band_cols = ", ".join(
+    f"mh{i} * {_MINHASH_P} + mh{j} AS band{bi}"
+    for bi, (i, j) in enumerate(_BANDS))
+_band_joins = "\nUNION ALL\n".join(
+    f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    f"JOIN bands b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"
+    for bi in range(len(_BANDS)))
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+       {_mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {_band_cols} FROM sig),
+cand AS (SELECT DISTINCT d1, d2 FROM ({_band_joins})),
+{_JACCARD_VERIFY_SQL}
+"""
+
+
+# -- SimHash (16-bit) ----------------------------------------------------
+_SIMHASH_BITS = 16
+_HAMMING_MAX = 3
+
+
+def dedup_simhash(spark, sf):
+    sh = _shingles(_neardup_corpus(spark, sf))
+    weights = [
+        F.expr(f"sum(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"w{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    w = sh.groupBy("doc_id").agg(*weights)
+    sig_expr = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+    sig = w.selectExpr("doc_id", f"CAST({sig_expr} AS BIGINT) AS sig")
+    a = sig.selectExpr("doc_id AS doc_id_1", "sig AS sig1")
+    b = sig.selectExpr("doc_id AS doc_id_2", "sig AS sig2")
+    pairs = a.join(b, (F.expr("sig1 >> 8") == F.expr("sig2 >> 8"))
+                   & (F.col("doc_id_1") < F.col("doc_id_2")))
+    return (pairs.withColumn("hamming", F.expr("bit_count(sig1 ^ sig2)"))
+            .where(F.col("hamming") <= _HAMMING_MAX)
+            .select("doc_id_1", "doc_id_2", F.col("hamming").cast("int").alias("hamming")))
+
+
+_w_cols = ",\n       ".join(
+    f"SUM(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS w{j}"
+    for j in range(_SIMHASH_BITS))
+_sig_expr = " + ".join(
+    f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+DEDUP_SIMHASH_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+w AS (SELECT doc_id, {_w_cols} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_sig_expr} AS BIGINT) AS sig FROM w)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON (a.sig >> 8) = (b.sig >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_HAMMING_MAX}
+"""
+
+
+# -- ANN: cosine top-k over embeddings -----------------------------------
+_N_QUERIES = 5
+_TOP_K = 10
+# quantize: round(x*1000) as BIGINT -> exact integer dot products
+_QUANT_SPARK = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_QUANT_DUCK = "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT))"
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+
+def _quantized(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    q = e.selectExpr("vec_id", f"{_QUANT_SPARK} AS qv")
+    dot_self = _DOT_SPARK.format(a="qv", b="qv")
+    return q.selectExpr("vec_id", "qv", f"{dot_self} AS norm2")
+
+
+def ann_cosine_topk(spark, sf):
+    from pyspark.sql import Window
+    qv = _quantized(spark, sf)
+    queries = qv.where(F.col("vec_id") < _N_QUERIES) \
+        .selectExpr("vec_id AS query_id", "qv AS qq", "norm2 AS qn")
+    dot = _DOT_SPARK.format(a="qq", b="qv")
+    scored = (F.broadcast(queries).crossJoin(qv)
+              .where(F.col("vec_id") != F.col("query_id"))
+              .selectExpr("query_id", "vec_id",
+                          f"CAST({dot} AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(norm2 AS DOUBLE)) AS cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")))
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+n AS (SELECT vec_id, qv, CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2 FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cosine
+  FROM n a, n b
+  WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+# -- ANN scale path: sign-bit LSH buckets --------------------------------
+_BUCKET_SPARK = ("(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END + "
+                 "CASE WHEN element_at(embedding, 2) > 0 THEN 4 ELSE 0 END + "
+                 "CASE WHEN element_at(embedding, 3) > 0 THEN 2 ELSE 0 END + "
+                 "CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END)")
+_BUCKET_DUCK = ("(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + "
+                "CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + "
+                "CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + "
+                "CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)")
+_TOP_K_LSH = 5
+
+
+def ann_lsh_bucket_topk(spark, sf):
+    from pyspark.sql import Window
+    e = load_table(spark, sf, "embeddings")
+    qv = e.selectExpr("vec_id", f"{_QUANT_SPARK} AS qv",
+                      f"{_BUCKET_SPARK} AS bucket")
+    dot_self = _DOT_SPARK.format(a="qv", b="qv")
+    qv = qv.selectExpr("vec_id", "qv", "bucket", f"{dot_self} AS norm2")
+    queries = qv.where(F.col("vec_id") < _N_QUERIES) \
+        .selectExpr("vec_id AS query_id", "qv AS qq", "bucket AS qb", "norm2 AS qn")
+    dot = _DOT_SPARK.format(a="qq", b="qv")
+    scored = (F.broadcast(queries)
+              .join(qv, F.col("qb") == F.col("bucket"))   # bucket-pruned scan
+              .where(F.col("vec_id") != F.col("query_id"))
+              .selectExpr("query_id", "vec_id",
+                          f"CAST({dot} AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(norm2 AS DOUBLE)) AS cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K_LSH)
+            .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")))
+
+
+ANN_LSH_BUCKET_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv, {_BUCKET_DUCK} AS bucket FROM embeddings),
+n AS (SELECT vec_id, qv, bucket,
+             CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2 FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket
+  WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K_LSH}
+"""
+
+
+QUERIES = {
+    "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
+                                 "n-gram Jaccard near-dup (baseline)"),
+    "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,
+                               "MinHash + banded LSH near-dup (scale path)"),
+    "dedup_simhash": Query(dedup_simhash, DEDUP_SIMHASH_SQL,
+                           "SimHash Hamming-distance near-dup"),
+    "ann_cosine_topk": Query(ann_cosine_topk, ANN_COSINE_TOPK_SQL,
+                             "brute-force cosine top-k (exact baseline)"),
+    "ann_lsh_bucket_topk": Query(ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL,
+                                 "sign-bit LSH-bucketed ANN (approximate scale path)"),
+}

@@ -1,0 +1,214 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference
+surface, SURVEY §7.2 M6): quality scoring, language ID, token stats,
+exact dedup, document fingerprinting.
+
+All expressions are built from integer/exact arithmetic so the DuckDB
+oracle hashes identically (see corpus.base).  The reference cannot
+express any of this (its engine stores text as opaque TEXT,
+mysql_firebolt_type_mapping.py:26-51).
+
+Scale: every op here is a single scan + narrow shuffle (groupBy doc_id or
+token); no driver-side loops; all string work stays in JVM codegen via
+Spark SQL higher-order functions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Query, load_table
+
+# token extraction: identical regex semantics on both engines
+_TOKENS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+
+# language marker words (n-gram-heuristic language ID)
+_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "que", "una"),
+}
+
+
+# -- quality scoring ------------------------------------------------------
+def text_quality_stats(spark, sf):
+    d = load_table(spark, sf, "documents")
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return d.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        f"CAST(size({_TOKENS_SPARK}) AS BIGINT) AS n_tokens",
+        f"aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0, (acc, v) -> acc + v) AS n_token_chars",
+        f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop_in}))) AS n_stopwords",
+    ).selectExpr(
+        "doc_id", "n_chars", "n_tokens",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio",
+        "CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_token_chars AS DOUBLE) / n_chars END AS alpha_ratio",
+    )
+
+
+_stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+TEXT_QUALITY_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len({_TOKENS_DUCK}) AS n_tokens,
+         CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS BIGINT) AS n_token_chars,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({_stop_in}))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio,
+  CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(n_token_chars AS DOUBLE) / n_chars END AS alpha_ratio
+FROM t
+"""
+
+
+# -- language ID (marker-word scoring heuristic) -------------------------
+def _score_expr(lang: str, contains_fn: str, toks: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {contains_fn}({toks}, '{w}') THEN 1 ELSE 0 END"
+        for w in _MARKERS[lang])
+
+
+def text_lang_id(spark, sf):
+    d = load_table(spark, sf, "documents")
+    scores = [f"({_score_expr(lang, 'array_contains', _TOKENS_SPARK)}) AS s_{lang}"
+              for lang in _MARKERS]
+    scored = d.selectExpr("doc_id", "lang", *scores)
+    return scored.selectExpr(
+        "doc_id", "lang",
+        "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang",
+        "s_en + s_de + s_fr + s_es AS marker_hits",
+    )
+
+
+_duck_scores = ", ".join(
+    f"({_score_expr(lang, 'list_contains', _TOKENS_DUCK)}) AS s_{lang}"
+    for lang in _MARKERS)
+TEXT_LANG_ID_SQL = f"""
+WITH scored AS (SELECT doc_id, lang, {_duck_scores} FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang,
+  s_en + s_de + s_fr + s_es AS marker_hits
+FROM scored
+"""
+
+
+# -- token frequency top-k (explode/unnest shape) ------------------------
+def text_token_topk(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (
+        d.selectExpr(f"explode({_TOKENS_SPARK}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TEXT_TOKEN_TOPK_SQL = f"""
+SELECT token, COUNT(*) AS token_count
+FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+GROUP BY token ORDER BY token_count DESC, token ASC LIMIT 20
+"""
+
+
+# -- exact dedup (hash-groupBy); corpus has injected re-crawl dups -------
+# documents has no natural exact dups, so both engines deterministically
+# inject copies of every 10th doc (a simulated re-crawl).
+def _dup_corpus(spark, sf):
+    d = load_table(spark, sf, "documents")
+    dups = (d.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return d.select("doc_id", "text").unionByName(dups)
+
+
+_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def dedup_exact(spark, sf):
+    c = _dup_corpus(spark, sf)
+    return (
+        c.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT MD5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
+FROM ({_DUP_CORPUS_SQL})
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# -- document fingerprint: md5 + min-rolling-hash (winnowing-lite) -------
+# rolling hash of char 5-grams over cleaned text: exact integer poly hash
+# sum(ascii(c[i+j]) * 31^j), identical on both engines.
+_CLEAN_SPARK = "substr(regexp_replace(lower(text), '[^a-z0-9 ]', ''), 1, 64)"
+_CLEAN_DUCK = "substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 64)"
+_POW31 = (1, 31, 961, 29791, 923521)
+
+
+def _h_expr(s: str, i: str) -> str:
+    terms = " + ".join(
+        f"{p} * ascii(substr({s}, {i} + {j}, 1))" for j, p in enumerate(_POW31))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def doc_fingerprint(spark, sf):
+    d = load_table(spark, sf, "documents")
+    h = _h_expr("clean", "i")
+    return (
+        d.selectExpr("doc_id", "md5(text) AS md5_fingerprint",
+                     f"{_CLEAN_SPARK} AS clean")
+        .selectExpr(
+            "doc_id", "md5_fingerprint",
+            "CASE WHEN length(clean) >= 5 THEN "
+            f"array_min(transform(sequence(1, length(clean) - 4), i -> {h})) "
+            "ELSE CAST(NULL AS BIGINT) END AS min_shingle_hash")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH c AS (SELECT doc_id, md5(text) AS md5_fingerprint, {_CLEAN_DUCK} AS clean FROM documents)
+SELECT doc_id, md5_fingerprint,
+  CASE WHEN length(clean) >= 5 THEN
+    CAST(list_min(list_transform(range(1, length(clean) - 3), i -> {_h_expr('clean', 'i')})) AS BIGINT)
+  ELSE CAST(NULL AS BIGINT) END AS min_shingle_hash
+FROM c
+"""
+
+
+QUERIES = {
+    "text_quality_stats": Query(text_quality_stats, TEXT_QUALITY_STATS_SQL,
+                                "quality scoring: token/stopword/alpha ratios"),
+    "text_lang_id": Query(text_lang_id, TEXT_LANG_ID_SQL,
+                          "marker-word language ID heuristic"),
+    "text_token_topk": Query(text_token_topk, TEXT_TOKEN_TOPK_SQL,
+                             "global token frequency top-k (explode)"),
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL,
+                         "exact dedup via md5 hash-groupBy"),
+    "doc_fingerprint": Query(doc_fingerprint, DOC_FINGERPRINT_SQL,
+                             "md5 + min-rolling-hash fingerprint"),
+}

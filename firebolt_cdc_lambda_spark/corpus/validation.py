@@ -1,0 +1,304 @@
+"""The reference's 18-check validation corpus (DATA_VALIDATION_QUERIES.sql)
+re-expressed as native DataFrame plans over the testdata star schema.
+
+V-numbers cite the reference file; each query keeps the *operator shape*
+(multi-agg, conditional agg, GROUP BY expression, HAVING, checksum,
+top-k, UNION ALL freshness, global summary) on the tables we have.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import functions as F
+
+from .base import Query, davg, dec, dsum, load_table, sql_davg, sql_dsum
+
+
+# -- V1/V2: row counts across tables (DATA_VALIDATION_QUERIES.sql:13-44) --
+_COUNT_TABLES = ("orders", "lineitem", "customer", "events")
+
+
+def val_row_counts(spark, sf):
+    parts = [
+        load_table(spark, sf, n)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(F.lit(n).alias("table_name"), "row_count")
+        for n in _COUNT_TABLES
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+VAL_ROW_COUNTS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS table_name, COUNT(*) AS row_count FROM {n}"
+    for n in _COUNT_TABLES
+)
+
+
+# -- V3: aggregate stats in one pass (:51-61) ----------------------------
+def val_agg_summary(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct("o_custkey").alias("unique_customers"),
+        dsum("o_totalprice").alias("sum_totalprice"),
+        davg("o_totalprice").alias("avg_totalprice"),
+        F.min(F.to_date("o_orderdate")).alias("min_orderdate"),
+        F.max(F.to_date("o_orderdate")).alias("max_orderdate"),
+    )
+
+
+VAL_AGG_SUMMARY_SQL = f"""
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       {sql_dsum('o_totalprice')} AS sum_totalprice,
+       {sql_davg('o_totalprice')} AS avg_totalprice,
+       MIN(CAST(o_orderdate AS DATE)) AS min_orderdate,
+       MAX(CAST(o_orderdate AS DATE)) AS max_orderdate
+FROM orders
+"""
+
+
+# -- V4: daily distribution, recent window (:67-77) ----------------------
+def val_date_distribution(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.where(F.to_date("o_orderdate") >= F.lit("2001-01-01"))
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("order_count"),
+             dsum("o_totalprice").alias("daily_total"))
+    )
+
+
+VAL_DATE_DISTRIBUTION_SQL = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS daily_total
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+GROUP BY 1
+"""
+
+
+# -- V5: NULL counts per column (:84-91) ---------------------------------
+def val_null_counts(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    nullcnt = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        nullcnt("l_quantity").alias("null_quantity"),
+        nullcnt("l_returnflag").alias("null_returnflag"),
+        nullcnt("l_shipdate").alias("null_shipdate"),
+    )
+
+
+VAL_NULL_COUNTS_SQL = """
+SELECT COUNT(*) AS total_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+FROM lineitem
+"""
+
+
+# -- V6: duplicate-key probe, GROUP BY + HAVING + top-k (:98-107) --------
+def val_duplicate_keys(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .where(F.col("event_count") > 1)
+        .orderBy(F.desc("event_count"), F.asc("user_id"))
+        .limit(100)
+    )
+
+
+VAL_DUPLICATE_KEYS_SQL = """
+SELECT user_id, COUNT(*) AS event_count
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) GROUP BY user_id HAVING COUNT(*) > 1
+ORDER BY event_count DESC, user_id ASC LIMIT 100
+"""
+
+
+# -- V6b: true-PK duplicate check (expected empty) -----------------------
+def val_duplicate_pks(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+VAL_DUPLICATE_PKS_SQL = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+"""
+
+
+# -- V8: MD5 checksum fingerprint (:125-133) -----------------------------
+def val_checksum(spark, sf):
+    def one(tbl, keycol):
+        df = load_table(spark, sf, tbl)
+        return df.agg(
+            F.md5(F.sum(F.col(keycol).cast("long")).cast("string")).alias("key_checksum"),
+            F.count(F.lit(1)).alias("row_count"),
+        ).select(F.lit(tbl).alias("table_name"), "key_checksum", "row_count")
+    return one("orders", "o_orderkey").unionByName(one("lineitem", "l_orderkey"))
+
+
+VAL_CHECKSUM_SQL = """
+SELECT 'orders' AS table_name,
+       MD5(CAST(CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS VARCHAR)) AS key_checksum,
+       COUNT(*) AS row_count
+FROM orders
+UNION ALL
+SELECT 'lineitem' AS table_name,
+       MD5(CAST(CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS VARCHAR)) AS key_checksum,
+       COUNT(*) AS row_count
+FROM lineitem
+"""
+
+
+# -- V9: category counts (:139-147) --------------------------------------
+def val_category_counts(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("order_count"),
+             dsum("o_totalprice").alias("status_total"))
+    )
+
+
+VAL_CATEGORY_COUNTS_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS status_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# -- V13: monthly distribution via DATE_TRUNC (:216-223) -----------------
+def val_monthly_distribution(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(F.count(F.lit(1)).alias("order_count"),
+             dsum("o_totalprice").alias("monthly_total"))
+    )
+
+
+VAL_MONTHLY_DISTRIBUTION_SQL = f"""
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS monthly_total
+FROM orders GROUP BY 1
+"""
+
+
+# -- V10: freshness via UNION ALL over 3 streams (:154-179) --------------
+def val_freshness(spark, sf):
+    def one(tbl, tscol):
+        df = load_table(spark, sf, tbl)
+        mx, mn = F.unix_micros(F.max(tscol)), F.unix_micros(F.min(tscol))
+        return df.agg(
+            mx.alias("max_ts_us"),
+            ((mx - mn) / F.lit(60_000_000)).cast("long").alias("span_minutes"),
+        ).select(F.lit(tbl).alias("table_name"), "max_ts_us", "span_minutes")
+    return (one("orders", "o_orderdate")
+            .unionByName(one("lineitem", "l_shipdate"))
+            .unionByName(one("events", "ts")))
+
+
+VAL_FRESHNESS_SQL = """
+SELECT 'orders' AS table_name, EPOCH_US(MAX(o_orderdate)) AS max_ts_us,
+       CAST(FLOOR((EPOCH_US(MAX(o_orderdate)) - EPOCH_US(MIN(o_orderdate))) / 60000000.0) AS BIGINT) AS span_minutes
+FROM orders
+UNION ALL
+SELECT 'lineitem', EPOCH_US(MAX(l_shipdate)),
+       CAST(FLOOR((EPOCH_US(MAX(l_shipdate)) - EPOCH_US(MIN(l_shipdate))) / 60000000.0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events', EPOCH_US(MAX(ts)),
+       CAST(FLOOR((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) / 60000000.0) AS BIGINT)
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+"""
+
+
+# -- V18: global summary over per-table counts (:289-297) ----------------
+def val_global_summary(spark, sf):
+    counts = val_row_counts(spark, sf)
+    return counts.agg(
+        F.count(F.lit(1)).alias("table_count"),
+        F.sum("row_count").alias("total_rows"),
+        F.max("row_count").alias("max_rows"),
+        F.min("row_count").alias("min_rows"),
+        (F.sum("row_count") / F.count(F.lit(1))).alias("avg_rows"),
+    )
+
+
+VAL_GLOBAL_SUMMARY_SQL = f"""
+SELECT COUNT(*) AS table_count, CAST(SUM(row_count) AS BIGINT) AS total_rows,
+       MAX(row_count) AS max_rows, MIN(row_count) AS min_rows,
+       CAST(SUM(row_count) AS BIGINT) / COUNT(*) AS avg_rows
+FROM ({VAL_ROW_COUNTS_SQL})
+"""
+
+
+# -- V15: top-k by size (:246-253) ---------------------------------------
+def val_topk_orders(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice",
+                 F.to_date("o_orderdate").alias("order_date"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+VAL_TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# -- V7: deterministic sample rows (:114-117) ----------------------------
+def val_sample_rows(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return (c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+            .orderBy("c_custkey").limit(10))
+
+
+VAL_SAMPLE_ROWS_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer ORDER BY c_custkey LIMIT 10
+"""
+
+
+QUERIES = {
+    "val_row_counts": Query(val_row_counts, VAL_ROW_COUNTS_SQL,
+                            "V1/V2 row counts (A1, U1)"),
+    "val_agg_summary": Query(val_agg_summary, VAL_AGG_SUMMARY_SQL,
+                             "V3 multi-agg summary (A3)"),
+    "val_date_distribution": Query(val_date_distribution, VAL_DATE_DISTRIBUTION_SQL,
+                                   "V4 daily distribution (A6, P6)"),
+    "val_null_counts": Query(val_null_counts, VAL_NULL_COUNTS_SQL,
+                             "V5 NULL counts (A4)"),
+    "val_duplicate_keys": Query(val_duplicate_keys, VAL_DUPLICATE_KEYS_SQL,
+                                "V6 duplicate detection (A5, O2)"),
+    "val_duplicate_pks": Query(val_duplicate_pks, VAL_DUPLICATE_PKS_SQL,
+                               "V6 true-PK duplicates, expected empty (A5)"),
+    "val_checksum": Query(val_checksum, VAL_CHECKSUM_SQL,
+                          "V8 MD5 checksum (A7)"),
+    "val_category_counts": Query(val_category_counts, VAL_CATEGORY_COUNTS_SQL,
+                                 "V9 category counts (A6)"),
+    "val_monthly_distribution": Query(val_monthly_distribution, VAL_MONTHLY_DISTRIBUTION_SQL,
+                                      "V13 monthly distribution (A6)"),
+    "val_freshness": Query(val_freshness, VAL_FRESHNESS_SQL,
+                           "V10 freshness union (A9, U1)"),
+    "val_global_summary": Query(val_global_summary, VAL_GLOBAL_SUMMARY_SQL,
+                                "V18 global summary (A8)"),
+    "val_topk_orders": Query(val_topk_orders, VAL_TOPK_ORDERS_SQL,
+                             "V15 top-k (O2)"),
+    "val_sample_rows": Query(val_sample_rows, VAL_SAMPLE_ROWS_SQL,
+                             "V7 deterministic sample (O1, O3)"),
+}
