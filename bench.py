@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + a CDC merge micro-benchmark.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink so measured time = scan + compute
++ shuffle, no driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firebolt_cdc_lambda_spark.session import get_spark  # noqa: E402
+from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES  # noqa: E402
+from firebolt_cdc_lambda_spark.corpus.base import load_table  # noqa: E402
+from firebolt_cdc_lambda_spark.operators.dedup import deduplicate  # noqa: E402
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "join_enriched_orders",
+    "window_topn_per_segment",
+    "events_sessionization",
+    "val_agg_summary",
+    "cdc_dedup_cascade",
+    "cdc_merge_upsert_delete",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_stats",
+]
+
+
+def run_query(spark, name, sf_dir) -> float:
+    t0 = time.time()
+    df = ALL_QUERIES[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def bench_cdc_pipeline(spark, sf_dir) -> float:
+    """End-to-end CDC merge at this SF: bootstrap orders as the target
+    snapshot, then apply one update/delete/insert batch (the reference's
+    per-file merge path, sub-second at its ~50M-row fleet)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=64)
+        kt.init(orders)
+        batch = (
+            orders.where("o_orderkey % 1000 < 20")   # ~2% of keys touched
+            .withColumn("Op",
+                        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("load_timestamp", F.current_timestamp())
+        )
+        staging = deduplicate(batch, ["o_orderkey"], check_bypass=True)
+        t0 = time.time()
+        kt.merge_batch(staging)
+        return time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="fcls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    timings["cdc_merge_batch"] = round(bench_cdc_pipeline(spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "corpus_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
