@@ -82,8 +82,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="fcls-bench")
+    spark = get_spark(app_name="fcls-bench", extra_conf={
+        # local[32] + ~20MB files: smaller split size keeps all cores busy
+        # (at cluster scale the 128MB default is correct)
+        "spark.sql.files.maxPartitionBytes": "16m",
+    })
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM/codegen/scan-metadata spin-up otherwise lands on
+    # the first measured query (~4s of constant overhead)
+    run_query(spark, BENCH_QUERIES[0], sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -41,7 +41,10 @@ _MINHASH_PERMS = (
     (279551, 645131), (909091, 122807), (443389, 777001), (671771, 500009),
 )
 _MINHASH_P = 1_000_003
-_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))  # 4 bands x 2 rows
+# 2 bands x 4 rows: P(band collision) = jaccard^4 — tight enough that a
+# low-diversity corpus (tiny vocabulary) doesn't explode the candidate
+# set.  4 bands x 2 rows produced 582k candidates from 5k docs here.
+_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
 _JACCARD_THRESHOLD = 0.5
 
 
@@ -63,12 +66,17 @@ FROM documents WHERE doc_id % 20 = 0
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """Distinct (doc_id, h): h = 31-polynomial hash of each char 5-gram."""
+    """Distinct (doc_id, h): h = 31-polynomial hash of each char 5-gram.
+
+    Cached: the shingle relation is re-read by candidate generation, the
+    intersection join, and the set-size aggregate — without a cache Spark
+    recomputes the explode+distinct shuffle for each consumer."""
     h = _h_expr("clean", "i")
     return (corpus.where("length(clean) >= 5")
             .selectExpr("doc_id",
                         f"explode(transform(sequence(1, length(clean) - 4), i -> {h})) AS h")
-            .distinct())
+            .distinct()
+            .cache())
 
 
 _SHINGLES_SQL = f"""
@@ -146,10 +154,10 @@ def dedup_minhash_lsh(spark, sf):
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     bands = [
-        (F.col(f"mh{i}") * F.lit(_MINHASH_P) + F.col(f"mh{j}")).alias(f"band{bi}")
-        for bi, (i, j) in enumerate(_BANDS)
+        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
+        for bi, idxs in enumerate(_BANDS)
     ]
-    sig = sig.select("doc_id", *bands)
+    sig = sig.select("doc_id", *bands).cache()   # read once per band join
     cands = None
     for bi in range(len(_BANDS)):
         a = sig.selectExpr("doc_id AS d1", f"band{bi} AS bk")
@@ -165,8 +173,8 @@ _mh_cols = ",\n       ".join(
     f"MIN(CAST(({a} * h + {b}) % {_MINHASH_P} AS BIGINT)) AS mh{k}"
     for k, (a, b) in enumerate(_MINHASH_PERMS))
 _band_cols = ", ".join(
-    f"mh{i} * {_MINHASH_P} + mh{j} AS band{bi}"
-    for bi, (i, j) in enumerate(_BANDS))
+    "CONCAT_WS('-', " + ", ".join(f"mh{i}" for i in idxs) + f") AS band{bi}"
+    for bi, idxs in enumerate(_BANDS))
 _band_joins = "\nUNION ALL\n".join(
     f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
     f"JOIN bands b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"
