@@ -332,7 +332,69 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# -- embedding-cosine near-duplicate detection ---------------------------
+# the "semantic dedup" variant: two vectors are near-dups if cosine >=
+# threshold; candidates restricted to the same sign-bit bucket (scale
+# path: per-bucket quadratic, never global quadratic).  The testdata
+# embeddings are random (max pairwise cosine ~0.51), so both engines
+# deterministically inject a perturbed copy of every 20th vector
+# (element 1 shifted by +0.05) as the near-dup population.
+_COS_DUP_THRESHOLD = 0.98
+
+_PERTURB_SPARK = ("concat(array(CAST(element_at(embedding, 1) AS DOUBLE) + 0.05D), "
+                  "transform(slice(embedding, 2, size(embedding) - 1), x -> CAST(x AS DOUBLE)))")
+_PERTURB_DUCK = ("list_concat([embedding[1]::DOUBLE + 0.05], "
+                 "(embedding::DOUBLE[])[2:])")
+
+
+def _cos_corpus(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    base = e.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    shifted = (e.where(F.col("vec_id") % 20 == 0)
+               .selectExpr(f"vec_id + {_NEARDUP_OFFSET} AS vec_id",
+                           f"{_PERTURB_SPARK} AS embedding"))
+    return base.unionByName(shifted)
+
+
+_COS_CORPUS_SQL = f"""
+SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + {_NEARDUP_OFFSET} AS vec_id, {_PERTURB_DUCK} AS embedding
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def dedup_embedding_cosine(spark, sf):
+    qv = (_cos_corpus(spark, sf)
+          .selectExpr("vec_id", f"{_QUANT_SPARK} AS qv", f"{_BUCKET_SPARK} AS bucket"))
+    dot_self = _DOT_SPARK.format(a="qv", b="qv")
+    qv = qv.selectExpr("vec_id", "qv", "bucket", f"{dot_self} AS norm2").cache()
+    a = qv.selectExpr("vec_id AS id1", "qv AS qa", "bucket AS ba", "norm2 AS na")
+    b = qv.selectExpr("vec_id AS id2", "qv AS qb", "bucket AS bb", "norm2 AS nb")
+    dot = _DOT_SPARK.format(a="qa", b="qb")
+    pairs = (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id1") < F.col("id2")))
+             .selectExpr("id1", "id2",
+                         f"CAST({dot} AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine"))
+    return (pairs.where(F.col("cosine") >= _COS_DUP_THRESHOLD)
+            .select(F.col("id1").alias("vec_id_1"), F.col("id2").alias("vec_id_2"),
+                    "cosine"))
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH embeddings_nd AS ({_COS_CORPUS_SQL}),
+q AS (SELECT vec_id, {_QUANT_DUCK} AS qv, {_BUCKET_DUCK} AS bucket FROM embeddings_nd),
+n AS (SELECT vec_id, qv, bucket,
+             CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2 FROM q)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cosine
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) >= {_COS_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
+    "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL,
+                                    "embedding-cosine near-dup (bucketed)"),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
                                  "n-gram Jaccard near-dup (baseline)"),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,

@@ -200,7 +200,33 @@ FROM c
 """
 
 
+# -- token counting: whitespace + BPE-ish regex --------------------------
+# two tokenizations per doc: naive whitespace split vs a BPE-ish regex
+# (letter runs | digit runs | single punctuation), the pre-tokenizer
+# shape used by GPT-style BPE vocabularies.
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]"
+
+
+def text_token_count(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.selectExpr(
+        "doc_id",
+        "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT) AS ws_tokens",
+        f"CAST(size(regexp_extract_all(text, '{_BPE_RE}', 0)) AS BIGINT) AS bpe_tokens",
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_token_count": Query(text_token_count, TEXT_TOKEN_COUNT_SQL,
+                              "token counting: whitespace vs BPE-ish regex"),
     "text_quality_stats": Query(text_quality_stats, TEXT_QUALITY_STATS_SQL,
                                 "quality scoring: token/stopword/alpha ratios"),
     "text_lang_id": Query(text_lang_id, TEXT_LANG_ID_SQL,

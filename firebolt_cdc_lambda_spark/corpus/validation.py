@@ -274,7 +274,63 @@ FROM customer ORDER BY c_custkey LIMIT 10
 """
 
 
+# -- scalar-function showcase (SURVEY §2.8 coverage in one projection) ---
+def scalar_functions_showcase(spark, sf):
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
+        F.concat_ws(".", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.substring("o_orderpriority", 1, 3).alias("priority_prefix"),
+        F.instr("o_orderpriority", "-").cast("long").alias("dash_pos"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("none")).alias("status_or_none"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_1995"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       MD5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+       CONCAT_WS('.', o_orderstatus, o_orderpriority) AS status_priority,
+       SUBSTR(o_orderpriority, 1, 3) AS priority_prefix,
+       CAST(STRPOS(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+       UPPER(o_orderstatus) AS status_upper,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS status_or_none,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_1995,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month
+FROM orders WHERE o_orderkey < 100
+"""
+
+
+# -- ROLLUP aggregation (beyond-reference; SURVEY §2.4 notes it's free) --
+def val_rollup_status_priority(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 dsum("o_totalprice").alias("total")))
+
+
+VAL_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
+    "scalar_functions_showcase": Query(scalar_functions_showcase, SCALAR_FUNCTIONS_SQL,
+                                       "§2.8 scalar functions in one projection"),
+    "val_rollup_status_priority": Query(val_rollup_status_priority, VAL_ROLLUP_SQL,
+                                        "ROLLUP hierarchy aggregation"),
     "val_row_counts": Query(val_row_counts, VAL_ROW_COUNTS_SQL,
                             "V1/V2 row counts (A1, U1)"),
     "val_agg_summary": Query(val_agg_summary, VAL_AGG_SUMMARY_SQL,
