@@ -326,7 +326,74 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# -- exact percentiles (beyond-reference; Spark percentile == DuckDB
+# quantile_cont: both linear interpolation, bit-identical) ---------------
+def val_percentiles(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+VAL_PERCENTILES_SQL = """
+SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+"""
+
+
+# -- JSON column access (reference stores JSON as TEXT and cannot touch
+# it, mysql_firebolt_type_mapping.py:46-47; Spark parses it natively) ----
+def events_json_extract(spark, sf):
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# -- P10: file-local ingestion_seq through the real ingest operator ------
+def val_ingestion_seq(spark, sf):
+    from ..sources.ingest import with_ingestion_seq
+    li = with_ingestion_seq(load_table(spark, sf, "lineitem"))
+    # single file per table => seq must be a dense 1..N numbering
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ingestion_seq").cast("long").alias("max_seq"),
+        F.count_distinct("ingestion_seq").alias("distinct_seq"),
+        F.min("ingestion_seq").cast("long").alias("min_seq"),
+    )
+
+
+VAL_INGESTION_SEQ_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) AS max_seq,
+       COUNT(*) AS distinct_seq,
+       CAST(1 AS BIGINT) AS min_seq
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "val_percentiles": Query(val_percentiles, VAL_PERCENTILES_SQL,
+                             "exact interpolated percentiles"),
+    "events_json_extract": Query(events_json_extract, EVENTS_JSON_EXTRACT_SQL,
+                                 "JSON field extraction + aggregation"),
+    "val_ingestion_seq": Query(val_ingestion_seq, VAL_INGESTION_SEQ_SQL,
+                               "P10 file-local ingestion_seq density check"),
     "scalar_functions_showcase": Query(scalar_functions_showcase, SCALAR_FUNCTIONS_SQL,
                                        "§2.8 scalar functions in one projection"),
     "val_rollup_status_priority": Query(val_rollup_status_priority, VAL_ROLLUP_SQL,
