@@ -136,7 +136,47 @@ SELECT user_id, event_id, value FROM stg WHERE op <> 'D'
 """
 
 
+# -- the FULL pipeline through real bucketed storage, oracle-checked -----
+# bootstrap orders as a KeyedTable snapshot, apply one deterministic
+# update/delete batch through CdcPipeline's merge path, read the snapshot
+# back.  The oracle states the same relational fact directly.
+def cdc_pipeline_snapshot(spark, sf):
+    import tempfile
+
+    from ..operators.dedup import deduplicate
+    from ..operators.merge import KeyedTable
+
+    orders = load_table(spark, sf, "orders")
+    tmp = tempfile.mkdtemp(prefix="cdc_pipeline_q_")   # left for OS cleanup:
+    # the returned DataFrame lazily reads from it when the driver collects
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=32)
+    kt.init(orders)
+    touched = orders.where("o_orderkey % 1000 < 20")
+    batch = (touched
+             .withColumn("Op", F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"))
+             .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+             .withColumn("load_timestamp", F.to_timestamp(F.lit("2024-06-01 00:00:00"))))
+    kt.merge_batch(deduplicate(batch, ["o_orderkey"], check_bypass=True))
+    snap = kt.read()
+    return snap.select("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice",
+                       F.to_date("o_orderdate").alias("order_date"))
+
+
+CDC_PIPELINE_SNAPSHOT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 1000 < 20 THEN o_totalprice * 1.1
+            ELSE o_totalprice END AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE NOT (o_orderkey % 1000 < 20 AND o_orderkey % 5 = 0)
+"""
+
+
 QUERIES = {
+    "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
+                                   "full pipeline: bootstrap + merge through "
+                                   "bucketed KeyedTable storage"),
     "cdc_dedup_last_writer": Query(cdc_dedup_last_writer, CDC_DEDUP_LAST_WRITER_SQL,
                                    "W1 dedup rank, last writer wins"),
     "cdc_dedup_cascade": Query(cdc_dedup_cascade, CDC_DEDUP_CASCADE_SQL,

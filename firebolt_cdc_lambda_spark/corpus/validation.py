@@ -387,7 +387,19 @@ FROM lineitem
 """
 
 
+# -- HLL sketch distinct (beyond-reference; engine-specific estimate so
+# no cross-engine oracle — the driver records a rows-only check) ---------
+def val_approx_distinct(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+
+
 QUERIES = {
+    "val_approx_distinct": Query(val_approx_distinct, None,
+                                 "HLL approx distinct vs exact (rows-only)"),
     "val_percentiles": Query(val_percentiles, VAL_PERCENTILES_SQL,
                              "exact interpolated percentiles"),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_EXTRACT_SQL,
