@@ -78,6 +78,36 @@ def bench_cdc_pipeline(spark, sf_dir) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_stream_throughput(spark, sf_dir, n_files: int = 10) -> float:
+    """Files/sec through the full Structured Streaming CDC path: write
+    n_files small CDC batches, drain them with per-file triggers into a
+    bucketed snapshot.  The reference fleet does ~10k files/day ≈ 0.12
+    files/sec (AUTOMATIC_CLEANUP.md:68)."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming import CdcStream
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        for i in range(n_files):
+            (orders.where(F.col("o_orderkey") % n_files == i)
+             .withColumn("Op", F.lit("I" if i == 0 else "U"))
+             .withColumn("load_timestamp", F.to_timestamp(F.lit(f"2024-01-{i+1:02d} 00:00:00")))
+             .coalesce(1).write.parquet(f"{tmp}/src/2024/01/{i+1:02d}/b{i}.parquet"))
+        pipe = CdcPipeline(spark, f"{tmp}/wh",
+                           TableKeys.from_json('{"orders": "o_orderkey"}'),
+                           num_buckets=64)
+        stream = CdcStream(pipe, "orders", ["o_orderkey"], f"{tmp}/src",
+                           f"{tmp}/ckpt")
+        t0 = time.time()
+        stream.run_to_completion(spark)
+        elapsed = time.time() - t0
+        return round(n_files / elapsed, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -97,6 +127,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
     timings["cdc_merge_batch"] = round(bench_cdc_pipeline(spark, sf_dir), 3)
+    stream_fps = bench_stream_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -104,6 +135,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stream_files_per_sec": stream_fps,
         "sf": sf,
     }))
 

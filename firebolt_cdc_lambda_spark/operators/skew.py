@@ -1,0 +1,52 @@
+"""Skew-resilient aggregation: two-phase salted groupBy.
+
+AQE's skew-join splitting handles skewed JOINS at runtime; for *hot-key
+aggregations* (one key holding a large share of a 100 TB table —
+inevitable in CDC fleets where one tenant dominates) the classic fix is
+salting: partial-aggregate on (key, salt) to spread the hot key over N
+reducers, then final-aggregate on key.
+
+Only algebraic aggregates decompose this way; this helper supports the
+set the validation corpus uses (count/sum/min/max).  For count-distinct
+use the built-in two-level ``count_distinct`` (Spark already expands it
+via partial sets) or HLL sketches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+#: (partial_fn, final_fn) per supported aggregate
+_ALGEBRAIC = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: Sequence[tuple[str, str, str]],
+               num_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` is [(fn, col, alias)] with fn in
+    count/sum/min/max.  Equivalent to ``df.groupBy(keys).agg(...)`` but
+    the first shuffle keys on (keys, salt), so a hot key spreads over
+    ``num_salts`` reducers instead of melting one.
+    """
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for fn, col, alias in aggs:
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; salting not applicable")
+        pfn, ffn = _ALGEBRAIC[fn]
+        partials.append(pfn(F.col(col) if fn != "count" else F.lit(1)).alias(f"__p_{alias}"))
+        finals.append(ffn(f"__p_{alias}").alias(alias))
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)))
+    partial = salted.groupBy(*keys, _SALT).agg(*partials)
+    return partial.groupBy(*keys).agg(*finals)
