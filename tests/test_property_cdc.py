@@ -1,0 +1,95 @@
+"""Property-based CDC semantics: random event streams vs a pure-Python
+reference fold of the dedup cascade + merge contract."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from firebolt_cdc_lambda_spark.operators.dedup import deduplicate
+from firebolt_cdc_lambda_spark.operators.merge import merge_cdc
+
+_OP_RANK = {"D": 3, "U": 2, "I": 1}
+BASE = dt.datetime(2024, 1, 1)
+
+EVENT = st.fixed_dictionaries({
+    "id": st.integers(min_value=0, max_value=5),
+    "Op": st.sampled_from(["I", "U", "D"]),
+    "load_ts_h": st.integers(min_value=0, max_value=3),     # coarse -> ties
+    "updated_h": st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    "v": st.integers(min_value=0, max_value=100),
+})
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("Op", T.StringType()),
+    T.StructField("load_timestamp", T.TimestampType()),
+    T.StructField("updated", T.TimestampType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("ingestion_seq", T.LongType()),
+])
+
+
+def to_rows(events):
+    return [
+        (e["id"], e["Op"], BASE + dt.timedelta(hours=e["load_ts_h"]),
+         None if e["updated_h"] is None else BASE + dt.timedelta(hours=e["updated_h"]),
+         e["v"], i + 1)
+        for i, e in enumerate(events)
+    ]
+
+
+def ref_winner(rows_for_key):
+    """The cascade contract (lambda/handler.py:345-404) as a plain fold."""
+    def sort_key(r):
+        _id, op, load_ts, updated, v, seq = r
+        upd_epoch = 0 if updated is None else updated.timestamp()
+        return (load_ts, _OP_RANK.get(op, 0), upd_epoch, seq)
+    return max(rows_for_key, key=sort_key)
+
+
+def ref_dedup(rows):
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    return {k: ref_winner(v) for k, v in by_key.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=25))
+def test_dedup_matches_reference_fold(spark, events):
+    rows = to_rows(events)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["id"]: (r["Op"], r["v"], r["ingestion_seq"])
+           for r in deduplicate(df, ["id"]).collect()}
+    want = {k: (r[1], r[4], r[5]) for k, r in ref_dedup(rows).items()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=20),
+       st.lists(EVENT, min_size=1, max_size=20))
+def test_merge_matches_reference_fold(spark, batch1, batch2):
+    """Bootstrap from batch1 (deletes dropped), then merge batch2's
+    winners: D removes, I/U upserts, untouched keys survive."""
+    rows1, rows2 = to_rows(batch1), to_rows(batch2)
+    d1, d2 = ref_dedup(rows1), ref_dedup(rows2)
+    target_state = {k: r for k, r in d1.items() if r[1] != "D"}
+    expect = dict(target_state)
+    for k, r in d2.items():
+        if r[1] == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = r
+
+    target = spark.createDataFrame(
+        [(k, r[4]) for k, r in target_state.items()] or
+        [(None, None)], "id long, v long").where("id IS NOT NULL")
+    staging = deduplicate(spark.createDataFrame(rows2, SCHEMA), ["id"])
+    got = {r["id"]: r["v"] for r in merge_cdc(target, staging, ["id"]).collect()}
+    assert got == {k: r[4] for k, r in expect.items()}
