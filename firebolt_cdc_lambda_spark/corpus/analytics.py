@@ -207,7 +207,33 @@ SELECT c_nationkey, c_custkey, bal_rank, bal_dense_rank, richest_custkey FROM (
 """
 
 
+# -- as-of join: latest order at-or-before each event (custom operator) --
+def asof_event_last_order(spark, sf):
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (load_table(spark, sf, "orders")
+         .groupBy("o_custkey", F.col("o_orderdate").alias("ots"))
+         .agg(F.max("o_orderkey").alias("last_orderkey")))
+    o = o.select(F.col("o_custkey").alias("user_id"), "ots", "last_orderkey")
+    joined = asof_join(e, o, on="user_id", left_ts="ts", right_ts="ots",
+                       right_payload=["last_orderkey"])
+    return joined.select("event_id", "user_id", "last_orderkey")
+
+
+ASOF_EVENT_LAST_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.last_orderkey
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
+"""
+
+
 QUERIES = {
+    "asof_event_last_order": Query(asof_event_last_order, ASOF_EVENT_LAST_ORDER_SQL,
+                                   "as-of join (custom operator, union+carry window)"),
     "window_rank_family": Query(window_rank_family, WINDOW_RANK_FAMILY_SQL,
                                 "rank/dense_rank/first_value window family"),
     "q1_pricing_summary": Query(q1_pricing_summary, Q1_SQL,
