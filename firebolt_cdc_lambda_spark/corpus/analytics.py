@@ -231,7 +231,32 @@ ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
 """
 
 
+# -- range join: event pairs within 10 minutes per user ------------------
+def range_join_event_pairs(spark, sf):
+    from ..operators.rangejoin import range_join
+    e = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    pairs = range_join(e, e, on="user_id", left_ts="ts", right_ts="ts",
+                       max_gap_sec=600)
+    return (pairs.where(F.col("event_id_l") != F.col("event_id_r"))
+            .select("user_id",
+                    F.col("event_id_l").alias("event_id_1"),
+                    F.col("event_id_r").alias("event_id_2")))
+
+
+RANGE_JOIN_EVENT_PAIRS_SQL = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT l.user_id, l.event_id AS event_id_1, r.event_id AS event_id_2
+FROM e l JOIN e r
+  ON l.user_id = r.user_id
+ AND EPOCH_US(r.ts) >= EPOCH_US(l.ts)
+ AND EPOCH_US(r.ts) < EPOCH_US(l.ts) + 600000000
+WHERE l.event_id <> r.event_id
+"""
+
+
 QUERIES = {
+    "range_join_event_pairs": Query(range_join_event_pairs, RANGE_JOIN_EVENT_PAIRS_SQL,
+                                    "bounded range join (bucketed, custom operator)"),
     "asof_event_last_order": Query(asof_event_last_order, ASOF_EVENT_LAST_ORDER_SQL,
                                    "as-of join (custom operator, union+carry window)"),
     "window_rank_family": Query(window_rank_family, WINDOW_RANK_FAMILY_SQL,
