@@ -224,7 +224,43 @@ FROM documents
 """
 
 
+# -- deterministic train/val/test split (hash-based, engine-agnostic) ----
+# sampling via RNG differs per engine; an md5-prefix threshold on the key
+# is deterministic, stable under reprocessing, and identical everywhere —
+# the correct way to split a 100 TB corpus.
+_SPLIT_EXPR = (
+    "CASE WHEN substr(md5(concat(CAST(doc_id AS STRING), '-split-v1')), 1, 2) < '0d' THEN 'test' "
+    "WHEN substr(md5(concat(CAST(doc_id AS STRING), '-split-v1')), 1, 2) < '1a' THEN 'val' "
+    "ELSE 'train' END"
+)
+_SPLIT_EXPR_DUCK = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-split-v1'), 1, 2) < '0d' THEN 'test' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-split-v1'), 1, 2) < '1a' THEN 'val' "
+    "ELSE 'train' END"
+)
+
+
+def dataset_split_assignment(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (d.selectExpr("doc_id", f"{_SPLIT_EXPR} AS split", "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT {_SPLIT_EXPR_DUCK} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
+    "dataset_split_assignment": Query(dataset_split_assignment, DATASET_SPLIT_SQL,
+                                      "deterministic hash-based train/val/test split"),
     "text_token_count": Query(text_token_count, TEXT_TOKEN_COUNT_SQL,
                               "token counting: whitespace vs BPE-ish regex"),
     "text_quality_stats": Query(text_quality_stats, TEXT_QUALITY_STATS_SQL,

@@ -397,7 +397,38 @@ def val_approx_distinct(spark, sf):
     )
 
 
+# -- one-pass column profile (data-quality shape: min/max/distinct/nulls
+# per column in a single scan) -------------------------------------------
+def val_profile_orders(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderstatus").alias("status_cardinality"),
+        F.count_distinct("o_orderpriority").alias("priority_cardinality"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.min(F.to_date("o_orderdate")).alias("date_min"),
+        F.max(F.to_date("o_orderdate")).alias("date_max"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("long").alias("null_custkey"),
+    )
+
+
+VAL_PROFILE_ORDERS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderstatus) AS status_cardinality,
+       COUNT(DISTINCT o_orderpriority) AS priority_cardinality,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max,
+       MIN(CAST(o_orderdate AS DATE)) AS date_min,
+       MAX(CAST(o_orderdate AS DATE)) AS date_max,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey
+FROM orders
+"""
+
+
 QUERIES = {
+    "val_profile_orders": Query(val_profile_orders, VAL_PROFILE_ORDERS_SQL,
+                                "one-pass column profile"),
     "val_approx_distinct": Query(val_approx_distinct, None,
                                  "HLL approx distinct vs exact (rows-only)"),
     "val_percentiles": Query(val_percentiles, VAL_PERCENTILES_SQL,
