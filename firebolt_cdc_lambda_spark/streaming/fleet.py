@@ -1,0 +1,81 @@
+"""Fleet orchestration: continuous CDC for many tables at once.
+
+The reference fleet is 809 tables (~675 keyed), one Lambda invocation
+per file, with concurrency pathologies managed by retries
+(CHANGELOG.md:28-29, FIX_TRANSACTION_CONFLICTS.md).  Spark-side, each
+table gets its own file-source stream + checkpoint + snapshot; streams
+run concurrently on the shared session (fair scheduling across jobs),
+and each table still has exactly one writer.
+
+Layout convention (the reference's S3 grammar):
+
+    <source_root>/fair/<table>/YYYY/MM/DD/<file>.parquet
+    <checkpoint_root>/<table>/
+    <warehouse_root>/<table>/            (KeyedTable snapshots)
+
+Tables with a null PK are skipped, not errored (CHANGELOG.md:6-19).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..config import TableKeys
+from ..pipeline import CdcPipeline
+from .cdc_stream import CdcStream
+
+
+class CdcFleet:
+    def __init__(self, pipeline: CdcPipeline, source_root: str,
+                 checkpoint_root: str,
+                 max_files_per_trigger: int | None = 10):
+        self.pipeline = pipeline
+        self.source_root = source_root.rstrip("/")
+        self.checkpoint_root = checkpoint_root.rstrip("/")
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def discover_tables(self) -> list[str]:
+        """Tables = subdirectories of <source_root>/fair/."""
+        fair = os.path.join(self.source_root, "fair")
+        if not os.path.isdir(fair):
+            return []
+        return sorted(d for d in os.listdir(fair)
+                      if os.path.isdir(os.path.join(fair, d)))
+
+    def streams(self) -> dict[str, CdcStream]:
+        """One configured CdcStream per configured (non-null-PK) table."""
+        out: dict[str, CdcStream] = {}
+        for table in self.discover_tables():
+            keys = self.pipeline.table_keys.resolve(table)
+            if keys is None:
+                continue   # null PK => skipped, not errored
+            out[table] = CdcStream(
+                self.pipeline, table, keys,
+                f"{self.source_root}/fair/{table}",
+                f"{self.checkpoint_root}/{table}",
+                max_files_per_trigger=self.max_files_per_trigger)
+        return out
+
+    def run_once(self, spark: SparkSession, timeout_sec: int = 600) -> dict[str, str]:
+        """Drain every table's backlog (availableNow) concurrently; returns
+        per-table status."""
+        queries = {}
+        status: dict[str, str] = {}
+        for table, stream in self.streams().items():
+            try:
+                queries[table] = stream.start(spark, available_now=True)
+            except Exception as exc:  # noqa: BLE001
+                status[table] = f"failed_to_start: {exc}"
+        for table, q in queries.items():
+            try:
+                q.awaitTermination(timeout_sec)
+                if q.isActive:
+                    q.stop()
+                    status[table] = "timeout"
+                else:
+                    status[table] = "drained"
+            except Exception as exc:  # noqa: BLE001
+                status[table] = f"failed: {exc}"
+        return status
