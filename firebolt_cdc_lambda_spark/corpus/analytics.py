@@ -183,6 +183,41 @@ FROM numbered GROUP BY user_id
 """
 
 
+# -- Q10-flavored: top customers by returned-item revenue ----------------
+def q10_returned_items(spark, sf):
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders")
+    c = F.broadcast(load_table(spark, sf, "customer"))
+    n = F.broadcast(load_table(spark, sf, "nation"))
+    disc = dec("l_discount", 4, 9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(9,4)") - disc))
+             .cast("double").alias("lost_revenue"),
+             F.count(F.lit(1)).alias("returned_items"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS lost_revenue,
+  COUNT(*) AS returned_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # -- rank family: rank / dense_rank / first_value over one window --------
 def window_rank_family(spark, sf):
     c = load_table(spark, sf, "customer")
@@ -267,6 +302,8 @@ QUERIES = {
                                   "selective join + top-k (J1, O2)"),
     "q5_nation_revenue": Query(q5_nation_revenue, Q5_SQL,
                                "multi-way join, broadcast dims (J1)"),
+    "q10_returned_items": Query(q10_returned_items, Q10_SQL,
+                                "returned-items report: selective multi-join top-k"),
     "window_topn_per_segment": Query(window_topn_per_segment, WINDOW_TOPN_SQL,
                                      "window rank per group (W1 analytic form)"),
     "events_sessionization": Query(events_sessionization, EVENTS_SESSIONIZATION_SQL,
