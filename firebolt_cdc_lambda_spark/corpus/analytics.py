@@ -289,7 +289,80 @@ WHERE l.event_id <> r.event_id
 """
 
 
+# -- CUBE over two dimensions --------------------------------------------
+def cube_status_priority(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 dsum("o_totalprice").alias("total")))
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# -- arg-max per group (max_by / arg_max) ---------------------------------
+def argmax_order_per_customer(spark, sf):
+    o = load_table(spark, sf, "orders")
+    # deterministic arg-max: tie-break on the orderkey inside the struct
+    return (o.groupBy("o_custkey")
+            .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+            .select("o_custkey",
+                    F.col("m.o_orderkey").alias("biggest_orderkey"),
+                    F.col("m.o_totalprice").alias("biggest_totalprice")))
+
+
+ARGMAX_SQL = """
+SELECT o_custkey,
+       MAX(struct_pack(p := o_totalprice, k := o_orderkey)).k AS biggest_orderkey,
+       MAX(struct_pack(p := o_totalprice, k := o_orderkey)).p AS biggest_totalprice
+FROM orders GROUP BY o_custkey
+"""
+
+
+# -- gap-filled monthly series (resample + zero-fill) ---------------------
+def gapfill_monthly_orders(spark, sf):
+    o = load_table(spark, sf, "orders")
+    monthly = (o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+               .agg(F.count(F.lit(1)).alias("order_count")))
+    bounds = o.agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("lo"),
+        F.to_date(F.date_trunc("month", F.max("o_orderdate"))).alias("hi"))
+    spine = bounds.selectExpr(
+        "explode(sequence(lo, hi, interval 1 month)) AS month")
+    return (spine.join(monthly, "month", "left")
+            .select("month",
+                    F.coalesce("order_count", F.lit(0)).alias("order_count")))
+
+
+GAPFILL_SQL = """
+WITH monthly AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month, COUNT(*) AS order_count
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month FROM bounds
+)
+SELECT s.month, COALESCE(m.order_count, 0) AS order_count
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+
+
 QUERIES = {
+    "cube_status_priority": Query(cube_status_priority, CUBE_SQL,
+                                  "CUBE over two dimensions"),
+    "argmax_order_per_customer": Query(argmax_order_per_customer, ARGMAX_SQL,
+                                       "arg-max per group via struct max"),
+    "gapfill_monthly_orders": Query(gapfill_monthly_orders, GAPFILL_SQL,
+                                    "gap-filled monthly resample"),
     "range_join_event_pairs": Query(range_join_event_pairs, RANGE_JOIN_EVENT_PAIRS_SQL,
                                     "bounded range join (bucketed, custom operator)"),
     "asof_event_last_order": Query(asof_event_last_order, ASOF_EVENT_LAST_ORDER_SQL,
