@@ -12,7 +12,7 @@ import functools
 
 from pyspark.sql import functions as F
 
-from .base import Query, davg, dec, dsum, load_table, sql_davg, sql_dsum
+from .base import Query, davg, dsum, load_table, sql_davg, sql_dsum
 
 
 # -- V1/V2: row counts across tables (DATA_VALIDATION_QUERIES.sql:13-44) --

@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 

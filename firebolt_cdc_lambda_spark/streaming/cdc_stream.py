@@ -31,8 +31,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..operators.dedup import deduplicate
-from ..operators.ordering import CDC_META_COLS
 from ..pipeline import CdcPipeline
 
 

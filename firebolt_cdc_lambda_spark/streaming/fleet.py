@@ -22,7 +22,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-from ..config import TableKeys
 from ..pipeline import CdcPipeline
 from .cdc_stream import CdcStream
 

@@ -113,3 +113,19 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "n_events"))
+
+
+def session_window_stats(events: DataFrame, key: str = "user_id",
+                         ts_col: str = "ts", gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Event-time SESSION windows (gap-based) per key — the native
+    streaming form of the batch sessionization in corpus/analytics.py.
+    State for a session closes once the watermark passes its end."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(key), F.session_window(ts_col, gap).alias("sess"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key,
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events"))

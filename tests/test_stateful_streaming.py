@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import Row
 
 from firebolt_cdc_lambda_spark.streaming.stateful import (
+    session_window_stats,
     stateful_last_value,
     windowed_event_counts,
 )
@@ -82,6 +83,25 @@ def test_stateful_stale_replay_loses(spark, tmp_path):
     rows = spark.sql("SELECT * FROM stale").collect()
     # every emission keeps the newer version (cross-batch version compare)
     assert all(json.loads(r["payload"])["v"] == 99.0 for r in rows)
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    root = str(tmp_path / "src4")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = (
+        # user 1: two sessions (gap > 30min between minute 20 and 100)
+        [Row(user_id=1, ts=base + dt.timedelta(minutes=m)) for m in (0, 10, 20, 100, 110)]
+        # user 2: one session
+        + [Row(user_id=2, ts=base + dt.timedelta(minutes=m)) for m in (5, 15)]
+    )
+    write_file(spark, root, "b.parquet", rows)
+    schema = spark.createDataFrame(rows[:1]).schema
+    out = session_window_stats(stream_source(spark, root, schema),
+                               key="user_id", ts_col="ts", gap="30 minutes")
+    run_stream(out, tmp_path, "sess", output_mode="complete")
+    got = {(r["user_id"], r["session_start"].minute, r["n_events"])
+           for r in spark.sql("SELECT * FROM sess").collect()}
+    assert got == {(1, 0, 3), (1, 40, 2), (2, 5, 2)}
 
 
 def test_windowed_counts_with_watermark(spark, tmp_path):
