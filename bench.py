@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality_stats",
+    "asof_event_last_order",
+    "range_join_event_pairs",
+    "q10_returned_items",
 ]
 
 

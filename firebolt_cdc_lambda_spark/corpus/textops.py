@@ -258,7 +258,31 @@ FROM documents GROUP BY 1
 """
 
 
+# -- fuzzy string similarity: levenshtein (both engines exact) -----------
+def text_fuzzy_event_types(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (e.select("event_type",
+                     F.levenshtein("event_type", F.lit("click")).cast("long")
+                     .alias("dist_click"),
+                     F.levenshtein("event_type", F.lit("view")).cast("long")
+                     .alias("dist_view"))
+            .groupBy("event_type", "dist_click", "dist_view")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+TEXT_FUZZY_SQL = """
+SELECT event_type,
+       CAST(levenshtein(event_type, 'click') AS BIGINT) AS dist_click,
+       CAST(levenshtein(event_type, 'view') AS BIGINT) AS dist_view,
+       COUNT(*) AS n
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "text_fuzzy_event_types": Query(text_fuzzy_event_types, TEXT_FUZZY_SQL,
+                                    "levenshtein fuzzy similarity"),
     "dataset_split_assignment": Query(dataset_split_assignment, DATASET_SPLIT_SQL,
                                       "deterministic hash-based train/val/test split"),
     "text_token_count": Query(text_token_count, TEXT_TOKEN_COUNT_SQL,

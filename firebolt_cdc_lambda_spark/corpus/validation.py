@@ -387,6 +387,48 @@ FROM lineitem
 """
 
 
+# -- equi-width histogram (profiling shape) ------------------------------
+# identical floor-division arithmetic on both engines (DuckDB 1.0 has no
+# width_bucket; and different internal formulas can disagree at bucket
+# boundaries in the last ulp)
+def val_price_histogram(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.select((F.floor(F.col("o_totalprice") / 50000) + 1)
+                     .cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+VAL_PRICE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# -- pivot: counts per priority across status columns --------------------
+_STATUSES = ("O", "F", "P")
+
+
+def val_pivot_status(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", list(_STATUSES))
+            .agg(F.count(F.lit(1)))
+            .select("o_orderpriority",
+                    *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}")
+                      for s in _STATUSES]))
+
+
+VAL_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # -- HLL sketch distinct (beyond-reference; engine-specific estimate so
 # no cross-engine oracle — the driver records a rows-only check) ---------
 def val_approx_distinct(spark, sf):
@@ -427,6 +469,10 @@ FROM orders
 
 
 QUERIES = {
+    "val_price_histogram": Query(val_price_histogram, VAL_PRICE_HISTOGRAM_SQL,
+                                 "width_bucket histogram"),
+    "val_pivot_status": Query(val_pivot_status, VAL_PIVOT_STATUS_SQL,
+                              "pivot status columns per priority"),
     "val_profile_orders": Query(val_profile_orders, VAL_PROFILE_ORDERS_SQL,
                                 "one-pass column profile"),
     "val_approx_distinct": Query(val_approx_distinct, None,
