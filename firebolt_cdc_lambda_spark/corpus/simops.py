@@ -146,27 +146,44 @@ cand AS (
 
 
 # -- MinHash + LSH (the scale path) --------------------------------------
+# Shuffle-free signatures: the distinct shingle SET is a per-row ARRAY
+# (array_distinct over the 5-gram transform) and each minhash is an
+# array_min over it — all inside one projection, whole-stage codegen,
+# ZERO shuffles until the band self-join.  Jaccard verification then
+# rides on the arrays carried into the candidate join (array_intersect),
+# replacing the explode + 3-way intersection join of the naive plan.
+def _shingle_sets(corpus: DataFrame) -> DataFrame:
+    h = _h_expr("clean", "i")
+    return (corpus.where("length(clean) >= 5")
+            .selectExpr("doc_id",
+                        f"array_distinct(transform(sequence(1, length(clean) - 4), i -> {h})) AS hs"))
+
+
 def dedup_minhash_lsh(spark, sf):
-    sh = _shingles(_neardup_corpus(spark, sf))
+    docs = _shingle_sets(_neardup_corpus(spark, sf))
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh{k}")
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
         for k, (a, b) in enumerate(_MINHASH_PERMS)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = docs.select("doc_id", "hs", *mins)
     bands = [
         F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
         for bi, idxs in enumerate(_BANDS)
     ]
-    sig = sig.select("doc_id", *bands).cache()   # read once per band join
+    sig = sig.select("doc_id", "hs", *bands).cache()   # read once per band join
     cands = None
     for bi in range(len(_BANDS)):
-        a = sig.selectExpr("doc_id AS d1", f"band{bi} AS bk")
-        b = sig.selectExpr("doc_id AS d2", f"band{bi} AS bk2")
+        a = sig.selectExpr("doc_id AS d1", "hs AS hs1", f"band{bi} AS bk")
+        b = sig.selectExpr("doc_id AS d2", "hs AS hs2", f"band{bi} AS bk2")
         c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
-             .select("d1", "d2"))
+             .select("d1", "d2", "hs1", "hs2"))
         cands = c if cands is None else cands.unionByName(c)
-    cand = cands.distinct()
-    return _jaccard_verify(sh, cand)
+    cand = cands.dropDuplicates(["d1", "d2"])
+    jac = (F.expr("size(array_intersect(hs1, hs2))").cast("double")
+           / F.expr("size(hs1) + size(hs2) - size(array_intersect(hs1, hs2))"))
+    return (cand.where(jac >= _JACCARD_THRESHOLD)
+            .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"),
+                    jac.alias("jaccard")))
 
 
 _mh_cols = ",\n       ".join(
