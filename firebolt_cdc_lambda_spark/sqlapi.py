@@ -1,0 +1,44 @@
+"""SQL surface: register testdata and warehouse snapshots as temp views.
+
+The reference's entire user surface is SQL (generated strings shipped to
+the warehouse).  This engine is DataFrame-first, but everything is
+equally reachable through ``spark.sql`` once the relations are
+registered — Catalyst compiles both to the same plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .corpus.base import TABLES, load_table
+from .sources import catalog
+
+
+def register_testdata(spark: SparkSession, sf_dir: str,
+                      prefix: str = "") -> list[str]:
+    """Create a temp view per testdata table (ns-timestamp normalization
+    included via load_table); returns the view names."""
+    names = []
+    for t in TABLES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def register_warehouse(spark: SparkSession, warehouse_root: str,
+                       prefix: str = "") -> list[str]:
+    """Create a temp view per KeyedTable snapshot in a warehouse dir."""
+    from .operators.merge import KeyedTable
+    names = []
+    for t in catalog.list_tables(warehouse_root):
+        name = f"{prefix}{t}"
+        # keys aren't needed for reading; reuse the sidecar-aware reader
+        kt = KeyedTable(spark, f"{warehouse_root}/{t}", keys=[])
+        kt.read().createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    return spark.sql(query)
