@@ -57,15 +57,26 @@ def run_query(spark, name, sf_dir) -> float:
     return time.time() - t0
 
 
-def bench_cdc_pipeline(spark, sf_dir) -> float:
-    """End-to-end CDC merge at this SF: bootstrap orders as the target
-    snapshot, then apply one update/delete/insert batch (the reference's
-    per-file merge path, sub-second at its ~50M-row fleet)."""
+def bench_cdc_pipeline(spark, sf_dir) -> tuple[float, float]:
+    """End-to-end CDC merges at this SF: bootstrap orders as the target
+    snapshot, then (a) a typical small file-batch (~30 keys — the
+    reference's sub-second comparable) and (b) a heavy ~2%-of-keys batch
+    touching every bucket."""
     orders = load_table(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=64)
         kt.init(orders)
+        small = (
+            orders.where("o_orderkey % 5000 = 17")    # ~30 keys: typical CDC file
+            .withColumn("Op", F.lit("U"))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("load_timestamp", F.current_timestamp())
+        )
+        s_stg = deduplicate(small, ["o_orderkey"], check_bypass=True)
+        t0 = time.time()
+        kt.merge_batch(s_stg)
+        t_small = time.time() - t0
         batch = (
             orders.where("o_orderkey % 1000 < 20")   # ~2% of keys touched
             .withColumn("Op",
@@ -76,7 +87,7 @@ def bench_cdc_pipeline(spark, sf_dir) -> float:
         staging = deduplicate(batch, ["o_orderkey"], check_bypass=True)
         t0 = time.time()
         kt.merge_batch(staging)
-        return time.time() - t0
+        return t_small, time.time() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -129,7 +140,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
-    timings["cdc_merge_batch"] = round(bench_cdc_pipeline(spark, sf_dir), 3)
+    t_small, t_heavy = bench_cdc_pipeline(spark, sf_dir)
+    timings["cdc_merge_small_batch"] = round(t_small, 3)
+    timings["cdc_merge_batch"] = round(t_heavy, 3)
     stream_fps = bench_stream_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)

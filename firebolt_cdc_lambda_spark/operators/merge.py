@@ -247,15 +247,21 @@ class KeyedTable:
         from .ordering import OP_COL
         stg = self._with_bucket(staging).cache()
         try:
-            buckets = [r[0] for r in stg.select(self.BUCKET_COL).distinct().collect()]
+            # ONE aggregation job yields both the touched-bucket list and
+            # the has-deletes flag (saves a per-batch job on the hot path).
+            op_col = merge_kwargs.get("op_col", OP_COL)
+            delete_values = list(merge_kwargs.get("delete_values", DEFAULT_DELETE_VALUES))
+            del_flag = (F.max(F.col(op_col).isin(delete_values).cast("int"))
+                        if op_col in staging.columns else F.lit(0))
+            agg_row = stg.agg(
+                F.collect_set(self.BUCKET_COL).alias("buckets"),
+                del_flag.alias("has_del")).first()
+            buckets = list(agg_row["buckets"])
             if not buckets:
                 return 0
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
-            op_col = merge_kwargs.get("op_col", OP_COL)
-            delete_values = list(merge_kwargs.get("delete_values", DEFAULT_DELETE_VALUES))
-            has_deletes = op_col in staging.columns and bool(
-                stg.where(F.col(op_col).isin(delete_values)).head(1))
+            has_deletes = bool(agg_row["has_del"])
             full = self._read_raw()
             current = full.where(F.col(self.BUCKET_COL).isin(buckets)).drop(self.BUCKET_COL)
             merged = merge_cdc(current, stg.drop(self.BUCKET_COL), self.keys, **merge_kwargs)
