@@ -216,12 +216,15 @@ _HAMMING_MAX = 3
 
 
 def dedup_simhash(spark, sf):
-    sh = _shingles(_neardup_corpus(spark, sf))
+    # signatures shuffle-free (same array technique as minhash): 16
+    # per-bit weights as aggregates over the per-row shingle array
+    docs = _shingle_sets(_neardup_corpus(spark, sf))
     weights = [
-        F.expr(f"sum(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"w{j}")
+        f"aggregate(hs, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) AS w{j}"
         for j in range(_SIMHASH_BITS)
     ]
-    w = sh.groupBy("doc_id").agg(*weights)
+    w = docs.selectExpr("doc_id", *weights)
     sig_expr = " + ".join(
         f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
     sig = w.selectExpr("doc_id", f"CAST({sig_expr} AS BIGINT) AS sig")
