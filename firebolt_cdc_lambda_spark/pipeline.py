@@ -69,10 +69,54 @@ class CdcPipeline:
         self.insert_deletes = insert_deletes
         self.version_col = version_col
         self.alert_hook = alert_hook or (lambda msg: None)
+        self._rollups: dict[str, list] = {}
 
     def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
         return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
                           num_buckets=self.num_buckets)
+
+    # -- continuous aggregates maintained per batch -----------------------
+    def register_rollup(self, table: str, rollup, project) -> None:
+        """Attach a RollupTable to ``table``.  ``project(df)`` maps the
+        base snapshot to a DataFrame carrying the rollup's group columns
+        (plus whatever the aggregates read).  The rollup refreshes
+        incrementally after every merge; it is initialized on first
+        refresh if missing."""
+        self._rollups.setdefault(table, []).append((rollup, project))
+
+    def _refresh_rollups(self, table: str, keys: Sequence[str],
+                         pre_images, changed_keys, target: KeyedTable) -> None:
+        import os
+        for rollup, project in self._rollups.get(table, ()):
+            base = project(target.read())
+            if not os.path.exists(rollup.path):
+                rollup.init(base)
+                continue
+            # groups rows LEFT (pre-images of updated/deleted keys) plus
+            # groups rows now OCCUPY (post-merge rows of all changed keys,
+            # which includes inserts)
+            post = project(target.read().join(changed_keys, list(keys), "left_semi"))
+            touched = (project(pre_images).select(*rollup.group_cols)
+                       .unionByName(post.select(*rollup.group_cols)))
+            rollup.refresh(base, touched)
+
+    # -- full-load bootstrap (the LOAD* path the CDC stream skips) --------
+    def bootstrap_from_load_files(self, table: str, paths: Sequence[str]) -> BatchResult:
+        """Reference full loads run as a separate scheduled job
+        (CHANGELOG.md:9-14); this is that job: read LOAD* files, dedup,
+        (re)initialize the snapshot."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return BatchResult("skipped", table=table, reason="null primary key")
+        t0 = time.time()
+        df = read_cdc_files(self.spark, list(paths))
+        deduped = deduplicate(df, keys, check_bypass=True)
+        out_cols = [c for c in deduped.columns if c not in CDC_META_COLS]
+        target = self.target_for(table, keys)
+        target.init(deduped.select(*out_cols))
+        return BatchResult("bootstrapped", table=table,
+                           rows=target.read().count(),
+                           duration_sec=time.time() - t0)
 
     # -- entry point 1: one file (lambda_handler analogue) ----------------
     def process_file(self, file_key: str) -> BatchResult:
@@ -150,9 +194,20 @@ class CdcPipeline:
             evolved = evolve_target(current, report)
             target.rewrite(evolved)
 
+        # pre-images for continuous aggregates: MUST materialize before the
+        # merge rewrites the snapshot (see RollupTable.refresh contract)
+        pre_images = changed_keys = None
+        if self._rollups.get(table):
+            changed_keys = stg.select(*keys).distinct().localCheckpoint(eager=True)
+            pre_images = (current.join(changed_keys, list(keys), "left_semi")
+                          .localCheckpoint(eager=True))
+
         # step 5 — bucketed snapshot merge (replaces MERGE + retry loop)
         n_buckets = target.merge_batch(
             stg, insert_deletes=self.insert_deletes, version_col=self.version_col)
+
+        if pre_images is not None:
+            self._refresh_rollups(table, keys, pre_images, changed_keys, target)
 
         return BatchResult("completed", table=table, rows=stg.count(),
                            deduped=did_dedup, buckets_rewritten=n_buckets,
