@@ -199,7 +199,9 @@ class CdcPipeline:
         pre_images = changed_keys = None
         if self._rollups.get(table):
             changed_keys = stg.select(*keys).distinct().localCheckpoint(eager=True)
-            pre_images = (current.join(changed_keys, list(keys), "left_semi")
+            # re-read the target (NOT the lazy `current`): a schema-evolution
+            # rewrite above would have replaced the files `current` points at
+            pre_images = (target.read().join(changed_keys, list(keys), "left_semi")
                           .localCheckpoint(eager=True))
 
         # step 5 — bucketed snapshot merge (replaces MERGE + retry loop)
