@@ -356,7 +356,214 @@ FROM spine s LEFT JOIN monthly m ON s.month = m.month
 """
 
 
+# -- Q4-flavored: order-priority count with EXISTS semi-join -------------
+def q4_order_priority(spark, sf):
+    o = load_table(spark, sf, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01")))
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # EXISTS (lineitem shipped after the order date) -> left-semi join with
+    # an extra inequality on top of the equi-key; Catalyst keeps the equi
+    # part as the join key and applies the inequality as a join filter.
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        F.to_date(li.l_shipdate) > F.to_date(o.o_orderdate))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+GROUP BY o_orderpriority
+"""
+
+
+# -- Q6: forecasting revenue change (pure filter + global agg) ------------
+def q6_forecast_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (li.where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(dec("l_extendedprice") * dec("l_discount", 4, 9))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items")))
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- Q14-flavored: promo revenue share (conditional agg over a join) ------
+def q14_promo_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01")))
+    p = F.broadcast(load_table(spark, sf, "part").select("p_partkey", "p_type"))
+    disc = dec("l_discount", 4, 9)
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(9,4)") - disc)
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        (F.lit(100.0)
+         * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                 .otherwise(F.lit(0).cast("decimal(29,6)"))).cast("double")
+         / F.sum(rev).cast("double")).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+Q14_SQL = """
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
+      ELSE CAST(0 AS DECIMAL(29,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
+  AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+"""
+
+
+# -- Q18-flavored: large-volume orders (HAVING + join + top-k) ------------
+def q18_large_orders(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity")).alias("sum_qty_dec"))
+           .where(F.col("sum_qty_dec") > 250))
+    o = load_table(spark, sf, "orders")
+    c = F.broadcast(load_table(spark, sf, "customer").select("c_custkey", "c_name"))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.to_date("o_orderdate").alias("order_date"),
+                    "o_totalprice",
+                    F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice,
+       CAST(b.sum_qty_dec AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b
+  ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+# -- Q19-flavored: disjunctive brand/size/quantity predicates -------------
+def q19_disjunctive_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    p = F.broadcast(load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_size"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    disc = dec("l_discount", 4, 9)
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 50))
+           & (F.col("l_quantity").between(20, 30))))
+    return (j.where(pred)
+            .agg(F.sum(dec("l_extendedprice")
+                       * (F.lit(1).cast("decimal(9,4)") - disc))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -- Q22-flavored: rich customers with no URGENT order (scalar subq + anti)
+def q22_idle_rich_customers(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = (load_table(spark, sf, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(davg("c_acctbal").alias("a")))
+    rich = (c.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("a")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 dsum("c_acctbal").alias("total_acctbal")))
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# -- GROUPING SETS (distinct from cube/rollup) -----------------------------
+def grouping_sets_status_priority(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"]],
+                           "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 dsum("o_totalprice").alias("total")))
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 QUERIES = {
+    "q4_order_priority": Query(q4_order_priority, Q4_SQL,
+                               "EXISTS semi-join with inequality + agg"),
+    "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_SQL,
+                                 "selective filter + global agg (pushdown showcase)"),
+    "q14_promo_revenue": Query(q14_promo_revenue, Q14_SQL,
+                               "conditional agg over broadcast join (ratio)"),
+    "q18_large_orders": Query(q18_large_orders, Q18_SQL,
+                              "HAVING subquery + join + top-k"),
+    "q19_disjunctive_revenue": Query(q19_disjunctive_revenue, Q19_SQL,
+                                     "disjunctive multi-column predicates"),
+    "q22_idle_rich_customers": Query(q22_idle_rich_customers, Q22_SQL,
+                                     "scalar subquery + anti-join + agg"),
+    "grouping_sets_status_priority": Query(
+        grouping_sets_status_priority, GROUPING_SETS_SQL,
+        "GROUPING SETS (distinct from cube/rollup)"),
     "cube_status_priority": Query(cube_status_priority, CUBE_SQL,
                                   "CUBE over two dimensions"),
     "argmax_order_per_customer": Query(argmax_order_per_customer, ARGMAX_SQL,
