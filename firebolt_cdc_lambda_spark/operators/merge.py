@@ -159,6 +159,12 @@ class KeyedTable:
         self.path = path
         self.keys = list(keys)
         self.num_buckets = num_buckets
+        # The stored table's own bucket count always wins over the
+        # constructor argument: a merger configured with a stale count
+        # would prune against wrong bucket ids and silently lose keys.
+        meta = self._load_meta()
+        if meta is not None:
+            self.num_buckets = int(meta["num_buckets"])
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -178,6 +184,26 @@ class KeyedTable:
         out = fs.create(path, True)
         out.write(bytearray(df.schema.json().encode("utf-8")))
         out.close()
+
+    def _save_meta(self) -> None:
+        import json
+        fs, path, jvm = self._fs_and_path(f"{self.path}/_meta.json")
+        out = fs.create(path, True)
+        out.write(bytearray(json.dumps(
+            {"num_buckets": self.num_buckets, "keys": self.keys}).encode("utf-8")))
+        out.close()
+
+    def _load_meta(self):
+        import json
+        fs, path, jvm = self._fs_and_path(f"{self.path}/_meta.json")
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
 
     def _load_schema(self):
         from pyspark.sql import types as T
@@ -208,6 +234,7 @@ class KeyedTable:
          .partitionBy(self.BUCKET_COL)
          .parquet(self.path))
         self._save_schema(bucketed)
+        self._save_meta()
 
     def _read_raw(self) -> DataFrame:
         schema = self._load_schema()
@@ -224,14 +251,19 @@ class KeyedTable:
     def read(self) -> DataFrame:
         return self._read_raw().drop(self.BUCKET_COL)
 
-    def rewrite(self, df: DataFrame) -> None:
+    def rewrite(self, df: DataFrame, sort_within: Sequence[str] = ()) -> None:
         """Full rewrite that is safe when ``df`` reads from this table's own
         path (e.g. schema evolution): write to a temp dir, then swap.
         Spark cannot overwrite a path it is concurrently reading from."""
         tmp = f"{self.path}__tmp_rewrite"
         bucketed = self._with_bucket(df)
-        (bucketed
-         .repartition(self.BUCKET_COL)
+        shaped = bucketed.repartition(self.BUCKET_COL)
+        if sort_within:
+            # Lead with the bucket column: the parquet writer requires rows
+            # sorted by partition cols and would otherwise insert its own
+            # (unstable) sort on _bucket, destroying the in-bucket order.
+            shaped = shaped.sortWithinPartitions(self.BUCKET_COL, *sort_within)
+        (shaped
          .write.mode("overwrite")
          .partitionBy(self.BUCKET_COL)
          .parquet(tmp))
@@ -241,6 +273,54 @@ class KeyedTable:
             fs.delete(p_old, True)
         fs.rename(p_tmp, p_old)
         self._save_schema(bucketed)
+        self._save_meta()
+
+    def file_stats(self) -> dict[int, int]:
+        """``{bucket: data-file count}`` from a pure filesystem listing —
+        no Spark job, no footer reads.
+
+        Note small files do NOT accumulate here by construction: each
+        merge repartitions on the bucket column (one task per bucket) and
+        dynamic partition overwrite replaces the whole bucket directory,
+        so a merged bucket always holds exactly one file.  The
+        maintenance ops that DO matter at scale are ``rebucket`` (bucket
+        count outgrown) and ``cluster_by`` (in-bucket sort for row-group
+        skipping)."""
+        fs, root, jvm = self._fs_and_path(self.path)
+        if not fs.exists(root):
+            return {}
+        stats: dict[int, int] = {}
+        prefix = f"{self.BUCKET_COL}="
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
+            bucket = int(name[len(prefix):])
+            stats[bucket] = sum(
+                1 for f_ in fs.listStatus(st.getPath())
+                if f_.getPath().getName().endswith(".parquet"))
+        return stats
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Re-hash the table into a different bucket count (scale-out op:
+        a table that grew 100x needs more buckets so each stays
+        executor-sized).  Full rewrite via temp-dir swap; the new count is
+        persisted in the table's meta sidecar, so every future reader and
+        merger — whatever bucket count its constructor guessed — uses the
+        stored value.  Without that persistence a mis-configured merger
+        would prune against the wrong bucket ids and silently duplicate
+        keys."""
+        df = self.read()
+        self.num_buckets = int(new_num_buckets)
+        self.rewrite(df)
+
+    def cluster_by(self, cols: Sequence[str]) -> None:
+        """Sort rows within each bucket by ``cols`` and rewrite (the
+        ZORDER-lite analogue).  Parquet stores per-row-group min/max for
+        the sort columns, so subsequent range predicates on them skip
+        whole row groups inside every bucket.  Layout-only: bucket
+        assignment and row content are unchanged."""
+        self.rewrite(self.read(), sort_within=cols)
 
     def merge_batch(self, staging: DataFrame, **merge_kwargs) -> int:
         """Merge one deduplicated CDC batch; returns #buckets rewritten."""

@@ -141,3 +141,59 @@ def test_keyed_table_idempotent_replay_with_version(spark, tmp_path):
     kt.merge_batch(batch, version_col="load_timestamp")  # replay
     rows = kt.read().collect()
     assert len(rows) == 1 and rows[0]["v"] == "v2"
+
+
+def test_merge_never_fragments_buckets(spark, tmp_path):
+    """Merges self-compact: repartition-on-bucket gives one task per
+    bucket, and dynamic partition overwrite replaces the whole bucket
+    dir — so repeated merges never accumulate small files."""
+    kt = KeyedTable(spark, str(tmp_path / "tc"), ["id"], num_buckets=4)
+    kt.init(df_of(spark, [Row(id=i, v=float(i)) for i in range(40)]))
+    for b in range(5):
+        stg = df_of(spark, [
+            Row(id=i, v=float(i) + 100 * (b + 1), Op="U", load_timestamp=TS)
+            for i in range(40)])
+        kt.merge_batch(stg)
+    stats = kt.file_stats()
+    assert set(stats) == {0, 1, 2, 3}
+    assert all(c == 1 for c in stats.values())
+
+
+def test_rebucket_preserves_data_and_persists_count(spark, tmp_path):
+    path = str(tmp_path / "tr")
+    kt = KeyedTable(spark, path, ["id"], num_buckets=4)
+    kt.init(df_of(spark, [Row(id=i, v=float(i)) for i in range(100)]))
+    kt.rebucket(16)
+    assert set(kt.file_stats()) <= set(range(16)) and len(kt.file_stats()) > 4
+    assert sorted(r["id"] for r in kt.read().collect()) == list(range(100))
+
+    # A NEW handle with a stale constructor guess must pick up the stored
+    # count — otherwise its merges would prune against wrong bucket ids.
+    stale = KeyedTable(spark, path, ["id"], num_buckets=4)
+    assert stale.num_buckets == 16
+    stg = df_of(spark, [Row(id=i, v=999.0, Op="U", load_timestamp=TS)
+                        for i in range(10)])
+    stale.merge_batch(stg)
+    got = {r["id"]: r["v"] for r in stale.read().collect()}
+    assert len(got) == 100
+    assert all(got[i] == 999.0 for i in range(10))
+    assert all(got[i] == float(i) for i in range(10, 100))
+
+
+def test_cluster_by_sorts_within_buckets(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "tz"), ["id"], num_buckets=2)
+    import random
+    rng = random.Random(7)
+    rows = [Row(id=i, ts=rng.randrange(10_000)) for i in range(200)]
+    kt.init(df_of(spark, rows))
+    kt.cluster_by(["ts"])
+    # data intact
+    assert sorted(r["id"] for r in kt.read().collect()) == list(range(200))
+    # each physical file is sorted by ts (row-group min/max skipping works)
+    import glob
+    files = glob.glob(str(tmp_path / "tz" / "_bucket=*" / "*.parquet"))
+    assert files
+    import pyarrow.parquet as pq
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts), f"{f} not sorted"
