@@ -548,11 +548,265 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
 
 
+# -- Q7-flavored: volume shipping between two nations --------------------
+# (testdata has no l_shipmode/commitdate; the bilateral nation-pair +
+# year-bucketed revenue shape is preserved.)
+def _one():
+    return F.lit(1).cast("decimal(9,4)")
+
+
+def q7_volume_shipping(spark, sf):
+    li = load_table(spark, sf, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01")))
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(load_table(spark, sf, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"))
+        .agg(F.sum(dec("l_extendedprice") * (_one() - dec("l_discount", 4, 9)))
+             .cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# -- Q8-flavored: market share of one supplier nation in a region ---------
+def q8_market_share(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01")))
+    p = F.broadcast(load_table(spark, sf, "part")
+                    .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    c = F.broadcast(load_table(spark, sf, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    # customer nations restricted to the ASIA region
+    cn = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nk")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    vol = dec("l_extendedprice") * (_one() - dec("l_discount", 4, 9))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)
+                   .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+             / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"))
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
+       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS mkt_share,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS total_volume
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1
+"""
+
+
+# -- Q9-flavored: product-line profit by supplier nation and year ---------
+# (no partsupp/ps_supplycost in the testdata; profit reduces to revenue,
+# the nation x year rollup over a LIKE-filtered part join is preserved.)
+def q9_product_profit(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = F.broadcast(load_table(spark, sf, "part")
+                    .where(F.col("p_name").like("%widget%")).select("p_partkey"))
+    s = F.broadcast(load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(load_table(spark, sf, "nation")
+                    .select("n_nationkey", F.col("n_name").alias("nation_name")))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation_name",
+                 F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
+        .agg(F.sum(dec("l_extendedprice") * (_one() - dec("l_discount", 4, 9)))
+             .cast("double").alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_SQL = """
+SELECT n.n_name AS nation_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS profit,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# -- Q13: customer order-count distribution (left outer + double group) ---
+def q13_customer_distribution(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+# -- Q15: top supplier(s) by quarterly revenue (scalar-max subquery) ------
+def q15_top_supplier(spark, sf):
+    li = load_table(spark, sf, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01")))
+    # keep the revenue DECIMAL through the max-comparison (exact on both
+    # engines); cast to double only in the output projection
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(dec("l_extendedprice") * (_one() - dec("l_discount", 4, 9)))
+                .alias("rev_dec")))
+    max_rev = rev.agg(F.max("rev_dec").alias("max_dec"))
+    s = F.broadcast(load_table(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    return (rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.max_dec)
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("rev_dec").cast("double").alias("total_revenue")))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS rev_dec
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+"""
+
+
+# -- Q17-flavored: small-quantity-order revenue (correlated avg) ----------
+def q17_small_quantity_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    p = F.broadcast(load_table(spark, sf, "part")
+                    .where(F.col("p_brand") == "Brand#1").select("p_partkey"))
+    # correlated 0.2*AVG(l_quantity) per part, in exact integer form:
+    # q < 0.2 * s/n  <=>  5*q*n < s   (decimal arithmetic, no division)
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.sum(dec("l_quantity")).alias("qty_sum"),
+                     F.count(F.lit(1)).alias("qty_n")))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .where(dec("l_quantity") * F.lit(5) * F.col("qty_n")
+               < F.col("qty_sum"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_small"))
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         COUNT(*) AS qty_n
+  FROM lineitem GROUP BY 1
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN per_part pp ON l.l_partkey = pp.pk
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum
+"""
+
+
 QUERIES = {
     "q4_order_priority": Query(q4_order_priority, Q4_SQL,
                                "EXISTS semi-join with inequality + agg"),
     "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_SQL,
                                  "selective filter + global agg (pushdown showcase)"),
+    "q7_volume_shipping": Query(q7_volume_shipping, Q7_SQL,
+                                "bilateral nation-pair revenue by year"),
+    "q8_market_share": Query(q8_market_share, Q8_SQL,
+                             "nation market share: conditional ratio over 6-way join"),
+    "q9_product_profit": Query(q9_product_profit, Q9_SQL,
+                               "LIKE-filtered part join, nation x year rollup"),
+    "q13_customer_distribution": Query(q13_customer_distribution, Q13_SQL,
+                                       "left-outer count + distribution re-group"),
+    "q15_top_supplier": Query(q15_top_supplier, Q15_SQL,
+                              "scalar-max subquery with exact decimal compare"),
+    "q17_small_quantity_revenue": Query(q17_small_quantity_revenue, Q17_SQL,
+                                        "correlated per-part AVG in exact integer form"),
     "q14_promo_revenue": Query(q14_promo_revenue, Q14_SQL,
                                "conditional agg over broadcast join (ratio)"),
     "q18_large_orders": Query(q18_large_orders, Q18_SQL,
