@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality_stats",
     "asof_event_last_order",
     "range_join_event_pairs",

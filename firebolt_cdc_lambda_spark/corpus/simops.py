@@ -352,6 +352,90 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# -- ANN scale path 2: IVF (inverted-file) coarse quantizer ---------------
+# Seed centroids are the vectors with ids [N_QUERIES, N_QUERIES+K) — a
+# deterministic stand-in for sampled k-means (at scale the centroids come
+# from a k-means job; either way they are a tiny broadcast table).  Every
+# vector is assigned to its max-cosine cell with a min_by aggregation:
+# after the broadcast nested-loop expansion each vec_id lives in exactly
+# one input partition, so map-side partial aggregation collapses the Kx
+# inflation back to one row per vector BEFORE the shuffle.  A query
+# probes its nprobe nearest cells and scans only those — at 100 TB with
+# the corpus written partitionBy(cell), the probe is a partition-pruned
+# scan of nprobe/K of the data.
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+
+def ann_ivf_topk(spark, sf):
+    from pyspark.sql import Window
+    qv = _quantized(spark, sf)
+    cents = (qv.where((F.col("vec_id") >= _N_QUERIES)
+                      & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS))
+             .selectExpr("vec_id AS cent_id", "qv AS cv", "norm2 AS cn"))
+    cdot = _DOT_SPARK.format(a="qv", b="cv")
+    aff = (qv.crossJoin(F.broadcast(cents))
+           .selectExpr("vec_id", "qv", "norm2", "cent_id",
+                       f"CAST({cdot} AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE) * CAST(cn AS DOUBLE)) AS ccos"))
+    # argmax cell per vector; (-ccos, cent_id) gives a total order, so the
+    # result is deterministic and the aggregation partial-combines.
+    cells = (aff.groupBy("vec_id")
+             .agg(F.min_by(
+                 F.struct(F.col("cent_id").alias("cell"), "qv", "norm2"),
+                 F.struct((-F.col("ccos")).alias("nc"),
+                          F.col("cent_id").alias("cid"))).alias("m"))
+             .select("vec_id", "m.cell", "m.qv", "m.norm2"))
+    probes = (aff.where(F.col("vec_id") < _N_QUERIES)
+              .withColumn("crank", F.row_number().over(
+                  Window.partitionBy("vec_id")
+                  .orderBy(F.desc("ccos"), F.asc("cent_id"))))
+              .where(F.col("crank") <= _NPROBE)
+              .selectExpr("vec_id AS query_id", "qv AS qq", "norm2 AS qn",
+                          "cent_id AS probe_cell"))
+    dot = _DOT_SPARK.format(a="qq", b="qv")
+    scored = (F.broadcast(probes)
+              .join(cells, F.col("probe_cell") == F.col("cell"))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .selectExpr("query_id", "vec_id",
+                          f"CAST({dot} AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(norm2 AS DOUBLE)) AS cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K_LSH)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+n AS (SELECT vec_id, qv, CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2 FROM q),
+cents AS (SELECT vec_id AS cent_id, qv AS cv, norm2 AS cn FROM n
+          WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}),
+aff AS (
+  SELECT n.vec_id, n.qv, n.norm2, c.cent_id,
+         list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+  FROM n, cents c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cent_id ASC) AS crank
+  FROM aff
+),
+cells AS (SELECT vec_id, qv, norm2, cent_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, qv AS qq, norm2 AS qn, cent_id AS probe_cell
+           FROM ranked WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}),
+scored AS (
+  SELECT p.query_id, b.vec_id,
+         list_dot_product(p.qq::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(p.qn AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cosine
+  FROM probes p JOIN cells b ON p.probe_cell = b.cell
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K_LSH}
+"""
+
+
 # -- embedding-cosine near-duplicate detection ---------------------------
 # the "semantic dedup" variant: two vectors are near-dups if cosine >=
 # threshold; candidates restricted to the same sign-bit bucket (scale
@@ -425,4 +509,6 @@ QUERIES = {
                              "brute-force cosine top-k (exact baseline)"),
     "ann_lsh_bucket_topk": Query(ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL,
                                  "sign-bit LSH-bucketed ANN (approximate scale path)"),
+    "ann_ivf_topk": Query(ann_ivf_topk, ANN_IVF_TOPK_SQL,
+                          "IVF coarse-quantizer ANN (nprobe cell-pruned scale path)"),
 }
