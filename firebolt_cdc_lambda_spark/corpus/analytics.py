@@ -790,6 +790,61 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+# -- window frames: moving sum/avg + lead gap over per-customer orders ---
+def window_moving_frame(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").asc(), F.asc("o_orderkey"))
+    frame = w.rowsBetween(-2, Window.currentRow)   # 3-row trailing frame
+    # deterministic moving avg: decimal frame-sum cast to double, one
+    # IEEE division by the frame row count
+    msum = F.sum(dec("o_totalprice")).over(frame).cast("double")
+    mcount = F.count(F.lit(1)).over(frame)
+    next_date = F.lead(F.to_date("o_orderdate")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        msum.alias("moving_sum"),
+        (msum / mcount).alias("moving_avg"),
+        F.datediff(next_date, F.to_date("o_orderdate")).alias("days_to_next"))
+
+
+WINDOW_MOVING_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER frame AS DOUBLE) AS moving_sum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER frame AS DOUBLE)
+    / COUNT(*) OVER frame AS moving_avg,
+  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                 LEAD(CAST(o_orderdate AS DATE)) OVER w) AS INTEGER) AS days_to_next
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC),
+  frame AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- window distribution family: ntile / percent_rank / cume_dist ---------
+def window_distribution_family(spark, sf):
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"))
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT c_mktsegment, c_custkey,
+  CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
+  PERCENT_RANK() OVER w AS bal_pct_rank,
+  CUME_DIST() OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "q4_order_priority": Query(q4_order_priority, Q4_SQL,
                                "EXISTS semi-join with inequality + agg"),
@@ -830,6 +885,11 @@ QUERIES = {
                                    "as-of join (custom operator, union+carry window)"),
     "window_rank_family": Query(window_rank_family, WINDOW_RANK_FAMILY_SQL,
                                 "rank/dense_rank/first_value window family"),
+    "window_moving_frame": Query(window_moving_frame, WINDOW_MOVING_FRAME_SQL,
+                                 "ROWS-BETWEEN moving sum/avg + lead gap"),
+    "window_distribution_family": Query(
+        window_distribution_family, WINDOW_DISTRIBUTION_SQL,
+        "ntile/percent_rank/cume_dist distribution family"),
     "q1_pricing_summary": Query(q1_pricing_summary, Q1_SQL,
                                 "scan + grouped multi-agg (A3/A4 shape at scale)"),
     "q3_shipping_priority": Query(q3_shipping_priority, Q3_SQL,
