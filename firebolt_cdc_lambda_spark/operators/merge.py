@@ -322,23 +322,30 @@ class KeyedTable:
         assignment and row content are unchanged."""
         self.rewrite(self.read(), sort_within=cols)
 
-    def merge_batch(self, staging: DataFrame, **merge_kwargs) -> int:
-        """Merge one deduplicated CDC batch; returns #buckets rewritten."""
+    def merge_batch(self, staging: DataFrame, return_stats: bool = False,
+                    **merge_kwargs) -> int | tuple[int, int]:
+        """Merge one deduplicated CDC batch; returns #buckets rewritten
+        (or ``(#buckets, #staging rows)`` with ``return_stats`` — the row
+        count rides the fused aggregation below for free, so callers that
+        report it don't pay a separate count job re-deriving staging)."""
         from .ordering import OP_COL
         stg = self._with_bucket(staging).cache()
         try:
-            # ONE aggregation job yields both the touched-bucket list and
-            # the has-deletes flag (saves a per-batch job on the hot path).
+            # ONE aggregation job yields the touched-bucket list, the
+            # has-deletes flag, and the batch row count (saves per-batch
+            # jobs on the hot path).
             op_col = merge_kwargs.get("op_col", OP_COL)
             delete_values = list(merge_kwargs.get("delete_values", DEFAULT_DELETE_VALUES))
             del_flag = (F.max(F.col(op_col).isin(delete_values).cast("int"))
                         if op_col in staging.columns else F.lit(0))
             agg_row = stg.agg(
                 F.collect_set(self.BUCKET_COL).alias("buckets"),
-                del_flag.alias("has_del")).first()
+                del_flag.alias("has_del"),
+                F.count(F.lit(1)).alias("n_rows")).first()
             buckets = list(agg_row["buckets"])
+            n_rows = int(agg_row["n_rows"])
             if not buckets:
-                return 0
+                return (0, 0) if return_stats else 0
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
             has_deletes = bool(agg_row["has_del"])
@@ -374,7 +381,7 @@ class KeyedTable:
                             fs = p.getFileSystem(hconf)
                             if fs.exists(p):
                                 fs.delete(p, True)
-                return len(buckets)
+                return (len(buckets), n_rows) if return_stats else len(buckets)
             finally:
                 if has_deletes:
                     out.unpersist()

@@ -56,7 +56,7 @@ class CdcPipeline:
 
     def __init__(self, spark: SparkSession, table_root: str,
                  table_keys: TableKeys | None = None,
-                 ledger: FileLedger | None = None,
+                 ledger: FileLedger | None | bool = None,
                  num_buckets: int = 64,
                  insert_deletes: bool = False,
                  version_col: str | None = None,
@@ -64,7 +64,13 @@ class CdcPipeline:
         self.spark = spark
         self.table_root = table_root.rstrip("/")
         self.table_keys = table_keys or TableKeys()
-        self.ledger = ledger
+        # Replay idempotency is the reference's core guarantee
+        # (FIX_DUPLICATE_INSERTS_ON_RETRY.md): default to a ledger under
+        # the warehouse root rather than silently running without one.
+        # Pass ledger=False to opt out explicitly.
+        if ledger is None:
+            ledger = FileLedger(spark, f"{self.table_root}/_ledger")
+        self.ledger = ledger or None
         self.num_buckets = num_buckets
         self.insert_deletes = insert_deletes
         self.version_col = version_col
@@ -205,13 +211,14 @@ class CdcPipeline:
                           .localCheckpoint(eager=True))
 
         # step 5 — bucketed snapshot merge (replaces MERGE + retry loop)
-        n_buckets = target.merge_batch(
-            stg, insert_deletes=self.insert_deletes, version_col=self.version_col)
+        n_buckets, n_rows = target.merge_batch(
+            stg, return_stats=True,
+            insert_deletes=self.insert_deletes, version_col=self.version_col)
 
         if pre_images is not None:
             self._refresh_rollups(table, keys, pre_images, changed_keys, target)
 
-        return BatchResult("completed", table=table, rows=stg.count(),
+        return BatchResult("completed", table=table, rows=n_rows,
                            deduped=did_dedup, buckets_rewritten=n_buckets,
                            duration_sec=time.time() - t0, schema_report=report)
 
