@@ -790,6 +790,67 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+# -- tumbling time windows: hourly event rollup (batch form of the -------
+# streaming window(); F.window emits the same [start, end) buckets a
+# watermarked streaming agg would, so this doubles as its oracle check)
+def events_hourly_tumbling(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value"))
+            .select(F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+                    "event_type", "n_events", "total_value"))
+
+
+EVENTS_HOURLY_TUMBLING_SQL = f"""
+SELECT EPOCH_US(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
+       event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+GROUP BY 1, 2
+"""
+
+
+# -- scalar showcase 2: calendar arithmetic + string manipulation --------
+# (exact-only functions — no transcendentals, whose libm results are not
+# guaranteed bit-identical across engines)
+def scalar_datetime_showcase(spark, sf):
+    o = load_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        (F.weekday(d) + F.lit(1)).cast("int").alias("isodow"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.lpad(F.col("o_orderpriority"), 12, "*").alias("padded"),
+        F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias("status_lc"),
+        F.reverse(F.col("o_orderpriority")).alias("rev_priority"),
+        F.repeat(F.col("o_orderstatus"), 3).alias("status3"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floor_price"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("cap_price"),
+    )
+
+
+SCALAR_DATETIME_SQL = """
+SELECT o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(ISODOW(CAST(o_orderdate AS DATE)) AS INTEGER) AS isodow,
+  CAST(QUARTER(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+  CAST(WEEKOFYEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+  LPAD(o_orderpriority, 12, '*') AS padded,
+  TRANSLATE(o_orderstatus, 'OFP', 'ofp') AS status_lc,
+  REVERSE(o_orderpriority) AS rev_priority,
+  REPEAT(o_orderstatus, 3) AS status3,
+  GREATEST(o_totalprice, 1000.0) AS floor_price,
+  LEAST(o_totalprice, 100000.0) AS cap_price
+FROM orders
+"""
+
+
 # -- window frames: moving sum/avg + lead gap over per-customer orders ---
 def window_moving_frame(spark, sf):
     o = load_table(spark, sf, "orders")
@@ -887,6 +948,10 @@ QUERIES = {
                                 "rank/dense_rank/first_value window family"),
     "window_moving_frame": Query(window_moving_frame, WINDOW_MOVING_FRAME_SQL,
                                  "ROWS-BETWEEN moving sum/avg + lead gap"),
+    "events_hourly_tumbling": Query(events_hourly_tumbling, EVENTS_HOURLY_TUMBLING_SQL,
+                                    "tumbling 1h window agg (batch form of streaming window)"),
+    "scalar_datetime_showcase": Query(scalar_datetime_showcase, SCALAR_DATETIME_SQL,
+                                      "calendar arithmetic + string scalar family"),
     "window_distribution_family": Query(
         window_distribution_family, WINDOW_DISTRIBUTION_SQL,
         "ntile/percent_rank/cume_dist distribution family"),
