@@ -102,6 +102,60 @@ def stateful_last_value(
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def idle_timeout_sessions(events: DataFrame, key: str = "user_id",
+                          value_col: str = "value",
+                          timeout_ms: int = 30_000) -> DataFrame:
+    """Processing-time idle-timeout sessions — the custom stateful shape
+    Spark's native ``session_window`` cannot express (it is event-time /
+    gap-based only).
+
+    A key's session accumulates (count, sum) across micro-batches; when
+    no batch has carried events for the key for ``timeout_ms`` of
+    *processing* time, the next micro-batch fires the group's timeout and
+    emits the final ``closed=true`` row, then drops the state.  Interim
+    ``closed=false`` rows are emitted as batches arrive (update mode).
+
+    Scale notes: state is two scalars per live key, partitioned by key
+    across executors by the streaming state store; timed-out groups are
+    invoked with no input rows, so a quiet fleet costs one state-store
+    sweep per batch, not a shuffle of data.
+    """
+    key_field = events.schema[key]
+    out_schema = T.StructType([
+        key_field,
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+
+    def fn(key_tuple: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n],
+                                "total_value": [total], "closed": [True]})
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if value_col in pdf.columns:
+                total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, float(total)))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n],
+                            "total_value": [total], "closed": [False]})
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:

@@ -118,3 +118,57 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     # 20 events at 3-min spacing over [0, 57] -> windows 0/10/20/30/40/50
     # with ceil/floor occupancy 4,3,3,4,3,3
     assert got == {(0, 4), (10, 3), (20, 3), (30, 4), (40, 3), (50, 3)}
+
+
+def test_idle_timeout_sessions(spark, tmp_path):
+    """Processing-time timeout closes a session when its key goes idle:
+    batch 1 opens sessions for users 1 and 2; after > timeout of idle
+    wall-clock, batch 2 (user 3 only) fires their timeouts and emits the
+    final closed rows."""
+    import time
+    from firebolt_cdc_lambda_spark.streaming.stateful import idle_timeout_sessions
+
+    root = str(tmp_path / "src")
+    write_file(spark, root, "b1.parquet", [
+        Row(user_id=1, value=10.0),
+        Row(user_id=1, value=5.0),
+        Row(user_id=2, value=7.0),
+    ])
+    schema = spark.createDataFrame([Row(user_id=1, value=1.0)]).schema
+    out = idle_timeout_sessions(stream_source(spark, root, schema),
+                                key="user_id", timeout_ms=1500)
+    q = (out.writeStream.format("memory").queryName("idle_sessions")
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/ckpt_idle")
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        def rows():
+            return spark.sql("SELECT * FROM idle_sessions").collect()
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            open_users = {r["user_id"] for r in rows() if not r["closed"]}
+            if {1, 2} <= open_users:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"interim rows never appeared: {rows()}")
+
+        time.sleep(2.5)                 # > timeout_ms of idle time
+        write_file(spark, root, "b2.parquet", [Row(user_id=3, value=1.0)])
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            closed = {r["user_id"]: r for r in rows() if r["closed"]}
+            if {1, 2} <= set(closed):
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"timeout rows never appeared: {rows()}")
+    finally:
+        q.stop()
+
+    closed = {r["user_id"]: r for r in rows() if r["closed"]}
+    assert closed[1]["n_events"] == 2 and closed[1]["total_value"] == 15.0
+    assert closed[2]["n_events"] == 1 and closed[2]["total_value"] == 7.0
+    assert 3 not in closed              # user 3's session still open
