@@ -148,7 +148,32 @@ SELECT 'any_half', COUNT(*) FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
 """
 
 
+# -- SQL-surface entry: the same engine through spark.sql ----------------
+# Every other corpus entry declares its plan via the DataFrame API; this
+# one goes through the engine's SQL front door (sqlapi.register_testdata
+# temp views + spark.sql) so the SQL surface itself is oracle-graded.
+# Catalyst rewrites the IN-subquery to a left-semi join, same physical
+# plan either way.
+_SQL_SURFACE = """
+SELECT n_name AS nation_name, COUNT(*) AS n_rich_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY n_name
+"""
+
+
+def sql_surface_in_subquery(spark, sf):
+    from ..sqlapi import register_testdata
+    register_testdata(spark, sf)
+    return spark.sql(_SQL_SURFACE)
+
+
+SQL_SURFACE_IN_SUBQUERY_SQL = _SQL_SURFACE
+
+
 QUERIES = {
+    "sql_surface_in_subquery": Query(sql_surface_in_subquery, SQL_SURFACE_IN_SUBQUERY_SQL,
+                                     "SQL front door: temp views + IN-subquery via spark.sql"),
     "join_enriched_orders": Query(join_enriched_orders, JOIN_ENRICHED_ORDERS_SQL,
                                   "J1 multi-way equi-join, broadcast dims"),
     "join_anti_customers_no_orders": Query(join_anti_customers_no_orders, JOIN_ANTI_SQL,
