@@ -93,11 +93,13 @@ def bench_cdc_pipeline(spark, sf_dir) -> tuple[float, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_stream_throughput(spark, sf_dir, n_files: int = 10) -> float:
+def bench_stream_throughput(spark, sf_dir, n_files: int = 10,
+                            max_files_per_trigger: int | None = 1) -> float:
     """Files/sec through the full Structured Streaming CDC path: write
-    n_files small CDC batches, drain them with per-file triggers into a
-    bucketed snapshot.  The reference fleet does ~10k files/day ≈ 0.12
-    files/sec (AUTOMATIC_CLEANUP.md:68)."""
+    n_files small CDC batches, drain them into a bucketed snapshot.
+    ``max_files_per_trigger=1`` is the reference-faithful per-file mode
+    (fleet does ~10k files/day ≈ 0.12 files/sec, AUTOMATIC_CLEANUP.md:68);
+    a larger value is catch-up batching, the backlog-drain scale path."""
     from firebolt_cdc_lambda_spark.config import TableKeys
     from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
     from firebolt_cdc_lambda_spark.streaming import CdcStream
@@ -114,7 +116,8 @@ def bench_stream_throughput(spark, sf_dir, n_files: int = 10) -> float:
                            TableKeys.from_json('{"orders": "o_orderkey"}'),
                            num_buckets=64)
         stream = CdcStream(pipe, "orders", ["o_orderkey"], f"{tmp}/src",
-                           f"{tmp}/ckpt")
+                           f"{tmp}/ckpt",
+                           max_files_per_trigger=max_files_per_trigger)
         t0 = time.time()
         stream.run_to_completion(spark)
         elapsed = time.time() - t0
@@ -145,6 +148,8 @@ def main() -> None:
     timings["cdc_merge_small_batch"] = round(t_small, 3)
     timings["cdc_merge_batch"] = round(t_heavy, 3)
     stream_fps = bench_stream_throughput(spark, sf_dir)
+    catchup_fps = bench_stream_throughput(spark, sf_dir,
+                                          max_files_per_trigger=10)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -153,6 +158,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "stream_files_per_sec": stream_fps,
+        "stream_catchup_files_per_sec": catchup_fps,
         "sf": sf,
     }))
 
