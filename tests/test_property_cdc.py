@@ -93,3 +93,52 @@ def test_merge_matches_reference_fold(spark, batch1, batch2):
     staging = deduplicate(spark.createDataFrame(rows2, SCHEMA), ["id"])
     got = {r["id"]: r["v"] for r in merge_cdc(target, staging, ["id"]).collect()}
     assert got == {k: r[4] for k, r in expect.items()}
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(EVENT, min_size=1, max_size=12),
+                min_size=2, max_size=3),
+       st.integers(min_value=1, max_value=2),   # maintenance after batch i
+       st.sampled_from([2, 8, 16]),             # rebucket target
+       st.booleans())                           # also cluster_by
+def test_keyedtable_maintenance_matches_reference_fold(
+        spark, batches, maint_after, new_buckets, do_cluster):
+    """Random merge sequences interleaved with rebucket/cluster_by must
+    leave exactly the state of the pure-Python fold, including when the
+    post-maintenance merges go through a FRESH handle constructed with a
+    stale bucket count (the persisted meta must win)."""
+    import tempfile
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    path = tempfile.mkdtemp(prefix="prop_maint_") + "/t"
+    rows_per_batch = [to_rows(b) for b in batches]
+
+    # reference fold: bootstrap = non-delete winners of batch 0
+    state = {k: r[4] for k, r in ref_dedup(rows_per_batch[0]).items()
+             if r[1] != "D"}
+    for rows in rows_per_batch[1:]:
+        for k, r in ref_dedup(rows).items():
+            if r[1] == "D":
+                state.pop(k, None)
+            else:
+                state[k] = r[4]
+
+    kt = KeyedTable(spark, path, ["id"], num_buckets=4)
+    boot = deduplicate(spark.createDataFrame(rows_per_batch[0], SCHEMA), ["id"])
+    kt.init(boot.where("Op <> 'D'").select("id", "v"))
+    for i, rows in enumerate(rows_per_batch[1:], start=1):
+        if i == maint_after:
+            kt.rebucket(new_buckets)
+            if do_cluster:
+                kt.cluster_by(["v"])
+            # all further merges: fresh handle with a stale constructor
+            # guess — must pick up the persisted count
+            kt = KeyedTable(spark, path, ["id"], num_buckets=4)
+            assert kt.num_buckets == new_buckets
+        stg = deduplicate(spark.createDataFrame(rows, SCHEMA), ["id"])
+        kt.merge_batch(stg)
+
+    got = {r["id"]: r["v"] for r in kt.read().collect()}
+    assert got == state
+    assert set(kt.file_stats()) <= set(range(kt.num_buckets))
