@@ -790,6 +790,77 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+# -- Q12-flavored: ship-delay classes x priority (conditional counts) -----
+# (no l_shipmode/commitdate/receiptdate in the testdata; q12's shape —
+# CASE-bucketed conditional counts over the orders join — is preserved
+# with delay = l_shipdate - o_orderdate.)
+def q12_shipping_delay_classes(spark, sf):
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (F.when(delay <= 30, "fast")
+              .when(delay <= 90, "normal")
+              .otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(bucket.alias("delay_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+Q12_SQL = """
+SELECT CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+            WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 'normal'
+            ELSE 'slow' END AS delay_class,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+# -- Q21-flavored: sole supplier on a multi-supplier order ----------------
+# q21's core pattern — EXISTS(another lineitem, same order) AND NOT
+# EXISTS(another lineitem, same order, different supplier) — applied to
+# returned items: suppliers who were the only supplier on orders that
+# have multiple lineitems.
+def q21_sole_supplier_multi_line(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag")
+    s = F.broadcast(load_table(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    base = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    exists_other_line = (
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_linenumber") != F.col("l1.l_linenumber")))
+    exists_other_supp = (
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")))
+    return (base
+            .join(l2, exists_other_line, "left_semi")
+            .join(l3, exists_other_supp, "left_anti")
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+Q21_SQL = """
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_linenumber <> l1.l_linenumber)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1, 2
+"""
+
+
 # -- tumbling time windows: hourly event rollup (batch form of the -------
 # streaming window(); F.window emits the same [start, end) buckets a
 # watermarked streaming agg would, so this doubles as its oracle check)
@@ -917,8 +988,12 @@ QUERIES = {
                              "nation market share: conditional ratio over 6-way join"),
     "q9_product_profit": Query(q9_product_profit, Q9_SQL,
                                "LIKE-filtered part join, nation x year rollup"),
+    "q12_shipping_delay_classes": Query(q12_shipping_delay_classes, Q12_SQL,
+                                        "CASE-bucketed conditional counts over join"),
     "q13_customer_distribution": Query(q13_customer_distribution, Q13_SQL,
                                        "left-outer count + distribution re-group"),
+    "q21_sole_supplier_multi_line": Query(q21_sole_supplier_multi_line, Q21_SQL,
+                                          "EXISTS + NOT EXISTS double correlation"),
     "q15_top_supplier": Query(q15_top_supplier, Q15_SQL,
                               "scalar-max subquery with exact decimal compare"),
     "q17_small_quantity_revenue": Query(q17_small_quantity_revenue, Q17_SQL,
