@@ -156,6 +156,22 @@ def idle_timeout_sessions(events: DataFrame, key: str = "user_id",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def streaming_dedup(events: DataFrame, keys: Sequence[str],
+                    ts_col: str = "load_timestamp",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermark-bounded streaming dedup: rows with the same key arriving
+    within ``watermark`` of each other are emitted once (the
+    streaming-native form of the reference's duplicate-delivery
+    protection, FIX_DUPLICATE_INSERTS_ON_RETRY.md — retried uploads land
+    minutes apart, far inside any sane watermark).
+
+    Uses ``dropDuplicatesWithinWatermark``, so state per key is evicted
+    once the watermark passes — bounded memory on an unbounded stream,
+    unlike plain ``dropDuplicates`` whose state grows forever."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:

@@ -172,3 +172,25 @@ def test_idle_timeout_sessions(spark, tmp_path):
     assert closed[1]["n_events"] == 2 and closed[1]["total_value"] == 15.0
     assert closed[2]["n_events"] == 1 and closed[2]["total_value"] == 7.0
     assert 3 not in closed              # user 3's session still open
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys delivered across micro-batches within the watermark
+    are emitted exactly once; state is watermark-bounded."""
+    from firebolt_cdc_lambda_spark.streaming.stateful import streaming_dedup
+
+    root = str(tmp_path / "src")
+    write_file(spark, root, "2024/01/01/b1.parquet", [
+        Row(id=1, v=10.0, load_timestamp=TS),
+        Row(id=2, v=20.0, load_timestamp=TS),
+    ])
+    write_file(spark, root, "2024/01/02/b2.parquet", [
+        Row(id=1, v=10.0, load_timestamp=TS),                # retried delivery
+        Row(id=3, v=30.0, load_timestamp=TS),
+    ])
+    schema = spark.createDataFrame([Row(id=1, v=1.0, load_timestamp=TS)]).schema
+    out = streaming_dedup(stream_source(spark, root, schema), ["id"])
+    run_stream(out, tmp_path, "stream_dedup", output_mode="append")
+    got = sorted((r["id"], r["v"]) for r in
+                 spark.sql("SELECT * FROM stream_dedup").collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
