@@ -432,11 +432,28 @@ FROM orders GROUP BY o_orderpriority
 # -- HLL sketch distinct (beyond-reference; engine-specific estimate so
 # no cross-engine oracle — the driver records a rows-only check) ---------
 def val_approx_distinct(spark, sf):
+    """HLL sketch with a checkable contract: the approx value itself is
+    engine-specific, so the emitted row carries the EXACT count plus a
+    boolean asserting the sketch landed within 5% of it — both columns
+    are deterministic and hash-matchable against the oracle (which
+    computes the same exact count and asserts TRUE for the bound)."""
     o = load_table(spark, sf, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+    agg = o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
         F.count_distinct("o_custkey").alias("exact_customers"),
     )
+    return agg.select(
+        "exact_customers",
+        (F.abs(F.col("_approx") - F.col("exact_customers"))
+         <= 0.05 * F.col("exact_customers")).alias("approx_within_5pct"),
+    )
+
+
+VAL_APPROX_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_within_5pct
+FROM orders
+"""
 
 
 # -- one-pass column profile (data-quality shape: min/max/distinct/nulls
@@ -475,8 +492,8 @@ QUERIES = {
                               "pivot status columns per priority"),
     "val_profile_orders": Query(val_profile_orders, VAL_PROFILE_ORDERS_SQL,
                                 "one-pass column profile"),
-    "val_approx_distinct": Query(val_approx_distinct, None,
-                                 "HLL approx distinct vs exact (rows-only)"),
+    "val_approx_distinct": Query(val_approx_distinct, VAL_APPROX_DISTINCT_SQL,
+                                 "HLL approx distinct: exact count + 5%-bound flag"),
     "val_percentiles": Query(val_percentiles, VAL_PERCENTILES_SQL,
                              "exact interpolated percentiles"),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_EXTRACT_SQL,

@@ -28,6 +28,8 @@ Deliberate deviations (both flagged in SURVEY §7.4):
   * ``version_col`` (optional): WHEN MATCHED applies only if the staging
     version >= the stored version, making replay of an *older* file a
     no-op (the reference relies solely on its file ledger for this).
+    The gate covers DELETES too: a stale Op='D' row keeps the newer
+    stored row instead of deleting it.
 
 Scale design (100 TB): the target snapshot is stored hash-bucketed on the
 key (KeyedTable).  A micro-batch touches few buckets, so the merge reads
@@ -97,14 +99,16 @@ def merge_cdc(
     changed_keys = stg.select(*keys).distinct()
     untouched = target.join(F.broadcast(changed_keys), on=list(keys), how="left_anti")
 
-    # WHEN MATCHED AND Op='D' -> DELETE, so matched updates come only from
-    # non-delete rows.  The NOT MATCHED branch inserts delete rows too when
-    # insert_deletes (reference parity, lambda/handler.py:609-612).
-    non_deletes = stg.where(~F.col("__is_delete"))
-    insert_src = stg if insert_deletes else non_deletes
+    # The NOT MATCHED branch inserts delete rows too when insert_deletes
+    # (reference parity, lambda/handler.py:609-612).
+    insert_src = stg if insert_deletes else stg.where(~F.col("__is_delete"))
 
+    # Matched branch: join ALL staging rows (deletes included) so the
+    # version gate applies uniformly — a *stale* delete (older version than
+    # the stored row) keeps the target row, exactly like a stale update;
+    # only a fresh delete removes it.  Single join, big side scanned once.
     t = target.alias("t")
-    s = non_deletes.alias("s")
+    s = stg.alias("s")
     cond = _key_cond(keys, "t", "s")
     joined = t.join(F.broadcast(s), cond, "inner")
     if version_col is not None and version_col in staging.columns and version_col in t_cols:
@@ -112,14 +116,17 @@ def merge_cdc(
     else:
         take_s = F.lit(True)
 
+    is_live_delete = F.col("s.__is_delete") & take_s
+    kept = joined.where(~is_live_delete)
+
     def resolved(c: str) -> Column:
         tc = F.col(f"t.{c}")
         if c in common:
             sc = F.col(f"s.{c}").cast(target.schema[c].dataType)
-            return F.when(take_s, sc).otherwise(tc).alias(c)
+            return F.when(take_s & ~F.col("s.__is_delete"), sc).otherwise(tc).alias(c)
         return tc.alias(c)
 
-    updated = joined.select(*[resolved(c) for c in t_cols])
+    updated = kept.select(*[resolved(c) for c in t_cols])
 
     ins = insert_src.alias("s").join(F.broadcast(target.select(*keys)).alias("t"),
                                      _key_cond(keys, "s", "t"), "left_anti")
@@ -356,6 +363,17 @@ class KeyedTable:
             if has_deletes:
                 out = out.cache()
             try:
+                if has_deletes:
+                    # Compute the kept-bucket set BEFORE the write: the
+                    # self-overwrite invalidates the cache (refreshByPath),
+                    # and re-executing this self-referencing plan post-write
+                    # would re-merge against the already-merged files —
+                    # wrong in general, and a hard crash when the pre-merge
+                    # table was empty (the plan's partition schema was built
+                    # from an empty dir listing).  Running it here also
+                    # populates the cache, so the write below reads cached
+                    # partitions instead of rescanning the source.
+                    kept = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
                 # dynamic partition overwrite: only the buckets present in
                 # `out` (== the touched buckets) are replaced on disk.
                 # Set per-write, NOT via session conf — under a session with
@@ -370,7 +388,6 @@ class KeyedTable:
                     # A bucket whose every row was deleted is absent from
                     # `out`, so dynamic overwrite leaves its old files —
                     # drop it here.
-                    kept = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
                     emptied = [b for b in buckets if b not in kept]
                     if emptied:
                         jvm = self.spark._jvm

@@ -60,6 +60,15 @@ class RollupTable:
          .partitionBy(self.BUCKET_COL)
          .parquet(self.path))
 
+    def exists(self) -> bool:
+        """Hadoop-FS existence check — works on object stores, unlike
+        driver-local ``os.path`` (which would force a full re-init of the
+        rollup every batch on S3/HDFS roots)."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(hconf).exists(p)
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
@@ -91,6 +100,12 @@ class RollupTable:
             keep = current.join(F.broadcast(groups), on=self.group_cols, how="left_anti")
             out = keep.unionByName(fresh).cache()
             try:
+                # Kept-bucket set BEFORE the self-overwrite: the write
+                # invalidates the cache, and re-running this plan (which
+                # reads self.path) afterwards would see post-write files —
+                # wrong results, or a crash if the pre-refresh table was
+                # empty.  This collect also warms the cache for the write.
+                kept_b = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
                 (out.repartition(self.BUCKET_COL)
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
@@ -98,7 +113,6 @@ class RollupTable:
                  .parquet(self.path))
                 # a bucket whose only group vanished is absent from `out`;
                 # dynamic overwrite leaves its stale files — drop it
-                kept_b = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
                 jvm = self.spark._jvm
                 hconf = self.spark._jsc.hadoopConfiguration()
                 for b in buckets:

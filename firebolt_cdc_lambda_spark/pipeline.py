@@ -92,10 +92,9 @@ class CdcPipeline:
 
     def _refresh_rollups(self, table: str, keys: Sequence[str],
                          pre_images, changed_keys, target: KeyedTable) -> None:
-        import os
         for rollup, project in self._rollups.get(table, ()):
             base = project(target.read())
-            if not os.path.exists(rollup.path):
+            if not rollup.exists():
                 rollup.init(base)
                 continue
             # groups rows LEFT (pre-images of updated/deleted keys) plus

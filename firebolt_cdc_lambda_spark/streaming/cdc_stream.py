@@ -60,7 +60,14 @@ class CdcStream:
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        self.pipeline.process_batch(self.table, self.keys, batch_df)
+        # Parquet row order = binlog order within a file (the reference
+        # calls this CRITICAL, lambda/handler.py:521-527); stamp the
+        # file-local ingestion_seq so the dedup cascade keeps its final
+        # tie-breaker in streaming mode too (input_file_name() is still
+        # available inside foreachBatch).
+        from ..sources.ingest import with_ingestion_seq
+        self.pipeline.process_batch(self.table, self.keys,
+                                    with_ingestion_seq(batch_df))
 
     def start(self, spark: SparkSession, available_now: bool = True):
         """Start the stream; ``available_now`` drains the backlog and
@@ -70,8 +77,12 @@ class CdcStream:
             .schema(self._resolve_schema(spark))
             # recursive: fair/<table>/YYYY/MM/DD/<f>.parquet layout
             .option("recursiveFileLookup", "true")
-            # skip DMS full-load files, lambda/handler.py:781-783
-            .option("pathGlobFilter", "[^L]*.parquet")
+            # All parquet files enter the source; DMS LOAD* full-load
+            # files are dropped by the precise full-path filter below —
+            # a '[^L]*' glob here would silently drop ANY file whose
+            # name merely starts with 'L' (the reference skips only the
+            # LOAD prefix, lambda/handler.py:781-783).
+            .option("pathGlobFilter", "*.parquet")
         )
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
