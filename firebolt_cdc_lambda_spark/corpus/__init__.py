@@ -13,42 +13,34 @@ for _m in (validation, cdc, joins, analytics, textops, simops):
     _MERGED.update(_m.QUERIES)
 
 # The driver's CORRECTNESS gate runs the FIRST 50 entries in iteration
-# order.  Round 1 covered the first 50 in module order (all validation/
-# cdc/joins + early analytics); the LLM-pipeline surface (textops/simops)
-# and the window/asof/TPC-H-flagship analytics never got a hard-signal
-# row.  Order those first here, then the queries whose round-1 row we
-# most want re-confirmed (the q12 fix, the CDC merge family, the join
-# family); everything after slot ~50 stays green via round-1 evidence.
+# order.  Rotation policy (one green row ≤ 1 round old for every query):
+# round 1 gated the module-order first 50; round 2 gated the LLM surface
+# + window/asof/TPC-H flagships; round 3 rotates the 30 queries whose
+# only green row is from round 1 back into the gate, keeping 20 canaries
+# from round 2's green set (≥1 per family) to catch regressions there.
 _DRIVER_PRIORITY = [
-    # LLM-pipeline: dedup / similarity / ANN ------------------------------
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_lsh_bucket_topk", "ann_ivf_topk",
-    # LLM-pipeline: text analysis ----------------------------------------
-    "text_lang_id", "text_quality_stats", "text_token_count",
-    "text_token_topk", "text_fuzzy_event_types", "doc_fingerprint",
-    "dataset_split_assignment",
-    # analytics flagships + window/asof/range/session families -----------
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "q10_returned_items",
-    "window_topn_per_segment", "window_rank_family",
-    "window_moving_frame", "window_distribution_family",
-    "argmax_order_per_customer", "gapfill_monthly_orders",
-    "asof_event_last_order", "range_join_event_pairs",
-    "events_sessionization", "events_hourly_tumbling",
-    "scalar_datetime_showcase",
-    # round-1-green rows worth re-confirming ------------------------------
-    "q12_shipping_delay_classes",      # oracle type fix this round
-    "val_approx_distinct",             # oracle contract added this round
-    "cdc_pipeline_snapshot", "cdc_dedup_last_writer", "cdc_dedup_cascade",
-    "cdc_dedup_bypass_stats", "cdc_merge_upsert_delete",
-    "join_enriched_orders", "join_anti_customers_no_orders",
-    "join_semi_active_customers", "join_full_outer_compare",
-    "join_correlated_nation_counts", "set_ops_summary",
-    "sql_surface_in_subquery",
-    "val_row_counts", "val_agg_summary", "val_checksum",
-    "val_ingestion_seq", "grouping_sets_status_priority",
-    "cube_status_priority",
+    # r1-only rows, re-gated this round -----------------------------------
+    "val_price_histogram", "val_pivot_status", "val_profile_orders",
+    "val_percentiles", "events_json_extract", "scalar_functions_showcase",
+    "val_rollup_status_priority", "val_date_distribution",
+    "val_null_counts", "val_duplicate_keys", "val_duplicate_pks",
+    "val_category_counts", "val_monthly_distribution", "val_freshness",
+    "val_global_summary", "val_topk_orders", "val_sample_rows",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_sole_supplier_multi_line", "q22_idle_rich_customers",
+    # canaries from round 2's green set, ≥1 per family --------------------
+    "dedup_exact", "dedup_minhash_lsh", "ann_ivf_topk",
+    "text_quality_stats", "dataset_split_assignment",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q12_shipping_delay_classes",
+    "window_rank_family", "asof_event_last_order", "events_sessionization",
+    "val_approx_distinct", "val_checksum", "val_ingestion_seq",
+    "cdc_pipeline_snapshot", "cdc_merge_upsert_delete", "cdc_dedup_cascade",
+    "join_enriched_orders", "join_full_outer_compare",
+    "grouping_sets_status_priority",
 ]
 
 ALL_QUERIES: dict[str, Query] = {}
