@@ -9,10 +9,12 @@ Re-implements the reference MERGE (lambda/handler.py:563-614):
 
 as a pure-Spark snapshot merge (no Delta/Iceberg dependency):
 
-    untouched  = target ANTI-JOIN staging-keys          (broadcast)
-    updated    = target INNER-JOIN upserts, resolve per column
-    inserted   = upserts ANTI-JOIN target keys
-    new target = untouched UNION updated UNION inserted
+    kept     = target LEFT-OUTER-JOIN staging (broadcast), resolve per
+               column; live deletes filtered out.  Unmatched target rows
+               fall out of the same join untouched — ONE scan of the
+               target covers both the untouched and the updated branches.
+    inserted = upserts ANTI-JOIN target keys
+    new target = kept UNION inserted
 
 Semantics preserved from the reference:
   * UPDATE only sets columns common to staging∩target; target-only
@@ -29,7 +31,11 @@ Deliberate deviations (both flagged in SURVEY §7.4):
     version >= the stored version, making replay of an *older* file a
     no-op (the reference relies solely on its file ledger for this).
     The gate covers DELETES too: a stale Op='D' row keeps the newer
-    stored row instead of deleting it.
+    stored row instead of deleting it.  NULL versions have an explicit
+    contract (identical for updates and deletes): a NULL version sorts
+    BEFORE every non-NULL version, and ties go to staging — so an
+    unversioned staging row never overwrites a versioned stored row,
+    while a versioned staging row always beats an unversioned stored one.
 
 Scale design (100 TB): the target snapshot is stored hash-bucketed on the
 key (KeyedTable).  A micro-batch touches few buckets, so the merge reads
@@ -92,38 +98,52 @@ def merge_cdc(
     common = [c for c in t_cols if c in staging.columns and c not in meta and c not in keys]
 
     has_op = op_col in staging.columns
-    is_delete = F.col(op_col).isin(list(delete_values)) if has_op else F.lit(False)
-    stg = staging.withColumn("__is_delete", is_delete)
-
-    # Keys touched by this batch (updates AND deletes) leave `untouched`.
-    changed_keys = stg.select(*keys).distinct()
-    untouched = target.join(F.broadcast(changed_keys), on=list(keys), how="left_anti")
+    # NULL-safe: a NULL Op is NOT a delete (it is an upsert, like any
+    # non-delete op).  Without the coalesce, `~NULL` filters silently
+    # dropped both the staging row from the insert branch AND the matched
+    # target row from the kept branch.
+    is_delete = (F.coalesce(F.col(op_col).isin(list(delete_values)), F.lit(False))
+                 if has_op else F.lit(False))
+    # __s_present marks join hits below (never NULL on a staging row, so a
+    # NULL after the left-outer join means "no staging row for this key").
+    stg = (staging.withColumn("__is_delete", is_delete)
+           .withColumn("__s_present", F.lit(True)))
 
     # The NOT MATCHED branch inserts delete rows too when insert_deletes
     # (reference parity, lambda/handler.py:609-612).
     insert_src = stg if insert_deletes else stg.where(~F.col("__is_delete"))
 
-    # Matched branch: join ALL staging rows (deletes included) so the
-    # version gate applies uniformly — a *stale* delete (older version than
-    # the stored row) keeps the target row, exactly like a stale update;
-    # only a fresh delete removes it.  Single join, big side scanned once.
+    # Matched + untouched in ONE left-outer join (broadcast staging): an
+    # unmatched target row resolves to itself; a matched row resolves per
+    # column under the version gate; live deletes are filtered.  Joining
+    # ALL staging rows (deletes included) applies the gate uniformly — a
+    # *stale* delete keeps the target row exactly like a stale update;
+    # only a fresh delete removes it.  The big side is scanned ONCE here
+    # (the previous anti-join + inner-join pair scanned it twice).
     t = target.alias("t")
     s = stg.alias("s")
     cond = _key_cond(keys, "t", "s")
-    joined = t.join(F.broadcast(s), cond, "inner")
+    joined = t.join(F.broadcast(s), cond, "left_outer")
+    matched = F.col("s.__s_present").isNotNull()
     if version_col is not None and version_col in staging.columns and version_col in t_cols:
-        take_s = F.col(f"s.{version_col}") >= F.col(f"t.{version_col}")
+        sv, tv = F.col(f"s.{version_col}"), F.col(f"t.{version_col}")
+        # NULL contract (identical for updates and deletes): NULL sorts
+        # before every non-NULL version; ties -> staging wins.  Truth
+        # table: both NULL -> True; s NULL, t set -> False; s set,
+        # t NULL -> True; both set -> sv >= tv.
+        take_s = F.coalesce((sv >= tv) | tv.isNull(), F.lit(False))
     else:
         take_s = F.lit(True)
 
-    is_live_delete = F.col("s.__is_delete") & take_s
+    is_live_delete = matched & F.col("s.__is_delete") & take_s
     kept = joined.where(~is_live_delete)
 
     def resolved(c: str) -> Column:
         tc = F.col(f"t.{c}")
         if c in common:
             sc = F.col(f"s.{c}").cast(target.schema[c].dataType)
-            return F.when(take_s & ~F.col("s.__is_delete"), sc).otherwise(tc).alias(c)
+            return (F.when(matched & take_s & ~F.col("s.__is_delete"), sc)
+                    .otherwise(tc).alias(c))
         return tc.alias(c)
 
     updated = kept.select(*[resolved(c) for c in t_cols])
@@ -137,7 +157,7 @@ def merge_cdc(
             for c in t_cols
         ]
     )
-    return untouched.unionByName(updated).unionByName(inserted)
+    return updated.unionByName(inserted)
 
 
 class KeyedTable:
@@ -180,49 +200,65 @@ class KeyedTable:
         )
 
     # -- schema sidecar: lets an all-rows-deleted table keep its schema ----
+    # Sidecar reads are cached per (absolute path, mtime): the CDC pipeline
+    # constructs a fresh KeyedTable per batch, and without the cache every
+    # construction pays exists+open+read+close JVM round trips for both
+    # sidecars.  The mtime check keeps the cache correct under external
+    # writers (another session saving a new bucket count is picked up).
+    _sidecar_cache: dict[str, tuple[int, str]] = {}
+
     def _fs_and_path(self, p: str):
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
         path = jvm.org.apache.hadoop.fs.Path(p)
         return path.getFileSystem(hconf), path, jvm
 
-    def _save_schema(self, df: DataFrame) -> None:
-        fs, path, jvm = self._fs_and_path(f"{self.path}/_schema.json")
+    def _read_sidecar(self, name: str) -> str | None:
+        full = f"{self.path}/{name}"
+        fs, path, jvm = self._fs_and_path(full)
+        if not fs.exists(path):
+            self._sidecar_cache.pop(full, None)
+            return None
+        mtime = fs.getFileStatus(path).getModificationTime()
+        hit = self._sidecar_cache.get(full)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        stream = fs.open(path)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        text = data.decode("utf-8")
+        self._sidecar_cache[full] = (mtime, text)
+        return text
+
+    def _write_sidecar(self, name: str, text: str) -> None:
+        full = f"{self.path}/{name}"
+        fs, path, jvm = self._fs_and_path(full)
         out = fs.create(path, True)
-        out.write(bytearray(df.schema.json().encode("utf-8")))
+        out.write(bytearray(text.encode("utf-8")))
         out.close()
+        self._sidecar_cache[full] = (
+            fs.getFileStatus(path).getModificationTime(), text)
+
+    def _save_schema(self, df: DataFrame) -> None:
+        self._write_sidecar("_schema.json", df.schema.json())
 
     def _save_meta(self) -> None:
         import json
-        fs, path, jvm = self._fs_and_path(f"{self.path}/_meta.json")
-        out = fs.create(path, True)
-        out.write(bytearray(json.dumps(
-            {"num_buckets": self.num_buckets, "keys": self.keys}).encode("utf-8")))
-        out.close()
+        self._write_sidecar("_meta.json", json.dumps(
+            {"num_buckets": self.num_buckets, "keys": self.keys}))
 
     def _load_meta(self):
         import json
-        fs, path, jvm = self._fs_and_path(f"{self.path}/_meta.json")
-        if not fs.exists(path):
-            return None
-        stream = fs.open(path)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        return json.loads(data.decode("utf-8"))
+        text = self._read_sidecar("_meta.json")
+        return None if text is None else json.loads(text)
 
     def _load_schema(self):
+        import json
         from pyspark.sql import types as T
-        fs, path, jvm = self._fs_and_path(f"{self.path}/_schema.json")
-        if not fs.exists(path):
-            return None
-        stream = fs.open(path)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        return T.StructType.fromJson(__import__("json").loads(data.decode("utf-8")))
+        text = self._read_sidecar("_schema.json")
+        return None if text is None else T.StructType.fromJson(json.loads(text))
 
     def exists(self) -> bool:
         jvm = self.spark._jvm
@@ -243,16 +279,34 @@ class KeyedTable:
         self._save_schema(bucketed)
         self._save_meta()
 
-    def _read_raw(self) -> DataFrame:
+    def _read_raw(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Read the stored snapshot; with ``buckets`` given, read ONLY those
+        bucket directories via one brace-alternation glob.  That skips the
+        driver-side listing + partition discovery of every bucket dir a
+        root-path read performs (measured ~2x plan-construction time on a
+        64-bucket table), and the partition filter becomes structural —
+        untouched buckets are never even listed.  Buckets with no directory
+        yet (all-new keys) simply don't match the glob."""
         schema = self._load_schema()
         try:
+            if schema is not None and buckets is not None:
+                glob = ",".join(str(b) for b in sorted(buckets))
+                return (self.spark.read.schema(schema)
+                        # basePath keeps _bucket as a partition column even
+                        # though we hand Spark the leaf dirs
+                        .option("basePath", self.path)
+                        .parquet(f"{self.path}/{self.BUCKET_COL}={{{glob}}}"))
             if schema is not None:
                 # partition column comes back from dir names; schema pins types
                 return self.spark.read.schema(schema).parquet(self.path)
-            return self.spark.read.parquet(self.path)
+            df = self.spark.read.parquet(self.path)
+            if buckets is not None:   # no schema sidecar: prune via filter
+                df = df.where(F.col(self.BUCKET_COL).isin(list(buckets)))
+            return df
         except Exception:
             if schema is None:
                 raise
+            # empty table (or no touched bucket dir exists yet)
             return self.spark.createDataFrame([], schema)
 
     def read(self) -> DataFrame:
@@ -336,6 +390,15 @@ class KeyedTable:
         count rides the fused aggregation below for free, so callers that
         report it don't pay a separate count job re-deriving staging)."""
         from .ordering import OP_COL
+        # AQE off for the merge's jobs: every physical choice here is
+        # already pinned (staging broadcast, bucket-glob pruned scan,
+        # repartition on _bucket, dynamic partition overwrite), so adaptive
+        # re-planning only adds per-stage latency — measured 2.6 -> 2.0 s
+        # on the ~3k-row batch and 1.7 -> 1.1 s on the ~30-key batch at
+        # sf0.1/local[32].  Restored after the merge; at cluster scale the
+        # big analytic queries (where AQE earns its keep) are unaffected.
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         stg = self._with_bucket(staging).cache()
         try:
             # ONE aggregation job yields the touched-bucket list, the
@@ -356,8 +419,7 @@ class KeyedTable:
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
             has_deletes = bool(agg_row["has_del"])
-            full = self._read_raw()
-            current = full.where(F.col(self.BUCKET_COL).isin(buckets)).drop(self.BUCKET_COL)
+            current = self._read_raw(buckets=buckets).drop(self.BUCKET_COL)
             merged = merge_cdc(current, stg.drop(self.BUCKET_COL), self.keys, **merge_kwargs)
             out = self._with_bucket(merged)
             if has_deletes:
@@ -404,3 +466,4 @@ class KeyedTable:
                     out.unpersist()
         finally:
             stg.unpersist()
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -79,6 +79,45 @@ def test_version_aware_merge_skips_stale(spark):
     assert out2[0]["v"] == "newer"
 
 
+def test_version_null_contract_updates_and_deletes_symmetric(spark):
+    """NULL-version contract (identical for updates and deletes): NULL
+    sorts before every non-NULL version, ties go to staging.  Guards the
+    asymmetry where a NULL comparison no-opped updates but executed
+    deletes (where(~NULL) drops rows)."""
+    target = df_of(spark, [
+        Row(id=1, v="keep", load_timestamp=TS),    # stg NULL vs set   -> target wins
+        Row(id=2, v="old", load_timestamp=None),   # stg set vs NULL   -> staging wins
+        Row(id=3, v="old", load_timestamp=None),   # both NULL (tie)   -> staging wins
+        Row(id=4, v="keep", load_timestamp=TS),    # NULL-ver delete   -> stale, no-op
+        Row(id=5, v="old", load_timestamp=None),   # set-ver delete    -> live, removed
+    ])
+    stg = df_of(spark, [
+        Row(id=1, v="null-ver", Op="U", load_timestamp=None),
+        Row(id=2, v="new", Op="U", load_timestamp=TS),
+        Row(id=3, v="new", Op="U", load_timestamp=None),
+        Row(id=4, v=None, Op="D", load_timestamp=None),
+        Row(id=5, v=None, Op="D", load_timestamp=TS),
+    ])
+    out = {r["id"]: r["v"]
+           for r in merge_cdc(target, stg, ["id"],
+                              version_col="load_timestamp").collect()}
+    assert out == {1: "keep", 2: "new", 3: "new", 4: "keep"}   # 5 deleted
+
+
+def test_null_op_is_upsert_not_delete(spark, target):
+    """A NULL Op row is an upsert (matched -> update, unmatched ->
+    insert), never a delete and never silently dropped by `~NULL`."""
+    stg = df_of(spark, [
+        Row(id=2, name="bob2", bal=25.0, Op=None, load_timestamp=TS),
+        Row(id=7, name="greg", bal=1.0, Op=None, load_timestamp=TS),
+        Row(id=3, name="carol2", bal=31.0, Op="U", load_timestamp=TS),
+    ])
+    rows = {r["id"]: r for r in merge_cdc(target, stg, ["id"]).collect()}
+    assert set(rows) == {1, 2, 3, 7}
+    assert rows[2]["name"] == "bob2"       # matched NULL-op row updated
+    assert rows[7]["name"] == "greg"       # unmatched NULL-op row inserted
+
+
 def test_composite_key_merge(spark):
     target = df_of(spark, [Row(a=1, b=1, v="x"), Row(a=1, b=2, v="y")])
     stg = df_of(spark, [Row(a=1, b=2, v="y2", Op="U", load_timestamp=TS)])
