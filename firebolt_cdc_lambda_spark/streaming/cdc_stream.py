@@ -89,9 +89,14 @@ class CdcStream:
         stream = reader.parquet(self.source_dir)
         # pathGlobFilter matches leaf *file* names; when a "file" is a
         # directory of part files (Spark-written fixtures), the LOAD name is
-        # one level up — filter defensively on the full path too.
+        # one level up — so match the LOAD prefix only on the LAST one or
+        # two path segments.  Matching any segment (an earlier revision's
+        # "/LOAD[^/]*(/|$)") would silently drop the entire stream of a
+        # table whose *directory* happens to start with LOAD (e.g.
+        # fair/LOAD_events/...); the reference checks only the leaf
+        # filename (lambda/handler.py:781-783).
         from pyspark.sql import functions as F
-        stream = stream.where(~F.input_file_name().rlike("/LOAD[^/]*(/|$)"))
+        stream = stream.where(~F.input_file_name().rlike("/LOAD[^/]*(/[^/]+)?$"))
         writer = (
             stream.writeStream
             .foreachBatch(self._foreach_batch)

@@ -68,6 +68,28 @@ def test_stream_checkpoint_exactly_once(spark, env):
     assert len(rows) == 1 and rows[0]["name"] == "alice3"
 
 
+def test_stream_table_dir_starting_with_load_not_dropped(spark, tmp_path):
+    """The LOAD filter matches only the last one/two path segments: a
+    TABLE whose directory name starts with LOAD must still stream (an
+    any-segment match would silently drop its entire stream), while leaf
+    LOAD* files inside it are skipped — the reference checks only the
+    leaf filename (lambda/handler.py:781-783)."""
+    source = str(tmp_path / "stream" / "fair" / "LOAD_events")
+    pipe = CdcPipeline(spark, str(tmp_path / "warehouse"),
+                       TableKeys.from_json('{"LOAD_events": "id"}'), num_buckets=8)
+    stream = CdcStream(pipe, "LOAD_events", ["id"], source,
+                       str(tmp_path / "checkpoint"))
+    write_file(spark, source, "2024-01-01", "b1.parquet", [
+        Row(id=1, name="alice", Op="I", load_timestamp=TS),
+    ])
+    write_file(spark, source, "2024-01-01", "LOAD0001.parquet", [
+        Row(id=99, name="full-load-row", Op="I", load_timestamp=TS),
+    ])
+    stream.run_to_completion(spark)
+    rows = {r["id"] for r in pipe.target_for("LOAD_events", ["id"]).read().collect()}
+    assert rows == {1}
+
+
 def test_stream_skips_load_files(spark, env):
     source, pipe, stream = env
     write_file(spark, source, "2024-01-01", "b1.parquet", [
