@@ -12,20 +12,23 @@ Ports the reference's tracker semantics (Spark-native):
   (schema_evolution_tracker.py:137-158) with config backup before save
   (:231-278).
 
-Storage is a plain JSON document per table under ``store_dir`` (local
-path here; swap for an object-store client in production — the
-reference keeps these in S3).
+Storage is a plain JSON document per table under ``store_dir``, accessed
+through the Hadoop FileSystem API (fsio) — so an object-store store_dir
+(s3a://...) works identically to a local path, matching the reference
+keeping this metadata in S3.  The tracker is driver-side by design: the
+documents are KB-sized and touched once per fleet scan, never per row.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import json
-import os
 from dataclasses import dataclass, field
 
+from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from . import fsio
 from .config import TableKeys, infer_primary_key
 
 
@@ -49,12 +52,13 @@ class FleetReport:
 
 
 class SchemaDriftTracker:
-    def __init__(self, store_dir: str):
-        self.store_dir = store_dir
-        os.makedirs(store_dir, exist_ok=True)
+    def __init__(self, spark: SparkSession, store_dir: str):
+        self.spark = spark
+        self.store_dir = store_dir.rstrip("/")
+        fsio.mkdirs(spark, self.store_dir)
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.store_dir, f"{table}.schema.json")
+        return f"{self.store_dir}/{table}.schema.json"
 
     def snapshot(self, table: str, schema: T.StructType) -> None:
         doc = {
@@ -62,15 +66,11 @@ class SchemaDriftTracker:
             "captured_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "columns": {f.name: f.dataType.simpleString() for f in schema.fields},
         }
-        with open(self._path(table), "w") as fh:
-            json.dump(doc, fh, indent=2)
+        fsio.write_text(self.spark, self._path(table), json.dumps(doc, indent=2))
 
     def last_known(self, table: str) -> dict[str, str] | None:
-        p = self._path(table)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh)["columns"]
+        text = fsio.read_text(self.spark, self._path(table))
+        return None if text is None else json.loads(text)["columns"]
 
     def diff(self, table: str, schema: T.StructType) -> TableDrift:
         """Current schema vs last snapshot; report-only semantics."""
@@ -113,17 +113,16 @@ class SchemaDriftTracker:
         """Apply PK proposals to the registry (with a backup of the
         previous config, schema_evolution_tracker.py:231-278)."""
         if backup:
-            path = os.path.join(self.store_dir, "tables_keys.backup.json")
-            with open(path, "w") as fh:
-                json.dump(configured.keys, fh, indent=2)
+            fsio.write_text(self.spark,
+                            f"{self.store_dir}/tables_keys.backup.json",
+                            json.dumps(configured.keys, indent=2))
         merged = dict(configured.keys)
         merged.update(report.new_tables)
         return TableKeys(keys=merged, default_key=configured.default_key)
 
     def save_report(self, report: FleetReport) -> str:
-        path = os.path.join(
-            self.store_dir,
-            f"drift_report_{_dt.datetime.now(_dt.timezone.utc):%Y%m%dT%H%M%S}.json")
+        path = (f"{self.store_dir}/drift_report_"
+                f"{_dt.datetime.now(_dt.timezone.utc):%Y%m%dT%H%M%S}.json")
         doc = {
             "new_tables": report.new_tables,
             "removed_tables": report.removed_tables,
@@ -133,6 +132,5 @@ class SchemaDriftTracker:
                 for d in report.drift
             ],
         }
-        with open(path, "w") as fh:
-            json.dump(doc, fh, indent=2)
+        fsio.write_text(self.spark, path, json.dumps(doc, indent=2))
         return path

@@ -18,13 +18,13 @@ S2 = schema(("id", T.LongType()), ("name", T.IntegerType()),  # type change
 S3 = schema(("id", T.LongType()))                              # name removed
 
 
-def test_first_sighting_no_drift(tmp_path):
-    tr = SchemaDriftTracker(str(tmp_path))
+def test_first_sighting_no_drift(spark, tmp_path):
+    tr = SchemaDriftTracker(spark, str(tmp_path))
     assert not tr.diff("users", S1).has_drift
 
 
-def test_diff_detects_all_three_kinds(tmp_path):
-    tr = SchemaDriftTracker(str(tmp_path))
+def test_diff_detects_all_three_kinds(spark, tmp_path):
+    tr = SchemaDriftTracker(spark, str(tmp_path))
     tr.snapshot("users", S1)
     d = tr.diff("users", S2)
     assert [a["column"] for a in d.added] == ["email"]
@@ -34,8 +34,8 @@ def test_diff_detects_all_three_kinds(tmp_path):
     assert [r["column"] for r in d2.removed] == ["name"]
 
 
-def test_fleet_scan_and_autoconfig(tmp_path):
-    tr = SchemaDriftTracker(str(tmp_path))
+def test_fleet_scan_and_autoconfig(spark, tmp_path):
+    tr = SchemaDriftTracker(spark, str(tmp_path))
     tk = TableKeys.from_json('{"users": "id"}')
     live = {
         "users": S1,
@@ -52,15 +52,36 @@ def test_fleet_scan_and_autoconfig(tmp_path):
     assert backup == {"users": ["id"]}
 
 
-def test_removed_table_detected(tmp_path):
-    tr = SchemaDriftTracker(str(tmp_path))
+def test_removed_table_detected(spark, tmp_path):
+    tr = SchemaDriftTracker(spark, str(tmp_path))
     tk = TableKeys.from_json('{"users": "id", "gone": "id"}')
     rep = tr.scan_fleet({"users": S1}, tk)
     assert rep.removed_tables == ["gone"]
 
 
-def test_report_file(tmp_path):
-    tr = SchemaDriftTracker(str(tmp_path))
+def test_store_via_filesystem_uri(spark, tmp_path):
+    """The store goes through the Hadoop FS API: an explicit file:// URI
+    store_dir (the local stand-in for s3a://...) round-trips snapshots,
+    reports, and config backups — nothing touches os.path."""
+    uri = f"file://{tmp_path}/drift_store"
+    tr = SchemaDriftTracker(spark, uri)
+    tr.snapshot("users", S1)
+    assert tr.last_known("users") == {"id": "bigint", "name": "string"}
+    d = tr.diff("users", S2)
+    assert [a["column"] for a in d.added] == ["email"]
+    rep = tr.scan_fleet({"users": S2}, TableKeys.from_json('{"users": "id"}'))
+    path = tr.save_report(rep)
+    assert path.startswith(uri)
+    from firebolt_cdc_lambda_spark import fsio
+    doc = json.loads(fsio.read_text(spark, path))
+    assert doc["drift"][0]["table"] == "users"
+    merged = tr.auto_configure(rep, TableKeys.from_json('{"users": "id"}'))
+    assert json.loads(fsio.read_text(
+        spark, f"{uri}/tables_keys.backup.json")) == {"users": ["id"]}
+
+
+def test_report_file(spark, tmp_path):
+    tr = SchemaDriftTracker(spark, str(tmp_path))
     tr.snapshot("users", S1)
     rep = tr.scan_fleet({"users": S2}, TableKeys.from_json('{"users": "id"}'))
     path = tr.save_report(rep)

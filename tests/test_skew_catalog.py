@@ -50,7 +50,7 @@ def test_catalog_lists_warehouse_tables(spark, tmp_path):
     cols = dict(catalog.table_columns(wh, "users"))
     assert cols == {"id": "bigint", "name": "string"}
     # catalog feeds the drift fleet scan directly
-    tracker = SchemaDriftTracker(str(tmp_path / "drift"))
+    tracker = SchemaDriftTracker(spark, str(tmp_path / "drift"))
     rep = tracker.scan_fleet(catalog.live_schemas(wh),
                              TableKeys.from_json('{"users": "id"}'))
     assert list(rep.new_tables) == ["orders"]
