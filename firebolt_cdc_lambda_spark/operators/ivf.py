@@ -10,8 +10,10 @@ wall-clock ratio at 100 TB.
 Design notes (scale):
   * Centroids are a tiny table (K rows) persisted next to the index;
     probes never recompute them.  By default they are the first K
-    vectors by id — a deterministic stand-in for sampled k-means; pass
-    trained centroids for real workloads.
+    vectors by id — a deterministic stand-in; ``train_centroids`` runs
+    sample-based Lloyd's k-means for real workloads (skewed corpora
+    degrade the first-K default into a few giant cells, which kills the
+    nprobe/K scan-ratio claim — see ``cell_stats``).
   * Cell assignment: broadcast nested-loop over the K centroids, then a
     ``min_by`` aggregation whose partials combine map-side, so the K×
     expansion never crosses the shuffle.
@@ -85,6 +87,102 @@ class IvfIndex:
         (cells.write.mode("overwrite")
          .partitionBy("cell").parquet(f"{self.path}/cells"))
         (cents.write.mode("overwrite").parquet(f"{self.path}/centroids"))
+
+    # -- training ---------------------------------------------------------
+    def train_centroids(self, vectors: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        sample_fraction: float | None = None,
+                        sample_rows: int = 100_000,
+                        max_iters: int = 8, tol: float = 1e-4,
+                        seed: int = 42) -> DataFrame:
+        """Sample-based Lloyd's k-means; returns an (id_col, vec_col)
+        DataFrame of ``n_centroids`` trained centroids consumable by
+        ``build(centroids=...)``.
+
+        Scale path: pass ``sample_fraction`` so the corpus scan samples
+        BEFORE anything is sorted or shuffled (at 100 TB,
+        sample_fraction ≈ sample_rows / corpus_rows); the hash-order
+        cap to ``sample_rows`` then sorts only the sample.  Each Lloyd's
+        iteration is one broadcast cell assignment (map-side ``min_by``,
+        no K× shuffle expansion) plus one (cell, dim)-keyed average whose
+        partials combine map-side — both bounded by the sample, not the
+        corpus.  Centroids live on the driver between iterations (K×dim
+        doubles — metadata-sized, like the probe-cell list).
+
+        Cosine-space notes: means are not re-normalized (cosine is
+        scale-invariant, so normalization cannot change any assignment);
+        a cell whose mean degenerates to the zero vector keeps its
+        previous centroid, as does a cell that lost all members.
+        """
+        src = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"))
+        if sample_fraction is not None:
+            src = src.sample(False, sample_fraction, seed)
+        # deterministic pseudo-random order; sorts only the (small) sample
+        sample = (src.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+                  .limit(sample_rows).cache())
+        try:
+            k = self.n_centroids
+            cents = [row["v"] for row in sample.head(k)]
+            if not cents:
+                raise ValueError("cannot train centroids on an empty corpus")
+            dim = len(cents[0])
+            cent_schema = "cent_id INT, cv ARRAY<DOUBLE>"
+            dot = ("aggregate(zip_with(v, cv, (x, y) -> x * y), "
+                   "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+            vnorm = ("sqrt(aggregate(transform(v, x -> x * x), "
+                     "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))")
+            cnorm = ("sqrt(aggregate(transform(cv, x -> x * x), "
+                     "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))")
+            cos = f"{dot} / nullif({vnorm} * {cnorm}, 0.0)"
+            for _ in range(max_iters):
+                cdf = self.spark.createDataFrame(
+                    list(enumerate(cents)), cent_schema)
+                assigned = (sample.crossJoin(F.broadcast(cdf))
+                            .selectExpr("vec_id", "v", "cent_id",
+                                        f"{cos} AS ccos")
+                            .groupBy("vec_id")
+                            .agg(F.min_by(
+                                F.struct(F.col("cent_id").alias("cell"), "v"),
+                                F.struct((-F.col("ccos")).alias("nc"),
+                                         F.col("cent_id").alias("cid"))).alias("m"))
+                            .select("m.cell", "m.v"))
+                # element-wise mean per cell: (cell, dim)-keyed partial avg
+                means = (assigned
+                         .select("cell", F.posexplode("v").alias("pos", "x"))
+                         .groupBy("cell", "pos").agg(F.avg("x").alias("x"))
+                         .groupBy("cell")
+                         .agg(F.array_sort(F.collect_list(
+                             F.struct("pos", "x"))).alias("px"))
+                         .selectExpr("cell",
+                                     "transform(px, p -> p.x) AS cv")
+                         .collect())
+                new_cents = list(cents)
+                for row in means:
+                    cv = row["cv"]
+                    if len(cv) == dim and any(x != 0.0 for x in cv):
+                        new_cents[row["cell"]] = cv
+                shift = max(
+                    max(abs(a - b) for a, b in zip(old, new))
+                    for old, new in zip(cents, new_cents))
+                cents = new_cents
+                if shift < tol:
+                    break
+            return self.spark.createDataFrame(
+                list(enumerate(cents)), cent_schema).selectExpr(
+                    f"cent_id AS {id_col}", f"cv AS {vec_col}")
+        finally:
+            sample.unpersist()
+
+    def cell_stats(self) -> dict[int, int]:
+        """``{cell: vector count}`` of the built index — the skew probe
+        for the nprobe/K scan-ratio claim (one aggregation job returning
+        ≤ n_centroids rows).  A max/mean ratio near 1 means probes scan
+        what the ratio promises; a giant cell means retrain."""
+        rows = (self.spark.read.parquet(f"{self.path}/cells")
+                .groupBy("cell").count().collect())
+        return {int(r["cell"]): int(r["count"]) for r in rows}
 
     # -- probe ------------------------------------------------------------
     def probe(self, queries: DataFrame, top_k: int = 10,
