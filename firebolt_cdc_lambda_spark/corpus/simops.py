@@ -216,15 +216,25 @@ _HAMMING_MAX = 3
 
 
 def dedup_simhash(spark, sf):
-    # signatures shuffle-free (same array technique as minhash): 16
-    # per-bit weights as aggregates over the per-row shingle array
-    docs = _shingle_sets(_neardup_corpus(spark, sf))
+    # Weights in ONE pass over the exploded distinct shingle relation:
+    # 16 conditional SUMs whose partials combine map-side inside
+    # whole-stage codegen.  The previous shuffle-free form folded each
+    # doc's shingle array with 16 separate higher-order `aggregate`
+    # lambdas (16 array traversals per row) and was 1.6x slower at
+    # sf0.1 — here the one exchange (~2M narrow rows) costs less than
+    # the repeated lambda evaluation it avoids.
+    h = _h_expr("clean", "i")
+    sh = (_neardup_corpus(spark, sf).where("length(clean) >= 5")
+          .selectExpr(
+              "doc_id",
+              f"explode(transform(sequence(1, length(clean) - 4), i -> {h})) AS h")
+          .distinct())
     weights = [
-        f"aggregate(hs, 0, (acc, h) -> acc + "
-        f"(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) AS w{j}"
+        F.expr(f"sum(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END)").alias(f"w{j}")
         for j in range(_SIMHASH_BITS)
     ]
-    w = docs.selectExpr("doc_id", *weights)
+    w = sh.groupBy("doc_id").agg(*weights)
     sig_expr = " + ".join(
         f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
     sig = w.selectExpr("doc_id", f"CAST({sig_expr} AS BIGINT) AS sig")
