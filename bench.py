@@ -171,6 +171,31 @@ def bench_ivf_probe(spark, sf_dir) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_lsh_probe(spark, sf_dir) -> float:
+    """Amortized incremental near-dup: one-time LshIndex build over the
+    documents corpus (untimed), then probe a shifted-copy batch — the
+    per-ingestion-batch cost at 100 TB, where the corpus fingerprints
+    are already on disk and the probe reads only collided shards."""
+    from firebolt_cdc_lambda_spark.operators.lsh import LshIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        ix = LshIndex(spark, f"{tmp}/lsh", n_shards=64)
+        ix.build(docs)
+        batch = (docs.where("doc_id % 20 = 0")
+                 .selectExpr("doc_id + 1000000 AS doc_id",
+                             "substr(text, 4) AS text"))
+        best = float("inf")
+        for _ in range(N_REPS):
+            t0 = time.time()
+            ix.probe(batch).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -193,6 +218,7 @@ def main() -> None:
     timings["cdc_merge_small_batch"] = round(t_small, 3)
     timings["cdc_merge_batch"] = round(t_heavy, 3)
     timings["ann_ivf_probe_amortized"] = round(bench_ivf_probe(spark, sf_dir), 3)
+    timings["lsh_probe_amortized"] = round(bench_lsh_probe(spark, sf_dir), 3)
     stream_fps = bench_stream_throughput(spark, sf_dir)
     catchup_fps = bench_stream_throughput(spark, sf_dir,
                                           max_files_per_trigger=10)

@@ -35,17 +35,12 @@ from .textops import _CLEAN_DUCK, _CLEAN_SPARK, _h_expr
 
 _NEARDUP_OFFSET = 1_000_000
 
-# (a, b) pairs for minhash permutations; p prime. a*h <= 1e6 * 2.4e8 < 2^53.
-_MINHASH_PERMS = (
-    (123457, 886731), (594521, 193939), (354761, 902389), (781937, 359791),
-    (279551, 645131), (909091, 122807), (443389, 777001), (671771, 500009),
-)
-_MINHASH_P = 1_000_003
-# 2 bands x 4 rows: P(band collision) = jaccard^4 — tight enough that a
-# low-diversity corpus (tiny vocabulary) doesn't explode the candidate
-# set.  4 bands x 2 rows produced 582k candidates from 5k docs here.
-_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
-_JACCARD_THRESHOLD = 0.5
+# canonical definitions live in functions/texthash.py (shared with the
+# incremental LshIndex); aliased here to keep the corpus modules' names
+from ..functions.texthash import JACCARD_THRESHOLD as _JACCARD_THRESHOLD
+from ..functions.texthash import LSH_BANDS as _BANDS
+from ..functions.texthash import MINHASH_P as _MINHASH_P
+from ..functions.texthash import MINHASH_PERMS as _MINHASH_PERMS
 
 
 def _neardup_corpus(spark, sf) -> DataFrame:

@@ -165,15 +165,11 @@ GROUP BY 1 HAVING COUNT(*) > 1
 # -- document fingerprint: md5 + min-rolling-hash (winnowing-lite) -------
 # rolling hash of char 5-grams over cleaned text: exact integer poly hash
 # sum(ascii(c[i+j]) * 31^j), identical on both engines.
-_CLEAN_SPARK = "substr(regexp_replace(lower(text), '[^a-z0-9 ]', ''), 1, 64)"
-_CLEAN_DUCK = "substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 64)"
-_POW31 = (1, 31, 961, 29791, 923521)
-
-
-def _h_expr(s: str, i: str) -> str:
-    terms = " + ".join(
-        f"{p} * ascii(substr({s}, {i} + {j}, 1))" for j, p in enumerate(_POW31))
-    return f"CAST({terms} AS BIGINT)"
+# canonical definitions live in functions/texthash.py (shared with the
+# incremental LshIndex); aliased here to keep the corpus modules' names
+from ..functions.texthash import CLEAN_DUCK as _CLEAN_DUCK
+from ..functions.texthash import CLEAN_SPARK as _CLEAN_SPARK
+from ..functions.texthash import h_expr as _h_expr
 
 
 def doc_fingerprint(spark, sf):

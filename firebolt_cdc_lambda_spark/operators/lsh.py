@@ -1,0 +1,207 @@
+"""Incremental MinHash/LSH near-duplicate index: build once, probe per
+batch, append accepted docs.
+
+The corpus query form (corpus/simops.dedup_minhash_lsh) self-dedups ONE
+batch — the right shape for a one-off sweep, the wrong one for
+ingestion.  At 100 TB the recurring question is "is this NEW crawl
+batch a near-duplicate of anything already in the corpus?", and
+re-fingerprinting the corpus per batch is O(corpus) every time.
+LshIndex persists the fingerprints once and makes each probe O(batch):
+
+    {path}/buckets/shard=N/  (band, bucket, doc_id)  — LSH postings
+    {path}/sig/shard=N/      (doc_id, hs)            — shingle sets
+
+Both stores are hash-sharded on disk (same layout idea as KeyedTable's
+key buckets and IvfIndex's cells: the partition column IS the pruning
+handle).  A probe:
+
+  1. fingerprints the (small) incoming batch only;
+  2. reads ONLY the bucket shards the batch's band-buckets hash into —
+     a brace-alternation glob, so unprobed shards are never listed;
+  3. broadcast-joins the batch's buckets against those postings to get
+     candidates (∝ band collisions, never O(corpus));
+  4. reads only the signature shards holding candidate docs (both
+     shard lists are ≤ n_shards values — metadata-bounded collects,
+     like IvfIndex's probe-cell list);
+  5. verifies exact Jaccard on the stored shingle sets.
+
+False positives cost one verification row; false negatives follow the
+banding curve P(candidate) = 1-(1-j^r)^b (r=4, b=2 — texthash.LSH_BANDS).
+All hashing is the shared deterministic integer arithmetic in
+functions/texthash.py — bit-identical to the DuckDB-oracle-verified
+corpus queries.
+
+Reference parity note: the reference has no near-dup surface at all (its
+dedup is exact-PK, lambda/handler.py:422-437); this operator is part of
+the beyond-reference LLM-training-data surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texthash import (
+    CLEAN_SPARK,
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    MINHASH_PERMS,
+    minhash_expr,
+    shingle_array_expr,
+)
+
+
+class LshIndex:
+    """Persisted near-duplicate fingerprint index over a text corpus."""
+
+    def __init__(self, spark: SparkSession, path: str, n_shards: int = 64,
+                 threshold: float = JACCARD_THRESHOLD):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.n_shards = n_shards
+        self.threshold = threshold
+
+    # -- fingerprinting ---------------------------------------------------
+    def _fingerprints(self, docs: DataFrame, id_col: str,
+                      text_col: str) -> tuple[DataFrame, DataFrame]:
+        """(signatures, bucket postings) for a document set.  Docs whose
+        cleaned text is shorter than one 5-gram have no shingles and are
+        excluded (they can never near-dup match; exact dedup handles
+        them)."""
+        base = docs
+        if text_col != "text":
+            base = base.withColumn("text", F.col(text_col))
+        sig = (base.selectExpr(f"{id_col} AS doc_id",
+                               f"{CLEAN_SPARK} AS clean")
+               .where("length(clean) >= 5")
+               .selectExpr("doc_id",
+                           f"{shingle_array_expr('clean')} AS hs"))
+        mins = [F.expr(minhash_expr("hs", a, b)).alias(f"mh{k}")
+                for k, (a, b) in enumerate(MINHASH_PERMS)]
+        with_mins = sig.select("doc_id", "hs", *mins)
+        band_structs = [
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws("-", *[F.col(f"mh{i}").cast("string")
+                                        for i in idxs]).alias("bucket"))
+            for bi, idxs in enumerate(LSH_BANDS)
+        ]
+        buckets = (with_mins
+                   .select("doc_id",
+                           F.explode(F.array(*band_structs)).alias("bb"))
+                   .select("doc_id", "bb.band", "bb.bucket")
+                   .withColumn("shard", self._bucket_shard("band", "bucket")))
+        return sig.select("doc_id", "hs"), buckets
+
+    def _bucket_shard(self, band: str, bucket: str):
+        return F.pmod(F.xxhash64(F.col(band), F.col(bucket)),
+                      F.lit(self.n_shards))
+
+    def _doc_shard(self, doc_id: str):
+        return F.pmod(F.xxhash64(F.col(doc_id)), F.lit(self.n_shards))
+
+    # -- build / ingest ---------------------------------------------------
+    def _write(self, docs: DataFrame, id_col: str, text_col: str,
+               mode: str) -> None:
+        sig, buckets = self._fingerprints(docs, id_col, text_col)
+        (sig.withColumn("shard", self._doc_shard("doc_id"))
+         .repartition("shard")
+         .write.mode(mode).partitionBy("shard").parquet(f"{self.path}/sig"))
+        (buckets.repartition("shard")
+         .write.mode(mode).partitionBy("shard")
+         .parquet(f"{self.path}/buckets"))
+
+    def build(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> None:
+        """One-time full-corpus fingerprinting (or periodic re-build,
+        which doubles as compaction of append-accumulated files)."""
+        self._write(docs, id_col, text_col, "overwrite")
+
+    def add(self, docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> None:
+        """Append a batch's fingerprints (after the caller accepted it —
+        typically ``docs`` minus ``probe`` matches).  Appends accumulate
+        small files per shard; a periodic ``build`` over the full corpus
+        re-compacts, exactly like KeyedTable's rebucket maintenance."""
+        self._write(docs, id_col, text_col, "append")
+
+    # -- probe ------------------------------------------------------------
+    def _read_shards(self, store: str, shards: list[int]) -> DataFrame | None:
+        """Pruned read of one store: only the named shard dirs are
+        globbed (missing dirs simply don't match); None = nothing there."""
+        if not shards:
+            return None
+        glob = ",".join(str(s) for s in sorted(shards))
+        try:
+            return (self.spark.read
+                    .option("basePath", f"{self.path}/{store}")
+                    .parquet(f"{self.path}/{store}/shard={{{glob}}}"))
+        except Exception:
+            return None   # store absent or no probed shard written yet
+
+    def probe(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              threshold: float | None = None) -> DataFrame:
+        """Near-dup matches of ``docs`` against the index:
+        (batch_doc_id, corpus_doc_id, jaccard) with jaccard >= threshold.
+        A doc already indexed under the same id matches itself at 1.0."""
+        threshold = self.threshold if threshold is None else threshold
+        sig, buckets = self._fingerprints(docs, id_col, text_col)
+        sig = sig.localCheckpoint(eager=True)       # batch-sized, reused twice
+        buckets = buckets.localCheckpoint(eager=True)
+        idt = sig.schema["doc_id"].dataType.simpleString()
+        empty = self.spark.createDataFrame(
+            [], f"batch_doc_id {idt}, corpus_doc_id {idt}, jaccard DOUBLE")
+
+        shard_rows = buckets.select("shard").distinct().collect()
+        postings = self._read_shards(
+            "buckets", [int(r[0]) for r in shard_rows])
+        if postings is None:
+            return empty
+        bb = buckets.selectExpr("doc_id AS batch_doc_id", "band", "bucket")
+        cand = (postings.join(F.broadcast(bb), ["band", "bucket"])
+                .selectExpr("batch_doc_id", "doc_id AS corpus_doc_id")
+                .distinct()
+                .withColumn("cshard", self._doc_shard("corpus_doc_id"))
+                .localCheckpoint(eager=True))
+        cshard_rows = cand.select("cshard").distinct().collect()
+        corpus_sig = self._read_shards(
+            "sig", [int(r[0]) for r in cshard_rows])
+        if corpus_sig is None:
+            return empty
+        c = corpus_sig.selectExpr("doc_id AS corpus_doc_id", "hs AS c_hs")
+        b = sig.selectExpr("doc_id AS batch_doc_id", "hs AS b_hs")
+        inter = "size(array_intersect(b_hs, c_hs))"
+        jac = (f"CAST({inter} AS DOUBLE) / "
+               f"(size(b_hs) + size(c_hs) - {inter})")
+        return (c.join(F.broadcast(cand.drop("cshard")), "corpus_doc_id")
+                .join(F.broadcast(b), "batch_doc_id")
+                .selectExpr("batch_doc_id", "corpus_doc_id", f"{jac} AS jaccard")
+                .where(F.col("jaccard") >= threshold))
+
+    def filter_new(self, docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   threshold: float | None = None) -> DataFrame:
+        """``docs`` minus every row near-dup-matching the corpus — the
+        ingestion-gate composition of ``probe`` (follow with ``add``)."""
+        matches = self.probe(docs, id_col, text_col, threshold)
+        dup_ids = matches.select(
+            F.col("batch_doc_id").alias(id_col)).distinct()
+        return docs.join(F.broadcast(dup_ids), [id_col], "left_anti")
+
+    def shard_stats(self) -> dict[str, dict[int, int]]:
+        """{store: {shard: file count}} from a pure FS listing (no Spark
+        job) — the append-accumulation gauge that says when to re-build."""
+        from .. import fsio
+        out: dict[str, dict[int, int]] = {}
+        for store in ("sig", "buckets"):
+            stats: dict[int, int] = {}
+            root = f"{self.path}/{store}"
+            for name in fsio.list_names(self.spark, root):
+                if not name.startswith("shard="):
+                    continue
+                shard = int(name[len("shard="):])
+                stats[shard] = sum(
+                    1 for f in fsio.list_names(self.spark, f"{root}/{name}")
+                    if f.endswith(".parquet"))
+            out[store] = stats
+        return out

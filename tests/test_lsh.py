@@ -1,0 +1,82 @@
+"""Incremental LSH near-dup index: build over the documents corpus,
+probe a shifted-copy batch against it, gate ingestion, append, re-probe.
+
+The shifted-copy construction (substr(text, 4) of every 20th doc) is the
+same near-dup injection the oracle-verified corpus query uses
+(corpus/simops._neardup_corpus), so expected behavior is anchored to the
+driver-green dedup_minhash_lsh semantics."""
+
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.lsh import LshIndex
+
+SF = "/root/testdata/sf0.001"
+OFFSET = 1_000_000
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _batch(spark, docs):
+    shifted = (docs.where("doc_id % 20 = 0")
+               .selectExpr(f"doc_id + {OFFSET} AS doc_id",
+                           "substr(text, 4) AS text"))
+    novel = spark.createDataFrame(
+        [(2_000_000 + i,
+          f"zqxj{i} wvun{i} kpfh{i} qgdm{i} xvbr{i} jwpl{i} tkzn{i}")
+         for i in range(5)],
+        "doc_id BIGINT, text STRING")
+    return shifted.unionByName(novel), shifted, novel
+
+
+def test_probe_finds_shifted_near_dups_and_passes_novel(spark, tmp_path):
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh"), n_shards=16)
+    ix.build(docs)
+    batch, shifted, novel = _batch(spark, docs)
+    shifted_ids = {r[0] for r in shifted.select("doc_id").collect()}
+    novel_ids = {r[0] for r in novel.select("doc_id").collect()}
+
+    matches = ix.probe(batch).collect()
+    by_batch = {}
+    for r in matches:
+        assert r["jaccard"] >= 0.5          # exact-verified, not just banded
+        by_batch.setdefault(r["batch_doc_id"], set()).add(r["corpus_doc_id"])
+
+    # novel docs never match
+    assert not (set(by_batch) & novel_ids)
+    # recall: most shifted copies find their own original (LSH banding
+    # P(candidate)=1-(1-j^4)^2 at j~0.9 -> high; exact Jaccard then >=0.5)
+    own = sum(1 for b in shifted_ids if (b - OFFSET) in by_batch.get(b, ()))
+    assert own >= 0.6 * len(shifted_ids)
+
+    # ingestion gate: novel docs all pass, matched shifted docs drop
+    kept = {r[0] for r in ix.filter_new(batch).select("doc_id").collect()}
+    assert novel_ids <= kept
+    assert kept & set(by_batch) == set()
+
+
+def test_add_then_self_match_and_stats(spark, tmp_path):
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh2"), n_shards=16)
+    ix.build(docs)
+    _, _, novel = _batch(spark, docs)
+    assert ix.probe(novel).count() == 0     # not indexed yet
+    ix.add(novel)
+    m = {(r["batch_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+         for r in ix.probe(novel).collect()}
+    novel_ids = [r[0] for r in novel.select("doc_id").collect()]
+    for i in novel_ids:
+        assert m[(i, i)] == 1.0             # exact self-match after append
+    stats = ix.shard_stats()
+    assert stats["sig"] and stats["buckets"]
+    assert sum(stats["sig"].values()) >= 1
+
+
+def test_probe_against_empty_index_is_empty(spark, tmp_path):
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh3"), n_shards=8)
+    got = ix.probe(docs.limit(3))
+    assert got.count() == 0
+    assert got.columns == ["batch_doc_id", "corpus_doc_id", "jaccard"]
