@@ -276,7 +276,111 @@ GROUP BY 1, 2, 3
 """
 
 
+# -- repetition filter (Gopher-style quality signal) ---------------------
+# Fraction of duplicate word 3-grams per doc: highly repetitive documents
+# (boilerplate, keyword stuffing) are a standard LLM-training-data drop
+# rule.  Single scan, zero shuffle: the 3-gram construction and the
+# distinct-count both stay inside one whole-stage-codegen projection.
+def text_repetition_filter(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+            .selectExpr("doc_id",
+                        "filter(split(clean, ' '), w -> w != '') AS ws")
+            .where("size(ws) >= 3")
+            # Spark arrays are 0-based: gram i covers ws[i-1..i+1], i=1..n-2
+            .selectExpr(
+                "doc_id",
+                "transform(sequence(1, size(ws) - 2), "
+                "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])) AS gs")
+            .selectExpr("doc_id",
+                        "CAST(size(gs) AS INT) AS total_3grams",
+                        "CAST(size(array_distinct(gs)) AS INT) AS distinct_3grams")
+            .selectExpr(
+                "doc_id", "total_3grams", "distinct_3grams",
+                "CAST(1 AS DOUBLE) - CAST(distinct_3grams AS DOUBLE) / total_3grams"
+                " AS rep_ratio"))
+
+
+TEXT_REPETITION_SQL = f"""
+WITH c AS (SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(clean, ' '), w -> w != '') AS ws
+      FROM c),
+g AS (SELECT doc_id,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+      FROM w WHERE len(ws) >= 3)
+SELECT doc_id, CAST(len(gs) AS INTEGER) AS total_3grams,
+       CAST(len(list_distinct(gs)) AS INTEGER) AS distinct_3grams,
+       CAST(1 AS DOUBLE) - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+         AS rep_ratio
+FROM g
+"""
+
+
+# -- PII scrub ------------------------------------------------------------
+# Detect + redact emails/phones.  The synthetic corpus contains no PII, so
+# the query injects a deterministic email+phone into every 25th doc (same
+# pattern as simops' injected near-dups) and then finds and scrubs them —
+# the detection/redaction machinery is what's under test.  Patterns are
+# written in the common Java-regex/RE2 subset so both engines match
+# identically.
+_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+_PII_SUFFIX = "@mail.example.com or call +12-345-6789 now"
+
+
+def text_pii_scrub(spark, sf):
+    d = load_table(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 25 == 0,
+               F.concat(F.col("text"), F.lit(" reach user"),
+                        F.col("doc_id").cast("string"), F.lit(_PII_SUFFIX)))
+         .otherwise(F.col("text")).alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE_RE), F.lit("<PHONE>"))
+    return (injected
+            .withColumn("n_emails",
+                        F.size(F.regexp_extract_all(
+                            F.col("t"), F.lit(_PII_EMAIL_RE), F.lit(0))).cast("int"))
+            .withColumn("n_phones",
+                        F.size(F.regexp_extract_all(
+                            F.col("t"), F.lit(_PII_PHONE_RE), F.lit(0))).cast("int"))
+            .withColumn("redacted", redacted)
+            .select("doc_id", "n_emails", "n_phones",
+                    F.length("redacted").cast("int").alias("redacted_len"),
+                    F.expr("right(redacted, 32)").alias("redacted_tail")))
+
+
+# DuckDB non-E string literals keep backslashes verbatim, so the same
+# pattern strings drop straight into the SQL text.
+TEXT_PII_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}'
+              ELSE text END AS t
+  FROM documents),
+r AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM t)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+       right(redacted, 32) AS redacted_tail
+FROM r
+"""
+
+
 QUERIES = {
+    "text_repetition_filter": Query(text_repetition_filter, TEXT_REPETITION_SQL,
+                                    "word-3-gram repetition ratio (quality drop rule)"),
+    "text_pii_scrub": Query(text_pii_scrub, TEXT_PII_SCRUB_SQL,
+                            "email/phone detection + redaction"),
     "text_fuzzy_event_types": Query(text_fuzzy_event_types, TEXT_FUZZY_SQL,
                                     "levenshtein fuzzy similarity"),
     "dataset_split_assignment": Query(dataset_split_assignment, DATASET_SPLIT_SQL,
