@@ -74,6 +74,52 @@ def test_add_then_self_match_and_stats(spark, tmp_path):
     assert sum(stats["sig"].values()) >= 1
 
 
+def test_streaming_ingestion_gate(spark, tmp_path):
+    """The 100 TB ingestion shape end-to-end: a file stream of incoming
+    document batches, foreachBatch probes the persisted corpus index,
+    near-dups are dropped, novel docs are appended to BOTH the accepted
+    store and the index — so a duplicate arriving in a LATER batch is
+    caught by the fingerprints a prior batch added."""
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh_s"), n_shards=16)
+    ix.build(docs)
+    src = str(tmp_path / "incoming")
+    accepted_dir = str(tmp_path / "accepted")
+
+    _, shifted, novel = _batch(spark, docs)
+    # batch 1: shifted near-dups + novel docs; batch 2: the novel docs
+    # re-crawled under new ids (identical text -> identical minhashes ->
+    # guaranteed band collision; only catchable via batch 1's appended
+    # fingerprints)
+    shifted.unionByName(novel).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    (novel.selectExpr("doc_id + 500 AS doc_id", "text")
+     .coalesce(1).write.parquet(f"{src}/b2.parquet"))
+
+    def gate(batch_df, batch_id):
+        fresh = ix.filter_new(batch_df).localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(accepted_dir)
+        ix.add(fresh)
+
+    schema = novel.schema
+    q = (spark.readStream.schema(schema)
+         .option("recursiveFileLookup", "true")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(gate)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r[0] for r in spark.read.parquet(accepted_dir)
+           .select("doc_id").collect()}
+    novel_ids = {r[0] for r in novel.select("doc_id").collect()}
+    # all novel docs accepted; their later shifted copies all rejected
+    assert novel_ids <= got
+    assert not ({i + 500 for i in novel_ids} & got)
+    # most shifted corpus near-dups rejected (LSH banding recall)
+    shifted_ids = {r[0] for r in shifted.select("doc_id").collect()}
+    assert len(got & shifted_ids) <= 0.4 * len(shifted_ids)
+
+
 def test_probe_against_empty_index_is_empty(spark, tmp_path):
     docs = _docs(spark)
     ix = LshIndex(spark, str(tmp_path / "lsh3"), n_shards=8)
