@@ -6,6 +6,17 @@ inevitable in CDC fleets where one tenant dominates) the classic fix is
 salting: partial-aggregate on (key, salt) to spread the hot key over N
 reducers, then final-aggregate on key.
 
+MEASURED caveat (PLANS §7d, 6M rows with a 50%-hot key): for plain
+algebraic aggregates, stock Spark's map-side partial aggregation
+already collapses the hot key to one row per map task, and plain
+groupBy BEATS this helper (0.68 s vs 1.10 s) — the extra salt-keyed
+shuffle stage costs more than the skew it prevents.  Rank-1 window
+dedup is likewise skew-safe via WindowGroupLimit.  Reach for salting
+only when the partial step itself is the bottleneck — e.g. grouping
+whose per-map-task partial output is still huge (per-key exact distinct
+over high-cardinality values), or engines/paths with partial
+aggregation disabled.
+
 Only algebraic aggregates decompose this way; this helper supports the
 set the validation corpus uses (count/sum/min/max).  For count-distinct
 use the built-in two-level ``count_distinct`` (Spark already expands it
