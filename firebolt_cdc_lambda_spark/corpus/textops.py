@@ -317,6 +317,81 @@ FROM g
 """
 
 
+# -- composed quality filter (C4/Gopher-style keep/drop verdict) ---------
+# One scan emits the per-doc signals the standalone queries compute
+# (token count, stopword ratio, avg token length, 3-gram repetition) and
+# composes them into a keep/drop verdict with named reasons — the actual
+# shape of a training-data filter stage.  Thresholds are tuned to the
+# synthetic corpus so both classes are non-trivially populated.
+_QF_RULES = (
+    ("too_short", "n_tokens < 20"),
+    ("low_stopword", "stopword_ratio < 0.03"),
+    ("bad_token_len", "avg_token_len < 2.0 OR avg_token_len > 12.0"),
+    ("repetitive", "rep_ratio > 0.05"),
+)
+
+
+def text_quality_filter(spark, sf):
+    d = load_table(spark, sf, "documents")
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    sig = d.selectExpr(
+        "doc_id",
+        f"CAST(size({_TOKENS_SPARK}) AS BIGINT) AS n_tokens",
+        f"aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0, (acc, v) -> acc + v) AS n_token_chars",
+        f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop_in}))) AS n_stopwords",
+        f"filter(split({_CLEAN_SPARK}, ' '), w -> w != '') AS ws",
+    ).selectExpr(
+        "doc_id", "n_tokens",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len",
+        "CASE WHEN size(ws) < 3 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "CAST(1 AS DOUBLE) - CAST(size(array_distinct(transform("
+        "sequence(1, size(ws) - 2), i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])"
+        "))) AS DOUBLE) / (size(ws) - 2) END AS rep_ratio",
+    )
+    reasons = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' ELSE '' END" for name, cond in _QF_RULES)
+    any_fired = " OR ".join(f"({cond})" for _, cond in _QF_RULES)
+    return sig.selectExpr(
+        "doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "rep_ratio",
+        f"NOT ({any_fired}) AS keep",
+        f"array_join(filter(array({reasons}), x -> x != ''), ',') AS drop_reasons",
+    )
+
+
+_qf_reasons_duck = ", ".join(
+    f"CASE WHEN {cond} THEN '{name}' ELSE '' END" for name, cond in _QF_RULES)
+_qf_any_duck = " OR ".join(f"({cond})" for _, cond in _QF_RULES)
+TEXT_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS BIGINT) AS n_token_chars,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({_stop_in}))) AS n_stopwords,
+         list_filter(string_split({_CLEAN_DUCK}, ' '), w -> w != '') AS ws
+  FROM documents),
+sig AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio,
+    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+    CASE WHEN len(ws) < 3 THEN CAST(0.0 AS DOUBLE) ELSE
+      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(
+        range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      ))) AS DOUBLE) / (len(ws) - 2) END AS rep_ratio
+  FROM t)
+SELECT doc_id, n_tokens, stopword_ratio, avg_token_len, rep_ratio,
+       NOT ({_qf_any_duck}) AS keep,
+       COALESCE(array_to_string(
+         list_filter([{_qf_reasons_duck}], x -> x != ''), ','), '')
+         AS drop_reasons
+FROM sig
+"""
+
+
 # -- PII scrub ------------------------------------------------------------
 # Detect + redact emails/phones.  The synthetic corpus contains no PII, so
 # the query injects a deterministic email+phone into every 25th doc (same
@@ -381,6 +456,8 @@ QUERIES = {
                                     "word-3-gram repetition ratio (quality drop rule)"),
     "text_pii_scrub": Query(text_pii_scrub, TEXT_PII_SCRUB_SQL,
                             "email/phone detection + redaction"),
+    "text_quality_filter": Query(text_quality_filter, TEXT_QUALITY_FILTER_SQL,
+                                 "composed keep/drop verdict with named reasons"),
     "text_fuzzy_event_types": Query(text_fuzzy_event_types, TEXT_FUZZY_SQL,
                                     "levenshtein fuzzy similarity"),
     "dataset_split_assignment": Query(dataset_split_assignment, DATASET_SPLIT_SQL,
