@@ -501,7 +501,44 @@ WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / sqrt(CAST(a.norm2 AS DO
 """
 
 
+# -- per-label centroids (embedding pooling / cluster summary) -----------
+# The mean-embedding-per-group primitive behind IVF training, topic
+# summaries, and class prototypes.  Determinism: quantized integer
+# components sum exactly in any order (the float mean is one IEEE
+# division at the end).  Plan: posexplode is a zero-shuffle projection;
+# the single shuffle is groupBy(label, dim) — (10 labels x 64 dims)
+# cells, each a pure map-side-combined integer sum, so reducer input is
+# ~cells x map-tasks rows regardless of corpus size.
+def embedding_label_centroids(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    q = (e.selectExpr("label", f"{_QUANT_SPARK} AS qv")
+         .select("label", F.posexplode("qv").alias("dim", "q")))
+    return (q.groupBy("label", "dim")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("q").alias("sum_q"))
+            .selectExpr("label", "CAST(dim AS INTEGER) AS dim",
+                        "n_vecs", "CAST(sum_q AS BIGINT) AS sum_q",
+                        "CAST(sum_q AS DOUBLE) / n_vecs / 1000.0"
+                        " AS centroid"))
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = f"""
+WITH q AS (SELECT label, {_QUANT_DUCK} AS qv FROM embeddings),
+x AS (SELECT label,
+             unnest(range(0, len(qv))) AS dim,
+             unnest(qv) AS qval
+      FROM q)
+SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(qval) AS BIGINT) AS sum_q,
+       CAST(SUM(qval) AS DOUBLE) / COUNT(*) / 1000.0 AS centroid
+FROM x GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "embedding_label_centroids": Query(
+        embedding_label_centroids, EMBEDDING_LABEL_CENTROIDS_SQL,
+        "per-label mean embedding (pooling / class prototypes)"),
     "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL,
                                     "embedding-cosine near-dup (bucketed)"),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,

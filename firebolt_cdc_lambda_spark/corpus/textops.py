@@ -451,7 +451,124 @@ FROM r
 """
 
 
+# -- benchmark decontamination (n-gram overlap vs an eval set) -----------
+# The standard LLM-training hygiene step (GPT-3 appendix C shape): flag
+# training docs sharing long word n-grams with the evaluation set.  The
+# testdata ships no benchmark table, so the eval set is synthesized
+# deterministically from the corpus itself: the first 10 words of every
+# 50th doc stand in for benchmark passages (exactly how real benchmarks
+# end up contaminating a crawl — they quote web text).  Spark plan: one
+# scan builds per-doc distinct 5-gram arrays; the eval grams collapse to
+# a DISTINCT set that is BROADCAST (eval suites are KBs-to-MBs even when
+# the corpus is 100 TB), so the corpus side never shuffles to find hits
+# — explode + broadcast-hash-join + per-doc re-aggregate.  At real scale
+# the gram strings would be xxhash64-ed to 8-byte keys before the join
+# (narrower exchange/build side); kept raw here for oracle parity.
+_DECON_N = 5        # word n-gram order
+_DECON_HEAD = 10    # eval passage length (words)
+
+
+def text_decontamination(spark, sf):
+    d = load_table(spark, sf, "documents")
+    gram = ("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1], ' ', "
+            "ws[i+2], ' ', ws[i+3])")
+    to_grams = (f"array_distinct(transform(sequence(1, size(ws) - "
+                f"{_DECON_N - 1}), i -> {gram}))")
+    words = (d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+             .selectExpr("doc_id",
+                         "filter(split(clean, ' '), w -> w != '') AS ws")
+             .where(f"size(ws) >= {_DECON_N}"))
+    eval_grams = (words.where("doc_id % 50 = 0")
+                  .selectExpr(f"slice(ws, 1, {_DECON_HEAD}) AS ws")
+                  .where(f"size(ws) >= {_DECON_N}")
+                  .selectExpr(f"explode({to_grams}) AS gram").distinct())
+    corpus = words.selectExpr("doc_id", f"{to_grams} AS gs") \
+        .selectExpr("doc_id", "size(gs) AS n_grams", "explode(gs) AS gram")
+    return (corpus.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+            .selectExpr("doc_id", "CAST(n_grams AS INTEGER) AS n_grams",
+                        "CAST(n_contaminated AS INTEGER) AS n_contaminated",
+                        "CAST(n_contaminated AS DOUBLE) / n_grams"
+                        " AS contamination_ratio"))
+
+
+_DECON_GRAM_DUCK = ("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+                    "ws[i+3] || ' ' || ws[i+4]")
+TEXT_DECONTAMINATION_SQL = f"""
+WITH c AS (SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(clean, ' '), w -> w != '') AS ws
+      FROM c WHERE len(list_filter(string_split(clean, ' '), w -> w != ''))
+                >= {_DECON_N}),
+ev AS (SELECT DISTINCT unnest(
+         list_distinct(list_transform(range(1, len(h) - {_DECON_N - 2}),
+           i -> h[i] || ' ' || h[i+1] || ' ' || h[i+2] || ' ' || h[i+3]
+                || ' ' || h[i+4]))) AS gram
+       FROM (SELECT ws[1:{_DECON_HEAD}] AS h FROM w WHERE doc_id % 50 = 0)
+       WHERE len(h) >= {_DECON_N}),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - {_DECON_N - 2}),
+               i -> {_DECON_GRAM_DUCK})) AS gs
+      FROM w),
+tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g)
+SELECT tr.doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(COUNT(*) AS INTEGER) AS n_contaminated,
+       CAST(COUNT(*) AS DOUBLE) / n_grams AS contamination_ratio
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id, n_grams
+"""
+
+
+# -- domain-mixture sampling (per-language keep rates) -------------------
+# Training-data mixing: each language/domain gets a target keep rate,
+# applied via a deterministic md5-prefix threshold per doc (same
+# RNG-free pattern as dataset_split_assignment — reprocessing-stable and
+# engine-identical, the only sane way to sample a 100 TB corpus).
+# Single scan, one tiny groupBy(lang); the sampled char budget rides the
+# same aggregation.
+_MIX_RATES = (("en", "zzzz"), ("de", "c000"), ("es", "8000"),
+              ("fr", "6000"), ("zh", "4000"))   # 'zzzz' > any hex = keep all
+
+
+def corpus_mixture_sampling(spark, sf):
+    d = load_table(spark, sf, "documents")
+    thr = " ".join(f"WHEN '{lang}' THEN '{t}'" for lang, t in _MIX_RATES)
+    return (d.selectExpr(
+                "lang", "n_chars",
+                "substr(md5(concat(CAST(doc_id AS STRING), '-mix-v1')), 1, 4)"
+                f" < CASE lang {thr} ELSE '0000' END AS sampled")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.col("sampled").cast("bigint")).alias("n_sampled"),
+                 F.sum(F.when(F.col("sampled"), F.col("n_chars"))
+                       .otherwise(F.lit(0))).alias("sampled_chars"))
+            .selectExpr("lang", "n_total", "n_sampled", "sampled_chars",
+                        "CAST(n_sampled AS DOUBLE) / n_total"
+                        " AS realized_rate"))
+
+
+_MIX_THR_DUCK = " ".join(f"WHEN '{lang}' THEN '{t}'" for lang, t in _MIX_RATES)
+CORPUS_MIXTURE_SQL = f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR) || '-mix-v1'), 1, 4)
+           < CASE lang {_MIX_THR_DUCK} ELSE '0000' END AS sampled
+  FROM documents)
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CAST(sampled AS BIGINT)) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars,
+       CAST(SUM(CAST(sampled AS BIGINT)) AS DOUBLE) / COUNT(*)
+         AS realized_rate
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
+    "text_decontamination": Query(text_decontamination, TEXT_DECONTAMINATION_SQL,
+                                  "eval-set n-gram overlap (benchmark decontamination)"),
+    "corpus_mixture_sampling": Query(corpus_mixture_sampling, CORPUS_MIXTURE_SQL,
+                                     "per-language deterministic mixture sampling"),
     "text_repetition_filter": Query(text_repetition_filter, TEXT_REPETITION_SQL,
                                     "word-3-gram repetition ratio (quality drop rule)"),
     "text_pii_scrub": Query(text_pii_scrub, TEXT_PII_SCRUB_SQL,
