@@ -14,11 +14,19 @@ Arrow-batched pandas transforms over ``mapInPandas`` — the documented
 Spark pattern for binary-heavy columns (one Python worker per partition,
 columnar Arrow transfer, no per-row pickling).
 
-The actual pixel/audio decoding is STUBBED: the image/audio libraries are
-not in this container.  Each stub either raises NotImplementedError
+Pixel decoding (image/video) is STUBBED: the imaging libraries are not
+in this container.  Each stub either raises NotImplementedError
 (``strict=True``) or produces a deterministic fake derived from the bytes
 (default), so the Spark-side plumbing — schema, batch iteration,
 partitioning, output shape — is real and tested end-to-end.
+
+AUDIO is fully REAL: WAV/PCM needs no external library.  The fixture
+synthesizes genuine RIFF/WAV payloads (stdlib ``wave``),
+``decode_audio_batch`` parses them back to PCM, and
+``extract_audio_features`` computes a log-energy band spectrum with
+numpy's rfft — an honest end-to-end media path: bytes in, decoded
+samples and spectral features out, all inside Arrow-batched
+``mapInPandas``.
 
 Scale notes: ``mapInPandas`` streams Arrow batches, so peak memory is
 one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -30,8 +38,11 @@ executors with no shuffle at all for the map-only stages.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,12 +78,33 @@ def _stub_decode(payload: bytes, strict: bool) -> bytes:
     return hashlib.sha256(payload).digest()
 
 
+def make_wav(freq_hz: float, duration_s: float = 0.05,
+             sample_rate: int = 16000, amplitude: float = 0.5) -> bytes:
+    """A genuine mono 16-bit PCM RIFF/WAV byte string (stdlib only):
+    a sine tone, deterministic for fixed arguments."""
+    n = int(round(duration_s * sample_rate))
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    pcm = np.round(amplitude * 32767.0 * np.sin(2 * np.pi * freq_hz * t))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media fixture (no external data needed)."""
+    """Deterministic synthetic media fixture (no external data needed).
+    Audio payloads are REAL playable WAV files; image/video payloads are
+    opaque bytes (their decoders are the documented stubs)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = (f"media-{i}".encode() * (8 + i % 5))
+        if kind == "audio":
+            payload = make_wav(freq_hz=200.0 + 50.0 * (i % 8))
+        else:
+            payload = (f"media-{i}".encode() * (8 + i % 5))
         meta = {
             "width": 64 + (i % 4) * 32 if kind != "audio" else None,
             "height": 64 + (i % 3) * 32 if kind != "audio" else None,
@@ -167,3 +199,76 @@ def frame_sample(df: DataFrame, every_nth: int = 8,
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.where(F.col("kind") == "video").mapInPandas(fn, out_schema)
+
+
+# -- audio: REAL decode + spectral features (stdlib wave + numpy) --------
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, n_channels, float64 samples in [-1, 1]) from RIFF/WAV
+    bytes.  16-bit PCM only — the universal interchange case; other
+    widths raise so bad data fails loudly instead of producing garbage."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported WAV sample width {w.getsampwidth()}")
+        sr, nch = w.getframerate(), w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return sr, nch, samples
+
+
+def decode_audio_batch(df: DataFrame) -> DataFrame:
+    """payload -> decoded PCM properties; a REAL decoder (no stub):
+    parses the RIFF/WAV container and PCM frames inside Arrow-batched
+    ``mapInPandas`` — map-only, no shuffle, payloads never touch the
+    driver."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "sample_rate", "n_channels",
+                                   "n_samples", "duration_s", "rms")}
+            for id_, p in zip(pdf["id"], pdf["payload"]):
+                sr, nch, x = _decode_wav(bytes(p))
+                out["id"].append(id_)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(len(x))
+                out["duration_s"].append(len(x) / (sr * nch))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.where(F.col("kind") == "audio").mapInPandas(fn, out_schema)
+
+
+def extract_audio_features(df: DataFrame, n_bands: int = 16) -> DataFrame:
+    """Decoded PCM -> log-energy band spectrum (REAL DSP, numpy rfft):
+    the |rfft|^2 power spectrum split into ``n_bands`` equal frequency
+    bands, log-compressed.  The fixed-dim float vector feeds the same
+    downstream similarity/dedup operators as text embeddings."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, feats = [], [], []
+            for id_, p in zip(pdf["id"], pdf["payload"]):
+                sr, _nch, x = _decode_wav(bytes(p))
+                power = np.abs(np.fft.rfft(x)) ** 2
+                bands = np.array_split(power, n_bands)
+                feats.append(np.log1p([b.sum() for b in bands])
+                             .astype(np.float32).tolist())
+                ids.append(id_)
+                srs.append(sr)
+            yield pd.DataFrame({"id": ids, "sample_rate": srs,
+                                "features": feats})
+
+    return df.where(F.col("kind") == "audio").mapInPandas(fn, out_schema)

@@ -1,16 +1,23 @@
 """Multimodal plumbing: schema, Arrow batch shapes, fan-out, strict-stub
-behavior.  Decoding itself is stubbed (no imaging libs here); what's
-under test is the real Spark side."""
+behavior.  Pixel decoding is stubbed (no imaging libs here); the AUDIO
+path is fully real — WAV payloads are genuine RIFF files, decoded with
+stdlib wave + numpy inside mapInPandas."""
+
+import math
+import wave
 
 import pytest
 from pyspark.sql import functions as F
 
 from firebolt_cdc_lambda_spark.functions.multimodal import (
     MEDIA_SCHEMA,
+    decode_audio_batch,
     decode_image_batch,
+    extract_audio_features,
     extract_image_features,
     frame_sample,
     make_media_table,
+    make_wav,
     resize_images,
 )
 
@@ -62,6 +69,52 @@ def test_resize_updates_meta_keeps_schema(media):
     for r in out.collect():
         assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
         assert r["kind"] == "image"
+
+
+def test_make_wav_is_real_riff():
+    import io
+    payload = make_wav(440.0, duration_s=0.1, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getnframes() == 800
+
+
+def test_decode_audio_real(media):
+    rows = decode_audio_batch(media).collect()
+    n_audio = media.where("kind = 'audio'").count()
+    assert len(rows) == n_audio > 0
+    for r in rows:
+        assert r["sample_rate"] == 16000
+        assert r["n_channels"] == 1
+        assert r["n_samples"] == 800          # 0.05 s @ 16 kHz
+        assert abs(r["duration_s"] - 0.05) < 1e-9
+        # 0.5-amplitude sine -> rms ~ 0.5/sqrt(2)
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
+def test_audio_features_band_peak(media):
+    """The spectral peak must land in the band containing the tone."""
+    n_bands = 16
+    feats = {r["id"]: r["features"]
+             for r in extract_audio_features(media, n_bands=n_bands).collect()}
+    assert feats and all(len(v) == n_bands for v in feats.values())
+    import numpy as np
+    # rfft of 800 samples @16k: bin width 20 Hz, 401 bins; band k holds
+    # the bins np.array_split assigns it (first band is one bin longer)
+    bin_to_band = np.concatenate(
+        [np.full(len(b), k) for k, b in
+         enumerate(np.array_split(np.arange(401), n_bands))])
+    for id_, v in feats.items():
+        freq = 200.0 + 50.0 * (id_ % 8)       # the fixture's tone
+        assert v.index(max(v)) == bin_to_band[int(round(freq / 20.0))]
+
+
+def test_audio_features_deterministic(media):
+    a = {r["id"]: r["features"] for r in extract_audio_features(media).collect()}
+    b = {r["id"]: r["features"] for r in extract_audio_features(media).collect()}
+    assert a == b
 
 
 def test_frame_sample_fanout(media):
