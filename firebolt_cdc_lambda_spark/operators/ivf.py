@@ -113,6 +113,18 @@ class IvfIndex:
         scale-invariant, so normalization cannot change any assignment);
         a cell whose mean degenerates to the zero vector keeps its
         previous centroid, as does a cell that lost all members.
+
+        WHEN to train (measured, PLANS §7e): train when the corpus is
+        clustered or skewed — there the first-K default can collapse
+        (duplicate-heavy head -> every vector in one cell, probes scan
+        100%) and training restores balanced cells at equal recall.  Do
+        NOT train on unstructured/near-uniform embeddings: converged
+        means of many near-orthogonal vectors are mutually
+        near-parallel (dominated by the global mean direction), cell
+        assignment becomes noise, and recall@10 measurably drops vs
+        first-K data vectors (0.525 vs 0.89 at nprobe=4 on the sf0.1
+        corpus).  ``cell_stats()`` is the gauge: collapsed/skewed cells
+        -> train; already-balanced cells -> keep data-vector centroids.
         """
         src = vectors.select(
             F.col(id_col).alias("vec_id"),
