@@ -16,12 +16,14 @@ for _m in (validation, cdc, joins, analytics, textops, simops):
 # order.  Rotation policy (one green row ≤ 1 round old for every query):
 # round 1 gated the module-order first 50; round 2 gated the LLM surface
 # + window/asof/TPC-H flagships; round 3 rotates the 30 queries whose
-# only green row is from round 1 back into the gate, adds the six new
+# only green row is from round 1 back into the gate, adds the eight new
 # round-3 queries (repetition filter, PII scrub, quality verdict,
-# decontamination, mixture sampling, label centroids), and keeps 14
-# canaries from round 2's green set (≥1 per family; q3/sessionization/
-# dedup_cascade rotate out — their families stay covered by q1+q12,
-# asof_event_last_order, and cdc_pipeline_snapshot+merge_upsert_delete).
+# decontamination, mixture sampling, label centroids, pseudo-labeling,
+# bigram fluency), and keeps 12 canaries from round 2's green set (≥1
+# per family; q3/sessionization/dedup_cascade/val_approx_distinct/
+# val_ingestion_seq rotate out — their families stay covered by q1+q12,
+# asof_event_last_order, cdc_pipeline_snapshot+merge_upsert_delete, and
+# the 17 val_* rows re-gated above).
 _DRIVER_PRIORITY = [
     # r1-only rows, re-gated this round -----------------------------------
     "val_price_histogram", "val_pivot_status", "val_profile_orders",
@@ -38,13 +40,13 @@ _DRIVER_PRIORITY = [
     # new round-3 queries: first driver-oracle rows ------------------------
     "text_repetition_filter", "text_pii_scrub", "text_quality_filter",
     "text_decontamination", "corpus_mixture_sampling",
-    "embedding_label_centroids",
+    "embedding_label_centroids", "embedding_pseudo_label",
+    "text_bigram_fluency",
     # canaries from round 2's green set, ≥1 per family --------------------
     "dedup_minhash_lsh", "ann_ivf_topk",
     "text_quality_stats", "dataset_split_assignment",
     "q1_pricing_summary", "q12_shipping_delay_classes",
     "window_rank_family", "asof_event_last_order",
-    "val_approx_distinct", "val_ingestion_seq",
     "cdc_pipeline_snapshot", "cdc_merge_upsert_delete",
     "join_enriched_orders",
     "grouping_sets_status_priority",

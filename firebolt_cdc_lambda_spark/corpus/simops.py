@@ -535,7 +535,80 @@ FROM x GROUP BY 1, 2
 """
 
 
+# -- nearest-centroid pseudo-labeling ------------------------------------
+# Auto-labeling: assign every vector to its nearest per-label centroid
+# (the weak-supervision / dataset-bootstrapping primitive).  Exactness:
+# with centroid = sum_q/n, cosine(v, c) reduces to
+#   dot_int / (sqrt(vnorm2_int) * sqrt(cnorm2_int))
+# because the 1/n factors cancel — so BOTH the dot product and both
+# norms are exact BIGINT sums (q ~ 300, sums bounded ~3e10, no
+# overflow), and the only float ops are one sqrt+division per
+# (vector, label).  Plan: the centroid side is labels x dims rows —
+# tiny, broadcast; one shuffle for the (vec_id, label) partial-combined
+# re-aggregation; argmax via rank-1 window (WindowGroupLimit).  At
+# 100 TB the centroid table would be collected into a literal array and
+# the K scores computed per-row in one codegen stage (zero shuffle);
+# the relational form here keeps the oracle 1:1.
+def embedding_pseudo_label(spark, sf):
+    from pyspark.sql import Window
+    e = load_table(spark, sf, "embeddings")
+    q = (e.selectExpr("vec_id", "label", f"{_QUANT_SPARK} AS qv")
+         .select("vec_id", "label", F.posexplode("qv").alias("dim", "q")))
+    cent = (q.groupBy(F.col("label").alias("c_label"), "dim")
+            .agg(F.sum("q").alias("sq")))
+    cnorm = cent.groupBy("c_label").agg(F.sum(F.expr("sq * sq")).alias("cnorm2"))
+    scored = (q.join(F.broadcast(cent), "dim")
+              .groupBy("vec_id", "label", "c_label")
+              .agg(F.sum(F.expr("q * sq")).alias("dot"),
+                   F.sum(F.expr("q * q")).alias("vnorm2"))
+              .join(F.broadcast(cnorm), "c_label")
+              .selectExpr("vec_id", "label", "c_label",
+                          "CAST(dot AS DOUBLE) / "
+                          "(sqrt(CAST(vnorm2 AS DOUBLE)) * "
+                          "sqrt(CAST(cnorm2 AS DOUBLE))) AS score"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("c_label"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .selectExpr("vec_id", "label",
+                        "CAST(c_label AS INT) AS pred_label", "score",
+                        "label = c_label AS correct"))
+
+
+EMBEDDING_PSEUDO_LABEL_SQL = f"""
+WITH qv AS (SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings),
+q AS (SELECT vec_id, label,
+             unnest(range(0, len(qv))) AS dim, unnest(qv) AS q
+      FROM qv),
+cent AS (SELECT label AS c_label, dim, CAST(SUM(q) AS BIGINT) AS sq
+         FROM q GROUP BY 1, 2),
+cn AS (SELECT c_label, CAST(SUM(sq * sq) AS BIGINT) AS cnorm2
+       FROM cent GROUP BY 1),
+scored AS (
+  SELECT q.vec_id, q.label, cent.c_label,
+         CAST(SUM(q.q * cent.sq) AS BIGINT) AS dot,
+         CAST(SUM(q.q * q.q) AS BIGINT) AS vnorm2
+  FROM q JOIN cent USING (dim)
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT vec_id, label, c_label,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(vnorm2 AS DOUBLE)) *
+                                sqrt(CAST(cnorm2 AS DOUBLE))) AS score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(dot AS DOUBLE) /
+                              (sqrt(CAST(vnorm2 AS DOUBLE)) *
+                               sqrt(CAST(cnorm2 AS DOUBLE))) DESC,
+                              c_label ASC) AS rn
+  FROM scored JOIN cn USING (c_label))
+SELECT vec_id, label, CAST(c_label AS INTEGER) AS pred_label, score,
+       label = c_label AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "embedding_pseudo_label": Query(
+        embedding_pseudo_label, EMBEDDING_PSEUDO_LABEL_SQL,
+        "nearest-centroid pseudo-labeling (weak supervision)"),
     "embedding_label_centroids": Query(
         embedding_label_centroids, EMBEDDING_LABEL_CENTROIDS_SQL,
         "per-label mean embedding (pooling / class prototypes)"),

@@ -564,7 +564,63 @@ FROM s GROUP BY 1
 """
 
 
+# -- bigram-LM fluency score (perplexity proxy) --------------------------
+# Statistical-LM quality signal: score each doc by the average corpus
+# conditional bigram probability avg(c(w1,w2)/c(w1)) — the
+# log-free cousin of bigram perplexity (boilerplate and word salad both
+# score low; log() is avoided deliberately: libm vs JVM log differ in
+# the last ulp and would break the cross-engine hash).  Determinism:
+# each per-bigram probability is one IEEE division, quantized to an
+# integer (round(1e6*p)) BEFORE summing, so the per-doc aggregation is
+# exact in any order.  Plan: one scan explodes bigrams; the model "join"
+# is two groupBys (bigram counts, unigram counts) + two broadcast joins
+# of count tables that are vocabulary-sized (tiny vs corpus); one final
+# per-doc re-aggregation.
+def text_bigram_fluency(spark, sf):
+    d = load_table(spark, sf, "documents")
+    bi = (d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+          .selectExpr("doc_id",
+                      "filter(split(clean, ' '), w -> w != '') AS ws")
+          .where("size(ws) >= 2")
+          .selectExpr("doc_id",
+                      "explode(transform(sequence(1, size(ws) - 1), "
+                      "i -> struct(ws[i-1] AS w1, ws[i] AS w2))) AS b")
+          .selectExpr("doc_id", "b.w1", "b.w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (bi.join(F.broadcast(c12), ["w1", "w2"])
+            .join(F.broadcast(c1), "w1")
+            .selectExpr("doc_id",
+                        "CAST(round(1000000 * CAST(c12 AS DOUBLE) / c1)"
+                        " AS BIGINT) AS pq")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("pq").alias("sum_pq"))
+            .selectExpr("doc_id", "CAST(n_bigrams AS INTEGER) AS n_bigrams",
+                        "CAST(sum_pq AS DOUBLE) / n_bigrams / 1000000.0"
+                        " AS fluency"))
+
+
+TEXT_BIGRAM_FLUENCY_SQL = f"""
+WITH c AS (SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(clean, ' '), x -> x != '') AS ws
+      FROM c WHERE len(list_filter(string_split(clean, ' '), x -> x != '')) >= 2),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> {{'w1': ws[i], 'w2': ws[i+1]}}), recursive := true)
+       FROM w),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+       CAST(SUM(CAST(round(1000000 * CAST(c12 AS DOUBLE) / c1) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 1000000.0 AS fluency
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_fluency": Query(text_bigram_fluency, TEXT_BIGRAM_FLUENCY_SQL,
+                                 "bigram-LM fluency score (perplexity proxy)"),
     "text_decontamination": Query(text_decontamination, TEXT_DECONTAMINATION_SQL,
                                   "eval-set n-gram overlap (benchmark decontamination)"),
     "corpus_mixture_sampling": Query(corpus_mixture_sampling, CORPUS_MIXTURE_SQL,
