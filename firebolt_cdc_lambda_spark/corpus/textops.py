@@ -573,9 +573,12 @@ FROM s GROUP BY 1
 # each per-bigram probability is one IEEE division, quantized to an
 # integer (round(1e6*p)) BEFORE summing, so the per-doc aggregation is
 # exact in any order.  Plan: one scan explodes bigrams; the model "join"
-# is two groupBys (bigram counts, unigram counts) + two broadcast joins
-# of count tables that are vocabulary-sized (tiny vs corpus); one final
-# per-doc re-aggregation.
+# is two groupBys (bigram counts, unigram counts) joined back on the
+# bigram stream.  Join strategy is deliberately left to AQE: at test SF
+# both count tables fit a broadcast and AQE picks it; at 100 TB the
+# distinct-bigram table is itself billions of rows, so forcing
+# F.broadcast here would OOM — AQE's sort-merge on (w1, w2) (and the
+# partial-combined groupBys before it) is the correct plan at scale.
 def text_bigram_fluency(spark, sf):
     d = load_table(spark, sf, "documents")
     bi = (d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
@@ -588,8 +591,8 @@ def text_bigram_fluency(spark, sf):
           .selectExpr("doc_id", "b.w1", "b.w2"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    return (bi.join(F.broadcast(c12), ["w1", "w2"])
-            .join(F.broadcast(c1), "w1")
+    return (bi.join(c12, ["w1", "w2"])
+            .join(c1, "w1")
             .selectExpr("doc_id",
                         "CAST(round(1000000 * CAST(c12 AS DOUBLE) / c1)"
                         " AS BIGINT) AS pq")
