@@ -605,7 +605,61 @@ FROM ranked WHERE rn = 1
 """
 
 
+# -- near-dup clustering: pairs -> components -> representatives ---------
+# The step after pair detection that an actual dedup pipeline needs:
+# near-duplication is transitive (A~B, B~C => one cluster), so the
+# LSH candidate pairs are grouped into connected components and exactly
+# one representative (the min doc_id) survives per cluster.  Spark side
+# runs operators/graph.py's alternating large-star/small-star — O(log n)
+# rounds regardless of chain length, each round one co-partitioned
+# groupBy+join shuffle of the (shrinking) edge list; the component table
+# is a fraction of the corpus, so the assignment join back to the full
+# corpus is left to AQE (broadcast at test SF, sort-merge at 100 TB).
+# The oracle is the same closure as a DuckDB recursive CTE — exact,
+# hash-matchable parity for an iterative, "non-SQL" algorithm.
+def dedup_cluster_assign(spark, sf):
+    from ..operators.graph import connected_components
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_id_1", "doc_id_2")
+    comp = connected_components(pairs, src="doc_id_1", dst="doc_id_2")
+    corpus = _neardup_corpus(spark, sf).select("doc_id")
+    assigned = (corpus.join(comp, corpus.doc_id == comp.node, "left")
+                .selectExpr("doc_id",
+                            "coalesce(component, doc_id) AS cluster_id"))
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size"))
+    return (assigned.join(sizes, "cluster_id")
+            .selectExpr("doc_id", "cluster_id", "cluster_size",
+                        "doc_id = cluster_id AS is_representative"))
+
+
+DEDUP_CLUSTER_ASSIGN_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM ({DEDUP_MINHASH_LSH_SQL})
+),
+corpus2 AS ({_NEARDUP_CORPUS_SQL}),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a),
+assigned AS (
+  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus2 c LEFT JOIN comp k USING (doc_id)),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS INTEGER) AS cluster_size
+       FROM assigned GROUP BY 1)
+SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+       a.doc_id = a.cluster_id AS is_representative
+FROM assigned a JOIN sz USING (cluster_id)
+"""
+
+
 QUERIES = {
+    "dedup_cluster_assign": Query(
+        dedup_cluster_assign, DEDUP_CLUSTER_ASSIGN_SQL,
+        "near-dup clustering: LSH pairs -> connected components -> representatives"),
     "embedding_pseudo_label": Query(
         embedding_pseudo_label, EMBEDDING_PSEUDO_LABEL_SQL,
         "nearest-centroid pseudo-labeling (weak supervision)"),
