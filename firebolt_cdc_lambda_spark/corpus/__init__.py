@@ -16,16 +16,20 @@ for _m in (validation, cdc, joins, analytics, textops, simops):
 # order.  Rotation policy (one green row ≤ 1 round old for every query):
 # round 1 gated the module-order first 50; round 2 gated the LLM surface
 # + window/asof/TPC-H flagships; round 3 rotates the 30 queries whose
-# only green row is from round 1 back into the gate, adds the nine new
-# round-3 queries (repetition filter, PII scrub, quality verdict,
+# only green row is from round 1 back into the gate, adds the twelve
+# new round-3 queries (repetition filter, PII scrub, quality verdict,
 # decontamination, mixture sampling, label centroids, pseudo-labeling,
-# bigram fluency, near-dup clustering), and keeps 11 canaries from round
-# 2's green set (≥1 per family; q3/sessionization/dedup_cascade/
+# bigram fluency, near-dup clustering, stratified sampling, sequence
+# packing, incremental dedup), and keeps 8 canaries from round 2's
+# green set (≥1 per family; q3/sessionization/dedup_cascade/
 # val_approx_distinct/val_ingestion_seq rotate out — their families stay
 # covered by q1+q12, asof_event_last_order, cdc_pipeline_snapshot+
 # merge_upsert_delete, and the 17 val_* rows re-gated above;
 # dedup_minhash_lsh rotates out because dedup_cluster_assign runs the
-# entire LSH pair pipeline as its prefix).
+# entire LSH pair pipeline as its prefix; text_quality_stats /
+# dataset_split_assignment / grouping_sets_status_priority yield their
+# slots to the five new text/sampling rows and the ROLLUP row
+# val_rollup_status_priority re-gated above).
 _DRIVER_PRIORITY = [
     # r1-only rows, re-gated this round -----------------------------------
     "val_price_histogram", "val_pivot_status", "val_profile_orders",
@@ -44,14 +48,14 @@ _DRIVER_PRIORITY = [
     "text_decontamination", "corpus_mixture_sampling",
     "embedding_label_centroids", "embedding_pseudo_label",
     "text_bigram_fluency", "dedup_cluster_assign",
+    "corpus_stratified_sample", "corpus_sequence_packing",
+    "dedup_incremental_filter",
     # canaries from round 2's green set, ≥1 per family --------------------
     "ann_ivf_topk",
-    "text_quality_stats", "dataset_split_assignment",
     "q1_pricing_summary", "q12_shipping_delay_classes",
     "window_rank_family", "asof_event_last_order",
     "cdc_pipeline_snapshot", "cdc_merge_upsert_delete",
     "join_enriched_orders",
-    "grouping_sets_status_priority",
 ]
 
 ALL_QUERIES: dict[str, Query] = {}

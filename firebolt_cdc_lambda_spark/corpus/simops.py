@@ -656,7 +656,124 @@ FROM assigned a JOIN sz USING (cluster_id)
 """
 
 
+# -- incremental dedup: new batch filtered against the existing corpus ---
+# The ingestion-time shape of near-dup dedup (what operators/lsh.LshIndex
+# does operationally, here as a pure oracle-checked query): a NEW batch
+# of documents is admitted only if no member is a near-duplicate of the
+# EXISTING corpus.  Candidates come from minhash band collisions between
+# batch and base signatures — cost O(batch + collisions), never
+# O(batch x base): the base side is band-bucketed exactly like an index
+# probe.  The synthetic batch has 25 shifted near-dups (must drop) and
+# 25 reversed novel docs (must keep).
+def _incdedup_base(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+
+
+def _incdedup_batch(spark, sf):
+    d = load_table(spark, sf, "documents")
+    shifted = (d.where(F.col("doc_id") % 20 == 0)
+               .selectExpr(f"doc_id + {_NEARDUP_OFFSET} AS doc_id",
+                           f"substr({_CLEAN_SPARK}, 4) AS clean"))
+    novel = (d.where(F.col("doc_id") % 20 == 10)
+             .selectExpr(f"doc_id + {2 * _NEARDUP_OFFSET} AS doc_id",
+                         f"reverse({_CLEAN_SPARK}) AS clean"))
+    return shifted.unionByName(novel)
+
+
+def _band_sig(corpus: DataFrame) -> DataFrame:
+    docs = _shingle_sets(corpus)
+    mins = [
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    sig = docs.select("doc_id", "hs", *mins)
+    bands = [
+        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
+        for bi, idxs in enumerate(_BANDS)
+    ]
+    return sig.select("doc_id", "hs", *bands)
+
+
+def dedup_incremental_filter(spark, sf):
+    base = _band_sig(_incdedup_base(spark, sf)).cache()
+    batch = _band_sig(_incdedup_batch(spark, sf)).cache()
+    cands = None
+    for bi in range(len(_BANDS)):
+        a = batch.selectExpr("doc_id AS d1", "hs AS hs1", f"band{bi} AS bk")
+        b = base.selectExpr("doc_id AS d2", "hs AS hs2", f"band{bi} AS bk2")
+        c = (a.join(b, F.col("bk") == F.col("bk2"))
+             .select("d1", "d2", "hs1", "hs2"))
+        cands = c if cands is None else cands.unionByName(c)
+    jac = (F.expr("size(array_intersect(hs1, hs2))").cast("double")
+           / F.expr("size(hs1) + size(hs2) - size(array_intersect(hs1, hs2))"))
+    matches = (cands.dropDuplicates(["d1", "d2"])
+               .withColumn("jaccard", jac)
+               .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+               .groupBy("d1")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_base_matches"),
+                    F.max("jaccard").alias("max_jaccard")))
+    return (batch.select("doc_id")
+            .join(matches, batch.doc_id == matches.d1, "left")
+            .selectExpr("doc_id",
+                        "coalesce(n_base_matches, 0) AS n_base_matches",
+                        "max_jaccard",
+                        "n_base_matches IS NULL AS keep"))
+
+
+_INCDEDUP_BATCH_SQL = f"""
+SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id, substr({_CLEAN_DUCK}, 4) AS clean
+FROM documents WHERE doc_id % 20 = 0
+UNION ALL
+SELECT doc_id + {2 * _NEARDUP_OFFSET} AS doc_id, reverse({_CLEAN_DUCK}) AS clean
+FROM documents WHERE doc_id % 20 = 10
+"""
+_cross_band_joins = "\nUNION ALL\n".join(
+    f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    f"JOIN bands b ON a.band{bi} = b.band{bi} "
+    f"AND a.doc_id >= {_NEARDUP_OFFSET} AND b.doc_id < {_NEARDUP_OFFSET}"
+    for bi in range(len(_BANDS)))
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents
+  UNION ALL
+  {_INCDEDUP_BATCH_SQL}
+),
+sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {_band_cols} FROM sig),
+cand AS (SELECT DISTINCT d1, d2 FROM ({_cross_band_joins})),
+m AS (
+  SELECT d1, CAST(COUNT(*) AS INTEGER) AS n_base_matches,
+         MAX(j) AS max_jaccard
+  FROM (SELECT doc_id_1 AS d1, jaccard AS j
+        FROM (WITH sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (
+                SELECT c.d1, c.d2, COUNT(*) AS i
+                FROM cand c
+                JOIN sh s1 ON s1.doc_id = c.d1
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+                GROUP BY c.d1, c.d2)
+              SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2,
+                     CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) AS jaccard
+              FROM inter i
+              JOIN sz z1 ON z1.doc_id = i.d1
+              JOIN sz z2 ON z2.doc_id = i.d2
+              WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i)
+                    >= {_JACCARD_THRESHOLD}))
+  GROUP BY d1
+),
+batch AS ({_INCDEDUP_BATCH_SQL})
+SELECT b.doc_id, COALESCE(m.n_base_matches, 0) AS n_base_matches,
+       m.max_jaccard, m.n_base_matches IS NULL AS keep
+FROM batch b LEFT JOIN m ON m.d1 = b.doc_id
+"""
+
+
 QUERIES = {
+    "dedup_incremental_filter": Query(
+        dedup_incremental_filter, DEDUP_INCREMENTAL_SQL,
+        "incremental dedup: new batch LSH-filtered against the base corpus"),
     "dedup_cluster_assign": Query(
         dedup_cluster_assign, DEDUP_CLUSTER_ASSIGN_SQL,
         "near-dup clustering: LSH pairs -> connected components -> representatives"),

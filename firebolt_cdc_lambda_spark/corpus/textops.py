@@ -621,7 +621,111 @@ GROUP BY doc_id
 """
 
 
+# -- stratified exact-quota sampling -------------------------------------
+# Class-balanced subset selection: per (lang, source) stratum take
+# exactly ceil(20% of the stratum) documents, chosen by md5 rank —
+# deterministic, seed-free, and reprocessing-stable (a doc's rank only
+# changes if its stratum's membership changes).  Unlike the Bernoulli
+# mixture sampler (corpus_mixture_sampling), quotas here are EXACT —
+# what a curriculum/mixture spec needs when strata are small.  Plan: one
+# shuffle on the stratum key; the rank window and the stratum count ride
+# the same partitioning (no second exchange); stratum cardinality at
+# 100 TB is (langs x sources) — thousands of well-sized groups.
+def corpus_stratified_sample(spark, sf):
+    from pyspark.sql import Window
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.expr("md5(concat(CAST(doc_id AS STRING), '-strat-v1'))"))
+    wc = Window.partitionBy("lang", "source")
+    return (d.select("doc_id", "lang", "source")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("quota",
+                        F.ceil(F.lit(0.2) * F.count(F.lit(1)).over(wc))
+                        .cast("bigint"))
+            .where("rn <= quota")
+            .selectExpr("doc_id", "lang", "source",
+                        "CAST(rn AS INTEGER) AS sample_rank",
+                        "CAST(quota AS INTEGER) AS stratum_quota"))
+
+
+CORPUS_STRATIFIED_SQL = """
+WITH r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || '-strat-v1'))
+           AS rn,
+         CAST(ceil(0.2 * COUNT(*) OVER (PARTITION BY lang, source))
+              AS BIGINT) AS quota
+  FROM documents)
+SELECT doc_id, lang, source, CAST(rn AS INTEGER) AS sample_rank,
+       CAST(quota AS INTEGER) AS stratum_quota
+FROM r WHERE rn <= quota
+"""
+
+
+# -- sequence packing (concat-and-chunk) ---------------------------------
+# Pretraining batch prep: concatenate documents in doc_id order and
+# chunk every PACK_BUDGET tokens; each doc is assigned the pack where it
+# STARTS plus its offset inside that pack.  All arithmetic is BIGINT
+# (token counts + prefix sums) — exact in any order.
+#
+# Scale note — the naive form is a global ordered window (SUM OVER
+# (ORDER BY doc_id)), which collapses to ONE task at 100 TB.  The Spark
+# side therefore computes the prefix sum in two passes, the standard
+# distributed scan: (1) intra-block running sums windowed by a block key
+# (doc_id DIV 1000 — thousands of parallel groups), (2) a global cumsum
+# over per-block TOTALS (block count = n/1000 rows — metadata-scale for
+# the single-partition window), broadcast-joined back.  The oracle keeps
+# the naive global window — same result, hash-matched.
+_PACK_BUDGET = 2048
+_PACK_BLOCK = 1000
+
+
+def corpus_sequence_packing(spark, sf):
+    from pyspark.sql import Window
+    d = load_table(spark, sf, "documents")
+    t = d.selectExpr("doc_id",
+                     f"CAST(size({_TOKENS_SPARK}) AS BIGINT) AS n_tokens",
+                     f"doc_id DIV {_PACK_BLOCK} AS blk")
+    wb = (Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    intra = t.withColumn("cum_in_blk", F.sum("n_tokens").over(wb))
+    totals = t.groupBy("blk").agg(F.sum("n_tokens").alias("blk_tot"))
+    wt = (Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (totals.withColumn(
+        "blk_off", F.sum("blk_tot").over(wt) - F.col("blk_tot"))
+        .select("blk", "blk_off"))
+    return (intra.join(F.broadcast(offsets), "blk")
+            .selectExpr("doc_id", "n_tokens",
+                        "blk_off + cum_in_blk - n_tokens AS start_tok")
+            .selectExpr("doc_id", "n_tokens",
+                        f"start_tok DIV {_PACK_BUDGET} AS pack_id",
+                        f"start_tok % {_PACK_BUDGET} AS pack_offset"))
+
+
+CORPUS_SEQUENCE_PACKING_SQL = f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 QUERIES = {
+    "corpus_stratified_sample": Query(
+        corpus_stratified_sample, CORPUS_STRATIFIED_SQL,
+        "per-stratum exact-quota deterministic sampling"),
+    "corpus_sequence_packing": Query(
+        corpus_sequence_packing, CORPUS_SEQUENCE_PACKING_SQL,
+        "sequence packing: concat-and-chunk pack assignment"),
     "text_bigram_fluency": Query(text_bigram_fluency, TEXT_BIGRAM_FLUENCY_SQL,
                                  "bigram-LM fluency score (perplexity proxy)"),
     "text_decontamination": Query(text_decontamination, TEXT_DECONTAMINATION_SQL,
