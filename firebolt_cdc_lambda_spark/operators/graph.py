@@ -89,7 +89,8 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
     Returns ``(node, component)`` for every node that appears in
@@ -101,6 +102,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     must be orderable (int or string).  Raises ``RuntimeError`` if the
     fixpoint is not reached within ``max_iter`` alternating rounds
     (large/small-star needs O(log^2 n); 50 covers any realistic graph).
+
+    Pass a dict as ``stats`` to receive ``rounds`` (alternating rounds
+    to fixpoint) and ``edges_per_round`` (edge count after each round —
+    monotonically shrinking toward the star forest).
     """
     raw = (edges.selectExpr(f"{src} AS src", f"{dst} AS dst")
            .where("src IS NOT NULL AND dst IS NOT NULL"))
@@ -113,6 +118,7 @@ def connected_components(edges: DataFrame, src: str = "src",
          .localCheckpoint())
 
     prev_sig = None
+    rounds, sizes = 0, []
     for _ in range(max_iter):
         e = _star_round(_star_round(e, large=True), large=False)
         e = e.localCheckpoint()   # truncate lineage; one job per round
@@ -121,11 +127,16 @@ def connected_components(edges: DataFrame, src: str = "src",
             "count(*) AS n",
             "sum(hash(src, dst)) AS chk").first()
         sig = (sig["n"], sig["chk"])
+        rounds += 1
+        sizes.append(sig[0])
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges_per_round"] = sizes
 
     # at fixpoint e is a star forest: src=member, dst=component-min.
     # Roots (and isolated-after-cleanup nodes) map to themselves.
