@@ -719,7 +719,251 @@ FROM c
 """
 
 
+# -- cross-document span dedup (substring-dedup-lite) --------------------
+# Training-set substring dedup (Lee et al. 2022 dedups repeated ~50-token
+# spans): chunk each doc into disjoint 20-token spans, hash each span,
+# and flag spans that occur in MORE THAN ONE document.  Output is the
+# per-doc contamination profile a span-removal pass would consume.
+#
+# Scale: span hashing is scan-local (higher-order fns, no explode until
+# the hash — one row per span, not per token).  The duplicate-span set
+# is tiny relative to the corpus (only cross-doc repeats), so the
+# span->dup join broadcasts; the only full shuffle is the span-hash
+# groupBy, map-side-combined.  No O(n^2) anywhere.
+_SPAN = 20
+
+
+def text_passage_dedup(spark, sf):
+    c = _dup_corpus(spark, sf)
+    spans = (c.selectExpr("doc_id", f"{_TOKENS_SPARK} AS ws")
+             .where(f"size(ws) >= {_SPAN}")
+             .selectExpr(
+                 "doc_id",
+                 f"explode(transform(sequence(0, size(ws) DIV {_SPAN} - 1), "
+                 f"k -> md5(concat_ws(' ', slice(ws, k * {_SPAN} + 1, {_SPAN}"
+                 "))))) AS span_hash"))
+    dup = (spans.groupBy("span_hash")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .where("n_docs > 1")
+           .select("span_hash"))
+    return (spans.join(F.broadcast(dup.withColumn("dup", F.lit(1))),
+                       "span_hash", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.coalesce("dup", F.lit(0))).alias("n_dup_spans"))
+            .selectExpr("doc_id", "CAST(n_spans AS BIGINT) AS n_spans",
+                        "CAST(n_dup_spans AS BIGINT) AS n_dup_spans",
+                        "n_dup_spans * 2 >= n_spans AS mostly_duplicated"))
+
+
+TEXT_PASSAGE_DEDUP_SQL = f"""
+WITH c AS ({_DUP_CORPUS_SQL}),
+w AS (SELECT doc_id, {_TOKENS_DUCK} AS ws FROM c),
+s AS (SELECT doc_id,
+             unnest(list_transform(range(0, len(ws) // {_SPAN}),
+               k -> md5(array_to_string(
+                      list_slice(ws, k * {_SPAN} + 1, k * {_SPAN} + {_SPAN}),
+                      ' ')))) AS span_hash
+      FROM w WHERE len(ws) >= {_SPAN}),
+d AS (SELECT span_hash, 1 AS dup FROM s
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS n_dup_spans,
+       SUM(COALESCE(dup, 0)) * 2 >= COUNT(*) AS mostly_duplicated
+FROM s LEFT JOIN d USING (span_hash)
+GROUP BY doc_id
+"""
+
+
+# -- TF-IDF keyword extraction -------------------------------------------
+# Top-3 keywords per document by tf-idf.  The idf is the integer
+# surrogate (N * 1000) DIV df — order-equivalent to ln(N/df) for fixed N
+# (both strictly decreasing in df) and exact on both engines, so the
+# ranking is engine-identical with zero float drift.  Ties break on
+# token ASC (a token appears once per doc in the tf table, so
+# (score, token) is a total order).
+#
+# Scale: tf = one map-side-combined groupBy over exploded tokens;
+# df + N derive from tf (already token-partitioned); the doc-side
+# window partitions by doc_id — millions of small groups, no skew.
+def text_tfidf_keywords(spark, sf):
+    from pyspark.sql import Window
+    d = load_table(spark, sf, "documents")
+    tf = (d.selectExpr("doc_id", f"explode({_TOKENS_SPARK}) AS token")
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(df_, "token")
+              .crossJoin(F.broadcast(n))
+              .selectExpr("doc_id", "token", "tf", "df",
+                          "tf * ((n_docs * 1000) DIV df) AS score_x1000"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1000").desc(), F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where("rank <= 3")
+            .selectExpr("doc_id", "token", "CAST(tf AS BIGINT) AS tf",
+                        "CAST(df AS BIGINT) AS df",
+                        "CAST(score_x1000 AS BIGINT) AS score_x1000",
+                        "CAST(rank AS INTEGER) AS rank"))
+
+
+TEXT_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfc),
+s AS (SELECT doc_id, token, tf, df,
+             tf * ((n_docs * 1000) // df) AS score_x1000
+      FROM tfc JOIN dfc USING (token) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_x1000 DESC, token) AS rank
+      FROM s)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_x1000 AS BIGINT) AS score_x1000, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+# -- BM25 retrieval (integer-quantized) ----------------------------------
+# Top-10 documents for a fixed keyword query under BM25 with k1=1.2,
+# b=0.75, fully quantized to integer arithmetic (x100/x1000 fixed
+# point, truncating division — identical on both engines):
+#   idf_x1000      = (N * 1000) DIV df              (monotone ln-surrogate)
+#   len_x100       = (dl * 10000) DIV avgdl_x100    (dl/avgdl, x100)
+#   norm_x100      = 25 + (75 * len_x100) DIV 100   ((1-b) + b*dl/avgdl)
+#   denom_x100     = tf * 100 + (120 * norm_x100) DIV 100
+#   term score     = (tf * 220 * idf_x1000) DIV denom_x100   (k1+1 = 2.2)
+# Max magnitude at N=1e9 docs: tf*220*idf ~ 1e17 < BIGINT max.
+#
+# Scale: the tf table is term-filtered BEFORE its groupBy (predicate on
+# the exploded token — only query-term rows survive the scan), globals
+# (N, avgdl) broadcast, and the final top-10 is a global sort of an
+# already term-matched set.
+_BM25_TERMS = ("merge", "hash", "scan")
+
+
+def text_bm25_search(spark, sf):
+    d = load_table(spark, sf, "documents")
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    dl = d.selectExpr("doc_id",
+                      f"CAST(size({_TOKENS_SPARK}) AS BIGINT) AS dl")
+    g = dl.selectExpr("count(*) AS n_docs",
+                      "sum(dl) AS tot_dl").selectExpr(
+        "n_docs", "(tot_dl * 100) DIV n_docs AS avgdl_x100")
+    tf = (d.selectExpr("doc_id", f"explode({_TOKENS_SPARK}) AS token")
+          .where(f"token IN ({terms_in})")
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (tf.join(F.broadcast(df_), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(g))
+            .selectExpr(
+                "doc_id", "token", "tf",
+                "(n_docs * 1000) DIV df AS idf_x1000",
+                "25 + (75 * ((dl * 10000) DIV avgdl_x100)) DIV 100"
+                " AS norm_x100")
+            .selectExpr(
+                "doc_id", "token",
+                "(tf * 220 * idf_x1000) DIV "
+                "(tf * 100 + (120 * norm_x100) DIV 100) AS term_score_x1000")
+            .groupBy("doc_id")
+            .agg(F.sum("term_score_x1000").alias("score_x1000"),
+                 F.count(F.lit(1)).alias("n_terms_matched"))
+            .selectExpr("doc_id", "CAST(score_x1000 AS BIGINT) AS score_x1000",
+                        "CAST(n_terms_matched AS BIGINT) AS n_terms_matched")
+            .orderBy(F.col("score_x1000").desc(), F.col("doc_id"))
+            .limit(10))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+TEXT_BM25_SQL = f"""
+WITH dl AS (SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS dl
+            FROM documents),
+g AS (SELECT COUNT(*) AS n_docs,
+             (SUM(dl) * 100) // COUNT(*) AS avgdl_x100 FROM dl),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents)
+       WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT doc_id, token,
+             (tf * 220 * ((n_docs * 1000) // df)) //
+             (tf * 100 + (120 * (25 + (75 * ((dl * 10000) // avgdl_x100))
+                                 // 100)) // 100) AS term_score_x1000
+      FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN g)
+SELECT doc_id, CAST(SUM(term_score_x1000) AS BIGINT) AS score_x1000,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+FROM s GROUP BY doc_id
+ORDER BY score_x1000 DESC, doc_id LIMIT 10
+"""
+
+
+# -- character-distribution quality signal -------------------------------
+# Per-doc character histogram stats: distinct-char count and the modal
+# character with its frequency ratio (gibberish and boilerplate both
+# show up as a skewed char distribution; C4/Gopher-style filters cut on
+# exactly these).  Modal tie breaks on char ASC via (count DESC, char)
+# rank.  The ratio is one IEEE division of exact integers — hash-stable.
+#
+# Scale: the char explode is O(corpus bytes) map-side work (a scan
+# reads those bytes anyway) but the groupBy(doc_id, ch) is map-side
+# combined, so shuffle volume is O(docs x alphabet), not O(bytes); the
+# per-doc window then repartitions that already-tiny set.
+def text_char_diversity(spark, sf):
+    from pyspark.sql import Window
+    d = load_table(spark, sf, "documents")
+    counts = (d.where("length(text) > 0")
+              .selectExpr(
+                  "doc_id", "length(text) AS n",
+                  "explode(transform(sequence(1, length(text)), "
+                  "i -> substring(text, i, 1))) AS ch")
+              .groupBy("doc_id", "n", "ch")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("ch"))
+    wc = Window.partitionBy("doc_id")
+    return (counts
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_distinct_chars", F.count(F.lit(1)).over(wc))
+            .where("rn = 1")
+            .selectExpr("doc_id",
+                        "CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars",
+                        "ch AS top_char",
+                        "CAST(cnt AS BIGINT) AS top_char_count",
+                        "CAST(cnt AS DOUBLE) / n AS top_char_ratio"))
+
+
+TEXT_CHAR_DIVERSITY_SQL = """
+WITH ch AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i, 1))) AS ch
+  FROM documents WHERE length(text) > 0),
+c AS (SELECT doc_id, n, ch, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, ch) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct_chars
+      FROM c)
+SELECT doc_id, CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       ch AS top_char, CAST(cnt AS BIGINT) AS top_char_count,
+       CAST(cnt AS DOUBLE) / n AS top_char_ratio
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "text_passage_dedup": Query(text_passage_dedup, TEXT_PASSAGE_DEDUP_SQL,
+                                "cross-doc 20-token span dedup profile"),
+    "text_tfidf_keywords": Query(text_tfidf_keywords, TEXT_TFIDF_SQL,
+                                 "top-3 tf-idf keywords per document"),
+    "text_bm25_search": Query(text_bm25_search, TEXT_BM25_SQL,
+                              "BM25 top-10 retrieval (integer-quantized)"),
+    "text_char_diversity": Query(
+        text_char_diversity, TEXT_CHAR_DIVERSITY_SQL,
+        "char-histogram quality signal: distinct + modal char"),
     "corpus_stratified_sample": Query(
         corpus_stratified_sample, CORPUS_STRATIFIED_SQL,
         "per-stratum exact-quota deterministic sampling"),
