@@ -14,11 +14,18 @@ Arrow-batched pandas transforms over ``mapInPandas`` — the documented
 Spark pattern for binary-heavy columns (one Python worker per partition,
 columnar Arrow transfer, no per-row pickling).
 
-Pixel decoding (image/video) is STUBBED: the imaging libraries are not
-in this container.  Each stub either raises NotImplementedError
-(``strict=True``) or produces a deterministic fake derived from the bytes
-(default), so the Spark-side plumbing — schema, batch iteration,
-partitioning, output shape — is real and tested end-to-end.
+IMAGE decoding is REAL for uncompressed 24-bit BMP (a container format
+that, like WAV, needs no external library): ``make_bmp`` emits genuine
+BITMAPFILEHEADER/BITMAPINFOHEADER payloads, ``_decode_bmp`` parses them
+back to an (h, w, 3) pixel array (BGR->RGB, bottom-up rows, 4-byte row
+padding — the actual format, not a simulation), and resize /
+feature-extract / perceptual-hash operate on real pixels.  Compressed
+codecs (PNG/JPEG) and VIDEO remain STUBBED — those decoders genuinely
+require Pillow/ffmpeg, absent from this container.  Each stub either
+raises NotImplementedError (``strict=True``) or produces a
+deterministic fake derived from the bytes (default), so the Spark-side
+plumbing — schema, batch iteration, partitioning, output shape — is
+real and tested end-to-end regardless of codec.
 
 AUDIO is fully REAL: WAV/PCM needs no external library.  The fixture
 synthesizes genuine RIFF/WAV payloads (stdlib ``wave``),
@@ -78,6 +85,66 @@ def _stub_decode(payload: bytes, strict: bool) -> bytes:
     return hashlib.sha256(payload).digest()
 
 
+# -- BMP: a REAL image codec, stdlib struct + numpy only -----------------
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> genuine uncompressed 24-bit BMP bytes:
+    BITMAPFILEHEADER + BITMAPINFOHEADER (BI_RGB), BGR channel order,
+    bottom-up rows, rows padded to 4 bytes — the actual on-disk layout."""
+    import struct
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, :w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pixels = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic synthetic BMP: a seed-keyed gradient pattern, so
+    equal (width, height, seed) payloads are bit-identical and a small
+    pixel perturbation of the same seed is a NEAR-duplicate — the two
+    cases image dedup must separate."""
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    chans = [(x * 3 + y * 5 + seed) % 256,
+             (x * 7 + y * 2 + seed * 11) % 256,
+             (x + y * 13 + seed * 29) % 256]
+    rgb = np.stack([np.broadcast_to(c, (height, width)) for c in chans],
+                   axis=-1).astype(np.uint8)
+    return encode_bmp(rgb)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB array.
+    Parses the real headers: pixel-data offset, negative-height
+    (top-down) images, and 4-byte row padding all handled."""
+    import struct
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    img = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                        offset=data_off).reshape(h, stride)
+    rgb = img[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def _try_decode_image(payload: bytes) -> np.ndarray | None:
+    """REAL decode for BMP; None for codecs that need external libs
+    (callers fall back to the documented stub)."""
+    p = bytes(payload)
+    return _decode_bmp(p) if p[:2] == b"BM" else None
+
+
 def make_wav(freq_hz: float, duration_s: float = 0.05,
              sample_rate: int = 16000, amplitude: float = 0.5) -> bytes:
     """A genuine mono 16-bit PCM RIFF/WAV byte string (stdlib only):
@@ -94,30 +161,42 @@ def make_wav(freq_hz: float, duration_s: float = 0.05,
     return buf.getvalue()
 
 
-def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+def make_media_table(spark: SparkSession, n: int = 64,
+                     real_images: bool = True) -> DataFrame:
     """Deterministic synthetic media fixture (no external data needed).
-    Audio payloads are REAL playable WAV files; image/video payloads are
-    opaque bytes (their decoders are the documented stubs)."""
+    Audio payloads are REAL playable WAV files; image payloads are REAL
+    decodable BMPs by default (``real_images=False`` produces opaque
+    bytes to exercise the documented non-BMP stub path); video payloads
+    are opaque bytes (their decoder is the documented stub)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
+        w = 64 + (i % 4) * 32 if kind != "audio" else None
+        h = 64 + (i % 3) * 32 if kind != "audio" else None
         if kind == "audio":
             payload = make_wav(freq_hz=200.0 + 50.0 * (i % 8))
+        elif kind == "image" and real_images:
+            payload = make_bmp(w, h, seed=i)
         else:
             payload = (f"media-{i}".encode() * (8 + i % 5))
         meta = {
-            "width": 64 + (i % 4) * 32 if kind != "audio" else None,
-            "height": 64 + (i % 3) * 32 if kind != "audio" else None,
+            "width": w,
+            "height": h,
             "n_frames": 1 if kind == "image" else 24 + i % 10,
             "sample_rate": 16000 if kind == "audio" else None,
-            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
+            "codec": {"image": "bmp" if real_images else "png",
+                      "audio": "pcm", "video": "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_image_batch(df: DataFrame, strict: bool = False) -> DataFrame:
-    """payload -> decoded buffer + dims; mapInPandas, Arrow-batched."""
+    """payload -> decoded pixel buffer + dims; mapInPandas, Arrow-batched.
+
+    BMP payloads go through the REAL decoder (dims come from the parsed
+    header, decoded = raw RGB bytes, len = w*h*3); other codecs hit the
+    documented stub (dims fall back to the metadata struct)."""
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("decoded", T.BinaryType()),
@@ -127,33 +206,54 @@ def decode_image_batch(df: DataFrame, strict: bool = False) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_stub_decode(p, strict) for p in pdf["payload"]]
-            meta = pdf["meta"]
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "decoded": decoded,
-                "width": [m["width"] if m is not None else None for m in meta],
-                "height": [m["height"] if m is not None else None for m in meta],
-            })
+            decoded, ws, hs = [], [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                arr = _try_decode_image(p)
+                if arr is not None:
+                    decoded.append(arr.tobytes())
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                else:
+                    decoded.append(_stub_decode(p, strict))
+                    ws.append(m["width"] if m is not None else None)
+                    hs.append(m["height"] if m is not None else None)
+            yield pd.DataFrame({"id": pdf["id"], "decoded": decoded,
+                                "width": ws, "height": hs})
 
     return df.where(F.col("kind") == "image").mapInPandas(fn, out_schema)
 
 
+def _gray_grid(arr: np.ndarray, gs: int) -> np.ndarray:
+    """(h, w, 3) pixels -> (gs, gs) block-mean grayscale grid in [0, 1]."""
+    gray = arr.astype(np.float64).mean(axis=2) / 255.0
+    return np.array([[c.mean() for c in np.array_split(r, gs, axis=1)]
+                     for r in np.array_split(gray, gs, axis=0)])
+
+
 def extract_image_features(df: DataFrame, dim: int = 16,
                            strict: bool = False) -> DataFrame:
-    """decoded bytes -> fixed-dim float feature vector (stubbed embed)."""
+    """pixels -> fixed-dim float feature vector.  REAL for BMP: the
+    block-mean grayscale grid (sqrt(dim) x sqrt(dim)), the classic
+    pre-embedding downsample; stubbed byte-windows otherwise.  The
+    output feeds the same ANN/near-dup operators as text embeddings."""
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ])
+    gs = max(1, int(round(dim ** 0.5)))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                buf = _stub_decode(p, strict)
-                # deterministic fake embedding: normalized byte windows
-                feats.append([buf[i % len(buf)] / 255.0 for i in range(dim)])
+                arr = _try_decode_image(p)
+                if arr is not None:
+                    grid = _gray_grid(arr, gs).ravel().tolist()
+                    feats.append((grid * (dim // len(grid) + 1))[:dim])
+                else:
+                    buf = _stub_decode(p, strict)
+                    feats.append([buf[i % len(buf)] / 255.0
+                                  for i in range(dim)])
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return df.where(F.col("kind") == "image").mapInPandas(fn, out_schema)
@@ -161,10 +261,21 @@ def extract_image_features(df: DataFrame, dim: int = 16,
 
 def resize_images(df: DataFrame, width: int, height: int,
                   strict: bool = False) -> DataFrame:
-    """Resize: new payload + updated meta (stub keeps bytes, sets dims)."""
+    """Resize to (width, height).  REAL for BMP: nearest-neighbor
+    resample of the decoded pixels, re-encoded as a valid BMP payload;
+    the stub path keeps a hash placeholder and just updates dims."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_stub_decode(p, strict) for p in pdf["payload"]]
+            payloads = []
+            for p in pdf["payload"]:
+                arr = _try_decode_image(p)
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                    yi = (np.arange(height) * h) // height
+                    xi = (np.arange(width) * w) // width
+                    payloads.append(encode_bmp(arr[yi][:, xi]))
+                else:
+                    payloads.append(_stub_decode(p, strict))
             metas = [
                 None if m is None else
                 {**{k: m[k] for k in ("n_frames", "sample_rate", "codec")},
@@ -175,6 +286,67 @@ def resize_images(df: DataFrame, width: int, height: int,
                                 "payload": payloads, "meta": metas})
 
     return df.where(F.col("kind") == "image").mapInPandas(fn, MEDIA_SCHEMA)
+
+
+# -- perceptual hash + image near-dup ------------------------------------
+def phash_images(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Average-hash perceptual fingerprint: 8x8 block-mean grayscale
+    grid, one bit per cell (above/below the grid mean), packed into a
+    signed 64-bit BIGINT.  REAL pixels for BMP; the stub path hashes the
+    fake buffer so the plumbing stays testable for other codecs.
+
+    Scale: map-only (one scan, no shuffle); the hash column is 8 bytes
+    per image, so downstream dedup never touches payloads again."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                arr = _try_decode_image(p)
+                if arr is None:
+                    buf = _stub_decode(p, strict)
+                    arr = np.frombuffer((buf * 6)[:192], dtype=np.uint8)
+                    arr = arr.reshape(8, 8, 3)
+                grid = _gray_grid(arr, 8)
+                bits = (grid > grid.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                hashes.append(np.uint64(val).astype(np.int64))
+            yield pd.DataFrame({"id": pdf["id"], "phash": hashes})
+
+    return df.where(F.col("kind") == "image").mapInPandas(fn, out_schema)
+
+
+def image_near_dup(phashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance,
+    LSH-banded so the self-join is bucketed, never all-pairs: the 64-bit
+    hash splits into 8 bands of 8 bits; two hashes within hamming 7 MUST
+    agree on at least one band (pigeonhole), so candidates = pairs
+    sharing a (band_idx, band_val) bucket and the exact hamming check
+    (bit_count(xor), JVM-side) only runs on collisions.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.  Scale: one shuffle
+    on the band key; candidate count tracks true near-dups, not n^2."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("banding guarantees recall only for max_hamming <= 7")
+    bands = phashes.selectExpr(
+        "id", "phash",
+        "explode(transform(sequence(0, 7), "
+        "b -> struct(b AS band_idx, "
+        "CAST(shiftrightunsigned(phash, b * 8) & 255 AS INT) AS band_val)"
+        ")) AS band").select("id", "phash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, ["band_idx", "band_val"])
+            .where("a.id < b.id")
+            .selectExpr("a.id AS id_a", "b.id AS id_b",
+                        "CAST(bit_count(a.phash ^ b.phash) AS INT) AS hamming")
+            .distinct()
+            .where(f"hamming <= {max_hamming}"))
 
 
 def frame_sample(df: DataFrame, every_nth: int = 8,

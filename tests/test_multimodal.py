@@ -11,13 +11,17 @@ from pyspark.sql import functions as F
 
 from firebolt_cdc_lambda_spark.functions.multimodal import (
     MEDIA_SCHEMA,
+    _decode_bmp,
     decode_audio_batch,
     decode_image_batch,
     extract_audio_features,
     extract_image_features,
     frame_sample,
+    image_near_dup,
+    make_bmp,
     make_media_table,
     make_wav,
+    phash_images,
     resize_images,
 )
 
@@ -33,14 +37,32 @@ def test_media_table_schema(media):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_decode_images(media):
+def test_decode_images_real_pixels(media):
+    """Image payloads are genuine BMPs: decode yields raw RGB of exactly
+    width*height*3 bytes, dims parsed from the BMP header itself."""
     out = decode_image_batch(media)
     rows = out.collect()
-    n_images = media.where("kind = 'image'").count()
-    assert len(rows) == n_images
+    metas = {r["id"]: r["meta"] for r in media.where("kind = 'image'").collect()}
+    assert len(rows) == len(metas) > 0
     for r in rows:
-        assert isinstance(r["decoded"], (bytes, bytearray)) and len(r["decoded"]) == 32
-        assert r["width"] is not None and r["height"] is not None
+        m = metas[r["id"]]
+        assert r["width"] == m["width"] and r["height"] == m["height"]
+        assert len(r["decoded"]) == r["width"] * r["height"] * 3
+
+
+def test_bmp_roundtrip_exact():
+    """encode->decode is the identity on pixels (real codec, not a fake)."""
+    import numpy as np
+    rgb = np.arange(37 * 23 * 3, dtype=np.uint32).reshape(23, 37, 3) % 256
+    payload = make_bmp(37, 23, seed=5)
+    assert payload[:2] == b"BM"
+    arr = _decode_bmp(payload)
+    assert arr.shape == (23, 37, 3)
+    # row padding: 37*3=111 pad to 112 — exercised by the odd width
+    from firebolt_cdc_lambda_spark.functions.multimodal import encode_bmp
+    again = _decode_bmp(encode_bmp(arr))
+    assert (again == arr).all()
+    assert (_decode_bmp(make_bmp(37, 23, seed=5)) == arr).all()
 
 
 def test_decode_deterministic(media):
@@ -49,9 +71,10 @@ def test_decode_deterministic(media):
     assert a == b
 
 
-def test_strict_mode_raises(media):
+def test_strict_mode_raises(spark):
+    opaque = make_media_table(spark, n=30, real_images=False)
     with pytest.raises(Exception) as exc:
-        decode_image_batch(media, strict=True).collect()
+        decode_image_batch(opaque, strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError)
 
@@ -63,12 +86,56 @@ def test_feature_extraction_shape(media):
     assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
 
 
-def test_resize_updates_meta_keeps_schema(media):
+def test_resize_real_pixels(media):
     out = resize_images(media, 224, 224)
     assert out.schema == MEDIA_SCHEMA
     for r in out.collect():
         assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
         assert r["kind"] == "image"
+        arr = _decode_bmp(bytes(r["payload"]))  # re-encoded valid BMP
+        assert arr.shape == (224, 224, 3)
+
+
+def test_phash_and_near_dup(spark):
+    """Exact dups hash identically; a lightly-perturbed copy lands within
+    hamming 4; banded join finds exactly the planted pairs."""
+    import numpy as np
+    base = _decode_bmp(make_bmp(64, 64, seed=1))
+    perturbed = base.copy()
+    perturbed[:2, :2] = 0                      # tiny corruption
+    rows = [
+        (0, "image", make_bmp(64, 64, seed=1), None),
+        (1, "image", make_bmp(64, 64, seed=1), None),   # exact dup of 0
+        (2, "image", __import__(
+            "firebolt_cdc_lambda_spark.functions.multimodal",
+            fromlist=["encode_bmp"]).encode_bmp(perturbed), None),
+        (3, "image", make_bmp(64, 64, seed=77), None),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ph = phash_images(df).cache()
+    h = {r["id"]: r["phash"] for r in ph.collect()}
+    assert h[0] == h[1]
+    assert bin(h[0] ^ h[2]).count("1") <= 4
+    assert bin(h[0] ^ h[3]).count("1") > 4
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(ph, max_hamming=4).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_image_features_real_grid(media):
+    """BMP features are the block-mean grayscale grid — recomputing the
+    grid from the decoded pixels must reproduce them exactly."""
+    import numpy as np
+    from firebolt_cdc_lambda_spark.functions.multimodal import _gray_grid
+    feats = {r["id"]: r["features"]
+             for r in extract_image_features(media, dim=16).collect()}
+    for r in media.where("kind = 'image'").collect():
+        arr = _decode_bmp(bytes(r["payload"]))
+        want = _gray_grid(arr, 4).ravel()
+        got = np.array(feats[r["id"]], dtype=np.float64)
+        assert np.allclose(got, want, atol=1e-6)
 
 
 def test_make_wav_is_real_riff():
