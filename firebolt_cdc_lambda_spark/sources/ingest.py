@@ -50,12 +50,28 @@ def is_full_load_file(filename: str) -> bool:
     return filename.rsplit("/", 1)[-1].upper().startswith("LOAD")
 
 
-def with_ingestion_seq(df: DataFrame) -> DataFrame:
-    """Add the file-local ``ingestion_seq`` (1-based, per input file)."""
-    w = (
-        Window.partitionBy(F.input_file_name())
-        .orderBy(F.monotonically_increasing_id())
-    )
+def with_ingestion_seq(df: DataFrame,
+                       assert_file_names: bool = False) -> DataFrame:
+    """Add the file-local ``ingestion_seq`` (1-based, per input file).
+
+    The monotonically_increasing_id ordering assumption (block order =
+    row order within one file) is load-bearing for the binlog-order
+    tie-breaker — and it silently degrades if ``input_file_name()``
+    comes back empty (a non-file-backed plan would collapse every row
+    into ONE window partition).  ``assert_file_names=True`` (the
+    streaming path sets it) turns that silent degradation into a loud
+    per-row ``raise_error`` guard on the partition key itself — zero
+    extra jobs, zero cost when names are present."""
+    name = F.input_file_name()
+    if assert_file_names:
+        name = F.when(
+            name == "",
+            F.raise_error(F.lit(
+                "ingestion_seq: input_file_name() is empty — the batch is "
+                "not file-backed, so the binlog-order tie-breaker would "
+                "silently degrade to a single window partition"))
+        ).otherwise(name)
+    w = Window.partitionBy(name).orderBy(F.monotonically_increasing_id())
     return df.withColumn(INGEST_SEQ_COL, F.row_number().over(w))
 
 

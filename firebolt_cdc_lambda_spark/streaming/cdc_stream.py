@@ -66,8 +66,9 @@ class CdcStream:
         # tie-breaker in streaming mode too (input_file_name() is still
         # available inside foreachBatch).
         from ..sources.ingest import with_ingestion_seq
-        self.pipeline.process_batch(self.table, self.keys,
-                                    with_ingestion_seq(batch_df))
+        self.pipeline.process_batch(
+            self.table, self.keys,
+            with_ingestion_seq(batch_df, assert_file_names=True))
 
     def start(self, spark: SparkSession, available_now: bool = True):
         """Start the stream; ``available_now`` drains the backlog and

@@ -101,3 +101,19 @@ def test_stream_skips_load_files(spark, env):
     stream.run_to_completion(spark)
     rows = {r["id"] for r in pipe.target_for("users", ["id"]).read().collect()}
     assert rows == {1}  # LOAD* filtered at the source
+
+
+def test_ingestion_seq_guard_catches_non_file_batch(spark):
+    """The streaming path stamps ingestion_seq with assert_file_names=True:
+    a batch whose plan is not file-backed (empty input_file_name) must
+    fail loudly instead of silently collapsing the binlog-order
+    tie-breaker into one window partition."""
+    from firebolt_cdc_lambda_spark.sources.ingest import with_ingestion_seq
+
+    mem = spark.range(5)
+    with pytest.raises(Exception, match="ingestion_seq"):
+        with_ingestion_seq(mem, assert_file_names=True).collect()
+    # file-backed batches pass the guard untouched
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    rows = with_ingestion_seq(df, assert_file_names=True).collect()
+    assert sorted(r["ingestion_seq"] for r in rows) == list(range(1, 26))
