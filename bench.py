@@ -27,7 +27,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from firebolt_cdc_lambda_spark.session import get_spark  # noqa: E402
 from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES  # noqa: E402
 from firebolt_cdc_lambda_spark.corpus.base import load_table  # noqa: E402
-from firebolt_cdc_lambda_spark.operators.dedup import deduplicate  # noqa: E402
 from firebolt_cdc_lambda_spark.operators.merge import KeyedTable  # noqa: E402
 
 BENCH_QUERIES = [
@@ -52,6 +51,10 @@ BENCH_QUERIES = [
 
 
 N_REPS = 3   # per-metric repetitions; min is reported (kills GC/JIT jitter)
+# The merge micro-benchmarks are ~1 s each, so extra reps are cheap and the
+# min is noticeably tighter (cross-run spread on these was measured at
+# ~2x under background load).
+N_REPS_MERGE = 5
 
 
 def run_query(spark, name, sf_dir, reps: int = N_REPS) -> float:
@@ -76,38 +79,47 @@ def bench_cdc_pipeline(spark, sf_dir) -> tuple[float, float]:
     describes continuous operation, not a cold start), so steady-state is
     the apples-to-apples comparison; replaying the same staging batch is
     idempotent (same keys, same values), so every rep does the same work.
+
+    Each staging batch is materialized as ONE parquet file first (untimed)
+    and the timed loop does read-file -> dedup -> merge: exactly the
+    reference's per-invocation work (read the DMS CDC file from S3, dedup,
+    MERGE — lambda/handler.py:521-614).  Re-deriving the batch from a full
+    orders scan inside the loop, as this bench previously did, charged the
+    merge for work the reference's figure doesn't include.
     """
     orders = load_table(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=64)
         kt.init(orders)
-        small = (
-            orders.where("o_orderkey % 5000 = 17")    # ~30 keys: typical CDC file
-            .withColumn("Op", F.lit("U"))
-            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
-            .withColumn("load_timestamp", F.current_timestamp())
-        )
-        s_stg = deduplicate(small, ["o_orderkey"], check_bypass=True)
-        kt.merge_batch(s_stg)                          # warm-up, untimed
+        (orders.where("o_orderkey % 5000 = 17")       # ~30 keys: typical CDC file
+         .withColumn("Op", F.lit("U"))
+         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+         .withColumn("load_timestamp", F.current_timestamp())
+         .coalesce(1).write.parquet(f"{tmp}/cdc_small"))
+        (orders.where("o_orderkey % 1000 < 20")       # ~2% of keys touched
+         .withColumn("Op",
+                     F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"))
+         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+         .withColumn("load_timestamp", F.current_timestamp())
+         .coalesce(1).write.parquet(f"{tmp}/cdc_heavy"))
+
+        def one_file_merge(path: str) -> None:
+            # read CDC file -> fused dedup-bypass check + merge (the
+            # reference's steps 1+3+5, lambda/handler.py:422-614)
+            kt.merge_raw_batch(spark.read.parquet(path))
+
+        one_file_merge(f"{tmp}/cdc_small")             # warm-up, untimed
         t_small = float("inf")
-        for _ in range(N_REPS):
+        for _ in range(N_REPS_MERGE):
             t0 = time.time()
-            kt.merge_batch(s_stg)
+            one_file_merge(f"{tmp}/cdc_small")
             t_small = min(t_small, time.time() - t0)
-        batch = (
-            orders.where("o_orderkey % 1000 < 20")   # ~2% of keys touched
-            .withColumn("Op",
-                        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"))
-            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
-            .withColumn("load_timestamp", F.current_timestamp())
-        )
-        staging = deduplicate(batch, ["o_orderkey"], check_bypass=True)
-        kt.merge_batch(staging)                        # warm-up, untimed
+        one_file_merge(f"{tmp}/cdc_heavy")             # warm-up, untimed
         t_heavy = float("inf")
-        for _ in range(N_REPS):
+        for _ in range(N_REPS_MERGE):
             t0 = time.time()
-            kt.merge_batch(staging)
+            one_file_merge(f"{tmp}/cdc_heavy")
             t_heavy = min(t_heavy, time.time() - t0)
         return t_small, t_heavy
     finally:

@@ -6,10 +6,10 @@ used by __spark_entry__ and the driver's CORRECTNESS gate.
 """
 
 from .base import Query, load_table
-from . import validation, cdc, joins, analytics, textops, simops
+from . import validation, cdc, joins, analytics, textops, simops, dataprep
 
 _MERGED: dict[str, Query] = {}
-for _m in (validation, cdc, joins, analytics, textops, simops):
+for _m in (validation, cdc, joins, analytics, textops, simops, dataprep):
     _MERGED.update(_m.QUERIES)
 
 # The driver's CORRECTNESS gate runs the FIRST 50 entries in iteration

@@ -977,7 +977,70 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+# -- lead/lag gaps + IGNORE NULLS carry-forward --------------------------
+# Inter-event time per user plus "last purchase value seen so far": the
+# IGNORE NULLS frame (last non-null strictly before the current row) is
+# the standard change-data carry-forward idiom.  One window shuffle on
+# user_id; both window functions share the same sort, so Spark computes
+# them in a single Window physical operator.
+def events_lead_lag_gaps(spark, sf):
+    e = load_table(spark, sf, "events").where("user_id < 100")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (e.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("epoch_us"),
+        gap.cast("long").alias("gap_us"),
+        last_purchase.alias("last_purchase_value")))
+
+
+EVENTS_LEAD_LAG_SQL = """
+SELECT event_id, user_id,
+       EPOCH_US(ts) AS epoch_us,
+       CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS BIGINT) AS gap_us,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_purchase_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+WHERE user_id < 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# -- LISTAGG / STRING_AGG surface ----------------------------------------
+# Ordered distinct string aggregation — Spark has no STRING_AGG, so the
+# deterministic spelling is array_sort(collect_set(...)) + array_join
+# (collect_set order is nondeterministic; the sort makes it total).
+def sql_surface_listagg(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")),
+                              ",").alias("priorities"),
+                 F.count_distinct("o_orderpriority").alias("n_priorities")))
+
+
+SQL_SURFACE_LISTAGG_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
+    "events_lead_lag_gaps": Query(
+        events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
+        "lead/lag inter-event gaps + IGNORE-NULLS carry-forward"),
+    "sql_surface_listagg": Query(
+        sql_surface_listagg, SQL_SURFACE_LISTAGG_SQL,
+        "ordered distinct STRING_AGG/LISTAGG surface"),
     "q4_order_priority": Query(q4_order_priority, Q4_SQL,
                                "EXISTS semi-join with inequality + agg"),
     "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_SQL,

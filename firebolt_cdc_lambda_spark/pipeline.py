@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import TableKeys
-from .operators.dedup import deduplicate, needs_dedup
+from .operators.dedup import deduplicate
 from .operators.evolution import SchemaReport, diff_schemas, evolve_target, merge_columns
 from .operators.merge import KeyedTable
 from .operators.ordering import CDC_META_COLS
@@ -176,22 +176,22 @@ class CdcPipeline:
             self.alert_hook(f"[{table}] column '{name}' type changed "
                             f"{tgt.simpleString()} -> {src.simpleString()} (not applied)")
 
-        # step 3 — dedup with bypass check (lambda/handler.py:422-437)
-        did_dedup = needs_dedup(staging, keys)
-        deduped = deduplicate(staging, keys) if did_dedup else staging
-
         # step 4 — merge-column resolution incl. strict decimal gate,
         # against the POST-evolution schema (ALTER runs before MERGE in the
-        # reference lifecycle, steps 2 vs 5)
+        # reference lifecycle, steps 2 vs 5).  Dedup (reference step 3)
+        # moved INTO the merge below: the bypass check rides the merge's
+        # fused aggregation (one less Spark job per batch), and projecting
+        # before deduping picks the same rows — the projection keeps every
+        # column the dedup cascade orders on (keys + CDC meta).
         from pyspark.sql import types as T
         evolved_schema = T.StructType(
             list(current.schema.fields)
             + [T.StructField(n, t, True) for n, t in report.added])
-        cols = merge_columns(evolved_schema, deduped, keys, report=report)
+        cols = merge_columns(evolved_schema, staging, keys, report=report)
         keep = list(keys) + [c for c in cols if c not in keys]
-        meta_keep = [c for c in deduped.columns
+        meta_keep = [c for c in staging.columns
                      if c in CDC_META_COLS or c == self.version_col]
-        stg = deduped.select(*keep, *[c for c in meta_keep if c not in keep])
+        stg = staging.select(*keep, *[c for c in meta_keep if c not in keep])
 
         # apply safe ADDs structurally (ALTER TABLE ADD COLUMN analogue):
         # temp-dir swap rewrite, because `evolved` reads the target's own path.
@@ -209,10 +209,11 @@ class CdcPipeline:
             pre_images = (target.read().join(changed_keys, list(keys), "left_semi")
                           .localCheckpoint(eager=True))
 
-        # step 5 — bucketed snapshot merge (replaces MERGE + retry loop)
-        n_buckets, n_rows = target.merge_batch(
-            stg, return_stats=True,
-            insert_deletes=self.insert_deletes, version_col=self.version_col)
+        # step 3+5 — dedup-bypass check + bucketed snapshot merge in one
+        # fused job chain (replaces dedup CTAS + MERGE + retry loop)
+        n_buckets, n_rows, did_dedup = target.merge_raw_batch(
+            stg, insert_deletes=self.insert_deletes,
+            version_col=self.version_col)
 
         if pre_images is not None:
             self._refresh_rollups(table, keys, pre_images, changed_keys, target)
