@@ -219,11 +219,15 @@ def dedup_simhash(spark, sf):
     # sf0.1 — here the one exchange (~2M narrow rows) costs less than
     # the repeated lambda evaluation it avoids.
     h = _h_expr("clean", "i")
+    # array_distinct BEFORE the explode: the per-doc shingle-set dedup is
+    # row-local, so doing it inside the projection removes the (doc_id, h)
+    # distinct's full shuffle of the ~2M-row exploded relation — the
+    # groupBy below is then the pipeline's only exchange.
     sh = (_neardup_corpus(spark, sf).where("length(clean) >= 5")
           .selectExpr(
               "doc_id",
-              f"explode(transform(sequence(1, length(clean) - 4), i -> {h})) AS h")
-          .distinct())
+              "explode(array_distinct("
+              f"transform(sequence(1, length(clean) - 4), i -> {h}))) AS h"))
     weights = [
         F.expr(f"sum(CASE WHEN (((h % 65536) >> {j}) & 1) = 1 "
                f"THEN 1 ELSE -1 END)").alias(f"w{j}")

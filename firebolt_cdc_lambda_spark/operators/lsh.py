@@ -63,10 +63,13 @@ class LshIndex:
 
     # -- fingerprinting ---------------------------------------------------
     def _fingerprints(self, docs: DataFrame, id_col: str,
-                      text_col: str) -> tuple[DataFrame, DataFrame]:
-        """(signatures, bucket postings) for a document set.  Docs whose
-        cleaned text is shorter than one 5-gram have no shingles and are
-        excluded (they can never near-dup match; exact dedup handles
+                      text_col: str) -> DataFrame:
+        """Per-doc fused fingerprints ``(doc_id, hs, bands)`` for a
+        document set — signatures and band buckets in ONE plan, so a
+        caller can materialize it once (checkpoint/cache) and derive both
+        stores without re-running the shingle+minhash computation.  Docs
+        whose cleaned text is shorter than one 5-gram have no shingles and
+        are excluded (they can never near-dup match; exact dedup handles
         them)."""
         base = docs
         if text_col != "text":
@@ -85,12 +88,16 @@ class LshIndex:
                                         for i in idxs]).alias("bucket"))
             for bi, idxs in enumerate(LSH_BANDS)
         ]
-        buckets = (with_mins
-                   .select("doc_id",
-                           F.explode(F.array(*band_structs)).alias("bb"))
-                   .select("doc_id", "bb.band", "bb.bucket")
-                   .withColumn("shard", self._bucket_shard("band", "bucket")))
-        return sig.select("doc_id", "hs"), buckets
+        return with_mins.select("doc_id", "hs",
+                                F.array(*band_structs).alias("bands"))
+
+    def _sig_of(self, fused: DataFrame) -> DataFrame:
+        return fused.select("doc_id", "hs")
+
+    def _buckets_of(self, fused: DataFrame) -> DataFrame:
+        return (fused.select("doc_id", F.explode("bands").alias("bb"))
+                .select("doc_id", "bb.band", "bb.bucket")
+                .withColumn("shard", self._bucket_shard("band", "bucket")))
 
     def _bucket_shard(self, band: str, bucket: str):
         return F.pmod(F.xxhash64(F.col(band), F.col(bucket)),
@@ -102,13 +109,20 @@ class LshIndex:
     # -- build / ingest ---------------------------------------------------
     def _write(self, docs: DataFrame, id_col: str, text_col: str,
                mode: str) -> None:
-        sig, buckets = self._fingerprints(docs, id_col, text_col)
-        (sig.withColumn("shard", self._doc_shard("doc_id"))
-         .repartition("shard")
-         .write.mode(mode).partitionBy("shard").parquet(f"{self.path}/sig"))
-        (buckets.repartition("shard")
-         .write.mode(mode).partitionBy("shard")
-         .parquet(f"{self.path}/buckets"))
+        # cache the fused fingerprints: both store writes read them, and
+        # without it each write re-runs the shingle+minhash computation
+        # over the whole input
+        fused = self._fingerprints(docs, id_col, text_col).cache()
+        try:
+            (self._sig_of(fused)
+             .withColumn("shard", self._doc_shard("doc_id"))
+             .repartition("shard")
+             .write.mode(mode).partitionBy("shard").parquet(f"{self.path}/sig"))
+            (self._buckets_of(fused).repartition("shard")
+             .write.mode(mode).partitionBy("shard")
+             .parquet(f"{self.path}/buckets"))
+        finally:
+            fused.unpersist()
 
     def build(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> None:
@@ -145,9 +159,11 @@ class LshIndex:
         (batch_doc_id, corpus_doc_id, jaccard) with jaccard >= threshold.
         A doc already indexed under the same id matches itself at 1.0."""
         threshold = self.threshold if threshold is None else threshold
-        sig, buckets = self._fingerprints(docs, id_col, text_col)
-        sig = sig.localCheckpoint(eager=True)       # batch-sized, reused twice
-        buckets = buckets.localCheckpoint(eager=True)
+        # ONE materialization of the batch fingerprints (batch-sized);
+        # sig and buckets are free projections of it
+        fused = self._fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+        sig = self._sig_of(fused)
+        buckets = self._buckets_of(fused)
         idt = sig.schema["doc_id"].dataType.simpleString()
         empty = self.spark.createDataFrame(
             [], f"batch_doc_id {idt}, corpus_doc_id {idt}, jaccard DOUBLE")
