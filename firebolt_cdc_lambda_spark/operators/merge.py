@@ -169,10 +169,12 @@ def merge_cdc(
     # left-anti), whose size is unbounded — touched buckets at 100 TB can
     # hold 10^8 keys.  Instead: (1) semi-join the target's keys against the
     # broadcast staging (streams the pruned target once, build side is the
-    # micro-batch — the same broadcast the main join uses, so the exchange
-    # is reused), yielding the MATCHED key set, ≤ |staging| rows by
+    # micro-batch), yielding the MATCHED key set, ≤ |staging| rows by
     # construction; (2) anti-join staging against that tiny set.  Every
     # broadcast in the merge is now bounded by the micro-batch size.
+    # (Column pruning makes this broadcast exchange differ from the main
+    # join's, so it is built, not reused — one extra build of the cached
+    # micro-batch, verified all-BHJ/no-SMJ in the executed plan.)
     matched_keys = (target.select(*keys).alias("t")
                     .join(F.broadcast(s), cond, "left_semi"))
     ins = insert_src.alias("s").join(F.broadcast(matched_keys).alias("t"),

@@ -95,6 +95,40 @@ def test_merge_matches_reference_fold(spark, batch1, batch2):
     assert got == {k: r[4] for k, r in expect.items()}
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=15),
+       st.lists(EVENT, min_size=1, max_size=20))
+def test_merge_raw_batch_equals_dedup_then_merge(spark, batch1, batch2):
+    """The fused path (merge_raw_batch on a RAW duplicate-keyed batch)
+    must land exactly the state of the two-step deduplicate + merge_batch
+    path, and report did_dedup correctly."""
+    import tempfile
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    rows1, rows2 = to_rows(batch1), to_rows(batch2)
+    boot = {k: r for k, r in ref_dedup(rows1).items() if r[1] != "D"}
+    boot_df = spark.createDataFrame(
+        [(k, r[4]) for k, r in boot.items()] or
+        [(None, None)], "id long, v long").where("id IS NOT NULL")
+    raw2 = spark.createDataFrame(rows2, SCHEMA)
+
+    paths = [tempfile.mkdtemp(prefix="prop_raw_") + "/t" for _ in range(2)]
+    kt_two_step = KeyedTable(spark, paths[0], ["id"], num_buckets=4)
+    kt_two_step.init(boot_df)
+    kt_two_step.merge_batch(deduplicate(raw2, ["id"]))
+
+    kt_fused = KeyedTable(spark, paths[1], ["id"], num_buckets=4)
+    kt_fused.init(boot_df)
+    _, n_rows, did_dedup = kt_fused.merge_raw_batch(raw2)
+
+    got_two = {r["id"]: r["v"] for r in kt_two_step.read().collect()}
+    got_fused = {r["id"]: r["v"] for r in kt_fused.read().collect()}
+    assert got_fused == got_two
+    assert did_dedup == (len({r[0] for r in rows2}) != len(rows2))
+    assert n_rows == len({r[0] for r in rows2})
+
+
 @settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.lists(EVENT, min_size=1, max_size=12),
