@@ -15,8 +15,9 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep):
 # The driver's CORRECTNESS gate runs the FIRST 50 entries in iteration
 # order.  Queries added after this round's gate was frozen (span dedup,
 # tf-idf, BM25, char diversity, chunking, vocab growth, domain cap,
-# weighted sample, lead/lag gaps, listagg) sit beyond slot 50 — they are
-# covered by the local 102-query differential suite every run and MUST
+# weighted sample, lead/lag gaps, listagg, RANGE-frame window,
+# UNPIVOT, embedding outlier trim) sit beyond slot 50 — they are
+# covered by the local 105-query differential suite every run and MUST
 # rotate into the round-4 gate.
 # Rotation policy (one green row ≤ 1 round old for every query):
 # round 1 gated the module-order first 50; round 2 gated the LLM surface

@@ -1013,6 +1013,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# -- RANGE-frame window (value-based moving aggregate) --------------------
+# Trailing-30-day revenue per order: RANGE BETWEEN 30 PRECEDING AND
+# CURRENT ROW over an integer day axis — the value-based frame (all
+# orders in the last 30 days, however many rows that is), vs
+# window_moving_frame's ROWS frame (fixed row count).  Peers (same day)
+# aggregate together in both engines by RANGE semantics; the decimal sum
+# keeps the result exact in any evaluation order.
+def window_range_frame(spark, sf):
+    o = load_table(spark, sf, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("int")
+    w = (Window.partitionBy("o_orderstatus").orderBy("epoch_day")
+         .rangeBetween(-30, 0))
+    return (o.withColumn("epoch_day", day)
+            .select("o_orderkey", "o_orderstatus", "epoch_day",
+                    F.sum(dec("o_totalprice")).over(w).cast("double")
+                    .alias("trailing_30d_sum")))
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_orderstatus, epoch_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_orderstatus ORDER BY epoch_day
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_30d_sum
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                  AS INTEGER) AS epoch_day
+      FROM orders)
+"""
+
+
 # -- LISTAGG / STRING_AGG surface ----------------------------------------
 # Ordered distinct string aggregation — Spark has no STRING_AGG, so the
 # deterministic spelling is array_sort(collect_set(...)) + array_join
@@ -1038,6 +1069,9 @@ QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
         "lead/lag inter-event gaps + IGNORE-NULLS carry-forward"),
+    "window_range_frame": Query(
+        window_range_frame, WINDOW_RANGE_FRAME_SQL,
+        "value-based RANGE frame: trailing-30-day decimal-exact sum"),
     "sql_surface_listagg": Query(
         sql_surface_listagg, SQL_SURFACE_LISTAGG_SQL,
         "ordered distinct STRING_AGG/LISTAGG surface"),

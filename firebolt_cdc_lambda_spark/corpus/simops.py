@@ -774,7 +774,64 @@ FROM batch b LEFT JOIN m ON m.d1 = b.doc_id
 """
 
 
+# -- embedding outlier trim (mislabeled/noise-vector filter) -------------
+# Per-label farthest-from-centroid ranking: the embedding-space analogue
+# of the text quality filter — vectors far from their class centroid are
+# label noise / junk embeddings, trimmed before training.  Exactness: the
+# centroid sum_q/n is never materialized as a float; the squared distance
+# is scaled by n^2 (sum over dims of (n*q_d - sum_d)^2), an exact BIGINT
+# (|n*q| <= ~1.5e7 at sf=1 -> per-dim square <= ~2e14, x64 dims well
+# under 2^63), so the per-label outlier ranking is pure integer with a
+# vec_id tie-break.  The only float ops are one sqrt + one division for
+# the human-readable distance.  Plan: centroid table is labels x dims
+# (tiny, broadcast); one partial-combined shuffle per grain.
+def embedding_outlier_trim(spark, sf):
+    from pyspark.sql import Window
+    e = load_table(spark, sf, "embeddings")
+    q = (e.selectExpr("vec_id", "label", f"{_QUANT_SPARK} AS qv")
+         .select("vec_id", "label", F.posexplode("qv").alias("dim", "q")))
+    cent = (q.groupBy("label", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q")))
+    per_vec = (q.join(F.broadcast(cent), ["label", "dim"])
+               .groupBy("label", "vec_id")
+               .agg(F.expr("CAST(sum((n*q - sum_q) * (n*q - sum_q)) AS BIGINT)")
+                    .alias("sqd"),
+                    F.max("n").alias("n")))
+    w = Window.partitionBy("label").orderBy(F.col("sqd").desc(), "vec_id")
+    return (per_vec
+            .withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+            .selectExpr("label", "vec_id", "sqd",
+                        "sqrt(CAST(sqd AS DOUBLE)) / (n * 1000.0) AS dist",
+                        "outlier_rank", "outlier_rank <= 3 AS is_outlier"))
+
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings),
+x AS (SELECT vec_id, label,
+             unnest(range(0, len(qv))) AS dim, unnest(qv) AS q
+      FROM q),
+c AS (SELECT label, dim, COUNT(*) AS n, SUM(q) AS sum_q
+      FROM x GROUP BY 1, 2),
+v AS (SELECT x.label, x.vec_id, MAX(c.n) AS n,
+             CAST(SUM((c.n * x.q - c.sum_q) * (c.n * x.q - c.sum_q))
+                  AS BIGINT) AS sqd
+      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+      GROUP BY 1, 2)
+SELECT label, vec_id, sqd,
+       sqrt(CAST(sqd AS DOUBLE)) / (n * 1000.0) AS dist,
+       CAST(rk AS BIGINT) AS outlier_rank,
+       rk <= 3 AS is_outlier
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY sqd DESC, vec_id) AS rk
+      FROM v)
+"""
+
+
 QUERIES = {
+    "embedding_outlier_trim": Query(
+        embedding_outlier_trim, EMBEDDING_OUTLIER_SQL,
+        "per-label farthest-from-centroid outlier ranking, integer-exact",
+        ("simops", "embedding")),
     "dedup_incremental_filter": Query(
         dedup_incremental_filter, DEDUP_INCREMENTAL_SQL,
         "incremental dedup: new batch LSH-filtered against the base corpus"),

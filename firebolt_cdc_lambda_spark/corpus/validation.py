@@ -485,7 +485,38 @@ FROM orders
 """
 
 
+# -- UNPIVOT / stack surface ---------------------------------------------
+# The wide->long reshape (Spark `stack`, DuckDB UNPIVOT): inverse of
+# val_pivot_status.  All three measures are cast to DOUBLE pre-reshape so
+# the long `value` column has one type; sums/avgs are decimal-exact.
+def sql_surface_unpivot(spark, sf):
+    o = load_table(spark, sf, "orders")
+    agg = (o.groupBy("o_orderstatus")
+           .agg(dsum("o_totalprice").alias("sum_price"),
+                davg("o_totalprice").alias("avg_price"),
+                F.count(F.lit(1)).cast("double").alias("n_orders")))
+    return agg.selectExpr(
+        "o_orderstatus",
+        "stack(3, 'sum_price', sum_price, 'avg_price', avg_price, "
+        "'n_orders', n_orders) AS (metric, value)")
+
+
+SQL_SURFACE_UNPIVOT_SQL = f"""
+WITH a AS (
+  SELECT o_orderstatus,
+         {sql_dsum('o_totalprice')} AS sum_price,
+         {sql_davg('o_totalprice')} AS avg_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus, metric, value
+FROM a UNPIVOT (value FOR metric IN (sum_price, avg_price, n_orders))
+"""
+
+
 QUERIES = {
+    "sql_surface_unpivot": Query(
+        sql_surface_unpivot, SQL_SURFACE_UNPIVOT_SQL,
+        "wide->long reshape: stack / UNPIVOT surface"),
     "val_price_histogram": Query(val_price_histogram, VAL_PRICE_HISTOGRAM_SQL,
                                  "width_bucket histogram"),
     "val_pivot_status": Query(val_pivot_status, VAL_PIVOT_STATUS_SQL,
