@@ -16,8 +16,8 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep):
 # order.  Queries added after this round's gate was frozen (span dedup,
 # tf-idf, BM25, char diversity, chunking, vocab growth, domain cap,
 # weighted sample, lead/lag gaps, listagg, RANGE-frame window,
-# UNPIVOT, embedding outlier trim) sit beyond slot 50 — they are
-# covered by the local 105-query differential suite every run and MUST
+# UNPIVOT, embedding outlier trim, salted skew agg) sit beyond slot 50 — they are
+# covered by the local 106-query differential suite every run and MUST
 # rotate into the round-4 gate.
 # Rotation policy (one green row ≤ 1 round old for every query):
 # round 1 gated the module-order first 50; round 2 gated the LLM surface

@@ -12,7 +12,7 @@ import functools
 
 from pyspark.sql import functions as F
 
-from .base import Query, davg, dsum, load_table, sql_davg, sql_dsum
+from .base import Query, davg, dec, dsum, load_table, sql_davg, sql_dsum
 
 
 # -- V1/V2: row counts across tables (DATA_VALIDATION_QUERIES.sql:13-44) --
@@ -485,6 +485,34 @@ FROM orders
 """
 
 
+# -- skew-salted aggregation under the oracle gate ------------------------
+# Drives operators/skew.salted_agg (two-phase (key, salt) -> key
+# aggregation for hot-key groupBys) and proves it returns EXACTLY what
+# the plain GROUP BY returns: count/min/max are salt-invariant, and the
+# sum goes through decimal so the two-phase re-aggregation is exact in
+# any order.  See skew.py's measured caveat on WHEN to salt; this row
+# pins the semantics, not the strategy.
+def skew_salted_agg(spark, sf):
+    from ..operators.skew import salted_agg
+    e = load_table(spark, sf, "events").withColumn("v_dec", dec("value", 2))
+    out = salted_agg(e, ["event_type"],
+                     [("count", "event_id", "n_events"),
+                      ("sum", "v_dec", "sum_value_dec"),
+                      ("min", "value", "min_value"),
+                      ("max", "value", "max_value")])
+    return out.selectExpr("event_type", "n_events",
+                          "CAST(sum_value_dec AS DOUBLE) AS sum_value",
+                          "min_value", "max_value")
+
+
+SKEW_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
 # -- UNPIVOT / stack surface ---------------------------------------------
 # The wide->long reshape (Spark `stack`, DuckDB UNPIVOT): inverse of
 # val_pivot_status.  All three measures are cast to DOUBLE pre-reshape so
@@ -517,6 +545,9 @@ QUERIES = {
     "sql_surface_unpivot": Query(
         sql_surface_unpivot, SQL_SURFACE_UNPIVOT_SQL,
         "wide->long reshape: stack / UNPIVOT surface"),
+    "skew_salted_agg": Query(
+        skew_salted_agg, SKEW_SALTED_AGG_SQL,
+        "two-phase salted hot-key aggregation == plain GROUP BY"),
     "val_price_histogram": Query(val_price_histogram, VAL_PRICE_HISTOGRAM_SQL,
                                  "width_bucket histogram"),
     "val_pivot_status": Query(val_pivot_status, VAL_PIVOT_STATUS_SQL,
