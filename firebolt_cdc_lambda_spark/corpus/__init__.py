@@ -6,10 +6,11 @@ used by __spark_entry__ and the driver's CORRECTNESS gate.
 """
 
 from .base import Query, load_table
-from . import validation, cdc, joins, analytics, textops, simops, dataprep
+from . import validation, cdc, joins, analytics, textops, simops, dataprep, mediaops
 
 _MERGED: dict[str, Query] = {}
-for _m in (validation, cdc, joins, analytics, textops, simops, dataprep):
+for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
+           mediaops):
     _MERGED.update(_m.QUERIES)
 
 # The driver's CORRECTNESS gate runs the FIRST 50 entries in iteration
