@@ -145,7 +145,60 @@ LIMIT {_WS_K}
 """
 
 
+# -- corpus drift: total-variation distance between snapshots -------------
+# "Did the token distribution shift between crawl snapshots?" — the
+# acceptance gate before swapping a training mixture.  TV distance
+# 0.5 * sum_t |p_t - q_t| over the token vocabularies of two halves.
+# Exactness: with p_t = a_t/A and q_t = b_t/B, the summand is
+# |a_t*B - b_t*A| / (A*B) — an exact BIGINT numerator (token counts are
+# ~1e5 at sf0.1, products ~1e10, sums bounded well under 2^63), so the
+# whole statistic is one integer sum and a single final division.
+# Plan: one scan explodes tokens with the half tag; ONE map-side-
+# combined groupBy(token) builds both count columns via conditional
+# sums (no join of two aggregates); the final reduce is a scalar.
+def corpus_drift_tv(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.selectExpr("doc_id % 2 AS half",
+                        f"explode({_TOKENS_SPARK}) AS token")
+    per_tok = (toks.groupBy("token")
+               .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+                    F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b")))
+    totals = per_tok.agg(F.sum("a").alias("tot_a"), F.sum("b").alias("tot_b"))
+    return (per_tok.crossJoin(F.broadcast(totals))
+            .agg(F.max("tot_a").alias("n_tokens_a"),
+                 F.max("tot_b").alias("n_tokens_b"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum(F.abs(F.col("a") * F.col("tot_b")
+                             - F.col("b") * F.col("tot_a")))
+                 .alias("tv_numerator"))
+            .selectExpr("n_tokens_a", "n_tokens_b", "n_vocab", "tv_numerator",
+                        "CAST(tv_numerator AS DOUBLE)"
+                        " / (2.0 * n_tokens_a * n_tokens_b) AS tv_distance"))
+
+
+CORPUS_DRIFT_TV_SQL = f"""
+WITH t AS (SELECT doc_id % 2 AS half, unnest({_TOKENS_DUCK}) AS token
+           FROM documents),
+p AS (SELECT token,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM t GROUP BY 1),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS A, CAST(SUM(b) AS BIGINT) AS B
+      FROM p)
+SELECT g.A AS n_tokens_a, g.B AS n_tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(abs(p.a * g.B - p.b * g.A)) AS BIGINT) AS tv_numerator,
+       CAST(SUM(abs(p.a * g.B - p.b * g.A)) AS DOUBLE)
+         / (2.0 * g.A * g.B) AS tv_distance
+FROM p, g GROUP BY g.A, g.B
+"""
+
+
 QUERIES = {
+    "corpus_drift_tv": Query(
+        corpus_drift_tv, CORPUS_DRIFT_TV_SQL,
+        "snapshot drift: integer-exact total-variation distance between "
+        "token distributions", ("dataprep", "drift")),
     "text_chunk_overlap": Query(
         text_chunk_overlap, TEXT_CHUNK_SQL,
         "RAG chunking: overlapping fixed-size character windows via "
