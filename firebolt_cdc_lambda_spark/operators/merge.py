@@ -116,14 +116,26 @@ def merge_cdc(
     # dropped both the staging row from the insert branch AND the matched
     # target row from the kept branch.
     if has_op:
-        vals = ", ".join("'" + str(v).replace("'", "''") + "'" for v in delete_values)
+        # delete_values are STRINGS by contract (the reference's
+        # CDC_DELETE_VALUES env is a comma-split string list,
+        # lambda/handler.py:921-928); non-strings are stringified and rely
+        # on Spark's implicit literal coercion.  Backslashes must be
+        # escaped too: Spark's default parser treats \ in a string literal
+        # as an escape, so a value like "D\\x" would otherwise change
+        # meaning (or break the statement).
+        vals = ", ".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+            for v in delete_values)
         is_delete_sql = f"COALESCE({_q(op_col)} IN ({vals}), FALSE)"
     else:
         is_delete_sql = "FALSE"
     # __s_present marks join hits below (never NULL on a staging row, so a
     # NULL after the left-outer join means "no staging row for this key").
-    stg = staging.selectExpr("*", f"{is_delete_sql} AS __is_delete",
-                             "TRUE AS __s_present")
+    # Drop any pre-existing helper columns first: selectExpr('*', ...)
+    # appends, and a staging batch already carrying __is_delete (e.g. a
+    # replayed intermediate) would yield ambiguous duplicate columns.
+    stg = staging.drop("__is_delete", "__s_present").selectExpr(
+        "*", f"{is_delete_sql} AS __is_delete", "TRUE AS __s_present")
 
     # The NOT MATCHED branch inserts delete rows too when insert_deletes
     # (reference parity, lambda/handler.py:609-612).
@@ -464,8 +476,16 @@ class KeyedTable:
                     del_flag.alias("has_del"),
                     F.count(F.lit(1)).alias("n_rows")]
             if dedup:
+                # Distinct over a STRUCT of the keys, not the bare columns:
+                # count_distinct(*cols) skips rows where any key is NULL
+                # (SQL COUNT DISTINCT semantics), but merge_cdc supports
+                # NULL keys via null-safe <=> joins and the dedup window
+                # groups a NULL key like any other value — the struct count
+                # matches the window's group count exactly, so did_dedup
+                # and the post-dedup n_rows stay correct for NULL-keyed
+                # batches.
                 aggs.append(F.count_distinct(
-                    *[F.col(k) for k in self.keys]).alias("uniq"))
+                    F.struct(*[F.col(k) for k in self.keys])).alias("uniq"))
             agg_row = stamped.agg(*aggs).first()
             buckets = list(agg_row["buckets"])
             n_rows = int(agg_row["n_rows"])

@@ -26,7 +26,7 @@ from .config import TableKeys
 from .operators.dedup import deduplicate
 from .operators.evolution import SchemaReport, diff_schemas, evolve_target, merge_columns
 from .operators.merge import KeyedTable
-from .operators.ordering import CDC_META_COLS
+from .operators.ordering import CDC_META_COLS, CREATED_COL, UPDATED_COL
 from .sources.ingest import is_full_load_file, parse_cdc_path, read_cdc_files
 from .sources.ledger import FileLedger
 
@@ -180,18 +180,31 @@ class CdcPipeline:
         # against the POST-evolution schema (ALTER runs before MERGE in the
         # reference lifecycle, steps 2 vs 5).  Dedup (reference step 3)
         # moved INTO the merge below: the bypass check rides the merge's
-        # fused aggregation (one less Spark job per batch), and projecting
-        # before deduping picks the same rows — the projection keeps every
-        # column the dedup cascade orders on (keys + CDC meta).
+        # fused aggregation (one less Spark job per batch).  Projecting
+        # before deduping picks the same rows ONLY because the projection
+        # keeps every column the dedup cascade orders on: keys + CDC meta
+        # PLUS the source tie-breakers 'updated'/'created' — those two are
+        # DATA columns and may be excluded from the merge column set
+        # (type-changed / decimal-gated / absent from the target), but the
+        # reference dedups the full unprojected staging table (handler
+        # step 3 runs before column resolution), so dropping them here
+        # would silently weaken the last-writer cascade.
         from pyspark.sql import types as T
         evolved_schema = T.StructType(
             list(current.schema.fields)
             + [T.StructField(n, t, True) for n, t in report.added])
         cols = merge_columns(evolved_schema, staging, keys, report=report)
         keep = list(keys) + [c for c in cols if c not in keys]
+        cascade_cols = CDC_META_COLS | {UPDATED_COL, CREATED_COL}
         meta_keep = [c for c in staging.columns
-                     if c in CDC_META_COLS or c == self.version_col]
+                     if c in cascade_cols or c == self.version_col]
         stg = staging.select(*keep, *[c for c in meta_keep if c not in keep])
+        # Cascade columns riding along ONLY for dedup ordering must not
+        # land in the target: a gated-out 'updated' present in both schemas
+        # would otherwise re-enter the merge's staging∩target column set.
+        ordering_only = tuple(
+            c for c in (UPDATED_COL, CREATED_COL)
+            if c in stg.columns and c not in keep and c != self.version_col)
 
         # apply safe ADDs structurally (ALTER TABLE ADD COLUMN analogue):
         # temp-dir swap rewrite, because `evolved` reads the target's own path.
@@ -213,7 +226,7 @@ class CdcPipeline:
         # fused job chain (replaces dedup CTAS + MERGE + retry loop)
         n_buckets, n_rows, did_dedup = target.merge_raw_batch(
             stg, insert_deletes=self.insert_deletes,
-            version_col=self.version_col)
+            version_col=self.version_col, extra_meta_cols=ordering_only)
 
         if pre_images is not None:
             self._refresh_rollups(table, keys, pre_images, changed_keys, target)

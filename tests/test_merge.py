@@ -236,3 +236,44 @@ def test_cluster_by_sorts_within_buckets(spark, tmp_path):
     for f in files:
         ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
         assert ts == sorted(ts), f"{f} not sorted"
+
+
+def test_delete_value_with_backslash_matches_literally(spark, target):
+    """Delete values are embedded as SQL string literals; backslashes must
+    be escaped so the value matches byte-for-byte (Spark's parser treats
+    un-escaped \\ as an escape sequence)."""
+    stg = df_of(spark, [
+        Row(id=2, name="x", bal=0.0, Op="D\\x", load_timestamp=TS),
+        Row(id=3, name="carol2", bal=31.0, Op="D", load_timestamp=TS),
+    ])
+    out = merge_cdc(target, stg, ["id"], delete_values=["D\\x"])
+    rows = {r["id"] for r in out.collect()}
+    assert rows == {1, 3}  # 2 deleted by the backslash value; 3 upserted (Op not in list)
+
+
+def test_staging_with_preexisting_helper_columns(spark, target):
+    """A staging batch already carrying __is_delete/__s_present (e.g. a
+    replayed intermediate) must not produce ambiguous duplicate columns."""
+    stg = df_of(spark, [
+        Row(id=2, name="bob2", bal=25.0, Op="U", load_timestamp=TS,
+            __is_delete=True, __s_present=False),
+    ])
+    rows = {r["id"]: r for r in merge_cdc(target, stg, ["id"]).collect()}
+    assert rows[2]["name"] == "bob2"  # stale helper ignored: it's an Update
+
+
+def test_merge_raw_batch_null_keys_counted(spark, tmp_path):
+    """NULL keys form a dedup group like any value (null-safe <=> joins);
+    the fused distinct-count must count them, not skip them."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    t.init(df_of(spark, [Row(id=1, name="a")]))
+    stg = df_of(spark, [
+        Row(id=None, name="n1", Op="I", load_timestamp=TS, ingestion_seq=1),
+        Row(id=None, name="n2", Op="U", load_timestamp=TS2, ingestion_seq=2),
+        Row(id=2, name="b", Op="I", load_timestamp=TS, ingestion_seq=3),
+    ])
+    n_buckets, n_rows, did_dedup = t.merge_raw_batch(stg)
+    assert did_dedup            # two rows share the NULL key
+    assert n_rows == 2          # post-dedup: {NULL, 2}
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: "a", None: "n2", 2: "b"}  # last writer wins for NULL key

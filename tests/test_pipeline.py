@@ -135,3 +135,56 @@ def test_reload_is_idempotent(spark, env):
     assert all(r.status == "already_processed" for r in results)
     rows = pipe.target_for("users", ["id"]).read().collect()
     assert len(rows) == 1 and rows[0]["name"] == "a2"
+
+
+def test_gated_cascade_column_still_orders_dedup(spark, tmp_path):
+    """A cascade tie-breaker ('updated') excluded from the merge columns by
+    the strict decimal gate must STILL order the fused dedup (the reference
+    dedups the unprojected staging, handler step 3) — and must NOT land in
+    the target."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "cdc")
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       ledger=False, num_buckets=8)
+
+    sch1 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("updated", T.DecimalType(12, 2)),
+        T.StructField("Op", T.StringType()),
+        T.StructField("load_timestamp", T.TimestampType()),
+    ])
+    p1 = f"{root}/fair/users/2024/01/01/b1.parquet"
+    spark.createDataFrame([(1, "orig", Decimal("1.00"), "I", TS)], sch1) \
+        .coalesce(1).write.parquet(p1)
+    assert pipe.process_file(p1).status == "bootstrapped"
+
+    # Same key, same load_timestamp, same Op — only 'updated' (gated out of
+    # the merge columns by the (38,10)-vs-(12,2) decimal mismatch) breaks
+    # the tie.  The higher-updated row comes FIRST in the file, so a
+    # cascade that lost 'updated' would pick the other row via the
+    # ingestion_seq tie-breaker.
+    sch2 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("updated", T.DecimalType(38, 10)),
+        T.StructField("Op", T.StringType()),
+        T.StructField("load_timestamp", T.TimestampType()),
+    ])
+    p2 = f"{root}/fair/users/2024/01/02/b2.parquet"
+    spark.createDataFrame([
+        (1, "winner", Decimal("200.0"), "U", TS2),
+        (1, "loser", Decimal("100.0"), "U", TS2),
+    ], sch2).coalesce(1).write.parquet(p2)
+    res = pipe.process_file(p2)
+    assert res.status == "completed" and res.deduped
+    assert res.schema_report.dropped_from_merge == ["updated"]
+
+    out = {r["id"]: r for r in pipe.target_for("users", ["id"]).read().collect()}
+    assert out[1]["name"] == "winner"
+    # ordering-only rider never lands: original value and type preserved
+    assert out[1]["updated"] == Decimal("1.00")
