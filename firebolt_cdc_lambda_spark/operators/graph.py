@@ -122,11 +122,21 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         e = _star_round(_star_round(e, large=True), large=False)
         e = e.localCheckpoint()   # truncate lineage; one job per round
-        # convergence: edge multiset stable (count + order-free checksum)
+        # convergence: edge multiset stable.  The signature gates the
+        # CORRECTNESS of the clustering, so it must be effectively
+        # collision-proof: count + order-free 64-bit xxhash64 checksum +
+        # min/max edge hash.  (The previous 32-bit `hash` sum had a ~2^-32
+        # chance of declaring a false fixpoint on a changed multiset; two
+        # independent 64-bit order-free digests push that below any
+        # realistic concern, for free — same single aggregation job.)
+        # (the checksum sums 64-bit hashes as DECIMAL(38,0): exact, and
+        # immune to the ANSI-mode BIGINT overflow a long sum would hit)
         sig = e.selectExpr(
             "count(*) AS n",
-            "sum(hash(src, dst)) AS chk").first()
-        sig = (sig["n"], sig["chk"])
+            "sum(CAST(xxhash64(src, dst) AS DECIMAL(38,0))) AS chk",
+            "min(xxhash64(dst, src)) AS lo",
+            "max(xxhash64(dst, src)) AS hi").first()
+        sig = (sig["n"], sig["chk"], sig["lo"], sig["hi"])
         rounds += 1
         sizes.append(sig[0])
         if sig == prev_sig:

@@ -141,16 +141,30 @@ class LshIndex:
     # -- probe ------------------------------------------------------------
     def _read_shards(self, store: str, shards: list[int]) -> DataFrame | None:
         """Pruned read of one store: only the named shard dirs are
-        globbed (missing dirs simply don't match); None = nothing there."""
+        globbed (missing dirs simply don't match); None = nothing there.
+
+        ONLY a verifiably-absent path maps to None.  Every other failure
+        (corrupt parquet, permission/transient object-store errors)
+        re-raises: treating a real read error as "no near-duplicates"
+        would make ``filter_new`` silently admit duplicate documents —
+        a data-quality hole at the exact place this index exists to
+        guard."""
         if not shards:
             return None
+        from pyspark.errors import AnalysisException
         glob = ",".join(str(s) for s in sorted(shards))
         try:
             return (self.spark.read
                     .option("basePath", f"{self.path}/{store}")
                     .parquet(f"{self.path}/{store}/shard={{{glob}}}"))
-        except Exception:
-            return None   # store absent or no probed shard written yet
+        except AnalysisException as exc:
+            # PATH_NOT_FOUND: store absent or no probed shard written yet.
+            # UNABLE_TO_INFER_SCHEMA: shard dirs exist but hold no files
+            # (e.g. an aborted first write) — equally "nothing there".
+            if exc.getErrorClass() in ("PATH_NOT_FOUND",
+                                       "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
 
     def probe(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text",

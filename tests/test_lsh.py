@@ -126,3 +126,38 @@ def test_probe_against_empty_index_is_empty(spark, tmp_path):
     got = ix.probe(docs.limit(3))
     assert got.count() == 0
     assert got.columns == ["batch_doc_id", "corpus_doc_id", "jaccard"]
+
+
+def test_corrupted_shard_raises_not_silently_empty(spark, tmp_path):
+    """A real read failure (corrupt parquet) must RAISE: treating it as
+    'no near-duplicates' would make filter_new silently admit duplicate
+    documents.  Only a verifiably-absent path maps to 'nothing there'."""
+    import glob as globmod
+    import os
+
+    import pytest
+
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh"), n_shards=4)
+    ix.build(docs)
+    # corrupt every bucket-store shard data file
+    for f in globmod.glob(f"{tmp_path}/lsh/buckets/shard=*/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"definitely not parquet" * 64)
+    batch, _, _ = _batch(spark, docs)
+    with pytest.raises(Exception) as exc_info:
+        ix.probe(batch).collect()
+    # the benign-absence path would have returned an empty frame instead
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_empty_shard_dirs_treated_as_absent(spark, tmp_path):
+    """Shard dirs that exist but hold no files (aborted first write) are
+    'nothing there', not an error."""
+    import os
+    root = tmp_path / "lsh" / "buckets"
+    for s in range(4):
+        os.makedirs(root / f"shard={s}")
+    ix = LshIndex(spark, str(tmp_path / "lsh"), n_shards=4)
+    batch, _, _ = _batch(spark, _docs(spark))
+    assert ix.probe(batch).count() == 0
