@@ -14,56 +14,50 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
     _MERGED.update(_m.QUERIES)
 
 # The driver's CORRECTNESS gate runs the FIRST 50 entries in iteration
-# order.  Queries added after this round's gate was frozen (span dedup,
-# tf-idf, BM25, char diversity, chunking, vocab growth, domain cap,
-# weighted sample, lead/lag gaps, listagg, RANGE-frame window,
-# UNPIVOT, embedding outlier trim, salted skew agg) sit beyond slot 50 — they are
-# covered by the local 106-query differential suite every run and MUST
-# rotate into the round-4 gate.
-# Rotation policy (one green row ≤ 1 round old for every query):
-# round 1 gated the module-order first 50; round 2 gated the LLM surface
-# + window/asof/TPC-H flagships; round 3 rotates the 30 queries whose
-# only green row is from round 1 back into the gate, adds the twelve
-# new round-3 queries (repetition filter, PII scrub, quality verdict,
-# decontamination, mixture sampling, label centroids, pseudo-labeling,
-# bigram fluency, near-dup clustering, stratified sampling, sequence
-# packing, incremental dedup), and keeps 8 canaries from round 2's
-# green set (≥1 per family; q3/sessionization/dedup_cascade/
-# val_approx_distinct/val_ingestion_seq rotate out — their families stay
-# covered by q1+q12, asof_event_last_order, cdc_pipeline_snapshot+
-# merge_upsert_delete, and the 17 val_* rows re-gated above;
-# dedup_minhash_lsh rotates out because dedup_cluster_assign runs the
-# entire LSH pair pipeline as its prefix; text_quality_stats /
-# dataset_split_assignment / grouping_sets_status_priority yield their
-# slots to the five new text/sampling rows and the ROLLUP row
-# val_rollup_status_priority re-gated above).
+# order; _DRIVER_PRIORITY pins those 50 explicitly (module-dict order is
+# irrelevant to the gate — new queries should still be appended at the
+# END of their module dicts so the beyond-slot-50 tail stays stable).
+# Rotation policy (every query gets a driver row, the freshest possible):
+# round 1 gated the module-order first 50; round 2 the LLM surface +
+# window/asof/TPC-H flagships; round 3 re-gated the 30 r1-only rows, the
+# twelve new round-3 queries, and 8 r2 canaries.  ROUND 4 (this gate):
+#   * slots 1-15 — the fifteen oracled queries that had NEVER had a
+#     driver row (added after round 3's gate froze);
+#   * slots 16-17 — the multimodal pair, upgraded from rows-only to full
+#     literal-VALUES oracles (deterministic fixtures => fixed tables);
+#   * slots 18-43 — all 26 queries whose newest driver row is round 2
+#     (staleness-first re-gate);
+#   * slots 44-50 — seven round-3-green canaries, ≥1 per family: CDC
+#     merge + pipeline, TPC-H agg, LSH-pairs->connected-components,
+#     incremental LSH gate, IVF ANN, validation summary.
+# After round 4: union r1∪r2∪r3∪r4 = all 109 corpus queries, and every
+# query's newest driver row is ≤ 2 rounds old (r3 or r4).
 _DRIVER_PRIORITY = [
-    # r1-only rows, re-gated this round -----------------------------------
-    "val_price_histogram", "val_pivot_status", "val_profile_orders",
-    "val_percentiles", "events_json_extract", "scalar_functions_showcase",
-    "val_rollup_status_priority", "val_date_distribution",
-    "val_null_counts", "val_duplicate_keys", "val_duplicate_pks",
-    "val_category_counts", "val_monthly_distribution", "val_freshness",
-    "val_global_summary", "val_topk_orders", "val_sample_rows",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_sole_supplier_multi_line", "q22_idle_rich_customers",
-    # new round-3 queries: first driver-oracle rows ------------------------
-    "text_repetition_filter", "text_pii_scrub", "text_quality_filter",
-    "text_decontamination", "corpus_mixture_sampling",
-    "embedding_label_centroids", "embedding_pseudo_label",
-    "text_bigram_fluency", "dedup_cluster_assign",
-    "corpus_stratified_sample", "corpus_sequence_packing",
-    "dedup_incremental_filter",
-    # canaries from round 2's green set, ≥1 per family --------------------
-    "ann_ivf_topk",
-    "q1_pricing_summary", "q12_shipping_delay_classes",
-    "window_rank_family", "asof_event_last_order",
-    "cdc_pipeline_snapshot", "cdc_merge_upsert_delete",
-    "join_enriched_orders",
+    # never-driver-gated oracled queries ----------------------------------
+    "text_bm25_search", "text_tfidf_keywords", "text_passage_dedup",
+    "text_char_diversity", "text_chunk_overlap", "text_vocab_growth",
+    "corpus_domain_cap", "corpus_drift_tv", "corpus_weighted_sample",
+    "embedding_outlier_trim", "events_lead_lag_gaps", "skew_salted_agg",
+    "sql_surface_listagg", "sql_surface_unpivot", "window_range_frame",
+    # multimodal pair: first HASH-matchable driver rows -------------------
+    "multimodal_image_neardup", "multimodal_audio_features",
+    # newest driver row is round 2: staleness-first re-gate ---------------
+    "argmax_order_per_customer", "gapfill_monthly_orders",
+    "range_join_event_pairs", "window_moving_frame",
+    "events_hourly_tumbling", "scalar_datetime_showcase",
+    "window_distribution_family", "q3_shipping_priority",
+    "q5_nation_revenue", "q10_returned_items", "window_topn_per_segment",
+    "events_sessionization", "text_fuzzy_event_types",
+    "dataset_split_assignment", "text_token_count", "text_quality_stats",
+    "text_lang_id", "text_token_topk", "dedup_exact", "doc_fingerprint",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_cosine_topk", "ann_lsh_bucket_topk",
+    # round-3-green canaries, ≥1 per family -------------------------------
+    "cdc_merge_upsert_delete", "cdc_pipeline_snapshot",
+    "q1_pricing_summary", "dedup_cluster_assign",
+    "dedup_incremental_filter", "ann_ivf_topk", "val_global_summary",
 ]
+assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
 ALL_QUERIES: dict[str, Query] = {}
 for _n in _DRIVER_PRIORITY:

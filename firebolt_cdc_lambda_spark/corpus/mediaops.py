@@ -1,8 +1,12 @@
 """Multimodal pipeline queries: the binary-media operators under the
-driver's gate as rows-only checks (genuinely non-SQL-expressible — the
-decode/DSP work happens in Arrow-batched mapInPandas, which DuckDB
-cannot replicate; correctness is pinned by tests/test_multimodal.py and
-by the deterministic fixtures here).
+driver's gate with FULL hash-matchable oracles.  The decode/DSP work
+happens in Arrow-batched mapInPandas, which DuckDB cannot replicate —
+but the fixtures are fully deterministic (seeded BMP gradients,
+synthesized WAV tones), so each query's expected output is a FIXED
+table, expressed as a literal VALUES relation.  The literals were
+captured from the Spark pipeline and are independently pinned by
+tests/test_multimodal.py's codec-level assertions; any regression in
+decode, resize, phash, banding, or the rfft path breaks the value hash.
 
 Both queries run REAL codecs end-to-end (functions/multimodal):
 genuine BMP images through decode -> nearest-neighbor resize ->
@@ -58,15 +62,46 @@ def multimodal_audio_features(spark, sf):
         .orderBy("id"))
 
 
+# Expected outputs as literal VALUES relations (deterministic fixtures
+# => fixed tables).  31 of 32 resized-copy pairs survive the hamming<=7
+# gate (id 90's noise-like image resamples past the bound — see the
+# multimodal_image_neardup docstring); every 16 kHz tone's dominant rfft
+# band is fixed by its synthesized frequency.
+_IMAGE_NEARDUP_ORACLE = """\
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES
+    (0, 1000, 5), (3, 1003, 6), (6, 1006, 5), (9, 1009, 4),
+    (12, 1012, 4), (15, 1015, 5), (18, 1018, 4), (21, 1021, 5),
+    (24, 1024, 3), (27, 1027, 6), (30, 1030, 3), (33, 1033, 3),
+    (36, 1036, 4), (39, 1039, 3), (42, 1042, 7), (45, 1045, 3),
+    (48, 1048, 2), (51, 1051, 4), (54, 1054, 1), (57, 1057, 7),
+    (60, 1060, 3), (63, 1063, 7), (66, 1066, 4), (69, 1069, 5),
+    (72, 1072, 6), (75, 1075, 5), (78, 1078, 5), (81, 1081, 1),
+    (84, 1084, 4), (87, 1087, 0), (93, 1093, 2)
+) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b"""
+
+_AUDIO_FEATURES_ORACLE = """\
+SELECT CAST(id AS BIGINT) AS id, CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS n_bands, CAST(band AS INTEGER) AS dominant_band
+FROM (VALUES
+    (1, 0), (4, 0), (7, 1), (10, 0), (13, 0), (16, 0), (19, 0), (22, 0),
+    (25, 0), (28, 0), (31, 1), (34, 0), (37, 0), (40, 0), (43, 0), (46, 0),
+    (49, 0), (52, 0), (55, 1), (58, 0), (61, 0), (64, 0), (67, 0), (70, 0),
+    (73, 0), (76, 0), (79, 1), (82, 0), (85, 0), (88, 0), (91, 0), (94, 0)
+) AS t(id, band)
+ORDER BY id"""
+
 QUERIES = {
     "multimodal_image_neardup": Query(
-        multimodal_image_neardup, None,
+        multimodal_image_neardup, _IMAGE_NEARDUP_ORACLE,
         "real BMP decode -> resize -> phash -> LSH-banded near-dup "
-        "(rows-only: mapInPandas, non-SQL-expressible)",
+        "(deterministic fixture => literal VALUES oracle)",
         ("multimodal",)),
     "multimodal_audio_features": Query(
-        multimodal_audio_features, None,
+        multimodal_audio_features, _AUDIO_FEATURES_ORACLE,
         "real WAV decode -> rfft band spectrum -> dominant band "
-        "(rows-only: mapInPandas, non-SQL-expressible)",
+        "(deterministic fixture => literal VALUES oracle)",
         ("multimodal",)),
 }
