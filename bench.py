@@ -159,6 +159,49 @@ def bench_stream_throughput(spark, sf_dir, n_files: int = 10,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_fleet_throughput(spark, sf_dir, n_tables: int = 8,
+                           files_per_table: int = 6) -> float:
+    """Aggregate files/sec across a CONCURRENT multi-table fleet — the
+    production shape BASELINE.md describes (809 tables, ~10k files/day ≈
+    0.12 files/s fleet-wide, AUTOMATIC_CLEANUP.md:68).  Per-file triggers
+    (max_files_per_trigger=1) reproduce the reference's one-invocation-
+    per-file granularity; the n_tables streams drain concurrently on the
+    shared session (fair job scheduling), so this measures how much of
+    the per-file fixed cost the fleet amortizes across tables."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bench_fleet_")
+    try:
+        n_slices = n_tables * files_per_table
+        for t in range(n_tables):
+            for i in range(files_per_table):
+                s = t * files_per_table + i
+                (orders.where(F.col("o_orderkey") % n_slices == s)
+                 .withColumn("Op", F.lit("I" if i == 0 else "U"))
+                 .withColumn("load_timestamp", F.to_timestamp(
+                     F.lit(f"2024-01-{i+1:02d} 00:00:00")))
+                 .coalesce(1)
+                 .write.parquet(
+                     f"{tmp}/src/fair/t{t}/2024/01/{i+1:02d}/b{i}.parquet"))
+        keys = json.dumps({f"t{t}": "o_orderkey" for t in range(n_tables)})
+        pipe = CdcPipeline(spark, f"{tmp}/wh", TableKeys.from_json(keys),
+                           num_buckets=16)
+        fleet = CdcFleet(pipe, f"{tmp}/src", f"{tmp}/ckpt",
+                         max_files_per_trigger=1)
+        t0 = time.time()
+        status = fleet.run_once(spark)
+        elapsed = time.time() - t0
+        bad = {t: s for t, s in status.items() if s != "drained"}
+        if bad:
+            raise RuntimeError(f"fleet bench: tables not drained: {bad}")
+        return round(n_slices / elapsed, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_ivf_probe(spark, sf_dir) -> float:
     """Amortized ANN: one-time IvfIndex build (untimed), then the probe
     — a partition-pruned scan of nprobe/K of the corpus (the 100 TB
@@ -238,6 +281,7 @@ def main() -> None:
     catchup_fps = max(bench_stream_throughput(spark, sf_dir,
                                               max_files_per_trigger=10)
                       for _ in range(2))
+    fleet_fps = max(bench_fleet_throughput(spark, sf_dir) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -247,6 +291,7 @@ def main() -> None:
         "queries": timings,
         "stream_files_per_sec": stream_fps,
         "stream_catchup_files_per_sec": catchup_fps,
+        "fleet_files_per_sec": fleet_fps,
         "sf": sf,
     }))
 

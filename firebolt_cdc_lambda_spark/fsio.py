@@ -62,3 +62,12 @@ def list_names(spark: SparkSession, p: str) -> list[str]:
     if not fs.exists(path):
         return []
     return [st.getPath().getName() for st in fs.listStatus(path)]
+
+
+def list_dirs(spark: SparkSession, p: str) -> list[str]:
+    """Leaf names of a directory's sub-DIRECTORIES ([] if missing)."""
+    fs, path, _ = fs_and_path(spark, p)
+    if not fs.exists(path):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(path)
+            if st.isDirectory()]

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -59,6 +60,39 @@ from pyspark.sql import functions as F
 from .ordering import CDC_META_COLS, OP_COL
 
 DEFAULT_DELETE_VALUES = ("D",)
+
+# AQE is disabled for the merge's jobs (see _merge_impl) by toggling the
+# SESSION-global conf — under fleet mode, many tables' foreachBatch merges
+# run concurrently on one shared session, and naive set/restore races:
+# merge B can capture "false" (set by in-flight merge A) as its restore
+# value and leave AQE off for the whole session.  Refcount instead: first
+# merge in captures the true prior value and disables; last merge out
+# restores it.  (Analytic queries running concurrently with a merge lose
+# AQE for that window — a bounded perf effect, never a correctness one.)
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, list] = {}   # id(session) -> [depth, prior_value]
+
+
+def _aqe_disable(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is None:
+            prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            _AQE_STATE[id(spark)] = [1, prior]
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            st[0] += 1
+
+
+def _aqe_restore(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is None:
+            return
+        st[0] -= 1
+        if st[0] <= 0:
+            spark.conf.set("spark.sql.adaptive.enabled", st[1])
+            del _AQE_STATE[id(spark)]
 
 
 class MergeKeyError(ValueError):
@@ -458,10 +492,10 @@ class KeyedTable:
         # repartition on _bucket, dynamic partition overwrite), so adaptive
         # re-planning only adds per-stage latency — measured 2.6 -> 2.0 s
         # on the ~3k-row batch and 1.7 -> 1.1 s on the ~30-key batch at
-        # sf0.1/local[32].  Restored after the merge; at cluster scale the
-        # big analytic queries (where AQE earns its keep) are unaffected.
-        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # sf0.1/local[32].  Refcounted (fleet-concurrency-safe) disable;
+        # restored after the merge, so at cluster scale the big analytic
+        # queries (where AQE earns its keep) are unaffected.
+        _aqe_disable(self.spark)
         stamped = self._with_bucket(staging).cache()
         try:
             # ONE aggregation job yields the touched-bucket list, the
@@ -546,4 +580,4 @@ class KeyedTable:
                     out.unpersist()
         finally:
             stamped.unpersist()
-            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            _aqe_restore(self.spark)

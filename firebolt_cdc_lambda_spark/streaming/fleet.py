@@ -18,10 +18,9 @@ Tables with a null PK are skipped, not errored (CHANGELOG.md:6-19).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
+from .. import fsio
 from ..pipeline import CdcPipeline
 from .cdc_stream import CdcStream
 
@@ -36,12 +35,11 @@ class CdcFleet:
         self.max_files_per_trigger = max_files_per_trigger
 
     def discover_tables(self) -> list[str]:
-        """Tables = subdirectories of <source_root>/fair/."""
-        fair = os.path.join(self.source_root, "fair")
-        if not os.path.isdir(fair):
-            return []
-        return sorted(d for d in os.listdir(fair)
-                      if os.path.isdir(os.path.join(fair, d)))
+        """Tables = subdirectories of <source_root>/fair/.  Listed via the
+        Hadoop FS API so an object-store source root (s3a://, abfs://)
+        works identically to a local path."""
+        return sorted(fsio.list_dirs(self.pipeline.spark,
+                                     f"{self.source_root}/fair"))
 
     def streams(self) -> dict[str, CdcStream]:
         """One configured CdcStream per configured (non-null-PK) table."""

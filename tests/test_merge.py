@@ -277,3 +277,20 @@ def test_merge_raw_batch_null_keys_counted(spark, tmp_path):
     assert n_rows == 2          # post-dedup: {NULL, 2}
     rows = {r["id"]: r["name"] for r in t.read().collect()}
     assert rows == {1: "a", None: "n2", 2: "b"}  # last writer wins for NULL key
+
+
+def test_aqe_refcount_survives_concurrent_merges(spark):
+    """Fleet mode runs many tables' merges concurrently on one session;
+    the AQE disable must refcount so the LAST merge out restores the
+    true prior value (naive set/restore could capture 'false' set by a
+    concurrent merge and leave AQE off session-wide)."""
+    from firebolt_cdc_lambda_spark.operators.merge import (
+        _aqe_disable, _aqe_restore)
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    _aqe_disable(spark)   # merge A enters
+    _aqe_disable(spark)   # merge B enters while A in flight
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    _aqe_restore(spark)   # A leaves: B still in flight
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    _aqe_restore(spark)   # B leaves: true prior restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prior
