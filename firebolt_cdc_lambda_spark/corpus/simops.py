@@ -445,6 +445,82 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# -- ANN compression path: product quantization + ADC ---------------------
+# Same arithmetic as operators/pq.PqIndex (first-Ks codebooks, integer-L2
+# encode, ADC lookup-sum) in the corpus' self-contained join form: the
+# output is ALL-INTEGER (approx_dist sums exact integer L2s), so the
+# oracle match is exact with no float tolerance at all.
+_PQ_M = 8          # subspaces (64-dim embeddings -> 8 dims each)
+_PQ_KS = 16        # codes per subspace
+
+
+def ann_pq_topk(spark, sf):
+    """PQ-compressed ANN: encode the corpus as 8 small ints per vector
+    (32x smaller than the float embedding), score every (query, vector)
+    pair by ADC table lookups, top-10 by approximate distance.  The
+    compression tier of the ANN ladder (brute -> LSH buckets -> IVF
+    cells -> PQ codes); operators/pq.PqIndex is the persisted
+    build-once form with exact rerank and IVF-PQ cell pruning."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf, "embeddings")
+    qv = e.selectExpr("vec_id", f"{_QUANT_SPARK} AS qv")
+    sub = (qv.selectExpr("vec_id", f"explode(sequence(0, {_PQ_M - 1})) AS m",
+                         "qv")
+           .selectExpr("vec_id", "m",
+                       f"slice(qv, m * (size(qv) div {_PQ_M}) + 1, "
+                       f"size(qv) div {_PQ_M}) AS sv"))
+    w_cb = Window.partitionBy("m").orderBy("vec_id")
+    cb = (sub.where(F.col("vec_id") < _PQ_KS)
+          .withColumn("code", F.row_number().over(w_cb) - 1)
+          .selectExpr("m", "code", "sv AS cb_sv"))
+    dot = _DOT_SPARK
+    l2 = (f"{dot.format(a='sv', b='sv')} - 2 * {dot.format(a='sv', b='cb_sv')}"
+          f" + {dot.format(a='cb_sv', b='cb_sv')}")
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    dists = (sub.join(F.broadcast(cb), "m")
+             .selectExpr("vec_id", "m", "code", f"{l2} AS dist"))
+    enc = (dists.withColumn("rn", F.row_number().over(w_enc))
+           .where("rn = 1").select("vec_id", "m", "code"))
+    lut = (dists.where(F.col("vec_id") < _N_QUERIES)
+           .selectExpr("vec_id AS query_id", "m", "code", "dist"))
+    scored = (enc.join(F.broadcast(lut), ["m", "code"])
+              .where("vec_id <> query_id")
+              .groupBy("query_id", "vec_id")
+              .agg(F.sum("dist").alias("approx_dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "vec_id", "approx_dist",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+ANN_PQ_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+sub AS (SELECT vec_id, m, qv[m*(len(qv)//{_PQ_M})+1 : (m+1)*(len(qv)//{_PQ_M})] AS sv
+        FROM q, range({_PQ_M}) t(m)),
+cb AS (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+              sv AS cb_sv
+       FROM sub WHERE vec_id < {_PQ_KS}),
+dists AS (SELECT s.vec_id, s.m, c.code,
+       CAST(list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+          - 2 * list_dot_product(s.sv::DOUBLE[], c.cb_sv::DOUBLE[])
+          + list_dot_product(c.cb_sv::DOUBLE[], c.cb_sv::DOUBLE[]) AS BIGINT) AS dist
+       FROM sub s JOIN cb c ON s.m = c.m),
+enc AS (SELECT vec_id, m, code FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) rn
+         FROM dists) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, code, dist FROM dists WHERE vec_id < {_N_QUERIES}),
+scored AS (SELECT l.query_id, e.vec_id,
+                  CAST(SUM(l.dist) AS BIGINT) AS approx_dist
+           FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+           WHERE e.vec_id <> l.query_id GROUP BY 1, 2)
+SELECT query_id, vec_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {_TOP_K}
+"""
+
+
 # -- embedding-cosine near-duplicate detection ---------------------------
 # the "semantic dedup" variant: two vectors are near-dups if cosine >=
 # threshold; candidates restricted to the same sign-bit bucket (scale
@@ -858,4 +934,9 @@ QUERIES = {
                                  "sign-bit LSH-bucketed ANN (approximate scale path)"),
     "ann_ivf_topk": Query(ann_ivf_topk, ANN_IVF_TOPK_SQL,
                           "IVF coarse-quantizer ANN (nprobe cell-pruned scale path)"),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "ann_pq_topk": Query(ann_pq_topk, ANN_PQ_TOPK_SQL,
+                         "product-quantization ANN: byte codes + ADC "
+                         "lookup scoring (compression scale path)"),
 }
