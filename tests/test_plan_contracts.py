@@ -1,0 +1,132 @@
+"""Physical-plan CONTRACTS: the shapes PLANS.md documents, asserted.
+
+These are the plans the engine's 100 TB story depends on (broadcasts
+bounded by the micro-batch, structural partition pruning, map-side
+top-k, pushed filters).  A refactor that silently flips one of them to
+a shuffle join / full scan would pass every value-correctness test and
+only show up as a 100x regression at scale — so the shapes themselves
+are pinned here.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def executed(df) -> str:
+    """Final executed-plan string (runs the plan so AQE finalizes)."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, df) -> str:
+    """explain('formatted') as a string (scan detail: pushed/partition
+    filters, ReadSchema)."""
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_merge_joins_all_broadcast_no_smj(spark):
+    """merge_cdc's contract (PLANS §4): every join broadcasts the
+    micro-batch side — zero SortMergeJoin, zero CartesianProduct, and
+    the target side never exchanges."""
+    from firebolt_cdc_lambda_spark.operators.merge import merge_cdc
+    import datetime as dt
+    target = spark.range(5000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS bal", "md5(CAST(id AS STRING)) AS pay")
+    stg = spark.createDataFrame([
+        Row(id=i, bal=1.0, pay="x", Op="U" if i % 3 else "D",
+            load_timestamp=dt.datetime(2024, 1, 2)) for i in range(40)])
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # as _merge_impl runs it
+    try:
+        plan = executed(merge_cdc(target, stg, ["id"]))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3   # outer + semi + anti
+
+
+def test_dedup_single_exchange_with_windowgrouplimit(spark):
+    """The dedup window (PLANS §1): ONE shuffle on the key hash, and
+    WindowGroupLimit pre-filters rank-1 candidates map-side."""
+    from firebolt_cdc_lambda_spark.operators.dedup import deduplicate
+    import datetime as dt
+    df = spark.range(2000).selectExpr(
+        "id % 500 AS k", "id AS v", "'U' AS Op",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS load_timestamp")
+    plan = executed(deduplicate(df, ["k"]))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_filters_pushed_and_columns_pruned(spark):
+    """q1 (PLANS §3): the date filter reaches the Parquet scan and the
+    scan reads a strict subset of lineitem's columns."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = formatted(spark, df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_comment" not in read[0]   # pruned
+
+
+def test_q5_dimensions_broadcast(spark):
+    """q5 (PLANS §2): every dimension side broadcasts; the fact table
+    join chain contains no cartesian products and at most the single
+    documented shuffle join (lineitem x orders)."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["q5_nation_revenue"].fn(spark, SF_DIR)
+    plan = executed(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_lsh_probe_scans_only_probed_shards(spark, tmp_path):
+    """LshIndex.probe (PLANS §5): pruned shard reads are STRUCTURAL —
+    the scan location is the brace-alternation glob of probed shards,
+    never the store root."""
+    from firebolt_cdc_lambda_spark.operators.lsh import LshIndex
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ix = LshIndex(spark, str(tmp_path / "lsh"), n_shards=16)
+    ix.build(docs)
+    batch = docs.where("doc_id % 20 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "substr(text, 4) AS text")
+    probe = ix.probe(batch)
+    plan = formatted(spark, probe)
+    # every parquet scan of the index stores goes through a shard= glob
+    locs = [ln for ln in plan.splitlines()
+            if "Location" in ln and ("buckets" in ln or "/sig" in ln)]
+    assert locs, "expected index-store scans in the plan"
+    assert all("shard=" in ln for ln in locs)
+
+
+def test_ivf_probe_partition_pruned(spark, tmp_path):
+    """IvfIndex.probe (PLANS §5b): the probed-cell IN-list lands as a
+    PARTITION filter on the cell-partitioned store (real pruning, not a
+    post-scan filter)."""
+    from firebolt_cdc_lambda_spark.operators.ivf import IvfIndex
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=8, nprobe=2)
+    ivf.build(vecs)
+    probe = ivf.probe(vecs.where("vec_id < 3"), top_k=5)
+    plan = formatted(spark, probe)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and "IN" in ln.upper() for ln in part)
+
+
+def test_pq_probe_no_smj_topk_prefiltered(spark, tmp_path):
+    """PqIndex.probe (PLANS §5d): ADC runs without any sort-merge join
+    and the per-query top-k is WindowGroupLimit-pre-filtered."""
+    from firebolt_cdc_lambda_spark.operators.pq import PqIndex
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ix = PqIndex(spark, str(tmp_path / "pq"))
+    ix.build(vecs)
+    probe = ix.probe(vecs.where("vec_id < 3"), top_k=5)
+    plan = executed(probe)
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
