@@ -113,6 +113,9 @@ def _key_cond(keys: Sequence[str], left: str, right: str) -> Column:
     )
 
 
+TOMBSTONE_COL = "__tombstone"
+
+
 def merge_cdc(
     target: DataFrame,
     staging: DataFrame,
@@ -122,17 +125,35 @@ def merge_cdc(
     insert_deletes: bool = False,
     version_col: str | None = None,
     extra_meta_cols: Sequence[str] = (),
+    tombstones: bool = False,
 ) -> DataFrame:
     """Apply one deduplicated CDC batch to a target snapshot; returns the
     new snapshot with exactly the target's schema.
 
     ``staging`` must hold at most one row per key (run operators.dedup
     first, as the reference does in its step 3).
-    """
-    meta = set(CDC_META_COLS) | set(extra_meta_cols)
+
+    ``tombstones=True`` keeps deleted keys as marker rows
+    (TOMBSTONE_COL=true, carrying the delete's version) instead of
+    physically removing them.  Without tombstones, version gating cannot
+    stop a deleted key from being RESURRECTED by a stale out-of-order
+    row: the delete removed the stored row, so an older late-arriving
+    update finds no match and re-inserts (the reference has the same
+    gap and leans on its file ledger, which only blocks replaying the
+    same file — not a genuinely late different file).  With tombstones
+    the delete's version stays comparable, so a stale update is gated
+    exactly like any stale write, a fresh update resurrects the key,
+    and unmatched deletes insert AS tombstones (making delete-then-
+    late-stale-insert safe too).  The target must already carry
+    TOMBSTONE_COL (KeyedTable adds + hides it).  ``insert_deletes`` is
+    ignored under tombstones (unmatched deletes become tombstones)."""
+    meta = set(CDC_META_COLS) | set(extra_meta_cols) | {TOMBSTONE_COL}
     if version_col is not None:
         meta.discard(version_col)
     t_cols = target.columns
+    if tombstones and TOMBSTONE_COL not in t_cols:
+        raise ValueError(f"tombstones=True requires a {TOMBSTONE_COL} column "
+                         "on the target (KeyedTable(tombstones=True) adds it)")
     missing_keys = [k for k in keys if k not in t_cols or k not in staging.columns]
     if missing_keys:
         raise MergeKeyError(f"merge keys missing from target or staging: {missing_keys}")
@@ -172,8 +193,10 @@ def merge_cdc(
         "*", f"{is_delete_sql} AS __is_delete", "TRUE AS __s_present")
 
     # The NOT MATCHED branch inserts delete rows too when insert_deletes
-    # (reference parity, lambda/handler.py:609-612).
-    insert_src = stg if insert_deletes else stg.where("NOT __is_delete")
+    # (reference parity, lambda/handler.py:609-612); under tombstones,
+    # unmatched deletes ALWAYS insert — as tombstone rows.
+    insert_src = (stg if (insert_deletes or tombstones)
+                  else stg.where("NOT __is_delete"))
 
     # Matched + untouched in ONE left-outer join (broadcast staging): an
     # unmatched target row resolves to itself; a matched row resolves per
@@ -198,12 +221,24 @@ def merge_cdc(
         take_s = "TRUE"
 
     is_live_delete = f"({matched} AND s.`__is_delete` AND {take_s})"
-    kept = joined.where(f"NOT {is_live_delete}")
+    # tombstones: a live delete becomes a marker UPDATE (kept row,
+    # TOMBSTONE_COL=true, version advanced), never a removed row
+    kept = joined if tombstones else joined.where(f"NOT {is_live_delete}")
 
     def resolved(c: str) -> str:
         tc = f"t.{_q(c)}"
+        if tombstones and c == TOMBSTONE_COL:
+            # fresh delete -> true; fresh non-delete write -> false
+            # (resurrection); otherwise keep the stored marker
+            return (f"CASE WHEN {matched} AND {take_s} THEN s.`__is_delete` "
+                    f"ELSE COALESCE({tc}, FALSE) END AS {_q(c)}")
         if c in common:
             ty = target.schema[c].dataType.simpleString()
+            if tombstones and version_col is not None and c == version_col:
+                # the version advances on fresh DELETES too — the
+                # tombstone must carry it to gate future stale writes
+                return (f"CASE WHEN {matched} AND {take_s} "
+                        f"THEN CAST(s.{_q(c)} AS {ty}) ELSE {tc} END AS {_q(c)}")
             return (f"CASE WHEN {matched} AND {take_s} AND (NOT s.`__is_delete`) "
                     f"THEN CAST(s.{_q(c)} AS {ty}) ELSE {tc} END AS {_q(c)}")
         return f"{tc} AS {_q(c)}"
@@ -225,14 +260,15 @@ def merge_cdc(
                     .join(F.broadcast(s), cond, "left_semi"))
     ins = insert_src.alias("s").join(F.broadcast(matched_keys).alias("t"),
                                      _key_cond(keys, "s", "t"), "left_anti")
-    inserted = ins.selectExpr(
-        *[
-            (f"CAST({_q(c)} AS {target.schema[c].dataType.simpleString()}) AS {_q(c)}"
-             if (c in common or c in keys)
-             else f"CAST(NULL AS {target.schema[c].dataType.simpleString()}) AS {_q(c)}")
-            for c in t_cols
-        ]
-    )
+    def insert_expr(c: str) -> str:
+        ty = target.schema[c].dataType.simpleString()
+        if tombstones and c == TOMBSTONE_COL:
+            return f"`__is_delete` AS {_q(c)}"
+        if c in common or c in keys:
+            return f"CAST({_q(c)} AS {ty}) AS {_q(c)}"
+        return f"CAST(NULL AS {ty}) AS {_q(c)}"
+
+    inserted = ins.selectExpr(*[insert_expr(c) for c in t_cols])
     return updated.unionByName(inserted)
 
 
@@ -257,17 +293,21 @@ class KeyedTable:
     BUCKET_COL = "_bucket"
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, tombstones: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.num_buckets = num_buckets
-        # The stored table's own bucket count always wins over the
-        # constructor argument: a merger configured with a stale count
-        # would prune against wrong bucket ids and silently lose keys.
+        self.tombstones = tombstones
+        # The stored table's own bucket count (and tombstone mode) always
+        # wins over the constructor arguments: a merger configured with a
+        # stale count would prune against wrong bucket ids and silently
+        # lose keys; a merger unaware of tombstone mode would physically
+        # delete rows another writer relies on for version gating.
         meta = self._load_meta()
         if meta is not None:
             self.num_buckets = int(meta["num_buckets"])
+            self.tombstones = bool(meta.get("tombstones", False))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -323,7 +363,8 @@ class KeyedTable:
     def _save_meta(self) -> None:
         import json
         self._write_sidecar("_meta.json", json.dumps(
-            {"num_buckets": self.num_buckets, "keys": self.keys}))
+            {"num_buckets": self.num_buckets, "keys": self.keys,
+             "tombstones": self.tombstones}))
 
     def _load_meta(self):
         import json
@@ -346,6 +387,8 @@ class KeyedTable:
     def init(self, df: DataFrame) -> None:
         """Bootstrap the snapshot (full-load path; reference handles these
         via a separate scheduled job, CHANGELOG.md:9-14)."""
+        if self.tombstones and TOMBSTONE_COL not in df.columns:
+            df = df.withColumn(TOMBSTONE_COL, F.lit(False))
         bucketed = self._with_bucket(df)
         (bucketed
          .repartition(self.BUCKET_COL)
@@ -386,7 +429,28 @@ class KeyedTable:
             return self.spark.createDataFrame([], schema)
 
     def read(self) -> DataFrame:
-        return self._read_raw().drop(self.BUCKET_COL)
+        """The LIVE snapshot: tombstone marker rows (and the marker
+        column) are hidden from readers."""
+        df = self._read_raw().drop(self.BUCKET_COL)
+        if self.tombstones and TOMBSTONE_COL in df.columns:
+            df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+                  .drop(TOMBSTONE_COL))
+        return df
+
+    def purge_tombstones(self, before_version=None,
+                         version_col: str | None = None) -> None:
+        """Maintenance: physically drop tombstone rows — all of them, or
+        (with ``before_version`` + ``version_col``) only those whose
+        version is older, keeping recent tombstones to gate still-
+        plausible late arrivals.  Full rewrite via temp-dir swap, like
+        rebucket/cluster_by (run on the same maintenance cadence)."""
+        df = self._read_raw().drop(self.BUCKET_COL)
+        if TOMBSTONE_COL not in df.columns:
+            return
+        dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        if before_version is not None and version_col is not None:
+            dead = dead & (F.col(version_col) < F.lit(before_version))
+        self.rewrite(df.where(~dead))
 
     def rewrite(self, df: DataFrame, sort_within: Sequence[str] = ()) -> None:
         """Full rewrite that is safe when ``df`` reads from this table's own
@@ -530,9 +594,13 @@ class KeyedTable:
             if did_dedup:
                 stg = deduplicate(stamped, self.keys, order=order)
                 n_rows = int(agg_row["uniq"])
+            if self.tombstones:
+                merge_kwargs.setdefault("tombstones", True)
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
-            has_deletes = bool(agg_row["has_del"])
+            # Tombstone mode NEVER empties a bucket (deletes become marker
+            # rows), so it skips the bookkeeping entirely.
+            has_deletes = bool(agg_row["has_del"]) and not self.tombstones
             current = self._read_raw(buckets=buckets).drop(self.BUCKET_COL)
             merged = merge_cdc(current, stg.drop(self.BUCKET_COL), self.keys, **merge_kwargs)
             out = self._with_bucket(merged)

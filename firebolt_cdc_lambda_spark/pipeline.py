@@ -60,6 +60,7 @@ class CdcPipeline:
                  num_buckets: int = 64,
                  insert_deletes: bool = False,
                  version_col: str | None = None,
+                 tombstones: bool = False,
                  alert_hook=None):
         self.spark = spark
         self.table_root = table_root.rstrip("/")
@@ -74,12 +75,19 @@ class CdcPipeline:
         self.num_buckets = num_buckets
         self.insert_deletes = insert_deletes
         self.version_col = version_col
+        # tombstoned deletes: required for correct out-of-order replay
+        # (a physically-deleted key is otherwise resurrectable by a stale
+        # late file — see merge_cdc's tombstones contract); pair with
+        # version_col, and purge via KeyedTable.purge_tombstones on the
+        # maintenance cadence.
+        self.tombstones = tombstones
         self.alert_hook = alert_hook or (lambda msg: None)
         self._rollups: dict[str, list] = {}
 
     def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
         return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
-                          num_buckets=self.num_buckets)
+                          num_buckets=self.num_buckets,
+                          tombstones=self.tombstones)
 
     # -- continuous aggregates maintained per batch -----------------------
     def register_rollup(self, table: str, rollup, project) -> None:
@@ -116,12 +124,22 @@ class CdcPipeline:
         t0 = time.time()
         df = read_cdc_files(self.spark, list(paths))
         deduped = deduplicate(df, keys, check_bypass=True)
-        out_cols = [c for c in deduped.columns if c not in CDC_META_COLS]
         target = self.target_for(table, keys)
-        target.init(deduped.select(*out_cols))
+        target.init(deduped.select(*self._out_cols(deduped)))
         return BatchResult("bootstrapped", table=table,
                            rows=target.read().count(),
                            duration_sec=time.time() - t0)
+
+    def _out_cols(self, df: DataFrame) -> list[str]:
+        """Columns that land in the target at bootstrap: everything but
+        CDC metadata (FIX_9_DECIMAL_TABLES.sql:35 EXCLUDE) — EXCEPT the
+        version column, which MUST be stored for the version gate to
+        compare against (a version_col that never lands makes the gate a
+        silent no-op: every merge would see take_s=TRUE and stale late
+        files would overwrite or resurrect — a deliberate deviation from
+        the reference, which stores no version and leans on its ledger)."""
+        return [c for c in df.columns
+                if c not in CDC_META_COLS or c == self.version_col]
 
     # -- entry point 1: one file (lambda_handler analogue) ----------------
     def process_file(self, file_key: str) -> BatchResult:
@@ -157,18 +175,25 @@ class CdcPipeline:
 
         if not target.exists():
             # bootstrap: first batch creates the table (schema from Parquet,
-            # metadata columns excluded — FIX_9_DECIMAL_TABLES.sql:35 EXCLUDE)
+            # metadata columns excluded — FIX_9_DECIMAL_TABLES.sql:35
+            # EXCLUDE — except the version column, which must be stored;
+            # see _out_cols)
             deduped = deduplicate(staging, keys, check_bypass=True)
-            out_cols = [c for c in deduped.columns if c not in CDC_META_COLS]
-            target.init(deduped.select(*out_cols))
+            target.init(deduped.select(*self._out_cols(deduped)))
             return BatchResult("bootstrapped", table=table,
                                rows=target.read().count(),
                                duration_sec=time.time() - t0)
 
         current = target.read()
 
-        # step 2 — schema evolution gate (driver-side planning)
-        report = diff_schemas(current.schema, staging)
+        # step 2 — schema evolution gate (driver-side planning).  The
+        # version column is NOT metadata for diff purposes: it lives in
+        # the target (see _out_cols), and on a target bootstrapped before
+        # version gating was enabled this diff auto-ADDs it (NULL on old
+        # rows — the version gate's NULL contract treats those as
+        # older-than-everything, which is exactly right).
+        diff_meta = frozenset(CDC_META_COLS - {self.version_col})
+        report = diff_schemas(current.schema, staging, meta_cols=diff_meta)
         for name, dtype in report.manual:
             self.alert_hook(f"[{table}] column '{name}' type {dtype.simpleString()} "
                             "requires manual intervention")

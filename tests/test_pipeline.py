@@ -188,3 +188,25 @@ def test_gated_cascade_column_still_orders_dedup(spark, tmp_path):
     assert out[1]["name"] == "winner"
     # ordering-only rider never lands: original value and type preserved
     assert out[1]["updated"] == Decimal("1.00")
+
+
+def test_version_col_lands_and_gates_at_pipeline_level(spark, tmp_path):
+    """Regression: a version_col in CDC_META_COLS (load_timestamp) must
+    STILL land in the target — otherwise the version gate silently never
+    engages (every merge sees no stored version) and a stale late file
+    overwrites fresh data."""
+    root = str(tmp_path / "cdc")
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       ledger=False, num_buckets=4,
+                       version_col="load_timestamp")
+    f1 = write_cdc_file(spark, root, "users", "2024-01-02", "b1.parquet", [
+        Row(id=1, name="fresh", Op="I", load_timestamp=TS2)])
+    assert pipe.process_file(f1).status == "bootstrapped"
+    t = pipe.target_for("users", ["id"])
+    assert "load_timestamp" in t.read().columns     # version col stored
+    # stale late file (older load_timestamp) must NOT overwrite
+    f2 = write_cdc_file(spark, root, "users", "2024-01-01", "b0.parquet", [
+        Row(id=1, name="stale", Op="U", load_timestamp=TS)])
+    assert pipe.process_file(f2).status == "completed"
+    assert t.read().first()["name"] == "fresh"
