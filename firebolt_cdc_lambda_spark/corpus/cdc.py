@@ -173,6 +173,54 @@ WHERE NOT (o_orderkey % 1000 < 20 AND o_orderkey % 5 = 0)
 """
 
 
+# -- out-of-order replay: version gate + tombstones, oracle-checked ------
+# A NEWER batch (updates + deletes) lands first; then a STALE older
+# batch touching the same keys arrives late.  With version gating +
+# tombstoned deletes the final snapshot must show the newer values only:
+# stale updates are gated, and deleted keys stay deleted even though the
+# stale batch tries to write them (the tombstone carries the delete's
+# version).  The oracle states the final relational fact — no *1.5 value
+# from the stale batch may appear anywhere.
+def cdc_out_of_order_replay(spark, sf):
+    import tempfile
+
+    from ..operators.dedup import deduplicate
+    from ..operators.merge import KeyedTable
+
+    orders = load_table(spark, sf, "orders")
+    tmp = tempfile.mkdtemp(prefix="cdc_ooo_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=32,
+                    tombstones=True)
+    kt.init(orders.withColumn(
+        "load_timestamp", F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    touched = orders.where("o_orderkey % 1000 < 20")
+    newer = (touched
+             .withColumn("Op", F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"))
+             .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+             .withColumn("load_timestamp", F.to_timestamp(F.lit("2024-06-01 00:00:00"))))
+    stale = (touched
+             .withColumn("Op", F.lit("U"))
+             .withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+             .withColumn("load_timestamp", F.to_timestamp(F.lit("2024-03-01 00:00:00"))))
+    kt.merge_batch(deduplicate(newer, ["o_orderkey"], check_bypass=True),
+                   version_col="load_timestamp")
+    kt.merge_batch(deduplicate(stale, ["o_orderkey"], check_bypass=True),
+                   version_col="load_timestamp")
+    return kt.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.to_date("o_orderdate").alias("order_date"))
+
+
+CDC_OUT_OF_ORDER_REPLAY_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 1000 < 20 THEN o_totalprice * 1.2
+            ELSE o_totalprice END AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE NOT (o_orderkey % 1000 < 20 AND o_orderkey % 5 = 0)
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -185,4 +233,10 @@ QUERIES = {
                                     "A2 count vs count-distinct bypass check"),
     "cdc_merge_upsert_delete": Query(cdc_merge_upsert_delete, CDC_MERGE_UPSERT_DELETE_SQL,
                                      "J6 MERGE upsert+delete via snapshot resolve"),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "cdc_out_of_order_replay": Query(
+        cdc_out_of_order_replay, CDC_OUT_OF_ORDER_REPLAY_SQL,
+        "stale late batch after newer updates+deletes: version gate + "
+        "tombstones keep the final state batch-order-independent"),
 }

@@ -15,8 +15,11 @@ Reference mechanism -> Spark mechanism (SURVEY §2.9):
   -> gone: foreachBatch serializes one writer per table.
 
 Late data: within a batch the dedup cascade orders correctly; across
-batches pass ``version_col='load_timestamp'`` to make stale replays
-no-ops (SURVEY §7.4 decision).
+batches construct the pipeline with ``version_col='load_timestamp'``
+(stored in the target so the gate can compare) to make stale replays
+no-ops, plus ``tombstones=True`` so even DELETED keys gate stale late
+writes — the batch-order-independent contract (SURVEY §7.4 decision;
+test_tombstones proves the order-independence property).
 
 Scale: each micro-batch's cost is O(batch + touched buckets) via the
 bucketed KeyedTable; the stream sustains the reference's ~10k files/day
