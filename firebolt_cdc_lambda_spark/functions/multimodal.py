@@ -14,18 +14,29 @@ Arrow-batched pandas transforms over ``mapInPandas`` — the documented
 Spark pattern for binary-heavy columns (one Python worker per partition,
 columnar Arrow transfer, no per-row pickling).
 
-IMAGE decoding is REAL for uncompressed 24-bit BMP (a container format
-that, like WAV, needs no external library): ``make_bmp`` emits genuine
-BITMAPFILEHEADER/BITMAPINFOHEADER payloads, ``_decode_bmp`` parses them
-back to an (h, w, 3) pixel array (BGR->RGB, bottom-up rows, 4-byte row
-padding — the actual format, not a simulation), and resize /
-feature-extract / perceptual-hash operate on real pixels.  Compressed
-codecs (PNG/JPEG) and VIDEO remain STUBBED — those decoders genuinely
-require Pillow/ffmpeg, absent from this container.  Each stub either
-raises NotImplementedError (``strict=True``) or produces a
-deterministic fake derived from the bytes (default), so the Spark-side
-plumbing — schema, batch iteration, partitioning, output shape — is
-real and tested end-to-end regardless of codec.
+IMAGE decoding is REAL for two codecs that need no external library:
+
+* uncompressed 24-bit BMP — ``make_bmp`` emits genuine
+  BITMAPFILEHEADER/BITMAPINFOHEADER payloads, ``_decode_bmp`` parses
+  them back to an (h, w, 3) pixel array (BGR->RGB, bottom-up rows,
+  4-byte row padding — the actual format, not a simulation);
+* PNG — the format is chunked zlib (stdlib) + per-scanline filters:
+  ``encode_png`` writes real IHDR/IDAT/IEND chunks with CRCs, and
+  ``_decode_png`` parses chunks, inflates IDAT, and inverts ALL FIVE
+  scanline filters (None/Sub/Up/Average/Paeth) for 8-bit RGB and RGBA
+  (alpha dropped) — a genuine spec-conformant decode path, not a
+  simulation.  (Adam7 interlace and palette/16-bit images raise —
+  loud, not garbage.)
+
+Resize / feature-extract / perceptual-hash operate on the real pixels
+of both codecs; the perceptual hash is therefore CODEC-INDEPENDENT (the
+same picture as BMP and PNG hashes identically — tested).  JPEG (DCT
+entropy coding) and VIDEO remain STUBBED — those genuinely require
+Pillow/ffmpeg, absent from this container.  Each stub either raises
+NotImplementedError (``strict=True``) or produces a deterministic fake
+derived from the bytes (default), so the Spark-side plumbing — schema,
+batch iteration, partitioning, output shape — is real and tested
+end-to-end regardless of codec.
 
 AUDIO is fully REAL: WAV/PCM needs no external library.  The fixture
 synthesizes genuine RIFF/WAV payloads (stdlib ``wave``),
@@ -102,19 +113,125 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + info + pixels
 
 
-def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic synthetic BMP: a seed-keyed gradient pattern, so
-    equal (width, height, seed) payloads are bit-identical and a small
-    pixel perturbation of the same seed is a NEAR-duplicate — the two
-    cases image dedup must separate."""
+def _gradient_rgb(width: int, height: int, seed: int = 0) -> np.ndarray:
+    """The deterministic seed-keyed gradient shared by the BMP and PNG
+    fixtures: equal (width, height, seed) -> identical pixels."""
     x = np.arange(width, dtype=np.int64)[None, :]
     y = np.arange(height, dtype=np.int64)[:, None]
     chans = [(x * 3 + y * 5 + seed) % 256,
              (x * 7 + y * 2 + seed * 11) % 256,
              (x + y * 13 + seed * 29) % 256]
-    rgb = np.stack([np.broadcast_to(c, (height, width)) for c in chans],
-                   axis=-1).astype(np.uint8)
-    return encode_bmp(rgb)
+    return np.stack([np.broadcast_to(c, (height, width)) for c in chans],
+                    axis=-1).astype(np.uint8)
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic synthetic BMP: a seed-keyed gradient pattern, so
+    equal (width, height, seed) payloads are bit-identical and a small
+    pixel perturbation of the same seed is a NEAR-duplicate — the two
+    cases image dedup must separate."""
+    return encode_bmp(_gradient_rgb(width, height, seed))
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """The SAME deterministic gradient as ``make_bmp``, PNG-encoded —
+    byte-different payload, identical pixels (the codec-independence
+    fixture)."""
+    return encode_png(_gradient_rgb(width, height, seed))
+
+
+# -- PNG: a REAL compressed image codec, stdlib zlib + numpy only --------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> genuine PNG bytes: signature, IHDR (8-bit
+    truecolor), one zlib-deflated IDAT of filter-0 scanlines, IEND —
+    every chunk CRC'd per spec."""
+    import binascii
+    import struct
+    import zlib
+    h, w = rgb.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB.  Spec-conformant for the 8-bit
+    truecolor cases (color type 2 = RGB, 6 = RGBA with alpha dropped):
+    chunk walk, IDAT concatenation + inflate, and inversion of all five
+    scanline filters.  Sub/Average/Paeth are pixel-sequential by
+    definition (each pixel depends on the reconstructed left neighbor),
+    so those rows reconstruct in a per-pixel loop; None/Up rows are
+    vectorized.  Unsupported shapes (palette, 16-bit, Adam7 interlace)
+    raise rather than decode garbage."""
+    import struct
+    import zlib
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = bit = ct = interlace = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit != 8 or ct not in (2, 6):
+        raise ValueError(f"unsupported PNG: bit depth {bit}, color type {ct}")
+    if interlace:
+        raise ValueError("unsupported PNG: Adam7 interlace")
+    bpp = 3 if ct == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:                       # None
+            cur = line
+        elif ft == 2:                     # Up
+            cur = (line + prev) & 255
+        elif ft in (1, 3, 4):             # Sub / Average / Paeth
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + b_) >> 1)
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    q = a + b_ - c
+                    pa, pb, pc = abs(q - a), abs(q - b_), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 255
+        else:
+            raise ValueError(f"PNG: bad filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(h, w, bpp)
+    return np.ascontiguousarray(img[:, :, :3])
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -139,10 +256,14 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def _try_decode_image(payload: bytes) -> np.ndarray | None:
-    """REAL decode for BMP; None for codecs that need external libs
-    (callers fall back to the documented stub)."""
+    """REAL decode for BMP and PNG; None for codecs that need external
+    libs (callers fall back to the documented stub)."""
     p = bytes(payload)
-    return _decode_bmp(p) if p[:2] == b"BM" else None
+    if p[:2] == b"BM":
+        return _decode_bmp(p)
+    if p[:8] == PNG_SIG:
+        return _decode_png(p)
+    return None
 
 
 def make_wav(freq_hz: float, duration_s: float = 0.05,
@@ -184,7 +305,9 @@ def make_media_table(spark: SparkSession, n: int = 64,
             "height": h,
             "n_frames": 1 if kind == "image" else 24 + i % 10,
             "sample_rate": 16000 if kind == "audio" else None,
-            "codec": {"image": "bmp" if real_images else "png",
+            # opaque image payloads are labeled "jpeg" — a codec whose
+            # decode genuinely IS stubbed (PNG is now a real decoder)
+            "codec": {"image": "bmp" if real_images else "jpeg",
                       "audio": "pcm", "video": "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
