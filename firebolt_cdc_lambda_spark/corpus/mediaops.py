@@ -45,6 +45,32 @@ def multimodal_image_neardup(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def multimodal_png_neardup(spark, sf):
+    """CODEC INDEPENDENCE as an oracle-checked fact: the SAME seeded
+    gradient images as multimodal_image_neardup, but PNG-encoded (real
+    stdlib-zlib decode: chunk walk + inflate + scanline unfiltering),
+    pushed through the identical resize -> phash -> banded near-dup
+    pipeline.  Because the perceptual hash sees pixels, not containers,
+    the recovered pair set must be EXACTLY the BMP query's — the two
+    queries share one literal-VALUES oracle."""
+    from ..functions import multimodal as M
+    base = M.make_media_table(spark, n=96).where("kind = 'image'")
+    ids = [r["id"] for r in base.select("id").collect()]
+    rows = []
+    for i in ids:
+        w = 64 + (i % 4) * 32
+        h = 64 + (i % 3) * 32
+        rows.append((i, "image", M.make_png(w, h, seed=i),
+                     {"width": w, "height": h, "n_frames": 1,
+                      "sample_rate": None, "codec": "png"}))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    small = (M.resize_images(media, 48, 48)
+             .selectExpr("id + 1000 AS id", "kind", "payload", "meta"))
+    ph = M.phash_images(media.unionByName(small))
+    return (M.image_near_dup(ph, max_hamming=7)
+            .orderBy("id_a", "id_b"))
+
+
 def multimodal_audio_features(spark, sf):
     """Real WAV decode + rfft band energies, then an integer-stable
     summary per clip: dominant frequency band and band count.  The
@@ -103,5 +129,12 @@ QUERIES = {
         multimodal_audio_features, _AUDIO_FEATURES_ORACLE,
         "real WAV decode -> rfft band spectrum -> dominant band "
         "(deterministic fixture => literal VALUES oracle)",
+        ("multimodal",)),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "multimodal_png_neardup": Query(
+        multimodal_png_neardup, _IMAGE_NEARDUP_ORACLE,
+        "real PNG decode (stdlib zlib + scanline unfiltering) through the "
+        "same pipeline — codec-independent phash, shares the BMP oracle",
         ("multimodal",)),
 }
