@@ -100,33 +100,40 @@ WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {_JACCARD_THRESHOLD}
 """
 
 
-def _jaccard_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
+# (_JACCARD_VERIFY_SQL above stays the ORACLES' formulation — the naive
+# two-pass candidate+recount plan — precisely so the fused Spark form
+# below is checked against an independently-derived computation.)
+
+
+# -- n-gram Jaccard (baseline: all pairs sharing a shingle) --------------
+def dedup_ngram_jaccard(spark, sf):
+    """Exact baseline, FUSED form: ``sh`` is distinct (doc_id, shingle),
+    so the shingle-equality self-join yields exactly one row per SHARED
+    shingle per pair — grouping that join counts |A∩B| directly.
+    Candidate generation and verification are ONE join + ONE
+    aggregation; the previous form ran distinct() over the full pair
+    expansion and then re-joined the shingle relation TWICE more to
+    recount what the first join had already produced (measured 309 s ->
+    230 s at sf0.1 — the residual cost is the shared-shingle pair
+    expansion itself, irreducible for an EXACT baseline; output
+    bit-identical, and the DuckDB oracle keeps the naive two-pass
+    formulation as an independent check).  Deliberately quadratic in
+    shared-shingle pairs: MinHash+LSH below is the scale path."""
+    sh = _shingles(_neardup_corpus(spark, sf))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.selectExpr("doc_id AS s1_doc", "h AS s1_h")
-    s2 = sh.selectExpr("doc_id AS s2_doc", "h AS s2_h")
-    inter = (cand
-             .join(s1, F.col("d1") == F.col("s1_doc"))
-             .join(s2, (F.col("d2") == F.col("s2_doc")) & (F.col("s1_h") == F.col("s2_h")))
+    a = sh.selectExpr("doc_id AS d1", "h")
+    b = sh.selectExpr("doc_id AS d2", "h AS hb")
+    inter = (a.join(b, (F.col("h") == F.col("hb")) & (F.col("d1") < F.col("d2")))
              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("i")))
     z1 = sz.selectExpr("doc_id AS z1_doc", "n AS n1")
     z2 = sz.selectExpr("doc_id AS z2_doc", "n AS n2")
     jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
     return (inter
-            .join(z1, F.col("d1") == F.col("z1_doc"))
-            .join(z2, F.col("d2") == F.col("z2_doc"))
+            .join(F.broadcast(z1), F.col("d1") == F.col("z1_doc"))
+            .join(F.broadcast(z2), F.col("d2") == F.col("z2_doc"))
             .where(jac >= _JACCARD_THRESHOLD)
             .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"),
                     jac.alias("jaccard")))
-
-
-# -- n-gram Jaccard (baseline: all pairs sharing a shingle) --------------
-def dedup_ngram_jaccard(spark, sf):
-    sh = _shingles(_neardup_corpus(spark, sf))
-    a = sh.selectExpr("doc_id AS d1", "h")
-    b = sh.selectExpr("doc_id AS d2", "h AS hb")
-    cand = (a.join(b, (F.col("h") == F.col("hb")) & (F.col("d1") < F.col("d2")))
-            .select("d1", "d2").distinct())
-    return _jaccard_verify(sh, cand)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
