@@ -206,6 +206,39 @@ def bench_fleet_throughput(spark, sf_dir, n_tables: int = 8,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_neardup_stream(spark, sf_dir, n_files: int = 6) -> float:
+    """Docs/sec through the streaming near-dup ingestion gate
+    (streaming/neardup.py): one-time index bootstrap over the documents
+    corpus (untimed), then drain n_files batches — each half near-dup
+    shifted copies (rejected) and half novel texts (admitted + indexed)
+    — per-file triggers, the crawl-drop ingest shape at 100 TB."""
+    from firebolt_cdc_lambda_spark.streaming import NearDupStream
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    tmp = tempfile.mkdtemp(prefix="bench_neardup_")
+    try:
+        nd = NearDupStream(spark, f"{tmp}/src", f"{tmp}/store",
+                           f"{tmp}/ckpt", n_shards=64, num_buckets=16)
+        nd.bootstrap(docs)
+        n_docs = 0
+        for i in range(n_files):
+            batch = (docs.where(f"doc_id % {n_files} = {i}")
+                     .selectExpr(
+                         f"doc_id + {(i + 1) * 1_000_000} AS doc_id",
+                         # even docs: near-dup shifted copy of the corpus;
+                         # odd docs: vowel-substituted -> novel shingles
+                         "CASE WHEN doc_id % 2 = 0 THEN substr(text, 4) "
+                         "ELSE translate(text, 'aeiou', '01234') END AS text"))
+            n_docs += batch.count()
+            batch.coalesce(1).write.parquet(f"{tmp}/src/b{i}.parquet")
+        t0 = time.time()
+        nd.run_to_completion()
+        return round(n_docs / (time.time() - t0), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_ivf_probe(spark, sf_dir) -> float:
     """Amortized ANN: one-time IvfIndex build (untimed), then the probe
     — a partition-pruned scan of nprobe/K of the corpus (the 100 TB
@@ -323,6 +356,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"fleet bench failed: {exc}", file=sys.stderr)
         fleet_fps = 0.0
+    try:
+        neardup_dps = bench_neardup_stream(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"neardup stream bench failed: {exc}", file=sys.stderr)
+        neardup_dps = 0.0
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -333,6 +371,7 @@ def main() -> None:
         "stream_files_per_sec": stream_fps,
         "stream_catchup_files_per_sec": catchup_fps,
         "fleet_files_per_sec": fleet_fps,
+        "stream_neardup_docs_per_sec": neardup_dps,
         "ann_pq_probe_amortized": pq_probe,
         "sf": sf,
     }))

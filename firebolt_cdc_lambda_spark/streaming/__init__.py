@@ -1,3 +1,4 @@
 from .cdc_stream import CdcStream
+from .neardup import NearDupStream
 
-__all__ = ["CdcStream"]
+__all__ = ["CdcStream", "NearDupStream"]
