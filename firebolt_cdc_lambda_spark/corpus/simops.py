@@ -910,6 +910,57 @@ FROM (SELECT *, row_number() OVER (PARTITION BY label
 """
 
 
+# -- int8 embedding quantization audit ------------------------------------
+# Storage-tier decision for a 100 TB embedding store: int8 symmetric
+# quantization cuts ANN scan I/O 4x (the same lever PqIndex pushes to
+# 32x); this measures what it costs.  Per dim: q = clamp(round(x*127),
+# ±127); the reconstruction error in 1/127000 grid units is
+# |round(x*127000) - 1000*q| — EXACT BIGINT arithmetic (|x| <= 1 keeps
+# every product far under 2^53), same integer-quantization discipline as
+# _QUANT above, so the DuckDB oracle hashes identically.  Plan: map-only
+# per-vector fold, then one K-group aggregation — no shuffle of vectors.
+_QERR_SPARK = (
+    "transform(embedding, x -> "
+    "abs(CAST(round(CAST(x AS DOUBLE) * 127000) AS BIGINT) - "
+    "1000 * greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+    "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))))")
+_QERR_DUCK = (
+    "list_transform(embedding::DOUBLE[], x -> "
+    "abs(CAST(round(x * 127000) AS BIGINT) - "
+    "1000 * greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+    "CAST(round(x * 127) AS BIGINT)))))")
+
+
+def embedding_int8_quant(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    return (e.selectExpr("label", f"{_QERR_SPARK} AS errs")
+            .selectExpr(
+                "label",
+                "aggregate(errs, CAST(0 AS BIGINT), (a, x) -> a + x) AS err_sum",
+                "array_max(errs) AS err_max",
+                "CAST(size(errs) AS BIGINT) AS dims")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("err_sum").alias("total_err"),
+                 F.max("err_max").alias("max_err"),
+                 F.sum("dims").alias("n_dims"))
+            .selectExpr("label", "n_vecs", "total_err", "max_err",
+                        "CAST(total_err AS DOUBLE) / (n_dims * 127000.0)"
+                        " AS mean_abs_err")
+            .orderBy("label"))
+
+
+EMBEDDING_INT8_QUANT_SQL = f"""
+WITH q AS (SELECT label, {_QERR_DUCK} AS errs FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(list_sum(errs)) AS BIGINT) AS total_err,
+       CAST(MAX(list_max(errs)) AS BIGINT) AS max_err,
+       CAST(SUM(list_sum(errs)) AS DOUBLE)
+         / (SUM(len(errs)) * 127000.0) AS mean_abs_err
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "embedding_outlier_trim": Query(
         embedding_outlier_trim, EMBEDDING_OUTLIER_SQL,
@@ -946,4 +997,8 @@ QUERIES = {
     "ann_pq_topk": Query(ann_pq_topk, ANN_PQ_TOPK_SQL,
                          "product-quantization ANN: byte codes + ADC "
                          "lookup scoring (compression scale path)"),
+    "embedding_int8_quant": Query(
+        embedding_int8_quant, EMBEDDING_INT8_QUANT_SQL,
+        "int8 quantization audit: exact-integer reconstruction error "
+        "per label (storage-tier decision)"),
 }

@@ -954,6 +954,90 @@ FROM r WHERE rn = 1
 """
 
 
+# -- BPE trainer step: weighted adjacent char-pair counting ---------------
+# The first merge step of byte-pair-encoding tokenizer training: count
+# adjacent symbol pairs across the corpus, weighted by word frequency.
+# Classic BPE trains on the WORD-FREQUENCY DICTIONARY, not raw text —
+# the scale story: the pair explode runs over |vocab| distinct words
+# (bounded, Heaps' law), never over the corpus; the corpus-sized work is
+# one map-side-combined word count.  Repeated pairs inside a word ("aaa"
+# -> "aa" twice) count per position, as the BPE algorithm requires.
+def text_bpe_pair_merge(spark, sf):
+    d = load_table(spark, sf, "documents")
+    words = (d.selectExpr(f"explode({_TOKENS_SPARK}) AS w")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .where("length(w) >= 2"))
+    return (words.selectExpr(
+                "wc",
+                "explode(transform(sequence(1, length(w) - 1), "
+                "i -> substr(w, i, 2))) AS pair")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(20))
+
+
+TEXT_BPE_PAIR_SQL = f"""
+WITH w AS (SELECT token AS w, COUNT(*) AS wc
+           FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+           GROUP BY 1 HAVING length(w) >= 2),
+p AS (SELECT wc, unnest(list_transform(range(1, length(w)),
+                                       i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+      FROM w)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 20
+"""
+
+
+# -- cross-snapshot n-gram novelty ----------------------------------------
+# "How much of the new crawl is text we have never seen?" — the
+# memorization/novelty acceptance stat next to corpus_drift_tv's
+# distribution shift.  Word-3-gram vocabularies of the two snapshot
+# halves are compared with ONE conditional-sum groupBy (same one-shuffle
+# shape as drift_tv: no join of two aggregates, no distinct-then-anti-join).
+def text_ngram_novelty(spark, sf):
+    d = load_table(spark, sf, "documents")
+    grams = (d.selectExpr("doc_id % 2 AS half", f"{_TOKENS_SPARK} AS toks")
+             .selectExpr(
+                 "half",
+                 "explode(transform(sequence(1, greatest(size(toks) - 2, 0)), "
+                 "i -> concat_ws(' ', element_at(toks, i), "
+                 "element_at(toks, i + 1), element_at(toks, i + 2)))) AS g"))
+    per = grams.groupBy("g").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"))
+    return (per.agg(
+        F.count(F.lit(1)).alias("n_grams_total"),
+        F.sum((F.col("a") > 0).cast("long")).alias("n_grams_old"),
+        F.sum((F.col("b") > 0).cast("long")).alias("n_grams_new"),
+        F.sum(((F.col("b") > 0) & (F.col("a") == 0)).cast("long"))
+        .alias("n_novel"))
+        .selectExpr("n_grams_total", "n_grams_old", "n_grams_new", "n_novel",
+                    "CAST(n_novel AS DOUBLE) / n_grams_new AS novelty_ratio"))
+
+
+TEXT_NGRAM_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id % 2 AS half, {_TOKENS_DUCK} AS toks FROM documents),
+g AS (SELECT half,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+                         toks[CAST(i AS INTEGER) + 2])) AS g
+      FROM t),
+p AS (SELECT g,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM g GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_grams_total,
+       CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_old,
+       CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_new,
+       CAST(SUM(CASE WHEN b > 0 AND a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN b > 0 AND a = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS novelty_ratio
+FROM p
+"""
+
+
 QUERIES = {
     "text_passage_dedup": Query(text_passage_dedup, TEXT_PASSAGE_DEDUP_SQL,
                                 "cross-doc 20-token span dedup profile"),
@@ -998,4 +1082,14 @@ QUERIES = {
                          "exact dedup via md5 hash-groupBy"),
     "doc_fingerprint": Query(doc_fingerprint, DOC_FINGERPRINT_SQL,
                              "md5 + min-rolling-hash fingerprint"),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "text_bpe_pair_merge": Query(
+        text_bpe_pair_merge, TEXT_BPE_PAIR_SQL,
+        "BPE trainer step: word-frequency-weighted adjacent char-pair "
+        "counts over the distinct-word dictionary"),
+    "text_ngram_novelty": Query(
+        text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL,
+        "cross-snapshot novelty: word-3-gram vocabulary of the new half "
+        "never seen in the old half"),
 }
