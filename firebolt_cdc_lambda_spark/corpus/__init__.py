@@ -32,13 +32,14 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     incremental LSH gate, IVF ANN, validation summary.
 # After round 4: union r1∪r2∪r3∪r4 = all 109 queries that existed when
 # this gate froze, every one's newest driver row ≤ 2 rounds old (r3/r4).
-# ROUND-5 ROTATION NOTE: six queries were added AFTER this gate froze
+# ROUND-5 ROTATION NOTE: seven queries were added AFTER this gate froze
 # (appended at their module-dict ends, beyond slot 50): ann_pq_topk,
 # cdc_out_of_order_replay, multimodal_png_neardup, text_bpe_pair_merge,
-# text_ngram_novelty, embedding_int8_quant.  They are green in the
-# local differential suite at sf0.001/sf0.01 but have never had a
-# driver row — put them in round 5's slots 1-6, re-gate the queries
-# whose newest row will then be round 3, and fill with family canaries.
+# text_ngram_novelty, embedding_int8_quant, multimodal_video_scenes.
+# They are green in the local differential suite at sf0.001/sf0.01 but
+# have never had a driver row — put them in round 5's slots 1-7, re-gate
+# the queries whose newest row will then be round 3, and fill with
+# family canaries.
 _DRIVER_PRIORITY = [
     # never-driver-gated oracled queries ----------------------------------
     "text_bm25_search", "text_tfidf_keywords", "text_passage_dedup",

@@ -119,6 +119,51 @@ FROM (VALUES
 ) AS t(id, band)
 ORDER BY id"""
 
+def multimodal_video_scenes(spark, sf):
+    """REAL video demux -> cross-video duplicate-scene detection: 12
+    deterministic rawseq videos (24 genuine BMP frames each) whose seed
+    ranges overlap, so consecutive videos share bit-identical frames.
+    frame_sample slices every 4th frame's exact bytes; scenes are keyed
+    by frame md5 (identical frames <=> identical bytes), and the pair
+    table counts shared sampled scenes per video pair — expected
+    (v, v+1, 4) and (v, v+2, 2) from the seed arithmetic, which the
+    literal-VALUES oracle pins.
+
+    Scale: demux + hash are map-only over the payload column; only
+    16-byte scene keys reach the join (one shuffle, never payloads)."""
+    from ..functions import multimodal as M
+    rows = []
+    for v in range(12):
+        rows.append((v, "video", M.make_rawseq(48, 32, 24, seed=v * 8),
+                     {"width": 48, "height": 32, "n_frames": 24,
+                      "sample_rate": None, "codec": "rawseq"}))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.frame_sample(media, every_nth=4)
+    scenes = frames.selectExpr("id AS video_id", "md5(frame) AS scene")
+    a, b = scenes.alias("a"), scenes.alias("b")
+    return (a.join(b, "scene")
+            .where("a.video_id < b.video_id")
+            .groupBy(F.col("a.video_id").alias("video_a"),
+                     F.col("b.video_id").alias("video_b"))
+            .agg(F.count_distinct("scene").alias("n_shared_scenes"))
+            .orderBy("video_a", "video_b"))
+
+
+# video v samples frame seeds 8v + {0,4,8,12,16,20}; intersecting with
+# v+1's sampled seeds gives 4 shared frames, with v+2's gives 2, beyond
+# that none — the VALUES below are that arithmetic, verified by the run.
+_VIDEO_SCENES_ORACLE = """\
+SELECT CAST(video_a AS BIGINT) AS video_a,
+       CAST(video_b AS BIGINT) AS video_b,
+       CAST(n AS BIGINT) AS n_shared_scenes
+FROM (VALUES
+    {rows}
+) AS t(video_a, video_b, n)
+ORDER BY video_a, video_b""".format(rows=", ".join(
+    [f"({v}, {v + 1}, 4)" for v in range(11)]
+    + [f"({v}, {v + 2}, 2)" for v in range(10)]))
+
+
 QUERIES = {
     "multimodal_image_neardup": Query(
         multimodal_image_neardup, _IMAGE_NEARDUP_ORACLE,
@@ -136,5 +181,10 @@ QUERIES = {
         multimodal_png_neardup, _IMAGE_NEARDUP_ORACLE,
         "real PNG decode (stdlib zlib + scanline unfiltering) through the "
         "same pipeline — codec-independent phash, shares the BMP oracle",
+        ("multimodal",)),
+    "multimodal_video_scenes": Query(
+        multimodal_video_scenes, _VIDEO_SCENES_ORACLE,
+        "real rawseq video demux -> frame-sample -> cross-video shared-"
+        "scene pairs (deterministic fixture => literal VALUES oracle)",
         ("multimodal",)),
 }

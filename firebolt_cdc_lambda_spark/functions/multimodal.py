@@ -283,32 +283,44 @@ def make_wav(freq_hz: float, duration_s: float = 0.05,
 
 
 def make_media_table(spark: SparkSession, n: int = 64,
-                     real_images: bool = True) -> DataFrame:
+                     real_images: bool = True,
+                     real_video: bool = True) -> DataFrame:
     """Deterministic synthetic media fixture (no external data needed).
     Audio payloads are REAL playable WAV files; image payloads are REAL
     decodable BMPs by default (``real_images=False`` produces opaque
     bytes to exercise the documented non-BMP stub path); video payloads
-    are opaque bytes (their decoder is the documented stub)."""
+    are REAL rawseq frame-sequence containers by default
+    (``real_video=False`` produces opaque bytes labeled h264 — the
+    codec whose decode genuinely IS stubbed)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        w = 64 + (i % 4) * 32 if kind != "audio" else None
-        h = 64 + (i % 3) * 32 if kind != "audio" else None
+        n_frames = 1 if kind == "image" else 24 + i % 10
+        if kind == "video":
+            # small frames: a video fixture carries n_frames payloads
+            w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        elif kind == "image":
+            w, h = 64 + (i % 4) * 32, 64 + (i % 3) * 32
+        else:
+            w = h = None
         if kind == "audio":
             payload = make_wav(freq_hz=200.0 + 50.0 * (i % 8))
         elif kind == "image" and real_images:
             payload = make_bmp(w, h, seed=i)
+        elif kind == "video" and real_video:
+            payload = make_rawseq(w, h, n_frames, seed=i * 100)
         else:
             payload = (f"media-{i}".encode() * (8 + i % 5))
         meta = {
             "width": w,
             "height": h,
-            "n_frames": 1 if kind == "image" else 24 + i % 10,
+            "n_frames": n_frames,
             "sample_rate": 16000 if kind == "audio" else None,
             # opaque image payloads are labeled "jpeg" — a codec whose
             # decode genuinely IS stubbed (PNG is now a real decoder)
             "codec": {"image": "bmp" if real_images else "jpeg",
-                      "audio": "pcm", "video": "h264"}[kind],
+                      "audio": "pcm",
+                      "video": "rawseq" if real_video else "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -472,9 +484,72 @@ def image_near_dup(phashes: DataFrame, max_hamming: int = 4) -> DataFrame:
             .where(f"hamming <= {max_hamming}"))
 
 
+# -- raw frame-sequence video: a REAL multi-frame container --------------
+# No ffmpeg in this environment, so compressed video (h264/vp9) stays
+# honestly stubbed — but a CONTAINER is just framing, and this one is
+# real: magic + frame count + length-prefixed frames, each frame a
+# genuine image payload (BMP here; any codec _try_decode_image knows).
+# That makes frame_sample a real demuxer: it slices exact per-frame
+# bytes, and the sampled frames flow into the SAME decode/phash/near-dup
+# operators as still images — the frame-sample -> scene-dedup pipeline
+# the brief asks for, end-to-end real.
+RAWSEQ_MAGIC = b"RSQ1"
+
+
+def encode_rawseq(frames: list[bytes]) -> bytes:
+    """Frame payloads -> container bytes: 'RSQ1' | u32 n | (u32 len |
+    frame bytes)*n, little-endian."""
+    import struct
+    out = [RAWSEQ_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(bytes(fr))
+    return b"".join(out)
+
+
+def decode_rawseq(payload: bytes) -> list[bytes] | None:
+    """Container bytes -> frame payload list; None if not a rawseq
+    container (callers fall back to the documented stub).  A TRUNCATED
+    container raises — framing corruption must fail loudly, exactly like
+    LshIndex's shard-read contract."""
+    import struct
+    p = bytes(payload)
+    if p[:4] != RAWSEQ_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<I", p, 4)
+    off, frames = 8, []
+    for _ in range(n):
+        if off + 4 > len(p):
+            raise ValueError("truncated rawseq container (length header)")
+        (ln,) = struct.unpack_from("<I", p, off)
+        off += 4
+        if off + ln > len(p):
+            raise ValueError("truncated rawseq container (frame body)")
+        frames.append(p[off:off + ln])
+        off += ln
+    return frames
+
+
+def make_rawseq(width: int, height: int, n_frames: int,
+                seed: int = 0) -> bytes:
+    """Deterministic synthetic video: frame ``fi`` is the seed-keyed
+    gradient BMP at seed ``seed + fi`` — so two videos whose seed ranges
+    overlap share bit-identical frames (the cross-video duplicate-scene
+    case scene dedup must find)."""
+    return encode_rawseq(
+        [make_bmp(width, height, seed=seed + fi) for fi in range(n_frames)])
+
+
 def frame_sample(df: DataFrame, every_nth: int = 8,
                  strict: bool = False) -> DataFrame:
-    """Video -> one row per sampled frame (fan-out inside mapInPandas)."""
+    """Video -> one row per sampled frame (fan-out inside mapInPandas).
+
+    REAL for rawseq containers: the demuxer slices the exact bytes of
+    every ``every_nth``-th frame (each a decodable image payload);
+    other codecs (h264/vp9 need ffmpeg) hit the documented stub with the
+    metadata frame count.  Map-only: payloads fan out to frames inside
+    the executor batch, nothing shuffles until frames shrink to hashes
+    downstream."""
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -485,12 +560,19 @@ def frame_sample(df: DataFrame, every_nth: int = 8,
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
+                real = decode_rawseq(row["payload"])
+                if real is not None:
+                    for fi in range(0, len(real), every_nth):
+                        ids.append(row["id"])
+                        idxs.append(fi)
+                        frames.append(real[fi])   # exact per-frame bytes
+                    continue
                 n = (row["meta"]["n_frames"] or 0) if row["meta"] is not None else 0
                 buf = _stub_decode(row["payload"], strict)
                 for fi in range(0, n, every_nth):
                     ids.append(row["id"])
                     idxs.append(fi)
-                    frames.append(buf)       # stub: real impl decodes frame fi
+                    frames.append(buf)       # stub: compressed codecs
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.where(F.col("kind") == "video").mapInPandas(fn, out_schema)

@@ -197,6 +197,51 @@ def test_frame_sample_fanout(media):
         assert r["n"] == expect and r["mn"] == 0
 
 
+# -- rawseq: the real multi-frame video container --------------------------
+def test_rawseq_roundtrip_and_truncation():
+    import pytest as _pytest
+    from firebolt_cdc_lambda_spark.functions.multimodal import (
+        decode_rawseq, encode_rawseq, make_bmp)
+    frames = [make_bmp(16, 12, seed=s) for s in (3, 4, 5)]
+    payload = encode_rawseq(frames)
+    assert decode_rawseq(payload) == frames
+    assert decode_rawseq(b"nope" + payload) is None     # not a container
+    with _pytest.raises(ValueError):                     # corruption is loud
+        decode_rawseq(payload[:-5])
+
+
+def test_frame_sample_yields_real_decodable_frames(media, spark):
+    """Sampled frames are EXACT per-frame bytes: each is a genuine BMP
+    that the still-image decoder parses, and frame fi of the video with
+    base seed i*100 is bit-identical to make_bmp(seed=i*100+fi)."""
+    from firebolt_cdc_lambda_spark.functions.multimodal import (
+        _try_decode_image, make_bmp)
+    out = frame_sample(media, every_nth=8).collect()
+    assert out
+    metas = {r["id"]: r["meta"] for r in media.where("kind = 'video'").collect()}
+    for r in out:
+        m = metas[r["id"]]
+        expect = make_bmp(m["width"], m["height"], seed=r["id"] * 100 + r["frame_idx"])
+        assert bytes(r["frame"]) == expect
+        arr = _try_decode_image(r["frame"])
+        assert arr is not None and arr.shape == (m["height"], m["width"], 3)
+
+
+def test_frame_sample_stub_path_for_compressed_codecs(spark):
+    """real_video=False keeps the documented stub: opaque h264 payloads
+    fan out to metadata-counted placeholder frames."""
+    from firebolt_cdc_lambda_spark.functions.multimodal import make_media_table
+    media = make_media_table(spark, n=12, real_video=False)
+    out = frame_sample(media, every_nth=8).collect()
+    metas = {r["id"]: r["meta"]["n_frames"]
+             for r in media.where("kind = 'video'").collect()}
+    got = {}
+    for r in out:
+        got[r["id"]] = got.get(r["id"], 0) + 1
+        assert len(bytes(r["frame"])) == 32      # sha256 placeholder
+    assert got == {i: (n + 7) // 8 for i, n in metas.items()}
+
+
 # -- PNG: the real stdlib-zlib codec --------------------------------------
 def test_png_roundtrip_exact():
     from firebolt_cdc_lambda_spark.functions.multimodal import (
