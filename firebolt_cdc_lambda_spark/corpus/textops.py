@@ -997,10 +997,15 @@ FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 20
 # shape as drift_tv: no join of two aggregates, no distinct-then-anti-join).
 def text_ngram_novelty(spark, sf):
     d = load_table(spark, sf, "documents")
+    # Docs with <3 tokens have no 3-grams.  The guard is load-bearing:
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0], so without it a
+    # 2-token doc hits element_at(toks, 0) -> INVALID_INDEX_OF_ZERO,
+    # while DuckDB's range(1, 1) is already empty.
     grams = (d.selectExpr("doc_id % 2 AS half", f"{_TOKENS_SPARK} AS toks")
+             .where("size(toks) >= 3")
              .selectExpr(
                  "half",
-                 "explode(transform(sequence(1, greatest(size(toks) - 2, 0)), "
+                 "explode(transform(sequence(1, size(toks) - 2), "
                  "i -> concat_ws(' ', element_at(toks, i), "
                  "element_at(toks, i + 1), element_at(toks, i + 2)))) AS g"))
     per = grams.groupBy("g").agg(

@@ -516,6 +516,10 @@ def decode_rawseq(payload: bytes) -> list[bytes] | None:
     p = bytes(payload)
     if p[:4] != RAWSEQ_MAGIC:
         return None
+    if len(p) < 8:
+        # magic present but the count header is cut off — same ValueError
+        # contract as the two branches below, not a bare struct.error
+        raise ValueError("truncated rawseq container (count header)")
     (n,) = struct.unpack_from("<I", p, 4)
     off, frames = 8, []
     for _ in range(n):

@@ -218,6 +218,47 @@ class LshIndex:
             F.col("batch_doc_id").alias(id_col)).distinct()
         return docs.join(F.broadcast(dup_ids), [id_col], "left_anti")
 
+    def self_dedup(self, docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   threshold: float | None = None) -> DataFrame:
+        """INTRA-batch near-dup filter: ``docs`` minus every row that
+        near-dup-matches a smaller-id row of the SAME batch.  ``probe``
+        only sees the persisted corpus, so without this two near-duplicate
+        docs arriving in one file would both pass ``filter_new`` — the
+        common crawl-drop case of the same page fetched twice per crawl.
+
+        Keep rule (deterministic, replay-stable): a doc is dropped iff it
+        matches ANY batch peer with a smaller id.  Guarantee: the admitted
+        set is pairwise near-dup-free (if kept X ~ kept Y with X < Y, the
+        (X, Y) pair would have dropped Y).  On a transitive chain
+        A~B, B~C, A!~C this over-rejects C relative to one-at-a-time
+        sequential admission — the safe side for a dedup gate.
+
+        Same banded-candidate shape as the corpus query form
+        (corpus/simops.dedup_minhash_lsh): candidates ∝ band collisions
+        within the batch, never O(batch²)."""
+        threshold = self.threshold if threshold is None else threshold
+        fused = (self._fingerprints(docs, id_col, text_col)
+                 .localCheckpoint(eager=True))
+        b = self._buckets_of(fused).drop("shard")
+        cand = (b.selectExpr("doc_id AS keep_id", "band", "bucket")
+                .join(b.selectExpr("doc_id AS drop_id", "band", "bucket"),
+                      ["band", "bucket"])
+                .where("keep_id < drop_id")
+                .select("keep_id", "drop_id").distinct())
+        sig = self._sig_of(fused)
+        inter = "size(array_intersect(k_hs, d_hs))"
+        jac = (f"CAST({inter} AS DOUBLE) / "
+               f"(size(k_hs) + size(d_hs) - {inter})")
+        dup_ids = (cand
+                   .join(sig.selectExpr("doc_id AS keep_id", "hs AS k_hs"),
+                         "keep_id")
+                   .join(sig.selectExpr("doc_id AS drop_id", "hs AS d_hs"),
+                         "drop_id")
+                   .where(F.expr(jac) >= threshold)
+                   .selectExpr(f"drop_id AS {id_col}").distinct())
+        return docs.join(F.broadcast(dup_ids), [id_col], "left_anti")
+
     def shard_stats(self) -> dict[str, dict[int, int]]:
         """{store: {shard: file count}} from a pure FS listing (no Spark
         job) — the append-accumulation gauge that says when to re-build."""

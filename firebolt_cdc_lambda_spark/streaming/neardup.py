@@ -9,20 +9,23 @@ wires LshIndex.filter_new into the same file-source + foreachBatch loop
 CdcStream uses for CDC (streaming/cdc_stream.py):
 
     file lands -> micro-batch ->
-      1. filter_new: probe the persisted LSH index (reads ONLY the
+      1. self_dedup: drop intra-batch near-dups (the same page fetched
+         twice in one crawl drop — the persisted index can't see these);
+      2. filter_new: probe the persisted LSH index (reads ONLY the
          band-collided shards; O(batch), never O(corpus));
-      2. merge the survivors into the accepted corpus (KeyedTable
+      3. merge the survivors into the accepted corpus (KeyedTable
          keyed on the doc id -> idempotent upsert);
-      3. add the survivors' fingerprints to the index.
+      4. add the survivors' fingerprints to the index.
 
 Crash/replay contract (the checkpoint makes re-delivery a replay of the
 same micro-batch, like CdcStream): every step is idempotent or
 self-healing, in THIS order —
 
-* replay before step 3 ran: filter_new passes the same survivors again
-  (they are not indexed yet), the KeyedTable merge is an idempotent
-  upsert on the doc id, and add completes the pair;
-* replay after step 3 ran: each survivor now matches ITSELF in the
+* replay before step 4 ran: self_dedup is a pure function of the batch
+  (same survivors every run), filter_new passes them again (they are
+  not indexed yet), the KeyedTable merge is an idempotent upsert on the
+  doc id, and add completes the pair;
+* replay after step 4 ran: each survivor now matches ITSELF in the
   index (same id, jaccard 1.0), so filter_new drops the whole batch and
   the replay is a no-op.
 
@@ -87,8 +90,14 @@ class NearDupStream:
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # Intra-batch gate first: the persisted index can't see two
+        # near-dups arriving in the SAME file; self_dedup keeps the
+        # smallest-id doc of each colliding pair (deterministic, so a
+        # checkpoint replay admits the identical survivor set).
+        batch_df = self.index.self_dedup(batch_df, self.id_col,
+                                         self.text_col, self.threshold)
         # Pin the survivor set BEFORE mutating the index: filter_new's
-        # plan reads the index, and step 3 appends to it — an unpinned
+        # plan reads the index, and step 4 appends to it — an unpinned
         # lazy plan re-executed after the add would see the batch's own
         # fingerprints and return an empty (wrong) survivor set for the
         # merge below.

@@ -161,3 +161,39 @@ def test_empty_shard_dirs_treated_as_absent(spark, tmp_path):
     ix = LshIndex(spark, str(tmp_path / "lsh"), n_shards=4)
     batch, _, _ = _batch(spark, _docs(spark))
     assert ix.probe(batch).count() == 0
+
+
+def test_self_dedup_drops_intra_batch_near_dups(spark, tmp_path):
+    """self_dedup guards the case probe() cannot see: two near-duplicate
+    docs arriving in the SAME batch.  Keep rule: smallest id of each
+    colliding pair survives; the admitted set is pairwise near-dup-free.
+    Works standalone — no index build needed (pure function of the batch)."""
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh_sd"), n_shards=8)
+    base = docs.where("doc_id % 20 = 0").select("doc_id", "text")
+    dup = base.selectExpr(f"doc_id + {OFFSET} AS doc_id",
+                          "substr(text, 4) AS text")
+    _, _, novel = _batch(spark, docs)
+    batch = base.unionByName(dup).unionByName(novel)
+
+    kept_df = ix.self_dedup(batch)
+    kept = {r[0] for r in kept_df.select("doc_id").collect()}
+    base_ids = {r[0] for r in base.select("doc_id").collect()}
+    novel_ids = {r[0] for r in novel.select("doc_id").collect()}
+    assert novel_ids <= kept                     # non-dups untouched
+    # base docs survive EXCEPT genuine intra-corpus near-dup pairs (the
+    # sf0.001 fixture really contains one: docs 120 ~ 360)
+    assert len(kept & base_ids) >= 0.9 * len(base_ids)
+    assert 0 in kept                             # the globally smallest id
+    # most shifted copies dropped (LSH banding recall, not exact-100%)
+    dup_ids = {r[0] for r in dup.select("doc_id").collect()}
+    assert len(kept & dup_ids) <= 0.4 * len(dup_ids)
+    # the admitted set is pairwise near-dup-free => a second pass is identity
+    assert ix.self_dedup(kept_df).count() == kept_df.count()
+
+
+def test_self_dedup_no_dups_is_identity(spark, tmp_path):
+    docs = _docs(spark)
+    ix = LshIndex(spark, str(tmp_path / "lsh_sd2"), n_shards=8)
+    _, _, novel = _batch(spark, docs)
+    assert ix.self_dedup(novel).count() == novel.count()

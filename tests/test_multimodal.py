@@ -208,6 +208,9 @@ def test_rawseq_roundtrip_and_truncation():
     assert decode_rawseq(b"nope" + payload) is None     # not a container
     with _pytest.raises(ValueError):                     # corruption is loud
         decode_rawseq(payload[:-5])
+    for cut in (4, 5, 7):                                # count header cut off
+        with _pytest.raises(ValueError, match="count header"):
+            decode_rawseq(payload[:cut])
 
 
 def test_frame_sample_yields_real_decodable_frames(media, spark):

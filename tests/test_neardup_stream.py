@@ -96,3 +96,23 @@ def test_neardup_stream_cold_start_without_bootstrap(spark, tmp_path):
     got = {r[0] for r in nd.accepted.read().select("doc_id").collect()}
     novel_ids = {r[0] for r in novel.select("doc_id").collect()}
     assert got == novel_ids
+
+
+def test_neardup_gate_catches_intra_batch_dups(spark, tmp_path):
+    """Two near-duplicates of each other arriving in the SAME file: the
+    persisted index has seen neither, so only the batch-internal
+    self_dedup can catch the pair — exactly one (the smaller id) must be
+    admitted and indexed; a later re-crawl of the survivor's text is then
+    rejected via the index."""
+    docs = _docs(spark)
+    _, novel = _batches(spark, docs)
+    pair_a = novel                                       # ids 2_000_000+
+    pair_b = novel.selectExpr("doc_id + 100 AS doc_id", "text")
+    src = str(tmp_path / "incoming")
+    pair_a.unionByName(pair_b).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    nd = NearDupStream(spark, src, str(tmp_path / "store"),
+                       str(tmp_path / "ckpt"), n_shards=8, num_buckets=4)
+    nd.run_to_completion()
+    got = {r[0] for r in nd.accepted.read().select("doc_id").collect()}
+    a_ids = {r[0] for r in pair_a.select("doc_id").collect()}
+    assert got == a_ids                  # smaller id of each pair only
