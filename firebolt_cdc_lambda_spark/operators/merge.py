@@ -452,10 +452,22 @@ class KeyedTable:
             dead = dead & (F.col(version_col) < F.lit(before_version))
         self.rewrite(df.where(~dead))
 
+    def snapshot_for_rewrite(self) -> DataFrame:
+        """ALL stored rows — including tombstone marker rows and the
+        marker column — minus the bucket column: the correct base for
+        every full rewrite (rebucket / cluster_by / schema evolution).
+        ``read()`` hides tombstones, so rewriting from ``read()`` would
+        physically drop the delete markers AND the marker column,
+        silently disarming the out-of-order gate (and erroring the next
+        tombstone-mode merge)."""
+        return self._read_raw().drop(self.BUCKET_COL)
+
     def rewrite(self, df: DataFrame, sort_within: Sequence[str] = ()) -> None:
         """Full rewrite that is safe when ``df`` reads from this table's own
         path (e.g. schema evolution): write to a temp dir, then swap.
-        Spark cannot overwrite a path it is concurrently reading from."""
+        Spark cannot overwrite a path it is concurrently reading from.
+        Tombstone-mode callers: derive ``df`` from snapshot_for_rewrite(),
+        not read(), or the rewrite loses the delete markers."""
         tmp = f"{self.path}__tmp_rewrite"
         bucketed = self._with_bucket(df)
         shaped = bucketed.repartition(self.BUCKET_COL)
@@ -511,7 +523,7 @@ class KeyedTable:
         stored value.  Without that persistence a mis-configured merger
         would prune against the wrong bucket ids and silently duplicate
         keys."""
-        df = self.read()
+        df = self.snapshot_for_rewrite()
         self.num_buckets = int(new_num_buckets)
         self.rewrite(df)
 
@@ -521,7 +533,7 @@ class KeyedTable:
         the sort columns, so subsequent range predicates on them skip
         whole row groups inside every bucket.  Layout-only: bucket
         assignment and row content are unchanged."""
-        self.rewrite(self.read(), sort_within=cols)
+        self.rewrite(self.snapshot_for_rewrite(), sort_within=cols)
 
     def merge_batch(self, staging: DataFrame, return_stats: bool = False,
                     **merge_kwargs) -> int | tuple[int, int]:

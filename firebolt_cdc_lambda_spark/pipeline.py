@@ -60,7 +60,7 @@ class CdcPipeline:
                  num_buckets: int = 64,
                  insert_deletes: bool = False,
                  version_col: str | None = None,
-                 tombstones: bool = False,
+                 tombstones: bool | None = None,
                  alert_hook=None):
         self.spark = spark
         self.table_root = table_root.rstrip("/")
@@ -77,9 +77,20 @@ class CdcPipeline:
         self.version_col = version_col
         # tombstoned deletes: required for correct out-of-order replay
         # (a physically-deleted key is otherwise resurrectable by a stale
-        # late file — see merge_cdc's tombstones contract); pair with
-        # version_col, and purge via KeyedTable.purge_tombstones on the
-        # maintenance cadence.
+        # late file — see merge_cdc's tombstones contract).  DEFAULT ON
+        # for new tables: SURVEY §7.4 already declares version-aware
+        # merging the engine's deliberate deviation from the reference,
+        # and the resurrection hole is real (test_tombstones proves it),
+        # so safety should not require opting in.  The auto default turns
+        # OFF only under insert_deletes=True — that reference-parity mode
+        # (lambda/handler.py:609-612) wants delete rows VISIBLE in the
+        # target, which tombstones would hide.  Existing tables are
+        # unaffected either way: KeyedTable's stored _meta.json mode
+        # always wins over the constructor.  Purge accumulated markers
+        # via purge_tombstones / CdcFleet.run_maintenance on the same
+        # cadence as ledger GC.
+        if tombstones is None:
+            tombstones = not insert_deletes
         self.tombstones = tombstones
         self.alert_hook = alert_hook or (lambda msg: None)
         self._rollups: dict[str, list] = {}
@@ -232,9 +243,12 @@ class CdcPipeline:
             if c in stg.columns and c not in keep and c != self.version_col)
 
         # apply safe ADDs structurally (ALTER TABLE ADD COLUMN analogue):
-        # temp-dir swap rewrite, because `evolved` reads the target's own path.
+        # temp-dir swap rewrite, because `evolved` reads the target's own
+        # path.  Evolve the RAW snapshot, not `current`: read() hides
+        # tombstone markers, and a rewrite from it would physically drop
+        # the delete markers the out-of-order gate depends on.
         if report.added:
-            evolved = evolve_target(current, report)
+            evolved = evolve_target(target.snapshot_for_rewrite(), report)
             target.rewrite(evolved)
 
         # pre-images for continuous aggregates: MUST materialize before the
@@ -259,6 +273,24 @@ class CdcPipeline:
         return BatchResult("completed", table=table, rows=n_rows,
                            deduped=did_dedup, buckets_rewritten=n_buckets,
                            duration_sec=time.time() - t0, schema_report=report)
+
+    # -- maintenance: tombstone purge ------------------------------------
+    def purge_tombstones(self, table: str, before_version=None) -> bool:
+        """Physically drop ``table``'s tombstone marker rows — all of
+        them, or only those older than ``before_version`` (compared on
+        this pipeline's version_col), keeping recent tombstones to gate
+        still-plausible late arrivals.  Returns True if a purge ran
+        (False: table unconfigured / absent / not tombstone-mode).  Run
+        on the maintenance cadence, alongside ledger GC and rebucket."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return False
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.tombstones:
+            return False
+        target.purge_tombstones(before_version=before_version,
+                                version_col=self.version_col)
+        return True
 
     # -- entry point 2: reload driver (retrigger analogue) ----------------
     def reload(self, file_keys: Sequence[str]) -> list[BatchResult]:

@@ -26,11 +26,14 @@ def list_tables(warehouse_root: str) -> list[str]:
 
 def table_schema(warehouse_root: str, table: str,
                  include_bucket: bool = False) -> T.StructType:
+    """USER-visible schema: storage-internal columns (`_bucket`, the
+    tombstone marker) are hidden, matching what KeyedTable.read() serves
+    — information_schema does not expose storage bookkeeping either."""
+    from ..operators.merge import TOMBSTONE_COL
     with open(os.path.join(warehouse_root, table, "_schema.json")) as fh:
         schema = T.StructType.fromJson(json.load(fh))
-    if include_bucket:
-        return schema
-    return T.StructType([f for f in schema.fields if f.name != "_bucket"])
+    hidden = {TOMBSTONE_COL} | (set() if include_bucket else {"_bucket"})
+    return T.StructType([f for f in schema.fields if f.name not in hidden])
 
 
 def live_schemas(warehouse_root: str) -> dict[str, T.StructType]:

@@ -76,3 +76,22 @@ class CdcFleet:
             except Exception as exc:  # noqa: BLE001
                 status[table] = f"failed: {exc}"
         return status
+
+    def run_maintenance(self, before_version=None) -> dict[str, str]:
+        """Fleet-wide tombstone purge — the cadence slot next to ledger
+        GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
+        With ``before_version`` (compared on the pipeline's version_col)
+        only tombstones older than it are dropped, so still-plausible
+        late arrivals stay gated; without it, all markers go.  One table
+        failing must not abort the sweep (same degrade-don't-die posture
+        as run_once)."""
+        status: dict[str, str] = {}
+        for table in self.discover_tables():
+            try:
+                status[table] = ("purged"
+                                 if self.pipeline.purge_tombstones(
+                                     table, before_version=before_version)
+                                 else "skipped")
+            except Exception as exc:  # noqa: BLE001
+                status[table] = f"failed: {exc}"
+        return status

@@ -49,3 +49,37 @@ def test_fleet_drains_all_tables(spark, tmp_path):
     status2 = fleet.run_once(spark)
     assert status2 == {"orders": "drained", "users": "drained"}
     assert pipe.target_for("users", ["id"]).read().count() == 1
+
+
+def test_fleet_maintenance_purges_tombstones(spark, tmp_path):
+    """run_maintenance sweeps every tombstone-mode table; null-PK and
+    absent tables are skipped, not errored."""
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.operators.merge import TOMBSTONE_COL
+
+    root = str(tmp_path / "src")
+    write_file(spark, root, "users", "2024-01-01", "a.parquet", [
+        Row(id=1, name="alice", Op="I", load_timestamp=TS),
+        Row(id=2, name="bob", Op="I", load_timestamp=TS)])
+    write_file(spark, root, "nokeys", "2024-01-01", "a.parquet", [
+        Row(x=1, Op="I", load_timestamp=TS)])
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"users": "id", "nokeys": null}'),
+        num_buckets=4, version_col="load_timestamp")
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    assert fleet.run_once(spark)["users"] == "drained"
+    # the delete must arrive AFTER bootstrap so it goes through the merge
+    # path (a D in the bootstrap batch just lands as a last-writer row)
+    write_file(spark, root, "users", "2024-01-02", "b.parquet", [
+        Row(id=1, name="x", Op="D", load_timestamp=TS2)])
+    assert fleet.run_once(spark)["users"] == "drained"
+
+    t = pipe.target_for("users", ["id"])
+    assert t.tombstones is True                       # default-on, persisted
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
+    status = fleet.run_maintenance()
+    assert status == {"users": "purged", "nokeys": "skipped"}
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
+    assert {r["id"] for r in t.read().collect()} == {2}

@@ -143,3 +143,105 @@ def test_final_state_independent_of_batch_order(spark, tmp_path_factory,
 
     for order in permutations(batches):
         assert apply(order) == want
+
+
+# -- pipeline default: tombstones ON for new tables ------------------------
+
+def test_pipeline_tombstone_default_resolution(spark, tmp_path):
+    """Auto default: ON unless insert_deletes asks for visible delete
+    rows (which tombstones would hide); explicit values always win."""
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    wh = str(tmp_path / "wh")
+    assert CdcPipeline(spark, wh).tombstones is True
+    assert CdcPipeline(spark, wh, insert_deletes=True).tombstones is False
+    assert CdcPipeline(spark, wh, tombstones=False).tombstones is False
+    assert CdcPipeline(spark, wh, insert_deletes=True,
+                       tombstones=True).tombstones is True
+
+
+def test_pipeline_default_gates_out_of_order_delete(spark, tmp_path):
+    """End-to-end through CdcPipeline WITHOUT opting in: a stale late
+    update after a newer delete stays dead (the round-4 headline fix is
+    now on by default)."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4, version_col="load_timestamp")
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="orig", Op="I", load_timestamp=TS[0])]))
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="x", Op="D", load_timestamp=TS[2])]))
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="stale", Op="U", load_timestamp=TS[1])]))
+    assert pipe.target_for("users", ["id"]).read().collect() == []
+
+
+def test_pipeline_purge_tombstones(spark, tmp_path):
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id", "nok": null}'),
+                       num_buckets=4, version_col="load_timestamp")
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="a", Op="I", load_timestamp=TS[0]),
+        Row(id=2, v="b", Op="I", load_timestamp=TS[0])]))
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="x", Op="D", load_timestamp=TS[2])]))
+    t = pipe.target_for("users", ["id"])
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
+    assert pipe.purge_tombstones("nok") is False          # unconfigured
+    assert pipe.purge_tombstones("ghost") is False        # absent
+    assert pipe.purge_tombstones("users", before_version=TS[1]) is True
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1  # too new
+    assert pipe.purge_tombstones("users") is True
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
+    assert {r["id"] for r in t.read().collect()} == {2}   # live rows intact
+
+
+def test_maintenance_rewrites_preserve_tombstones(spark, tmp_path):
+    """rebucket and cluster_by rewrite from the RAW snapshot: the delete
+    markers (and the marker column) must survive, or the out-of-order
+    gate is silently disarmed by routine maintenance."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4,
+                   tombstones=True)
+    t.init(df_of(spark, [Row(id=1, v="a", load_timestamp=TS[0]),
+                         Row(id=2, v="b", load_timestamp=TS[0])]))
+    t.merge_batch(df_of(spark, [Row(id=1, v="x", load_timestamp=TS[3], Op="D")]),
+                  version_col="load_timestamp")
+    t.rebucket(8)
+    t.cluster_by(["id"])
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
+    # gate still armed after both rewrites
+    t.merge_batch(df_of(spark, [Row(id=1, v="stale", load_timestamp=TS[1], Op="U")]),
+                  version_col="load_timestamp")
+    assert {r["id"] for r in t.read().collect()} == {2}
+
+
+def test_schema_evolution_preserves_tombstones(spark, tmp_path):
+    """The pipeline's ADD-COLUMN rewrite evolves the raw snapshot: a
+    batch that both adds a column and follows a delete must leave the
+    tombstone in place and keep gating stale writes."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4, version_col="load_timestamp")
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="a", Op="I", load_timestamp=TS[0]),
+        Row(id=2, v="b", Op="I", load_timestamp=TS[0])]))
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="x", Op="D", load_timestamp=TS[3])]))
+    # new column 'extra' triggers the evolution rewrite
+    r = pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=2, v="b2", extra="e", Op="U", load_timestamp=TS[4])]))
+    assert r.schema_report.added
+    t = pipe.target_for("users", ["id"])
+    assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
+    pipe.process_batch("users", ["id"], df_of(spark, [
+        Row(id=1, v="stale", extra="s", Op="U", load_timestamp=TS[1])]))
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert set(rows) == {2} and rows[2]["extra"] == "e"
