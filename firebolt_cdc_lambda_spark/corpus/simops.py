@@ -528,6 +528,137 @@ SELECT query_id, vec_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# -- IVF-PQ + exact rerank: the composed ANN scale path --------------------
+# operators/pq.PqIndex.probe(rerank_factor=R, cell_filter=...) over an
+# IvfIndex cell assignment, in the corpus' self-contained join form:
+# candidates come ONLY from the query's nprobe nearest cells (IVF
+# pruning), are scored by PQ-ADC lookups, and the top R*k shortlist is
+# re-scored with EXACT integer L2 — so `dist` is an exact integer and
+# the oracle hash match needs no float tolerance.
+_PQ_RERANK = 3     # rerank_factor: exact-rescore the top R*k ADC candidates
+
+
+def ann_ivfpq_rerank_topk(spark, sf):
+    """IVF cell pruning -> PQ-ADC shortlist -> exact integer-L2 rerank.
+
+    Scale shape (mirrors the PqIndex/IvfIndex operators, which persist
+    these stages): the candidate join touches only vectors in probed
+    cells (partition-pruned reads in the operator form), ADC is lookup
+    arithmetic over 8-int codes, and the exact math runs on R*k rows per
+    query, never the corpus."""
+    from pyspark.sql import Window
+    qv = _quantized(spark, sf)
+    # IVF: argmax-cosine cell per vector; top-nprobe probe cells per query
+    cents = (qv.where((F.col("vec_id") >= _N_QUERIES)
+                      & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS))
+             .selectExpr("vec_id AS cent_id", "qv AS cv", "norm2 AS cn"))
+    cdot = _DOT_SPARK.format(a="qv", b="cv")
+    aff = (qv.crossJoin(F.broadcast(cents))
+           .selectExpr("vec_id", "cent_id",
+                       f"CAST({cdot} AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)"
+                       " * CAST(cn AS DOUBLE)) AS ccos"))
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                                  F.asc("cent_id"))
+    ranked = aff.withColumn("crank", F.row_number().over(w_cell))
+    cells = ranked.where("crank = 1").selectExpr("vec_id", "cent_id AS cell")
+    probes = (ranked.where((F.col("vec_id") < _N_QUERIES)
+                           & (F.col("crank") <= _NPROBE))
+              .selectExpr("vec_id AS query_id", "cent_id AS probe_cell"))
+    # IVF pruning: candidates live in a probed cell
+    cand = (F.broadcast(probes)
+            .join(cells, F.col("probe_cell") == F.col("cell"))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    # PQ: first-Ks codebooks, integer-L2 encode, per-query LUT
+    sub = (qv.selectExpr("vec_id", f"explode(sequence(0, {_PQ_M - 1})) AS m",
+                         "qv")
+           .selectExpr("vec_id", "m",
+                       f"slice(qv, m * (size(qv) div {_PQ_M}) + 1, "
+                       f"size(qv) div {_PQ_M}) AS sv"))
+    w_cb = Window.partitionBy("m").orderBy("vec_id")
+    cb = (sub.where(F.col("vec_id") < _PQ_KS)
+          .withColumn("code", F.row_number().over(w_cb) - 1)
+          .selectExpr("m", "code", "sv AS cb_sv"))
+    l2 = (f"{_DOT_SPARK.format(a='sv', b='sv')}"
+          f" - 2 * {_DOT_SPARK.format(a='sv', b='cb_sv')}"
+          f" + {_DOT_SPARK.format(a='cb_sv', b='cb_sv')}")
+    dists = (sub.join(F.broadcast(cb), "m")
+             .selectExpr("vec_id", "m", "code", f"{l2} AS dist"))
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    enc = (dists.withColumn("rn", F.row_number().over(w_enc))
+           .where("rn = 1").select("vec_id", "m", "code"))
+    lut = (dists.where(F.col("vec_id") < _N_QUERIES)
+           .selectExpr("vec_id AS query_id", "m", "code", "dist"))
+    # ADC over the PRUNED candidate set only
+    adc = (enc.join(cand, "vec_id")
+           .join(F.broadcast(lut), ["query_id", "m", "code"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("dist").alias("approx_dist")))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id"))
+    shortlist = (adc.withColumn("srank", F.row_number().over(w_short))
+                 .where(F.col("srank") <= _TOP_K * _PQ_RERANK)
+                 .select("query_id", "vec_id"))
+    # exact integer-L2 rerank of the shortlist against true vectors
+    full = qv.selectExpr("vec_id", "qv AS fv", "norm2 AS fn")
+    ql = (qv.where(F.col("vec_id") < _N_QUERIES)
+          .selectExpr("vec_id AS query_id", "qv AS qq", "norm2 AS qn"))
+    xdot = _DOT_SPARK.format(a="qq", b="fv")
+    rer = (shortlist.join(full, "vec_id").join(F.broadcast(ql), "query_id")
+           .selectExpr("query_id", "vec_id",
+                       f"qn - 2 * {xdot} + fn AS dist"))
+    w_final = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                                     F.asc("vec_id"))
+    return (rer.withColumn("rank", F.row_number().over(w_final))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "vec_id", "dist",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+ANN_IVFPQ_RERANK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+n AS (SELECT vec_id, qv, CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2 FROM q),
+cents AS (SELECT vec_id AS cent_id, qv AS cv, norm2 AS cn FROM n
+          WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}),
+aff AS (SELECT n.vec_id, c.cent_id,
+               list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+        FROM n, cents c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank FROM aff),
+cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS probe_cell FROM ranked
+           WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}),
+cand AS (SELECT p.query_id, c.vec_id FROM probes p JOIN cells c ON p.probe_cell = c.cell
+         WHERE c.vec_id <> p.query_id),
+sub AS (SELECT vec_id, m, qv[m*(len(qv)//{_PQ_M})+1 : (m+1)*(len(qv)//{_PQ_M})] AS sv
+        FROM q, range({_PQ_M}) t(m)),
+cb AS (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code, sv AS cb_sv
+       FROM sub WHERE vec_id < {_PQ_KS}),
+dists AS (SELECT s.vec_id, s.m, c.code,
+       CAST(list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+          - 2 * list_dot_product(s.sv::DOUBLE[], c.cb_sv::DOUBLE[])
+          + list_dot_product(c.cb_sv::DOUBLE[], c.cb_sv::DOUBLE[]) AS BIGINT) AS dist
+       FROM sub s JOIN cb c ON s.m = c.m),
+enc AS (SELECT vec_id, m, code FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) rn
+         FROM dists) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, code, dist FROM dists WHERE vec_id < {_N_QUERIES}),
+adc AS (SELECT ca.query_id, e.vec_id, CAST(SUM(l.dist) AS BIGINT) AS approx_dist
+        FROM enc e JOIN cand ca ON e.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id AND l.m = e.m AND l.code = e.code
+        GROUP BY 1, 2),
+shortlist AS (SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS srank
+    FROM adc) WHERE srank <= {_TOP_K * _PQ_RERANK}),
+rer AS (SELECT s.query_id, s.vec_id,
+               qn.norm2 - 2 * CAST(list_dot_product(qn.qv::DOUBLE[], fn.qv::DOUBLE[]) AS BIGINT) + fn.norm2 AS dist
+        FROM shortlist s JOIN n fn ON s.vec_id = fn.vec_id
+        JOIN n qn ON s.query_id = qn.vec_id)
+SELECT query_id, vec_id, dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM rer) WHERE rank <= {_TOP_K}
+"""
+
+
 # -- embedding-cosine near-duplicate detection ---------------------------
 # the "semantic dedup" variant: two vectors are near-dups if cosine >=
 # threshold; candidates restricted to the same sign-bit bucket (scale
@@ -1001,4 +1132,9 @@ QUERIES = {
         embedding_int8_quant, EMBEDDING_INT8_QUANT_SQL,
         "int8 quantization audit: exact-integer reconstruction error "
         "per label (storage-tier decision)"),
+    "ann_ivfpq_rerank_topk": Query(
+        ann_ivfpq_rerank_topk, ANN_IVFPQ_RERANK_SQL,
+        "composed IVF-PQ probe: cell pruning -> ADC shortlist -> exact "
+        "integer-L2 rerank (the PqIndex rerank_factor/cell_filter paths "
+        "under the oracle)"),
 }

@@ -130,3 +130,28 @@ def test_pq_probe_no_smj_topk_prefiltered(spark, tmp_path):
     plan = executed(probe)
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ivfpq_probe_cell_pruned_and_rerank_no_smj(spark, tmp_path):
+    """IVF-PQ composition (PLANS §5d): a cell_filter probe prunes the
+    cell-partitioned CODES store structurally (PartitionFilters IN-list,
+    not a post-scan filter), and the exact-rerank path stays broadcast-
+    only — no SortMergeJoin anywhere in the executed plan."""
+    from firebolt_cdc_lambda_spark.operators.ivf import IvfIndex
+    from firebolt_cdc_lambda_spark.operators.pq import PqIndex
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=8, nprobe=2)
+    ivf.build(vecs)
+    assignment = (spark.read.parquet(str(tmp_path / "ivf" / "cells"))
+                  .select("vec_id", "cell"))
+    ix = PqIndex(spark, str(tmp_path / "pq"))
+    ix.build(vecs, cells=assignment)
+    probe = ix.probe(vecs.where("vec_id < 3"), top_k=5,
+                     rerank_factor=3, vectors=vecs, cell_filter=[0, 1, 2])
+    fmt = formatted(spark, probe)
+    part = [ln for ln in fmt.splitlines()
+            if "PartitionFilters" in ln and "/codes" in fmt]
+    assert any("cell" in ln and "IN" in ln.upper() for ln in part)
+    plan = executed(probe)
+    assert "SortMergeJoin" not in plan
+    assert "dist" in probe.columns and "approx_dist" not in probe.columns
