@@ -138,12 +138,16 @@ def bench_cdc_pipeline(spark, sf_dir) -> tuple[list[float], list[float]]:
 
 
 def bench_stream_throughput(spark, sf_dir, n_files: int = 10,
-                            max_files_per_trigger: int | None = 1) -> float:
+                            max_files_per_trigger: int | None = 1,
+                            pipeline_kwargs: dict | None = None) -> float:
     """Files/sec through the full Structured Streaming CDC path: write
     n_files small CDC batches, drain them into a bucketed snapshot.
     ``max_files_per_trigger=1`` is the reference-faithful per-file mode
     (fleet does ~10k files/day ≈ 0.12 files/sec, AUTOMATIC_CLEANUP.md:68);
-    a larger value is catch-up batching, the backlog-drain scale path."""
+    a larger value is catch-up batching, the backlog-drain scale path.
+    ``pipeline_kwargs`` override CdcPipeline options — the controlled-
+    measurement hook tools/measure_stream.py uses to isolate the cost of
+    version gating / tombstones on the same workload."""
     from firebolt_cdc_lambda_spark.config import TableKeys
     from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
     from firebolt_cdc_lambda_spark.streaming import CdcStream
@@ -158,7 +162,7 @@ def bench_stream_throughput(spark, sf_dir, n_files: int = 10,
              .coalesce(1).write.parquet(f"{tmp}/src/2024/01/{i+1:02d}/b{i}.parquet"))
         pipe = CdcPipeline(spark, f"{tmp}/wh",
                            TableKeys.from_json('{"orders": "o_orderkey"}'),
-                           num_buckets=64)
+                           num_buckets=64, **(pipeline_kwargs or {}))
         stream = CdcStream(pipe, "orders", ["o_orderkey"], f"{tmp}/src",
                            f"{tmp}/ckpt",
                            max_files_per_trigger=max_files_per_trigger)
