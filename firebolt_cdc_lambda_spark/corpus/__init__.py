@@ -20,50 +20,58 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # Rotation policy (every query gets a driver row, the freshest possible):
 # round 1 gated the module-order first 50; round 2 the LLM surface +
 # window/asof/TPC-H flagships; round 3 re-gated the 30 r1-only rows, the
-# twelve new round-3 queries, and 8 r2 canaries.  ROUND 4 (this gate):
-#   * slots 1-15 — the fifteen oracled queries that had NEVER had a
-#     driver row (added after round 3's gate froze);
-#   * slots 16-17 — the multimodal pair, upgraded from rows-only to full
-#     literal-VALUES oracles (deterministic fixtures => fixed tables);
-#   * slots 18-43 — all 26 queries whose newest driver row is round 2
-#     (staleness-first re-gate);
-#   * slots 44-50 — seven round-3-green canaries, ≥1 per family: CDC
-#     merge + pipeline, TPC-H agg, LSH-pairs->connected-components,
-#     incremental LSH gate, IVF ANN, validation summary.
-# After round 4: union r1∪r2∪r3∪r4 = all 109 queries that existed when
-# this gate froze, every one's newest driver row ≤ 2 rounds old (r3/r4).
-# ROUND-5 ROTATION NOTE: seven queries were added AFTER this gate froze
-# (appended at their module-dict ends, beyond slot 50): ann_pq_topk,
-# cdc_out_of_order_replay, multimodal_png_neardup, text_bpe_pair_merge,
-# text_ngram_novelty, embedding_int8_quant, multimodal_video_scenes.
-# They are green in the local differential suite at sf0.001/sf0.01 but
-# have never had a driver row — put them in round 5's slots 1-7, re-gate
-# the queries whose newest row will then be round 3, and fill with
-# family canaries.
+# twelve new round-3 queries, and 8 r2 canaries; round 4 the 15+2
+# never/rows-only queries, 26 of the r2-stale rows, and 7 canaries.
+# CORRECTION (round-4 judge's set arithmetic, verified against the four
+# CORRECTNESS files): at the round-4 freeze there were 42 r2-stale
+# queries, not 26; round 4 re-gated 26 of them, leaving SIXTEEN r2-stale
+# after round 4 (newest-row distribution over the 109 ever-gated:
+# r4=50, r3=43, r2=16).  The earlier note here overclaimed "all 26 ...
+# every one <= 2 rounds old"; this gate pays that debt down exactly.
+# ROUND 5 (this gate):
+#   * slots 1-7 — the seven queries added after round 4's freeze, never
+#     driver-gated; cdc_out_of_order_replay FIRST (sole end-to-end
+#     oracle row for round 4's tombstone feature, now default-on);
+#   * slot 8 — ann_ivfpq_rerank_topk, NEW this round (PqIndex
+#     rerank/cell_filter paths under the oracle) — gated immediately so
+#     the new-query debt doesn't recur;
+#   * slots 9-24 — ALL sixteen remaining r2-stale rows, the three dedup
+#     rows first (their code changed in round 4's rider fix 4d4b9fe
+#     while their newest driver rows were r2);
+#   * slots 25-50 — twenty-six of the forty-three r3-stale rows (asof/
+#     join/scalar/window/text-filter/corpus-sampling/embedding/TPC-H
+#     families).
+# After round 5: all 117 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=17 — no row older than round 3.  The 17 remaining
+# r3 rows (q19/q21/q22 + fourteen val_* aggregates, none code-touched
+# since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
-    # never-driver-gated oracled queries ----------------------------------
-    "text_bm25_search", "text_tfidf_keywords", "text_passage_dedup",
-    "text_char_diversity", "text_chunk_overlap", "text_vocab_growth",
-    "corpus_domain_cap", "corpus_drift_tv", "corpus_weighted_sample",
-    "embedding_outlier_trim", "events_lead_lag_gaps", "skew_salted_agg",
-    "sql_surface_listagg", "sql_surface_unpivot", "window_range_frame",
-    # multimodal pair: first HASH-matchable driver rows -------------------
-    "multimodal_image_neardup", "multimodal_audio_features",
-    # newest driver row is round 2: staleness-first re-gate ---------------
-    "argmax_order_per_customer", "gapfill_monthly_orders",
-    "range_join_event_pairs", "window_moving_frame",
-    "events_hourly_tumbling", "scalar_datetime_showcase",
-    "window_distribution_family", "q3_shipping_priority",
-    "q5_nation_revenue", "q10_returned_items", "window_topn_per_segment",
-    "events_sessionization", "text_fuzzy_event_types",
-    "dataset_split_assignment", "text_token_count", "text_quality_stats",
-    "text_lang_id", "text_token_topk", "dedup_exact", "doc_fingerprint",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_cosine_topk", "ann_lsh_bucket_topk",
-    # round-3-green canaries, ≥1 per family -------------------------------
-    "cdc_merge_upsert_delete", "cdc_pipeline_snapshot",
-    "q1_pricing_summary", "dedup_cluster_assign",
-    "dedup_incremental_filter", "ann_ivf_topk", "val_global_summary",
+    # never-driver-gated (added after the round-4 freeze) -----------------
+    "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
+    "multimodal_png_neardup", "multimodal_video_scenes",
+    "text_bpe_pair_merge", "text_ngram_novelty",
+    # new in round 5, gated immediately -----------------------------------
+    "ann_ivfpq_rerank_topk",
+    # the sixteen r2-stale rows, code-touched dedup trio first ------------
+    "cdc_dedup_cascade", "cdc_dedup_last_writer", "cdc_dedup_bypass_stats",
+    "val_row_counts", "val_agg_summary", "val_checksum",
+    "val_approx_distinct", "val_ingestion_seq", "sql_surface_in_subquery",
+    "join_anti_customers_no_orders", "join_semi_active_customers",
+    "join_full_outer_compare", "join_correlated_nation_counts",
+    "set_ops_summary", "grouping_sets_status_priority",
+    "cube_status_priority",
+    # r3-stale re-gates (26 of 43) ----------------------------------------
+    "asof_event_last_order", "join_enriched_orders",
+    "scalar_functions_showcase", "window_rank_family",
+    "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
+    "text_decontamination", "text_bigram_fluency",
+    "corpus_mixture_sampling", "corpus_sequence_packing",
+    "corpus_stratified_sample", "embedding_label_centroids",
+    "embedding_pseudo_label", "events_json_extract",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q12_shipping_delay_classes",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
