@@ -212,6 +212,79 @@ cand AS (SELECT DISTINCT d1, d2 FROM ({_band_joins})),
 """
 
 
+# -- MinHash containment: asymmetric near-dup (subset documents) ----------
+# Jaccard misses the quote-inclusion case: a document fully CONTAINED in
+# a longer one scores |A|/|B|, arbitrarily low as B grows.  Containment
+# c(A in B) = |A∩B| / |A| is the right statistic (Broder's original
+# resemblance/containment pair) — the near-dup corpus' shifted copies
+# are strict shingle-subsets of their originals, so their containment is
+# EXACTLY 1.0 while their Jaccard is ~0.95 and shrinking with the shift.
+# Candidates come from the same band self-join as dedup_minhash_lsh;
+# both directions are reported per pair.
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_minhash_containment(spark, sf):
+    docs = _shingle_sets(_neardup_corpus(spark, sf))
+    mins = [
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    sig = docs.select("doc_id", "hs", *mins)
+    bands = [
+        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
+        for bi, idxs in enumerate(_BANDS)
+    ]
+    sig = sig.select("doc_id", "hs", *bands).cache()
+    cands = None
+    for bi in range(len(_BANDS)):
+        a = sig.selectExpr("doc_id AS d1", "hs AS hs1", f"band{bi} AS bk")
+        b = sig.selectExpr("doc_id AS d2", "hs AS hs2", f"band{bi} AS bk2")
+        c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
+             .select("d1", "d2", "hs1", "hs2"))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.dropDuplicates(["d1", "d2"])
+    inter = F.expr("size(array_intersect(hs1, hs2))")
+    c12 = inter.cast("double") / F.expr("size(hs1)")
+    c21 = inter.cast("double") / F.expr("size(hs2)")
+    return (cand
+            .select(F.col("d1").alias("doc_id_1"),
+                    F.col("d2").alias("doc_id_2"),
+                    c12.alias("containment_1_in_2"),
+                    c21.alias("containment_2_in_1"))
+            .where(F.greatest("containment_1_in_2", "containment_2_in_1")
+                   >= _CONTAINMENT_THRESHOLD))
+
+
+DEDUP_MINHASH_CONTAINMENT_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+       {_mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {_band_cols} FROM sig),
+cand AS (SELECT DISTINCT d1, d2 FROM ({_band_joins})),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2,
+       CAST(i.i AS DOUBLE) / z1.n AS containment_1_in_2,
+       CAST(i.i AS DOUBLE) / z2.n AS containment_2_in_1
+FROM inter i
+JOIN sz z1 ON z1.doc_id = i.d1
+JOIN sz z2 ON z2.doc_id = i.d2
+WHERE greatest(CAST(i.i AS DOUBLE) / z1.n, CAST(i.i AS DOUBLE) / z2.n)
+      >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
 # -- SimHash (16-bit) ----------------------------------------------------
 _SIMHASH_BITS = 16
 _HAMMING_MAX = 3
@@ -1137,4 +1210,8 @@ QUERIES = {
         "composed IVF-PQ probe: cell pruning -> ADC shortlist -> exact "
         "integer-L2 rerank (the PqIndex rerank_factor/cell_filter paths "
         "under the oracle)"),
+    "dedup_minhash_containment": Query(
+        dedup_minhash_containment, DEDUP_MINHASH_CONTAINMENT_SQL,
+        "asymmetric containment near-dup: catches subset documents "
+        "(quote inclusion) that Jaccard under-scores"),
 }

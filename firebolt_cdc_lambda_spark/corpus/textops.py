@@ -1021,6 +1021,88 @@ def text_ngram_novelty(spark, sf):
                     "CAST(n_novel AS DOUBLE) / n_grams_new AS novelty_ratio"))
 
 
+# -- count-min sketch: fixed-memory frequency estimation ------------------
+# The sublinear heavy-hitter primitive for 100 TB token streams: d x w
+# counter cells, each token incrementing one cell per row via an
+# explicit (a*h + b) % p % w hash — estimate(t) = min over rows of its
+# cells, guaranteed >= the true count.  Everything is exact integer
+# arithmetic (the repo's no-engine-native-hash rule), so the sketch
+# cells AND the estimates match DuckDB bit-for-bit.  The audit reports,
+# for the top-20 exact heavy hitters, the exact count, the CMS estimate,
+# and the overestimate — the operational question ("how wrong is the
+# sketch on the tokens we care about?") answered with zero tolerance.
+#
+# Scale: the cells table is d*w rows built by ONE map-side-combined
+# groupBy (CMS is linear, so building from aggregated token counts is
+# identical to per-occurrence increments); estimates probe d rows per
+# token.  At 100 TB the sketch is the only state that ever leaves the
+# executors — fixed memory regardless of vocabulary size.
+_CMS_W = 64
+_CMS_PERMS = ((123457, 886731), (594521, 193939))
+_CMS_P = 1_000_003
+# 31-polynomial hash of a token's first 8 chars (powers as BIGINT
+# literals — pow() returns inexact doubles past 2^53; max value
+# 122 * sum(31^0..31^7) ~ 3.5e12, and a*h ~ 3.5e18 < 2^63).
+_POW31_8 = (1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111)
+_TOKHASH_SPARK = (
+    "aggregate(transform(sequence(1, least(length(tok), 8)), "
+    f"j -> element_at(array({', '.join(f'{p}L' for p in _POW31_8)}), j)"
+    " * ascii(substr(tok, j, 1))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+_TOKHASH_DUCK = (
+    "CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1), "
+    f"j -> [{', '.join(str(p) for p in _POW31_8)}][CAST(j AS INTEGER)]"
+    " * ascii(substr(tok, CAST(j AS INTEGER), 1)))) AS BIGINT)")
+
+
+def text_cms_heavy_hitters(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.selectExpr(f"explode({_TOKENS_SPARK}) AS tok")
+    exact = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .selectExpr("tok", "cnt", f"{_TOKHASH_SPARK} AS th"))
+    def bucketed(df, r, a, b):
+        return df.selectExpr(
+            "tok", "cnt",
+            f"{r} AS row",
+            f"(({a} * th + {b}) % {_CMS_P}) % {_CMS_W} AS bucket")
+    rows = [bucketed(exact, r, a, b) for r, (a, b) in enumerate(_CMS_PERMS)]
+    probes = rows[0]
+    for extra in rows[1:]:
+        probes = probes.unionByName(extra)
+    cms = probes.groupBy("row", "bucket").agg(F.sum("cnt").alias("cell"))
+    topk = (exact.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+            .select("tok", "cnt"))
+    top_probes = probes.join(F.broadcast(topk.select("tok")), "tok")
+    return (top_probes.join(F.broadcast(cms), ["row", "bucket"])
+            .groupBy("tok", "cnt")
+            .agg(F.min("cell").alias("cms_estimate"))
+            .selectExpr("tok AS token", "cnt AS exact_count",
+                        "cms_estimate",
+                        "cms_estimate - cnt AS overestimate")
+            .orderBy(F.desc("exact_count"), F.asc("token")))
+
+
+_CMS_BUCKETS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT tok, cnt, {r} AS row, "
+    f"(({a} * th + {b}) % {_CMS_P}) % {_CMS_W} AS bucket FROM exact"
+    for r, (a, b) in enumerate(_CMS_PERMS))
+TEXT_CMS_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents),
+exact AS (SELECT tok, COUNT(*) AS cnt, {_TOKHASH_DUCK} AS th
+          FROM toks GROUP BY tok),
+probes AS ({_CMS_BUCKETS_DUCK}),
+cms AS (SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+        FROM probes GROUP BY 1, 2),
+topk AS (SELECT tok FROM exact ORDER BY cnt DESC, tok LIMIT 20)
+SELECT p.tok AS token, p.cnt AS exact_count,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell) - p.cnt AS BIGINT) AS overestimate
+FROM probes p JOIN topk t ON p.tok = t.tok
+JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY p.tok, p.cnt
+ORDER BY exact_count DESC, token
+"""
+
+
 TEXT_NGRAM_NOVELTY_SQL = f"""
 WITH t AS (SELECT doc_id % 2 AS half, {_TOKENS_DUCK} AS toks FROM documents),
 g AS (SELECT half,
@@ -1097,4 +1179,8 @@ QUERIES = {
         text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL,
         "cross-snapshot novelty: word-3-gram vocabulary of the new half "
         "never seen in the old half"),
+    "text_cms_heavy_hitters": Query(
+        text_cms_heavy_hitters, TEXT_CMS_SQL,
+        "count-min sketch audit: exact vs fixed-memory sketch estimate "
+        "for the top-20 heavy hitters, zero float tolerance"),
 }
