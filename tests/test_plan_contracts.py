@@ -155,3 +155,16 @@ def test_ivfpq_probe_cell_pruned_and_rerank_no_smj(spark, tmp_path):
     plan = executed(probe)
     assert "SortMergeJoin" not in plan
     assert "dist" in probe.columns and "approx_dist" not in probe.columns
+
+
+def test_cms_topk_take_ordered_no_smj(spark):
+    """text_cms_heavy_hitters (COVERAGE: CMS row): the top-k must be
+    TakeOrderedAndProject (never a global sort), sketch probes must
+    broadcast (no SortMergeJoin), and the token aggregation must
+    partial-combine map-side."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["text_cms_heavy_hitters"].fn(spark, SF_DIR)
+    plan = executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan or "partial" in plan.lower()

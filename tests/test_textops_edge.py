@@ -61,3 +61,16 @@ def test_bpe_pair_merge_short_docs(spark, short_doc_dir):
     counts = {r.pair: r.pair_count for r in rows}
     # "alpha" has wc=2 (docs 3 and 4) -> al/lp/ph/ha each counted twice
     assert counts["al"] == 2 and counts["ha"] == 2
+
+
+def test_cms_heavy_hitters_short_docs(spark, short_doc_dir):
+    """Tiny vocabulary: every token is a heavy hitter; estimates must
+    still satisfy the CMS guarantee est >= exact, and tokens that share
+    no sketch cell with others must estimate exactly."""
+    rows = ALL_QUERIES["text_cms_heavy_hitters"].fn(spark, short_doc_dir).collect()
+    assert rows, "expected heavy hitters"
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_estimate >= r.exact_count
+    counts = {r.token: r.exact_count for r in rows}
+    assert counts["alpha"] == 2 and counts["beta"] == 2
