@@ -106,6 +106,15 @@ class LshIndex:
     def _doc_shard(self, doc_id: str):
         return F.pmod(F.xxhash64(F.col(doc_id)), F.lit(self.n_shards))
 
+    def fingerprints(self, docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        """Public fused fingerprints ``(doc_id, hs, bands)`` — compute
+        ONCE per batch (localCheckpoint it) and feed the ``*_fused``
+        primitives below: an ingestion gate that self-dedups, probes,
+        and appends would otherwise run the shingle+minhash work three
+        times over the same batch."""
+        return self._fingerprints(docs, id_col, text_col)
+
     # -- build / ingest ---------------------------------------------------
     def _write(self, docs: DataFrame, id_col: str, text_col: str,
                mode: str) -> None:
@@ -114,15 +123,18 @@ class LshIndex:
         # over the whole input
         fused = self._fingerprints(docs, id_col, text_col).cache()
         try:
-            (self._sig_of(fused)
-             .withColumn("shard", self._doc_shard("doc_id"))
-             .repartition("shard")
-             .write.mode(mode).partitionBy("shard").parquet(f"{self.path}/sig"))
-            (self._buckets_of(fused).repartition("shard")
-             .write.mode(mode).partitionBy("shard")
-             .parquet(f"{self.path}/buckets"))
+            self._write_fused(fused, mode)
         finally:
             fused.unpersist()
+
+    def _write_fused(self, fused: DataFrame, mode: str) -> None:
+        (self._sig_of(fused)
+         .withColumn("shard", self._doc_shard("doc_id"))
+         .repartition("shard")
+         .write.mode(mode).partitionBy("shard").parquet(f"{self.path}/sig"))
+        (self._buckets_of(fused).repartition("shard")
+         .write.mode(mode).partitionBy("shard")
+         .parquet(f"{self.path}/buckets"))
 
     def build(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> None:
@@ -137,6 +149,12 @@ class LshIndex:
         small files per shard; a periodic ``build`` over the full corpus
         re-compacts, exactly like KeyedTable's rebucket maintenance."""
         self._write(docs, id_col, text_col, "append")
+
+    def add_fused(self, fused: DataFrame) -> None:
+        """``add`` from precomputed ``fingerprints()`` output — the
+        zero-recompute path for gates that already materialized the
+        batch's fingerprints."""
+        self._write_fused(fused, "append")
 
     # -- probe ------------------------------------------------------------
     def _read_shards(self, store: str, shards: list[int]) -> DataFrame | None:
@@ -172,10 +190,16 @@ class LshIndex:
         """Near-dup matches of ``docs`` against the index:
         (batch_doc_id, corpus_doc_id, jaccard) with jaccard >= threshold.
         A doc already indexed under the same id matches itself at 1.0."""
-        threshold = self.threshold if threshold is None else threshold
         # ONE materialization of the batch fingerprints (batch-sized);
         # sig and buckets are free projections of it
         fused = self._fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+        return self.probe_fused(fused, threshold)
+
+    def probe_fused(self, fused: DataFrame,
+                    threshold: float | None = None) -> DataFrame:
+        """``probe`` from precomputed (ideally checkpointed)
+        ``fingerprints()`` output."""
+        threshold = self.threshold if threshold is None else threshold
         sig = self._sig_of(fused)
         buckets = self._buckets_of(fused)
         idt = sig.schema["doc_id"].dataType.simpleString()
@@ -237,9 +261,18 @@ class LshIndex:
         Same banded-candidate shape as the corpus query form
         (corpus/simops.dedup_minhash_lsh): candidates ∝ band collisions
         within the batch, never O(batch²)."""
-        threshold = self.threshold if threshold is None else threshold
         fused = (self._fingerprints(docs, id_col, text_col)
                  .localCheckpoint(eager=True))
+        dup_ids = self.self_dup_ids(fused, threshold) \
+            .selectExpr(f"doc_id AS {id_col}")
+        return docs.join(F.broadcast(dup_ids), [id_col], "left_anti")
+
+    def self_dup_ids(self, fused: DataFrame,
+                     threshold: float | None = None) -> DataFrame:
+        """The ids ``self_dedup`` would drop, from precomputed
+        ``fingerprints()`` output: one ``doc_id`` column, every doc that
+        near-dup-matches a smaller-id doc of the same batch."""
+        threshold = self.threshold if threshold is None else threshold
         b = self._buckets_of(fused).drop("shard")
         cand = (b.selectExpr("doc_id AS keep_id", "band", "bucket")
                 .join(b.selectExpr("doc_id AS drop_id", "band", "bucket"),
@@ -250,14 +283,13 @@ class LshIndex:
         inter = "size(array_intersect(k_hs, d_hs))"
         jac = (f"CAST({inter} AS DOUBLE) / "
                f"(size(k_hs) + size(d_hs) - {inter})")
-        dup_ids = (cand
-                   .join(sig.selectExpr("doc_id AS keep_id", "hs AS k_hs"),
-                         "keep_id")
-                   .join(sig.selectExpr("doc_id AS drop_id", "hs AS d_hs"),
-                         "drop_id")
-                   .where(F.expr(jac) >= threshold)
-                   .selectExpr(f"drop_id AS {id_col}").distinct())
-        return docs.join(F.broadcast(dup_ids), [id_col], "left_anti")
+        return (cand
+                .join(sig.selectExpr("doc_id AS keep_id", "hs AS k_hs"),
+                      "keep_id")
+                .join(sig.selectExpr("doc_id AS drop_id", "hs AS d_hs"),
+                      "drop_id")
+                .where(F.expr(jac) >= threshold)
+                .select("drop_id").toDF("doc_id").distinct())
 
     def shard_stats(self) -> dict[str, dict[int, int]]:
         """{store: {shard: file count}} from a pure FS listing (no Spark

@@ -90,28 +90,44 @@ class NearDupStream:
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        # Intra-batch gate first: the persisted index can't see two
-        # near-dups arriving in the SAME file; self_dedup keeps the
-        # smallest-id doc of each colliding pair (deterministic, so a
-        # checkpoint replay admits the identical survivor set).
-        batch_df = self.index.self_dedup(batch_df, self.id_col,
-                                         self.text_col, self.threshold)
-        # Pin the survivor set BEFORE mutating the index: filter_new's
-        # plan reads the index, and step 4 appends to it — an unpinned
-        # lazy plan re-executed after the add would see the batch's own
-        # fingerprints and return an empty (wrong) survivor set for the
-        # merge below.
-        fresh = (self.index
-                 .filter_new(batch_df, self.id_col, self.text_col,
-                             self.threshold)
+        # ONE fingerprint pass feeds all three index interactions below
+        # (intra-batch self-dedup, corpus probe, survivor append) —
+        # running self_dedup + filter_new + add on raw docs would
+        # shingle+minhash the same batch three times.
+        fused = (self.index
+                 .fingerprints(batch_df, self.id_col, self.text_col)
                  .localCheckpoint(eager=True))
+        # Intra-batch gate first: the persisted index can't see two
+        # near-dups arriving in the SAME file; keep the smallest-id doc
+        # of each colliding pair (deterministic, so a checkpoint replay
+        # admits the identical survivor set).
+        intra = (self.index.self_dup_ids(fused, self.threshold)
+                 .localCheckpoint(eager=True))
+        pruned = fused.join(F.broadcast(intra), "doc_id", "left_anti")
+        # Corpus probe of the intra-survivors; PIN the probe result
+        # BEFORE mutating the index — both the merge's survivor set and
+        # the add's input derive from it, and an unpinned lazy plan
+        # re-executed after the add would see the batch's own
+        # fingerprints (wrong: everything rejected / nothing appended).
+        corpus_dups = (self.index.probe_fused(pruned, self.threshold)
+                       .select(F.col("batch_doc_id").alias("doc_id"))
+                       .distinct()
+                       .localCheckpoint(eager=True))
+        dropped = (intra.unionByName(corpus_dups).distinct()
+                   .withColumnRenamed("doc_id", self.id_col))
+        fresh = batch_df.join(F.broadcast(dropped), [self.id_col],
+                              "left_anti")
         if not fresh.head(1):
             return
         if self.accepted.exists():
             self.accepted.merge_batch(fresh.withColumn("Op", F.lit("I")))
         else:
             self.accepted.init(fresh)
-        self.index.add(fresh, self.id_col, self.text_col)
+        # survivors' fingerprints are a projection of the pinned `fused`
+        # (docs too short to fingerprint were never in it — they can't
+        # near-dup match and are admitted without index entries)
+        self.index.add_fused(
+            pruned.join(F.broadcast(corpus_dups), "doc_id", "left_anti"))
 
     # -- stream plumbing (same shape as CdcStream.start) ------------------
     def _resolve_schema(self) -> T.StructType:
