@@ -1065,6 +1065,57 @@ FROM orders GROUP BY 1
 """
 
 
+# -- linear-counting cardinality sketch audit ------------------------------
+# The cardinality member of the sketch family (textops' CMS covers
+# frequency): a linear-counting bitmap of m bits, bit = explicit
+# (a*key + b) % p % m — never an engine-native hash.  The audit compares
+# bitmap occupancy to the exact distinct count per (event_type, m) for
+# three bitmap sizes, answering the production sizing question "how many
+# distincts does an m-bit bitmap swallow?" entirely in integers
+# (collision_loss = exact - occupied).  The estimator itself,
+# -m * ln(zero_bits / m), is deliberately NOT in the output: ln is not
+# correctly-rounded and would break the repo's bit-identical-oracle
+# contract; occupied_bits determines it monotonically.
+#
+# Scale: the sketch-only path keeps <= m bits of state per group and
+# aggregates map-side (this audit also computes the exact distinct —
+# the expensive truth it exists to compare against).
+_LC_MS = (64, 256, 1024)
+_LC_A, _LC_B, _LC_P = 123457, 886731, 1_000_003
+
+
+def events_distinct_sketch_audit(spark, sf):
+    e = load_table(spark, sf, "events")
+    ms = ", ".join(str(m) for m in _LC_MS)
+    bits = (e.selectExpr("event_type", "user_id",
+                         f"({_LC_A} * user_id + {_LC_B}) % {_LC_P} AS h")
+            .selectExpr("event_type", "user_id", "h",
+                        f"explode(array({ms})) AS m")
+            .selectExpr("event_type", "m", "user_id", "h % m AS bit"))
+    return (bits.groupBy("event_type", "m")
+            .agg(F.count_distinct("user_id").alias("exact_distinct"),
+                 F.count_distinct("bit").alias("occupied_bits"))
+            .selectExpr("event_type", "CAST(m AS INT) AS m",
+                        "exact_distinct", "occupied_bits",
+                        "exact_distinct - occupied_bits AS collision_loss")
+            .orderBy("event_type", "m"))
+
+
+EVENTS_DISTINCT_SKETCH_SQL = f"""
+WITH base AS (SELECT event_type, user_id,
+                     ({_LC_A} * user_id + {_LC_B}) % {_LC_P} AS h
+              FROM events),
+bits AS (SELECT event_type, m, user_id, h % m AS bit
+         FROM base, (VALUES {', '.join(f'({m})' for m in _LC_MS)}) t(m))
+SELECT event_type, CAST(m AS INTEGER) AS m,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT bit) AS BIGINT) AS occupied_bits,
+       CAST(COUNT(DISTINCT user_id) - COUNT(DISTINCT bit) AS BIGINT)
+         AS collision_loss
+FROM bits GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1139,4 +1190,10 @@ QUERIES = {
                                      "window rank per group (W1 analytic form)"),
     "events_sessionization": Query(events_sessionization, EVENTS_SESSIONIZATION_SQL,
                                    "gap sessionization: lag + running sum"),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "events_distinct_sketch_audit": Query(
+        events_distinct_sketch_audit, EVENTS_DISTINCT_SKETCH_SQL,
+        "linear-counting cardinality sketch audit: bitmap occupancy vs "
+        "exact distinct across three bitmap sizes, all-integer"),
 }
