@@ -428,14 +428,46 @@ class KeyedTable:
             # empty table (or no touched bucket dir exists yet)
             return self.spark.createDataFrame([], schema)
 
-    def read(self) -> DataFrame:
-        """The LIVE snapshot: tombstone marker rows (and the marker
-        column) are hidden from readers."""
-        df = self._read_raw().drop(self.BUCKET_COL)
+    def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
         return df
+
+    def read(self) -> DataFrame:
+        """The LIVE snapshot: tombstone marker rows (and the marker
+        column) are hidden from readers."""
+        return self._hide_tombstones(self._read_raw().drop(self.BUCKET_COL))
+
+    def lookup(self, keys) -> DataFrame:
+        """Point/batch lookup: the live rows for the given keys, reading
+        ONLY the buckets those keys hash into — the serving-side
+        primitive.  On a 100 TB / 16k-bucket snapshot a point lookup
+        reads one bucket (~0.06% of the table) via the same structural
+        brace-alternation glob the merge path uses; untouched buckets
+        are never listed.
+
+        ``keys``: a DataFrame carrying the key columns, or (for literal
+        point lookups) a sequence of scalars (single-column key) /
+        tuples (composite key) — typed from the stored schema.  The key
+        set must be lookup-sized: its distinct buckets are collected on
+        the driver (metadata-bounded, exactly like merge's touched-
+        bucket list) and the keys broadcast into a semi-join."""
+        if not isinstance(keys, DataFrame):
+            rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,)
+                    for k in keys]
+            schema = self._load_schema()
+            if schema is None:
+                raise ValueError("lookup on a table with no stored schema")
+            from pyspark.sql import types as T
+            ktypes = T.StructType([schema[k] for k in self.keys])
+            keys = self.spark.createDataFrame(rows, ktypes)
+        kdf = keys.select(*self.keys).distinct()
+        buckets = [int(r[0]) for r in self._with_bucket(kdf)
+                   .select(self.BUCKET_COL).distinct().collect()]
+        df = self._hide_tombstones(
+            self._read_raw(buckets=buckets).drop(self.BUCKET_COL))
+        return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
     def purge_tombstones(self, before_version=None,
                          version_col: str | None = None) -> None:

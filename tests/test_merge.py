@@ -294,3 +294,44 @@ def test_aqe_refcount_survives_concurrent_merges(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     _aqe_restore(spark)   # B leaves: true prior restored
     assert spark.conf.get("spark.sql.adaptive.enabled") == prior
+
+
+# -- bucket-pruned point lookups ------------------------------------------
+
+def test_lookup_literal_and_df_keys(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=16)
+    t.init(df_of(spark, [Row(id=i, name=f"n{i}", bal=float(i))
+                         for i in range(100)]))
+    got = {r["id"]: r["name"] for r in t.lookup([3, 57, 99, 1234]).collect()}
+    assert got == {3: "n3", 57: "n57", 99: "n99"}   # missing key -> no row
+    kdf = spark.createDataFrame([(7,), (8,)], "id long")
+    assert {r["id"] for r in t.lookup(kdf).collect()} == {7, 8}
+
+
+def test_lookup_composite_key_and_tombstones(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "t"), ["a", "b"], num_buckets=8,
+                   tombstones=True)
+    t.init(df_of(spark, [Row(a=1, b="x", v=10, load_timestamp=TS),
+                         Row(a=1, b="y", v=11, load_timestamp=TS),
+                         Row(a=2, b="x", v=20, load_timestamp=TS)]))
+    t.merge_batch(df_of(spark, [Row(a=1, b="y", v=0, load_timestamp=TS2,
+                                    Op="D")]),
+                  version_col="load_timestamp")
+    rows = t.lookup([(1, "x"), (1, "y")]).collect()
+    assert [(r["a"], r["b"], r["v"]) for r in rows] == [(1, "x", 10)]
+    # the tombstoned key is hidden, and the marker column never leaks
+    assert "__tombstone" not in t.lookup([(1, "y")]).columns
+
+
+def test_lookup_scans_only_key_buckets(spark, tmp_path):
+    """The 100 TB contract: a point lookup's parquet scan location is
+    the brace-alternation glob of the KEYS' buckets — untouched bucket
+    dirs are never listed (same structural pruning as the merge path)."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=16)
+    t.init(df_of(spark, [Row(id=i, name=f"n{i}") for i in range(200)]))
+    probe = t.lookup([5])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted")
+    locs = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert locs and all("_bucket=" in ln for ln in locs)
+    assert "SortMergeJoin" not in plan
