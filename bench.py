@@ -305,6 +305,31 @@ def bench_pq_probe(spark, sf_dir) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_point_lookup(spark, sf_dir) -> list[float]:
+    """Point-lookup latency on a warm bucketed snapshot (KeyedTable.
+    lookup): each lookup reads ONLY the keys' buckets via the structural
+    brace-glob, so the cost is bucket-read + broadcast semi-join —
+    independent of table size at fixed bucket size (the serving-side
+    100 TB claim; build is untimed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bench_lookup_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=64)
+        kt.init(orders)
+        keys = [r[0] for r in
+                orders.select("o_orderkey").orderBy("o_orderkey")
+                .limit(10).collect()]
+        kt.lookup(keys).write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            kt.lookup(keys).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return samples
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_lsh_probe(spark, sf_dir) -> float:
     """Amortized incremental near-dup: one-time LshIndex build over the
     documents corpus (untimed), then probe a shifted-copy batch — the
@@ -368,6 +393,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"pq bench failed: {exc}", file=sys.stderr)
         pq_probe = 0.0
+    # new in round 5 — shielded, reported outside `queries`
+    try:
+        lk_samples = bench_point_lookup(spark, sf_dir)
+        point_lookup = round(min(lk_samples), 3)
+        dispersion["cdc_point_lookup"] = summarize(lk_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"point-lookup bench failed: {exc}", file=sys.stderr)
+        point_lookup = 0.0
     # streams: best-of-2 (each run builds a fresh source+checkpoint, so a
     # single sample carries dirty-page/GC jitter the query reps don't);
     # throughput metrics report MAX, dispersion negates them so min=worst
@@ -408,6 +441,7 @@ def main() -> None:
         "fleet_files_per_sec": fleet_fps,
         "stream_neardup_docs_per_sec": neardup_dps,
         "ann_pq_probe_amortized": pq_probe,
+        "cdc_point_lookup": point_lookup,
         "dispersion": dispersion,
         "sf": sf,
     }))
