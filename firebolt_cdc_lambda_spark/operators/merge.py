@@ -54,6 +54,7 @@ import operator
 import threading
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -422,10 +423,18 @@ class KeyedTable:
             if buckets is not None:   # no schema sidecar: prune via filter
                 df = df.where(F.col(self.BUCKET_COL).isin(list(buckets)))
             return df
-        except Exception:
-            if schema is None:
+        except AnalysisException as exc:
+            # ONLY verifiably-absent paths map to "empty table" (table
+            # not created yet / no touched bucket dir / empty glob —
+            # all PATH_NOT_FOUND; UNABLE_TO_INFER_SCHEMA covers a dir
+            # with no files after an aborted first write).  Every other
+            # failure re-raises: a transient listing/permission error
+            # read as "empty target" would make the NEXT merge rewrite
+            # touched buckets from staging alone — silent loss of every
+            # stored row in them.  Same contract as LshIndex._read_shards.
+            if schema is None or exc.getErrorClass() not in (
+                    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
-            # empty table (or no touched bucket dir exists yet)
             return self.spark.createDataFrame([], schema)
 
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:

@@ -37,9 +37,18 @@ class FileLedger:
         self.days_to_keep = days_to_keep
 
     def _read(self):
+        from pyspark.errors import AnalysisException
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:
+        except AnalysisException as exc:
+            # only a verifiably-absent ledger is "empty"; a real read
+            # error re-raises (reading it as empty would answer
+            # is_processed=False and replay files — harmless only
+            # because merges are idempotent, but the error belongs to
+            # the caller).  Same contract as KeyedTable._read_raw.
+            if exc.getErrorClass() not in ("PATH_NOT_FOUND",
+                                           "UNABLE_TO_INFER_SCHEMA"):
+                raise
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def is_processed(self, file_key: str) -> bool:

@@ -335,3 +335,41 @@ def test_lookup_scans_only_key_buckets(spark, tmp_path):
     locs = [ln for ln in plan.splitlines() if "Location" in ln]
     assert locs and all("_bucket=" in ln for ln in locs)
     assert "SortMergeJoin" not in plan
+
+
+def test_read_raw_only_absent_paths_read_as_empty(spark, tmp_path):
+    """Round-5 sibling of the r4 LshIndex fix: ONLY verifiably-absent
+    paths map to an empty table.  A non-PATH_NOT_FOUND analysis error
+    must propagate — swallowed, the next merge would rewrite touched
+    buckets from staging alone and silently lose stored rows."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    t.init(df_of(spark, [Row(id=1, v="a")]))
+    # absent bucket glob -> empty, not error (the legitimate case)
+    assert t._read_raw(buckets=[]).count() == 0
+    # a real analysis failure must raise: simulate with a reader whose
+    # analysis throws a non-PATH_NOT_FOUND AnalysisException
+    from pyspark.errors import AnalysisException
+
+    class _BoomReader:
+        def schema(self, *_a, **_k):
+            return self
+        def option(self, *_a, **_k):
+            return self
+        def parquet(self, *_a, **_k):
+            # no errorClass => getErrorClass() is None, i.e. NOT one of
+            # the whitelisted "verifiably absent" classes
+            raise AnalysisException("simulated transient listing failure")
+
+    class _BoomSpark:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name == "read":
+                return _BoomReader()
+            return getattr(self._real, name)
+
+    t2 = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    t2.spark = _BoomSpark(spark)
+    with pytest.raises(AnalysisException):
+        t2._read_raw(buckets=[0, 1])
