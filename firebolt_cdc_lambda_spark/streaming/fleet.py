@@ -77,6 +77,49 @@ class CdcFleet:
                 status[table] = f"failed: {exc}"
         return status
 
+    def run_pooled(self, spark: SparkSession, width: int = 16,
+                   timeout_sec: int = 600) -> dict[str, str]:
+        """Drain the fleet through a BOUNDED pool of at most ``width``
+        concurrent streams — the production shape PLANS §7h's
+        measurement points at: aggregate throughput saturates at ~16
+        concurrent drains (driver-planning bound), and a reference-scale
+        fleet (809 tables x ~12 files/day each) doesn't need 809 live
+        streams; a ~16-wide pool round-robining the fleet covers the
+        load with heavy margin and bounds driver memory (each live
+        stream holds file-source log + listener state).
+
+        availableNow semantics per table: a stream drains its backlog
+        and terminates, freeing its slot for the next table.  Same
+        degrade-don't-die posture as run_once."""
+        pending = list(self.streams().items())
+        active: dict[str, object] = {}
+        deadline: dict[str, float] = {}
+        status: dict[str, str] = {}
+        import time as _time
+        while pending or active:
+            while pending and len(active) < width:
+                table, stream = pending.pop(0)
+                try:
+                    active[table] = stream.start(spark, available_now=True)
+                    deadline[table] = _time.time() + timeout_sec
+                except Exception as exc:  # noqa: BLE001
+                    status[table] = f"failed_to_start: {exc}"
+            for table in list(active):
+                q = active[table]
+                try:
+                    q.awaitTermination(1)
+                    if not q.isActive:
+                        status[table] = "drained"
+                        del active[table]
+                    elif _time.time() > deadline[table]:
+                        q.stop()
+                        status[table] = "timeout"
+                        del active[table]
+                except Exception as exc:  # noqa: BLE001
+                    status[table] = f"failed: {exc}"
+                    del active[table]
+        return status
+
     def run_maintenance(self, before_version=None) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).

@@ -83,3 +83,29 @@ def test_fleet_maintenance_purges_tombstones(spark, tmp_path):
     assert status == {"users": "purged", "nokeys": "skipped"}
     assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
     assert {r["id"] for r in t.read().collect()} == {2}
+
+
+def test_fleet_pooled_drain_bounded_width(spark, tmp_path):
+    """run_pooled drains every table through a bounded slot pool (the
+    PLANS 7h production shape); results identical to run_once."""
+    root = str(tmp_path / "src")
+    tables = [f"t{i}" for i in range(5)]
+    for i, tb in enumerate(tables):
+        write_file(spark, root, tb, "2024-01-01", "a.parquet", [
+            Row(id=1, v=f"{tb}-a", Op="I", load_timestamp=TS)])
+        write_file(spark, root, tb, "2024-01-02", "b.parquet", [
+            Row(id=1, v=f"{tb}-b", Op="U", load_timestamp=TS2),
+            Row(id=2, v=f"{tb}-c", Op="I", load_timestamp=TS2)])
+    keys = "{" + ", ".join(f'"{tb}": "id"' for tb in tables) + "}"
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json(keys), num_buckets=4)
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    status = fleet.run_pooled(spark, width=2)
+    assert status == {tb: "drained" for tb in tables}
+    for tb in tables:
+        rows = {r["id"]: r["v"]
+                for r in pipe.target_for(tb, ["id"]).read().collect()}
+        assert rows == {1: f"{tb}-b", 2: f"{tb}-c"}
+    # second pooled drain: checkpoints make it a fleet-wide no-op
+    assert fleet.run_pooled(spark, width=2) == {
+        tb: "drained" for tb in tables}
