@@ -1125,6 +1125,113 @@ FROM p
 """
 
 
+# -- the composed prep pipeline: dedup -> quality -> sample, one funnel ----
+# The end-to-end shape a training-data run actually executes, as ONE
+# declarative plan: exact dedup (keep min-id per content hash) ->
+# C4/Gopher-style quality gate (the _QF_RULES verdict) -> deterministic
+# per-language cap (md5-ordered rank) -> a per-language FUNNEL REPORT
+# (input / after-dedup / after-quality / sampled / sampled tokens).
+# Every stage is a flag on the same scan, so the funnel is one window
+# pair + one groupBy — no per-stage materialization, and Catalyst sees
+# the whole pipeline (at 100 TB: two window shuffles + one map-side-
+# combined aggregation; the dedup window's partition key is the content
+# hash, which is uniform by construction).
+_PREP_CAP = 40
+
+
+def corpus_prep_pipeline(spark, sf):
+    from pyspark.sql import Window
+    d = load_table(spark, sf, "documents")
+    c = (d.select("doc_id", "text", "lang")
+         .unionByName(d.where("doc_id % 10 = 0")
+                      .selectExpr("doc_id + 1000000 AS doc_id", "text",
+                                  "lang")))
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    sig = c.selectExpr(
+        "doc_id", "text", "lang",
+        f"CAST(size({_TOKENS_SPARK}) AS BIGINT) AS n_tokens",
+        f"aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0, "
+        "(acc, v) -> acc + v) AS n_token_chars",
+        f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop_in}))) AS n_stopwords",
+        f"filter(split({_CLEAN_SPARK}, ' '), w -> w != '') AS ws",
+    ).selectExpr(
+        "doc_id", "text", "lang", "n_tokens",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len",
+        "CASE WHEN size(ws) < 3 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "CAST(1 AS DOUBLE) - CAST(size(array_distinct(transform("
+        "sequence(1, size(ws) - 2), i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])"
+        "))) AS DOUBLE) / (size(ws) - 2) END AS rep_ratio",
+    )
+    any_fired = " OR ".join(f"({cond})" for _, cond in _QF_RULES)
+    flagged = (sig
+               .withColumn("keep_dedup",
+                           F.col("doc_id") == F.min("doc_id").over(
+                               Window.partitionBy(F.md5("text"))))
+               .withColumn("keep_quality", F.expr(f"NOT ({any_fired})"))
+               .withColumn("elig", F.col("keep_dedup") & F.col("keep_quality")))
+    w_rank = (Window.partitionBy("lang", "elig")
+              .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+    ranked = flagged.withColumn(
+        "sampled",
+        F.col("elig") & (F.row_number().over(w_rank) <= _PREP_CAP))
+    return (ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_input"),
+                 F.sum(F.col("keep_dedup").cast("long")).alias("n_after_dedup"),
+                 F.sum(F.col("elig").cast("long")).alias("n_after_quality"),
+                 F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+                 F.sum(F.when(F.col("sampled"), F.col("n_tokens"))
+                       .otherwise(0)).alias("tokens_sampled"))
+            .orderBy("lang"))
+
+
+CORPUS_PREP_PIPELINE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id % 10 = 0),
+t AS (
+  SELECT doc_id, text, lang,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS BIGINT) AS n_token_chars,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({_stop_in}))) AS n_stopwords,
+         list_filter(string_split({_CLEAN_DUCK}, ' '), w -> w != '') AS ws
+  FROM c),
+sig AS (
+  SELECT doc_id, text, lang, n_tokens,
+    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio,
+    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(n_token_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+    CASE WHEN len(ws) < 3 THEN CAST(0.0 AS DOUBLE) ELSE
+      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(
+        range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      ))) AS DOUBLE) / (len(ws) - 2) END AS rep_ratio
+  FROM t),
+flagged AS (
+  SELECT *,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_dedup,
+         NOT ({_qf_any_duck}) AS keep_quality
+  FROM sig),
+ranked AS (
+  SELECT *, keep_dedup AND keep_quality AS elig,
+         ROW_NUMBER() OVER (PARTITION BY lang, keep_dedup AND keep_quality
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM flagged)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       CAST(SUM(CASE WHEN elig AND rk <= {_PREP_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN elig AND rk <= {_PREP_CAP} THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_passage_dedup": Query(text_passage_dedup, TEXT_PASSAGE_DEDUP_SQL,
                                 "cross-doc 20-token span dedup profile"),
@@ -1183,4 +1290,8 @@ QUERIES = {
         text_cms_heavy_hitters, TEXT_CMS_SQL,
         "count-min sketch audit: exact vs fixed-memory sketch estimate "
         "for the top-20 heavy hitters, zero float tolerance"),
+    "corpus_prep_pipeline": Query(
+        corpus_prep_pipeline, CORPUS_PREP_PIPELINE_SQL,
+        "the composed prep funnel: exact dedup -> quality gate -> "
+        "per-language cap, reported as a per-language funnel"),
 }
