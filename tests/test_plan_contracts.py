@@ -168,3 +168,17 @@ def test_cms_topk_take_ordered_no_smj(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_" in plan or "partial" in plan.lower()
+
+
+def test_prep_funnel_no_joins_single_pass(spark):
+    """corpus_prep_pipeline (COVERAGE: composed funnel row): the whole
+    dedup -> quality -> sample funnel is window + aggregate shapes over
+    ONE scan chain — no joins of any kind, and the final aggregation
+    partial-combines map-side."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["corpus_prep_pipeline"].fn(spark, SF_DIR)
+    plan = executed(df)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert "HashAggregate" in plan and "Window" in plan
