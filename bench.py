@@ -175,7 +175,8 @@ def bench_stream_throughput(spark, sf_dir, n_files: int = 10,
 
 
 def bench_fleet_throughput(spark, sf_dir, n_tables: int = 8,
-                           files_per_table: int = 6) -> float:
+                           files_per_table: int = 6,
+                           pool_width: int | None = None) -> float:
     """Aggregate files/sec across a CONCURRENT multi-table fleet — the
     production shape BASELINE.md describes (809 tables, ~10k files/day ≈
     0.12 files/s fleet-wide, AUTOMATIC_CLEANUP.md:68).  Per-file triggers
@@ -207,7 +208,10 @@ def bench_fleet_throughput(spark, sf_dir, n_tables: int = 8,
         fleet = CdcFleet(pipe, f"{tmp}/src", f"{tmp}/ckpt",
                          max_files_per_trigger=1)
         t0 = time.time()
-        status = fleet.run_once(spark)
+        # pool_width: drain via the bounded run_pooled slot pool (the
+        # PLANS §7h production shape) instead of all-streams-at-once
+        status = (fleet.run_pooled(spark, width=pool_width)
+                  if pool_width else fleet.run_once(spark))
         elapsed = time.time() - t0
         bad = {t: s for t, s in status.items() if s != "drained"}
         if bad:

@@ -38,9 +38,21 @@ def main() -> None:
         fpt = max(1, total_files // w)
         out[str(w)] = bench.bench_fleet_throughput(
             spark, sf_dir, n_tables=w, files_per_table=fpt)
+    # pooled mode: MORE tables than slots — the run_pooled production
+    # shape (a bounded pool round-robining a wide fleet); same total
+    # file count so throughput is comparable to the all-at-once sweep
+    pooled: dict[str, float] = {}
+    n_tables = max(widths)
+    fpt = max(1, total_files // n_tables)
+    for w in widths:
+        if w >= n_tables:
+            continue
+        pooled[f"{n_tables}t/pool{w}"] = bench.bench_fleet_throughput(
+            spark, sf_dir, n_tables=n_tables, files_per_table=fpt,
+            pool_width=w)
     print(json.dumps({"metric": "fleet_files_per_sec_by_width",
                       "total_files": total_files, "sf_dir": sf_dir,
-                      "by_width": out}))
+                      "by_width": out, "pooled": pooled}))
 
 
 if __name__ == "__main__":
