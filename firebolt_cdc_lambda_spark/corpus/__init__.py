@@ -32,23 +32,24 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #   * slots 1-7 — the seven queries added after round 4's freeze, never
 #     driver-gated; cdc_out_of_order_replay FIRST (sole end-to-end
 #     oracle row for round 4's tombstone feature, now default-on);
-#   * slots 8-12 — the FIVE queries new this round, gated immediately
+#   * slots 8-13 — the SIX queries new this round, gated immediately
 #     so the new-query debt doesn't recur: ann_ivfpq_rerank_topk
 #     (PqIndex rerank/cell_filter paths), text_cms_heavy_hitters
 #     (count-min sketch audit), dedup_minhash_containment (asymmetric
 #     subset-document near-dup), events_distinct_sketch_audit
 #     (linear-counting cardinality sketch audit), corpus_prep_pipeline
-#     (the composed dedup -> quality -> sample funnel);
-#   * slots 13-28 — ALL sixteen remaining r2-stale rows, the three
+#     (the composed dedup -> quality -> sample funnel),
+#     corpus_drift_chisq (rarity-weighted drift, floor-grid summed);
+#   * slots 14-29 — ALL sixteen remaining r2-stale rows, the three
 #     dedup rows first (their code changed in round 4's rider fix
 #     4d4b9fe while their newest driver rows were r2);
-#   * slots 29-50 — twenty-two of the forty-three r3-stale rows
+#   * slots 30-50 — twenty-one of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter/corpus-sampling/embedding/
 #     TPC-H families).
-# After round 5: all 121 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=21 — no row older than round 3.  The 21 remaining
-# r3 rows (q14/q15/q17/q18/q19/q21/q22 + fourteen val_* aggregates,
-# none code-touched since r3) lead round 6's rotation.
+# After round 5: all 122 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=22 — no row older than round 3.  The 22 remaining
+# r3 rows (q13/q14/q15/q17/q18/q19/q21/q22 + fourteen val_*
+# aggregates, none code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -57,7 +58,7 @@ _DRIVER_PRIORITY = [
     # new in round 5, gated immediately -----------------------------------
     "ann_ivfpq_rerank_topk", "text_cms_heavy_hitters",
     "dedup_minhash_containment", "events_distinct_sketch_audit",
-    "corpus_prep_pipeline",
+    "corpus_prep_pipeline", "corpus_drift_chisq",
     # the sixteen r2-stale rows, code-touched dedup trio first ------------
     "cdc_dedup_cascade", "cdc_dedup_last_writer", "cdc_dedup_bypass_stats",
     "val_row_counts", "val_agg_summary", "val_checksum",
@@ -66,7 +67,7 @@ _DRIVER_PRIORITY = [
     "join_full_outer_compare", "join_correlated_nation_counts",
     "set_ops_summary", "grouping_sets_status_priority",
     "cube_status_priority",
-    # r3-stale re-gates (22 of 43) ----------------------------------------
+    # r3-stale re-gates (21 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
@@ -76,7 +77,6 @@ _DRIVER_PRIORITY = [
     "embedding_pseudo_label", "events_json_extract",
     "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q12_shipping_delay_classes",
-    "q13_customer_distribution",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -194,6 +194,67 @@ FROM p, g GROUP BY g.A, g.B
 """
 
 
+# -- corpus drift: chi-square distance, transcendental-free ---------------
+# The divergence-family companion to corpus_drift_tv: chi-square
+# distance 0.5 * sum_t (p_t - q_t)^2 / (p_t + q_t) weights shifts by
+# rarity (a doubled rare token counts; TV treats all mass equally).
+# KL/JS need logs — NOT cross-engine-deterministic (ln is not correctly
+# rounded) — but chi-square is division-only, and every per-token step
+# here is an exactly-rounded IEEE op on identical inputs, hence
+# bit-identical on both engines: p = a/A and q = b/B (one division
+# each), (p-q)^2/(p+q) (sub/mul/add/div), * 1e15 (exact power of ten).
+# The ONE remaining hazard is summing doubles (order-dependent), dodged
+# with a FLOOR grid: floor(contrib * 1e15) is BIGINT-exact and floor —
+# unlike round() or a DECIMAL cast — has no tie-break semantics to
+# diverge on.  The scaled sum is bounded (sum of contribs <= 2, so
+# <= 2e15) and associative; truncation error < |vocab| * 1e-15.
+def corpus_drift_chisq(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.selectExpr("doc_id % 2 AS half",
+                        f"explode({_TOKENS_SPARK}) AS token")
+    per_tok = (toks.groupBy("token")
+               .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+                    F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b")))
+    totals = per_tok.agg(F.sum("a").alias("tot_a"), F.sum("b").alias("tot_b"))
+    contrib = ("(CAST(a AS DOUBLE) / tot_a - CAST(b AS DOUBLE) / tot_b)"
+               " * (CAST(a AS DOUBLE) / tot_a - CAST(b AS DOUBLE) / tot_b)"
+               " / (CAST(a AS DOUBLE) / tot_a + CAST(b AS DOUBLE) / tot_b)")
+    return (per_tok.crossJoin(F.broadcast(totals))
+            .agg(F.max("tot_a").alias("n_tokens_a"),
+                 F.max("tot_b").alias("n_tokens_b"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum(F.expr(
+                     f"CAST(floor(({contrib}) * 1e15) AS BIGINT)"))
+                 .alias("chisq_scaled"))
+            .selectExpr("n_tokens_a", "n_tokens_b", "n_vocab",
+                        "chisq_scaled",
+                        "0.5 * CAST(chisq_scaled AS DOUBLE) / 1e15"
+                        " AS chisq_distance"))
+
+
+_CHISQ_CONTRIB_DUCK = (
+    "(p.a::DOUBLE / g.A - p.b::DOUBLE / g.B)"
+    " * (p.a::DOUBLE / g.A - p.b::DOUBLE / g.B)"
+    " / (p.a::DOUBLE / g.A + p.b::DOUBLE / g.B)")
+CORPUS_DRIFT_CHISQ_SQL = f"""
+WITH t AS (SELECT doc_id % 2 AS half, unnest({_TOKENS_DUCK}) AS token
+           FROM documents),
+p AS (SELECT token,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM t GROUP BY 1),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS A, CAST(SUM(b) AS BIGINT) AS B
+      FROM p)
+SELECT g.A AS n_tokens_a, g.B AS n_tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CAST(floor(({_CHISQ_CONTRIB_DUCK}) * 1e15) AS BIGINT)) AS BIGINT)
+         AS chisq_scaled,
+       0.5 * CAST(SUM(CAST(floor(({_CHISQ_CONTRIB_DUCK}) * 1e15) AS BIGINT)) AS DOUBLE)
+         / 1e15 AS chisq_distance
+FROM p, g GROUP BY g.A, g.B
+"""
+
+
 QUERIES = {
     "corpus_drift_tv": Query(
         corpus_drift_tv, CORPUS_DRIFT_TV_SQL,
@@ -215,4 +276,11 @@ QUERIES = {
         corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL,
         "integer-deterministic weighted priority sample (Efraimidis-"
         "Spirakis analogue)", ("dataprep", "sampling")),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "corpus_drift_chisq": Query(
+        corpus_drift_chisq, CORPUS_DRIFT_CHISQ_SQL,
+        "snapshot drift: chi-square distance (rarity-weighted companion "
+        "to TV), floor-grid-summed for cross-engine determinism",
+        ("dataprep", "drift")),
 }
