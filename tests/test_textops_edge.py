@@ -74,3 +74,28 @@ def test_cms_heavy_hitters_short_docs(spark, short_doc_dir):
         assert r.cms_estimate >= r.exact_count
     counts = {r.token: r.exact_count for r in rows}
     assert counts["alpha"] == 2 and counts["beta"] == 2
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_cms_guarantee_on_varied_corpora(spark, tmp_path_factory, seed):
+    """CMS structural guarantee, est >= exact, on corpora with very
+    different collision profiles (vocab ~ tokens, heavy skew, tiny
+    vocab) — seeded, not random, so failures reproduce."""
+    import random
+    rng = random.Random(seed)
+    vocab = [f"w{seed}x{i}" for i in range(5 + (seed % 37) * 8)]
+    rows = []
+    for doc_id in range(60):
+        n = 1 + rng.randrange(30)
+        # skew: low ids heavily repeated
+        toks = [vocab[min(int(rng.expovariate(0.3)), len(vocab) - 1)]
+                for _ in range(n)]
+        rows.append((doc_id, " ".join(toks), "en", "web", len(toks)))
+    d = tmp_path_factory.mktemp(f"cms{seed}")
+    spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+        str(d / "documents.parquet"))
+    out = ALL_QUERIES["text_cms_heavy_hitters"].fn(spark, str(d)).collect()
+    assert out
+    for r in out:
+        assert r.cms_estimate >= r.exact_count >= 1
+        assert r.overestimate == r.cms_estimate - r.exact_count
