@@ -43,12 +43,21 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #   * slots 14-29 — ALL sixteen remaining r2-stale rows, the three
 #     dedup rows first (their code changed in round 4's rider fix
 #     4d4b9fe while their newest driver rows were r2);
-#   * slots 30-50 — twenty-one of the forty-three r3-stale rows
+#   * slots 30-32 — the THREE sketch-family audits added later in
+#     round 5, gated immediately (same no-new-query-debt rule):
+#     join_bloom_filter_audit (membership: k=3 polynomial hashes,
+#     FP count over true non-members per bitmap size),
+#     events_hll_register_audit (probabilistic counting: trailing-zero
+#     register ranks + dyadic harmonic denominator as exact BIGINT),
+#     val_quantile_sketch_audit (fixed-grid histogram p50/p90 vs exact
+#     order statistic in cents-integers);
+#   * slots 33-50 — eighteen of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter/corpus-sampling/embedding/
-#     TPC-H families).
-# After round 5: all 122 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=22 — no row older than round 3.  The 22 remaining
-# r3 rows (q13/q14/q15/q17/q18/q19/q21/q22 + fourteen val_*
+#     TPC-H families; q8/q9/q12 were displaced by the three audits and
+#     rejoin the r3-stale queue).
+# After round 5: all 125 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=25 — no row older than round 3.  The 25 remaining
+# r3 rows (q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 + fourteen val_*
 # aggregates, none code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
@@ -67,7 +76,10 @@ _DRIVER_PRIORITY = [
     "join_full_outer_compare", "join_correlated_nation_counts",
     "set_ops_summary", "grouping_sets_status_priority",
     "cube_status_priority",
-    # r3-stale re-gates (21 of 43) ----------------------------------------
+    # sketch-family audits added later in round 5, gated immediately ------
+    "join_bloom_filter_audit", "events_hll_register_audit",
+    "val_quantile_sketch_audit",
+    # r3-stale re-gates (18 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
@@ -76,7 +88,6 @@ _DRIVER_PRIORITY = [
     "corpus_stratified_sample", "embedding_label_centroids",
     "embedding_pseudo_label", "events_json_extract",
     "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q12_shipping_delay_classes",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -1116,6 +1116,286 @@ FROM bits GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# -- Bloom-filter membership sketch audit ---------------------------------
+# The membership member of the sketch family (CMS = frequency,
+# linear counting = cardinality): an m-bit Bloom filter over the DISTINCT
+# custkeys holding a high-value order (o_totalprice > 480k — roughly a
+# third of customers at every SF, so both sides of the audit are
+# populated), probed with every customer NOT in that set — the exact
+# shape of Spark's own runtime-filter join pruning (a bloom built on the
+# filtered build side prunes probe-side scan rows).  The audit counts,
+# per bitmap size m, how many true non-members the filter wrongly admits
+# (false positives), entirely in integers: k=3 explicit polynomial
+# hashes, never an engine-native hash.
+#
+# Scale: the filter itself is <= m bits of state built with one
+# map-side-combined distinct; the probe is a broadcast join of the bit
+# set against the anti-join survivors.  The FP count answers the
+# production sizing question "how many wasted fetches per bitmap size".
+_BF_MS = (256, 1024, 4096)
+_BF_HASHES = ((123457, 886731), (594521, 193939), (774377, 331613))
+_BF_P = 1_000_003
+_BF_THRESHOLD = 480_000
+
+
+def join_bloom_filter_audit(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    ms = ", ".join(str(m) for m in _BF_MS)
+    a_arr = ", ".join(f"{a}L" for a, _ in _BF_HASHES)
+    b_arr = ", ".join(f"{b}L" for _, b in _BF_HASHES)
+    members = (o.where(f"o_totalprice > {_BF_THRESHOLD}")
+               .select("o_custkey").distinct())
+    bits = (members
+            .selectExpr("o_custkey", f"explode(array({ms})) AS m")
+            .selectExpr("o_custkey", "m",
+                        f"explode(sequence(1, {len(_BF_HASHES)})) AS j")
+            .selectExpr("m",
+                        f"((element_at(array({a_arr}), j) * o_custkey + "
+                        f"element_at(array({b_arr}), j)) % {_BF_P}) % m AS bit")
+            .distinct())
+    nonmembers = (c.join(members, c.c_custkey == members.o_custkey,
+                         "left_anti").select("c_custkey"))
+    probe = (nonmembers
+             .selectExpr("c_custkey", f"explode(array({ms})) AS m")
+             .selectExpr("c_custkey", "m",
+                         f"explode(sequence(1, {len(_BF_HASHES)})) AS j")
+             .selectExpr("c_custkey", "m",
+                         f"((element_at(array({a_arr}), j) * c_custkey + "
+                         f"element_at(array({b_arr}), j)) % {_BF_P}) % m AS bit"))
+    marked = (probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                         ["m", "bit"], "left")
+              .fillna(0, ["hit"]))
+    fp = (marked.groupBy("m", "c_custkey")
+          .agg(F.min("hit").alias("all_hit"))
+          .groupBy("m")
+          .agg(F.count(F.lit(1)).alias("n_nonmembers"),
+               F.sum("all_hit").cast("bigint").alias("false_positives")))
+    occ = bits.groupBy("m").agg(F.count(F.lit(1)).alias("occupied_bits"))
+    nmem = (members.selectExpr(f"explode(array({ms})) AS m")
+            .groupBy("m").agg(F.count(F.lit(1)).alias("n_members")))
+    return (nmem.join(occ, "m").join(fp, "m")
+            .selectExpr("CAST(m AS INT) AS m", "n_members", "occupied_bits",
+                        "n_nonmembers", "false_positives")
+            .orderBy("m"))
+
+
+_BF_MS_VALUES = ", ".join(f"({m})" for m in _BF_MS)
+_BF_HS_VALUES = ", ".join(f"({j + 1}, {a}, {b})"
+                          for j, (a, b) in enumerate(_BF_HASHES))
+JOIN_BLOOM_FILTER_SQL = f"""
+WITH members AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_totalprice > {_BF_THRESHOLD}),
+ms(m) AS (VALUES {_BF_MS_VALUES}),
+hs(j, a, b) AS (VALUES {_BF_HS_VALUES}),
+bits AS (SELECT DISTINCT m, ((a * o_custkey + b) % {_BF_P}) % m AS bit
+         FROM members, ms, hs),
+nonmembers AS (SELECT c_custkey FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM members)),
+probe AS (SELECT c_custkey, m, j,
+                 ((a * c_custkey + b) % {_BF_P}) % m AS bit
+          FROM nonmembers, ms, hs),
+marked AS (SELECT p.c_custkey, p.m,
+                  CASE WHEN bt.bit IS NULL THEN 0 ELSE 1 END AS hit
+           FROM probe p LEFT JOIN bits bt ON bt.m = p.m AND bt.bit = p.bit),
+fp AS (SELECT m, COUNT(*) AS n_nonmembers,
+              SUM(all_hit) AS false_positives
+       FROM (SELECT m, c_custkey, MIN(hit) AS all_hit
+             FROM marked GROUP BY 1, 2) GROUP BY 1),
+occ AS (SELECT m, COUNT(*) AS occupied_bits FROM bits GROUP BY 1),
+nmem AS (SELECT m, COUNT(*) AS n_members FROM members, ms GROUP BY 1)
+SELECT CAST(n.m AS INTEGER) AS m, CAST(n_members AS BIGINT) AS n_members,
+       CAST(occupied_bits AS BIGINT) AS occupied_bits,
+       CAST(n_nonmembers AS BIGINT) AS n_nonmembers,
+       CAST(false_positives AS BIGINT) AS false_positives
+FROM nmem n JOIN occ USING (m) JOIN fp USING (m) ORDER BY m
+"""
+
+
+# -- HLL-style register sketch audit --------------------------------------
+# Probabilistic-counting registers (Flajolet-Martin / HyperLogLog
+# family): bucket = h % m, rank rho = trailing-zero count of the
+# remaining hash bits + 1 (computed EXACTLY as length(bin(q & -q)) —
+# bin() is minimal-width on both engines), register = max rank.  The
+# estimator's harmonic denominator sum(2^-M_b) is a dyadic rational, so
+# scaled by 2^{_HLL_K} it is an exact BIGINT: harmonic_denom_scaled =
+# (m - registers_hit) * 2^K + sum over hit registers of 2^(K - M_b),
+# summed with shiftleft (never pow(), which returns inexact doubles).
+# The float estimate alpha_m * m^2 * 2^K / denom is deliberately NOT in
+# the output (one IEEE division away; the BIGINT denominator determines
+# it monotonically) — same bit-identical-oracle posture as the
+# linear-counting audit above.
+#
+# Scale: registers are <= m rows of state per group after the first
+# map-side-combined aggregation; the raw-key exact_distinct column is
+# the expensive ground truth the audit exists to compare against.
+_HLL_MS = (16, 64)
+_HLL_A, _HLL_B, _HLL_P = 594521, 193939, 1_000_003
+_HLL_K = 21  # 2^21 scale: q < p/16 < 2^17, so rho <= 18 < K
+
+
+def events_hll_register_audit(spark, sf):
+    e = load_table(spark, sf, "events")
+    ms = ", ".join(str(m) for m in _HLL_MS)
+    base = (e.selectExpr("event_type", "user_id",
+                         f"({_HLL_A} * user_id + {_HLL_B}) % {_HLL_P} AS h")
+            .selectExpr("event_type", "user_id", "h",
+                        f"explode(array({ms})) AS m")
+            .selectExpr("event_type", "m", "user_id",
+                        "h % m AS reg", "h div m AS q")
+            .selectExpr("event_type", "m", "user_id", "reg",
+                        f"CASE WHEN q = 0 THEN {_HLL_K} "
+                        "ELSE length(bin(q & -q)) END AS rho"))
+    regs = (base.groupBy("event_type", "m", "reg")
+            .agg(F.max("rho").alias("mrank")))
+    summ = (regs.groupBy("event_type", "m")
+            .agg(F.count(F.lit(1)).alias("registers_hit"),
+                 F.max("mrank").cast("int").alias("max_rank"),
+                 F.sum(F.expr(
+                     f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - mrank)"))
+                 .alias("hit_denom")))
+    exact = (base.groupBy("event_type", "m")
+             .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    return (exact.join(summ, ["event_type", "m"])
+            .selectExpr("event_type", "CAST(m AS INT) AS m",
+                        "exact_distinct",
+                        "registers_hit", "max_rank",
+                        f"(m - registers_hit) * CAST({1 << _HLL_K} AS BIGINT)"
+                        " + hit_denom AS harmonic_denom_scaled")
+            .orderBy("event_type", "m"))
+
+
+EVENTS_HLL_REGISTER_SQL = f"""
+WITH base AS (
+  SELECT event_type, m, user_id, h % m AS reg, h // m AS q
+  FROM (SELECT event_type, user_id,
+               ({_HLL_A} * user_id + {_HLL_B}) % {_HLL_P} AS h
+        FROM events),
+       (VALUES {', '.join(f'({m})' for m in _HLL_MS)}) t(m)),
+ranked AS (SELECT event_type, m, user_id, reg,
+                  CASE WHEN q = 0 THEN {_HLL_K}
+                       ELSE length(bin(q & -q)) END AS rho
+           FROM base),
+regs AS (SELECT event_type, m, reg, MAX(rho) AS mrank
+         FROM ranked GROUP BY 1, 2, 3),
+summ AS (SELECT event_type, m,
+                COUNT(*) AS registers_hit,
+                MAX(mrank) AS max_rank,
+                SUM(CAST(1 AS BIGINT) << ({_HLL_K} - mrank)) AS hit_denom
+         FROM regs GROUP BY 1, 2),
+exact AS (SELECT event_type, m, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM ranked GROUP BY 1, 2)
+SELECT e.event_type, CAST(e.m AS INTEGER) AS m,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(registers_hit AS BIGINT) AS registers_hit,
+       CAST(max_rank AS INTEGER) AS max_rank,
+       CAST((e.m - registers_hit) * {1 << _HLL_K} + hit_denom AS BIGINT)
+         AS harmonic_denom_scaled
+FROM exact e JOIN summ s ON e.event_type = s.event_type AND e.m = s.m
+ORDER BY 1, 2
+"""
+
+
+# -- fixed-grid histogram quantile sketch audit ---------------------------
+# The quantile member of the sketch family: a fixed-width histogram
+# (the mergeable, fixed-memory quantile sketch every OLAP engine ships
+# in some form) vs the exact order statistic.  Prices go through the
+# DECIMAL(18,2)->cents BIGINT gate so binning is exact; the exact
+# percentile is the ceil(q*n)-th value under (cents) ordering — the
+# PERCENTILE_DISC definition — spelled with row_number so both engines
+# share one tie semantics.  approx_pXX is the lower edge of the first
+# bin whose cumulative count reaches the target rank; err columns are
+# the signed integer gap, bounded by the bin width by construction.
+#
+# Scale: the histogram path is one map-side-combined groupBy over
+# (status, bin) — fixed-size state, no global sort; the exact path (a
+# per-status full sort) is the expensive truth being audited.
+_HQ_BIN_CENTS = 500_000  # $5,000 bins
+
+
+def val_quantile_sketch_audit(spark, sf):
+    o = load_table(spark, sf, "orders")
+    base = o.selectExpr(
+        "o_orderstatus AS status",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+    hist = (base.groupBy("status",
+                         F.expr(f"cents div {_HQ_BIN_CENTS}").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    wcum = (Window.partitionBy("status").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("status")
+    cum = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wall)))
+    approx = (cum.selectExpr(
+        "status", "bin", "cum", "n",
+        "(n + 1) div 2 AS r50", "(9 * n + 9) div 10 AS r90")
+        .groupBy("status")
+        .agg(F.max("n").alias("n"),
+             F.min(F.when(F.col("cum") >= F.col("r50"), F.col("bin")))
+             .alias("b50"),
+             F.min(F.when(F.col("cum") >= F.col("r90"), F.col("bin")))
+             .alias("b90"))
+        .selectExpr("status", "n",
+                    f"b50 * {_HQ_BIN_CENTS} AS approx_p50_cents",
+                    f"b90 * {_HQ_BIN_CENTS} AS approx_p90_cents"))
+    wrn = Window.partitionBy("status").orderBy("cents")
+    exact = (base.withColumn("rn", F.row_number().over(wrn))
+             .withColumn("n", F.count(F.lit(1)).over(wall))
+             .where("rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10")
+             .groupBy("status")
+             .agg(F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("cents")))
+                  .alias("exact_p50_cents"),
+                  F.max(F.when(F.expr("rn = (9 * n + 9) div 10"),
+                               F.col("cents"))).alias("exact_p90_cents")))
+    return (approx.join(exact, "status")
+            .selectExpr("status", "n",
+                        "exact_p50_cents", "approx_p50_cents",
+                        "approx_p50_cents - exact_p50_cents AS err_p50_cents",
+                        "exact_p90_cents", "approx_p90_cents",
+                        "approx_p90_cents - exact_p90_cents AS err_p90_cents")
+            .orderBy("status"))
+
+
+VAL_QUANTILE_SKETCH_SQL = f"""
+WITH base AS (SELECT o_orderstatus AS status,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM orders),
+hist AS (SELECT status, cents // {_HQ_BIN_CENTS} AS bin, COUNT(*) AS cnt
+         FROM base GROUP BY 1, 2),
+cum AS (SELECT status, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY status ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY status) AS n
+        FROM hist),
+approx AS (SELECT status, MAX(n) AS n,
+                  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+                    * {_HQ_BIN_CENTS} AS approx_p50_cents,
+                  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END)
+                    * {_HQ_BIN_CENTS} AS approx_p90_cents
+           FROM cum GROUP BY status),
+ranked AS (SELECT status, cents,
+                  ROW_NUMBER() OVER (PARTITION BY status ORDER BY cents)
+                    AS rn,
+                  COUNT(*) OVER (PARTITION BY status) AS n
+           FROM base),
+exact AS (SELECT status,
+                 MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                   AS exact_p50_cents,
+                 MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                   AS exact_p90_cents
+          FROM ranked
+          WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+          GROUP BY status)
+SELECT a.status, CAST(n AS BIGINT) AS n,
+       exact_p50_cents, approx_p50_cents,
+       approx_p50_cents - exact_p50_cents AS err_p50_cents,
+       exact_p90_cents, approx_p90_cents,
+       approx_p90_cents - exact_p90_cents AS err_p90_cents
+FROM approx a JOIN exact e ON a.status = e.status ORDER BY a.status
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1196,4 +1476,16 @@ QUERIES = {
         events_distinct_sketch_audit, EVENTS_DISTINCT_SKETCH_SQL,
         "linear-counting cardinality sketch audit: bitmap occupancy vs "
         "exact distinct across three bitmap sizes, all-integer"),
+    "join_bloom_filter_audit": Query(
+        join_bloom_filter_audit, JOIN_BLOOM_FILTER_SQL,
+        "Bloom-filter membership sketch audit: k=3 polynomial hashes, "
+        "false-positive count over true non-members per bitmap size"),
+    "events_hll_register_audit": Query(
+        events_hll_register_audit, EVENTS_HLL_REGISTER_SQL,
+        "HLL-style register sketch audit: max trailing-zero ranks + "
+        "dyadic harmonic denominator as an exact scaled BIGINT"),
+    "val_quantile_sketch_audit": Query(
+        val_quantile_sketch_audit, VAL_QUANTILE_SKETCH_SQL,
+        "fixed-grid histogram quantile sketch vs exact order statistic "
+        "(cents-integer p50/p90, signed bin-bounded error)"),
 }
