@@ -51,14 +51,18 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     register ranks + dyadic harmonic denominator as exact BIGINT),
 #     val_quantile_sketch_audit (fixed-grid histogram p50/p90 vs exact
 #     order statistic in cents-integers);
-#   * slots 33-50 — eighteen of the forty-three r3-stale rows
+#   * slots 33-34 — two new-operator rows added with the audits:
+#     skew_salted_join (the (key, salt) skew-spread equi-join == plain
+#     join) and asof_event_next_order (direction="forward" as-of: the
+#     earliest right row at-or-after each event);
+#   * slots 35-50 — sixteen of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter/corpus-sampling/embedding/
-#     TPC-H families; q8/q9/q12 were displaced by the three audits and
-#     rejoin the r3-stale queue).
-# After round 5: all 125 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=25 — no row older than round 3.  The 25 remaining
-# r3 rows (q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 + fourteen val_*
-# aggregates, none code-touched since r3) lead round 6's rotation.
+#     TPC-H families; q6/q7/q8/q9/q12 were displaced by the five new
+#     rows above and rejoin the r3-stale queue).
+# After round 5: all 127 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=27 — no row older than round 3.  The 27 remaining
+# r3 rows (q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 + fourteen
+# val_* aggregates, none code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -79,7 +83,9 @@ _DRIVER_PRIORITY = [
     # sketch-family audits added later in round 5, gated immediately ------
     "join_bloom_filter_audit", "events_hll_register_audit",
     "val_quantile_sketch_audit",
-    # r3-stale re-gates (18 of 43) ----------------------------------------
+    # new-operator rows added with the audits ------------------------------
+    "skew_salted_join", "asof_event_next_order",
+    # r3-stale re-gates (16 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
@@ -87,7 +93,7 @@ _DRIVER_PRIORITY = [
     "corpus_mixture_sampling", "corpus_sequence_packing",
     "corpus_stratified_sample", "embedding_label_centroids",
     "embedding_pseudo_label", "events_json_extract",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q4_order_priority",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -266,6 +266,35 @@ ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
 """
 
 
+# -- forward as-of: for each event, the user's NEXT order ------------------
+# The mirror of asof_event_last_order: direction="forward" carries the
+# EARLIEST right row at-or-after each event (next-touch attribution /
+# time-to-conversion enrichment).  Same single-shuffle union+carry plan;
+# DuckDB expresses it natively as ASOF LEFT JOIN with the inequality
+# flipped to <=.
+def asof_event_next_order(spark, sf):
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (load_table(spark, sf, "orders")
+         .groupBy("o_custkey", F.col("o_orderdate").alias("ots"))
+         .agg(F.max("o_orderkey").alias("next_orderkey")))
+    o = o.select(F.col("o_custkey").alias("user_id"), "ots", "next_orderkey")
+    joined = asof_join(e, o, on="user_id", left_ts="ts", right_ts="ots",
+                       right_payload=["next_orderkey"], direction="forward")
+    return joined.select("event_id", "user_id", "next_orderkey")
+
+
+ASOF_EVENT_NEXT_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.next_orderkey
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts <= r.ots
+"""
+
+
 # -- range join: event pairs within 10 minutes per user ------------------
 def range_join_event_pairs(spark, sf):
     from ..operators.rangejoin import range_join
@@ -1488,4 +1517,8 @@ QUERIES = {
         val_quantile_sketch_audit, VAL_QUANTILE_SKETCH_SQL,
         "fixed-grid histogram quantile sketch vs exact order statistic "
         "(cents-integer p50/p90, signed bin-bounded error)"),
+    "asof_event_next_order": Query(
+        asof_event_next_order, ASOF_EVENT_NEXT_ORDER_SQL,
+        "forward as-of join: earliest order at-or-after each event "
+        "(next-touch attribution direction)"),
 }

@@ -513,6 +513,35 @@ FROM events GROUP BY 1
 """
 
 
+# -- skew-salted join under the oracle gate -------------------------------
+# Drives operators/skew.salted_join (fact keys salted, dim replicated
+# once per salt, join on (key, salt)) and proves it returns EXACTLY what
+# the plain equi-join returns: lineitem x orders -> revenue per order
+# priority.  The salt is invisible to the result by construction (the
+# dim side carries every salt value); aggregates go through decimal so
+# re-aggregation order cannot leak into the hash.  See salted_join's
+# docstring for when to salt instead of letting AQE split the skew.
+def skew_salted_join(spark, sf):
+    from ..operators.skew import salted_join
+    li = load_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_extendedprice")
+    o = (load_table(spark, sf, "orders")
+         .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority"))
+    joined = salted_join(li, o, on="l_orderkey", num_salts=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 dsum("l_extendedprice").alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+SKEW_SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # -- UNPIVOT / stack surface ---------------------------------------------
 # The wide->long reshape (Spark `stack`, DuckDB UNPIVOT): inverse of
 # val_pivot_status.  All three measures are cast to DOUBLE pre-reshape so
@@ -592,4 +621,9 @@ QUERIES = {
                              "V15 top-k (O2)"),
     "val_sample_rows": Query(val_sample_rows, VAL_SAMPLE_ROWS_SQL,
                              "V7 deterministic sample (O1, O3)"),
+    # appended at the END of the module dict (gate-composition rule,
+    # corpus/__init__.py): new queries must not shift the pinned first 50
+    "skew_salted_join": Query(
+        skew_salted_join, SKEW_SALTED_JOIN_SQL,
+        "salted (key, salt) skew-spread equi-join == plain join"),
 }

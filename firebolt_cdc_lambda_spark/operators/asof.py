@@ -16,6 +16,12 @@ right side scales linearly, unlike the naive inequality join
 At equal timestamps the right row sorts BEFORE the left row, so the
 boundary is inclusive (ts >= right.ts), matching DuckDB's
 ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`` semantics.
+
+``direction="forward"`` flips the operator: the EARLIEST right row with
+``right.ts >= left.ts`` (DuckDB ``... AND l.ts <= r.ts``) — the
+"next event after" enrichment.  Same single-shuffle plan; the carry
+window just runs over the following frame, with right rows sorting
+AFTER left rows at equal timestamps so the boundary stays inclusive.
 """
 
 from __future__ import annotations
@@ -34,15 +40,21 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``left`` with ``right`` on key ``on``.
 
     Returns every left row (``how='left'``; 'inner' drops unmatched)
     plus ``right_payload`` columns from the latest right row at or
-    before the left row's timestamp.  ``right`` should be unique per
+    before the left row's timestamp (``direction='backward'``, the
+    default) or the earliest right row at or after it
+    (``direction='forward'``).  ``right`` should be unique per
     (key, right_ts) — pre-aggregate if not, or the carried row among
-    ties is the last under (right_ts) ordering.
+    ties is the last under (right_ts) ordering (backward) / the first
+    (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # the right payload travels as ONE struct so a NULL field inside a
     # right row can never be "filled in" from an older right row
@@ -66,11 +78,19 @@ def asof_join(
     unioned = (l_tag.select(*lcols, "__ts", "__is_left", "__r")
                .unionByName(r_tag.select(*lcols, "__ts", "__is_left", "__r")))
 
-    # right rows (__is_left=0) sort before left rows at equal __ts
-    w = (Window.partitionBy(on)
-         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = F.last("__r", ignorenulls=True).over(w)
+    if direction == "backward":
+        # right rows (__is_left=0) sort before left rows at equal __ts
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # right rows sort AFTER left rows at equal __ts, and the first
+        # non-null right struct in the following frame is the match
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        carried = F.first("__r", ignorenulls=True).over(w)
     out = (unioned.select(*lcols, "__is_left", carried.alias("__m"))
            .where(F.col("__is_left") == 1)
            .select(*lcols, *[F.col(f"__m.{c}").alias(c) for c in right_payload],

@@ -61,3 +61,34 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
         _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)))
     partial = salted.groupBy(*keys, _SALT).agg(*partials)
     return partial.groupBy(*keys).agg(*finals)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str] | str,
+                num_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-spread equi-join: key the shuffle on (join key, salt).
+
+    Every fact row gets a salt in [0, num_salts); every dim row is
+    replicated once per salt, so the join on ``on + [salt]`` returns
+    EXACTLY the plain ``fact.join(dim, on, how)`` — but one hot fact key
+    now spreads over ``num_salts`` reducers instead of melting one.
+    The salt value itself is irrelevant to correctness (the dim side
+    carries all of them), so it can be any per-row expression.
+
+    When to reach for this (vs the free alternatives): the dim side is
+    too big to BROADCAST *and* AQE's skew-join splitting doesn't apply —
+    e.g. the skewed side feeds a co-partitioned downstream op that
+    AQE won't re-split, or a build with AQE disabled (this repo's
+    merge path, merge.py).  Cost: dim shuffle volume multiplies by
+    ``num_salts`` — size it to the skew, not higher.  ``how`` supports
+    inner/left (fact-preserving); right/full would need the dim side
+    de-replicated and is not what salting is for.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                      F.lit(num_salts)).cast("int"))
+    rep_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    return salted_fact.join(rep_dim, keys + [_SALT], how).drop(_SALT)

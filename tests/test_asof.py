@@ -55,3 +55,46 @@ def test_null_payload_field_not_torn(spark):
     ])
     out = asof_join(left, right, "k", "lts", "rts", ["price", "note"]).collect()
     assert out[0]["price"] == 20.0 and out[0]["note"] is None
+
+
+def test_forward_basic(spark):
+    left = spark.createDataFrame([
+        Row(k=1, lts=ts(5), name="e1"),
+        Row(k=1, lts=ts(8), name="e2"),
+        Row(k=2, lts=ts(10), name="e3"),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rts=ts(7), price=10.0),
+        Row(k=1, rts=ts(12), price=20.0),
+        Row(k=2, rts=ts(3), price=30.0),   # before the left row
+    ])
+    out = {r["name"]: r["price"]
+           for r in asof_join(left, right, "k", "lts", "rts", ["price"],
+                              direction="forward").collect()}
+    assert out == {"e1": 10.0, "e2": 20.0, "e3": None}
+
+
+def test_forward_boundary_inclusive(spark):
+    left = spark.createDataFrame([Row(k=1, lts=ts(7), name="e")])
+    right = spark.createDataFrame([Row(k=1, rts=ts(7), price=42.0)])
+    out = asof_join(left, right, "k", "lts", "rts", ["price"],
+                    direction="forward").collect()
+    assert out[0]["price"] == 42.0
+
+
+def test_forward_inner_mode(spark):
+    left = spark.createDataFrame([
+        Row(k=1, lts=ts(5), name="hit"),
+        Row(k=1, lts=ts(9), name="miss"),   # no right row at/after
+    ])
+    right = spark.createDataFrame([Row(k=1, rts=ts(6), price=1.0)])
+    out = asof_join(left, right, "k", "lts", "rts", ["price"],
+                    how="inner", direction="forward").collect()
+    assert [r["name"] for r in out] == ["hit"]
+
+
+def test_bad_direction_rejected(spark):
+    left = spark.createDataFrame([Row(k=1, lts=ts(5), name="e")])
+    import pytest
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, left, "k", "lts", "lts", ["name"], direction="nearest")

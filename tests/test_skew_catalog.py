@@ -58,3 +58,48 @@ def test_catalog_lists_warehouse_tables(spark, tmp_path):
 
 def test_catalog_empty_root(tmp_path):
     assert catalog.list_tables(str(tmp_path / "missing")) == []
+
+
+def test_salted_join_matches_plain(spark):
+    from firebolt_cdc_lambda_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([1] * 5 + [2])],
+        "k int, v int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, lab string")
+    got = sorted((r["k"], r["v"], r["lab"])
+                 for r in salted_join(fact, dim, "k", num_salts=4).collect())
+    exp = sorted((r["k"], r["v"], r["lab"])
+                 for r in fact.join(dim, "k").collect())
+    assert got == exp
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from firebolt_cdc_lambda_spark.operators.skew import salted_join
+    fact = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a")], "k int, lab string")
+    rows = {r["k"]: r["lab"]
+            for r in salted_join(fact, dim, "k", how="left").collect()}
+    assert rows == {1: "a", 9: None}
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """With broadcast off, the join must key its exchanges on
+    (k, __salt) — that spread IS the operator's reason to exist."""
+    from firebolt_cdc_lambda_spark.operators.skew import salted_join
+    fact = spark.createDataFrame([(1, 10)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a")], "k int, lab string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (salted_join(fact, dim, "k", num_salts=4)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "__salt" in plan and "hashpartitioning(k" in plan
+
+
+def test_salted_join_rejects_right_joins(spark):
+    from firebolt_cdc_lambda_spark.operators.skew import salted_join
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    import pytest
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(df, df, "k", how="right")
