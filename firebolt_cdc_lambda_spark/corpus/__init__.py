@@ -51,18 +51,21 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     register ranks + dyadic harmonic denominator as exact BIGINT),
 #     val_quantile_sketch_audit (fixed-grid histogram p50/p90 vs exact
 #     order statistic in cents-integers);
-#   * slots 33-34 — two new-operator rows added with the audits:
+#   * slots 33-35 — three new-operator rows added with the audits:
 #     skew_salted_join (the (key, salt) skew-spread equi-join == plain
-#     join) and asof_event_next_order (direction="forward" as-of: the
-#     earliest right row at-or-after each event);
-#   * slots 35-50 — sixteen of the forty-three r3-stale rows
+#     join), asof_event_next_order (direction="forward" as-of: the
+#     earliest right row at-or-after each event), and cdc_time_travel
+#     (snapshot-as-of reads through the versioned KeyedTable's epoch
+#     manifest: v1 AND latest union-tagged, both hash-checked);
+#   * slots 36-50 — fifteen of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter/corpus-sampling/embedding/
-#     TPC-H families; q6/q7/q8/q9/q12 were displaced by the five new
+#     TPC-H families; q4/q6/q7/q8/q9/q12 were displaced by the six new
 #     rows above and rejoin the r3-stale queue).
-# After round 5: all 127 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=27 — no row older than round 3.  The 27 remaining
-# r3 rows (q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 + fourteen
-# val_* aggregates, none code-touched since r3) lead round 6's rotation.
+# After round 5: all 128 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=28 — no row older than round 3.  The 28 remaining
+# r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
+# fourteen val_* aggregates, none code-touched since r3) lead round 6's
+# rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -84,8 +87,8 @@ _DRIVER_PRIORITY = [
     "join_bloom_filter_audit", "events_hll_register_audit",
     "val_quantile_sketch_audit",
     # new-operator rows added with the audits ------------------------------
-    "skew_salted_join", "asof_event_next_order",
-    # r3-stale re-gates (16 of 43) ----------------------------------------
+    "skew_salted_join", "asof_event_next_order", "cdc_time_travel",
+    # r3-stale re-gates (15 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
@@ -93,7 +96,6 @@ _DRIVER_PRIORITY = [
     "corpus_mixture_sampling", "corpus_sequence_packing",
     "corpus_stratified_sample", "embedding_label_centroids",
     "embedding_pseudo_label", "events_json_extract",
-    "q4_order_priority",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -211,6 +211,61 @@ def cdc_out_of_order_replay(spark, sf):
         F.to_date("o_orderdate").alias("order_date"))
 
 
+# -- snapshot-as-of reads through the versioned KeyedTable -----------------
+# Time travel under the oracle: init orders as version 0, apply two
+# deterministic CDC batches (v1: +10% price and deletes over one key
+# slice; v2: x2 price over a DISJOINT slice), then read BOTH version 1
+# and the latest version through the epoch manifest and union them with
+# a version tag.  DuckDB reconstructs each state from relational algebra
+# alone — it never sees the manifest — so a resolution bug (stale epoch
+# dir, resurrected delete, leaked newer row) hash-mismatches here.
+def cdc_time_travel(spark, sf):
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="cdc_tt_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=32,
+                    versioned=True)
+    kt.init(orders)
+    batch1 = (orders.where("o_orderkey % 100 < 10")
+              .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+              .withColumn("Op", F.when(F.col("o_orderkey") % 3 == 0, "D")
+                          .otherwise("U")))
+    batch2 = (orders.where("o_orderkey % 100 >= 90")
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+              .withColumn("Op", F.lit("U")))
+    kt.merge_batch(batch1)
+    kt.merge_batch(batch2)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    v1 = kt.read(as_of=1).select(
+        F.lit("v1").alias("snapshot_version"), *cols)
+    v2 = kt.read().select(F.lit("v2").alias("snapshot_version"), *cols)
+    return v1.unionByName(v2)
+
+
+CDC_TIME_TRAVEL_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 < 10 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 100 < 10 AND o_orderkey % 3 = 0)
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 >= 90 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1
+)
+SELECT 'v1' AS snapshot_version, * FROM v1
+UNION ALL
+SELECT 'v2' AS snapshot_version, * FROM v2
+"""
+
+
 CDC_OUT_OF_ORDER_REPLAY_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderkey % 1000 < 20 THEN o_totalprice * 1.2
@@ -239,4 +294,8 @@ QUERIES = {
         cdc_out_of_order_replay, CDC_OUT_OF_ORDER_REPLAY_SQL,
         "stale late batch after newer updates+deletes: version gate + "
         "tombstones keep the final state batch-order-independent"),
+    "cdc_time_travel": Query(
+        cdc_time_travel, CDC_TIME_TRAVEL_SQL,
+        "snapshot-as-of reads: version 1 and latest through the "
+        "versioned KeyedTable's epoch manifest, union-tagged"),
 }

@@ -293,22 +293,29 @@ class KeyedTable:
 
     BUCKET_COL = "_bucket"
 
+    EPOCH_COL = "_epoch"
+
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 num_buckets: int = 64, tombstones: bool = False):
+                 num_buckets: int = 64, tombstones: bool = False,
+                 versioned: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.num_buckets = num_buckets
         self.tombstones = tombstones
-        # The stored table's own bucket count (and tombstone mode) always
-        # wins over the constructor arguments: a merger configured with a
-        # stale count would prune against wrong bucket ids and silently
-        # lose keys; a merger unaware of tombstone mode would physically
-        # delete rows another writer relies on for version gating.
+        self.versioned = versioned
+        # The stored table's own bucket count (and tombstone/versioned
+        # mode) always wins over the constructor arguments: a merger
+        # configured with a stale count would prune against wrong bucket
+        # ids and silently lose keys; a merger unaware of tombstone mode
+        # would physically delete rows another writer relies on for
+        # version gating; a merger unaware of versioned mode would
+        # dynamic-overwrite epoch history away.
         meta = self._load_meta()
         if meta is not None:
             self.num_buckets = int(meta["num_buckets"])
             self.tombstones = bool(meta.get("tombstones", False))
+            self.versioned = bool(meta.get("versioned", False))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -365,7 +372,7 @@ class KeyedTable:
         import json
         self._write_sidecar("_meta.json", json.dumps(
             {"num_buckets": self.num_buckets, "keys": self.keys,
-             "tombstones": self.tombstones}))
+             "tombstones": self.tombstones, "versioned": self.versioned}))
 
     def _load_meta(self):
         import json
@@ -377,6 +384,154 @@ class KeyedTable:
         from pyspark.sql import types as T
         text = self._read_sidecar("_schema.json")
         return None if text is None else T.StructType.fromJson(json.loads(text))
+
+    # -- versioned mode: epoch manifest ------------------------------------
+    # Layout: _bucket=k/_epoch=e/part-*.parquet.  Every write lands in a
+    # NEW epoch's leaf dirs (plain append — nothing is ever overwritten or
+    # deleted by a merge), and the tiny _epochs.json sidecar records, per
+    # epoch, which buckets were written and which were emptied.  Reading
+    # any version is then pure driver-side resolution over the manifest —
+    # no file listing, no log replay, no extra Spark job:
+    #
+    #     for each bucket, newest manifest mention with e <= as_of wins:
+    #     mentioned in "buckets"  -> read _bucket=b/_epoch=<that e>
+    #     mentioned in "emptied"  -> bucket contributes no rows
+    #     a "base" entry (written by purge_versions) resolves every
+    #     bucket it maps and terminates the walk.
+    #
+    # At 100 TB this is the same O(touched buckets) merge cost as the
+    # unversioned path (the write is append instead of dynamic overwrite;
+    # the manifest is one small sidecar), and time travel costs nothing
+    # until read.  Snapshot-as-of semantics match Delta/Iceberg's
+    # "version" reads, built from parquet + one JSON file.
+    def _load_manifest(self) -> list[dict]:
+        import json
+        text = self._read_sidecar("_epochs.json")
+        return [] if text is None else json.loads(text)["epochs"]
+
+    def _save_manifest(self, entries: list[dict]) -> None:
+        import json
+        self._write_sidecar("_epochs.json", json.dumps({"epochs": entries}))
+
+    def latest_epoch(self) -> int:
+        entries = self._load_manifest()
+        if not entries:
+            raise ValueError(f"no versions recorded at {self.path}")
+        return max(int(e["e"]) for e in entries)
+
+    def history(self) -> list[dict]:
+        """The manifest entries, oldest first — one per committed write
+        (init / merge / rewrite), plus at most one leading ``base`` entry
+        left by purge_versions."""
+        return sorted(self._load_manifest(), key=lambda e: int(e["e"]))
+
+    def _resolve_epochs(self, as_of: int | None) -> tuple[dict[int, int], int]:
+        """``{bucket: epoch-dir to read}`` for version ``as_of`` (None =
+        latest), plus the bucket COUNT in force at that version (rebucket
+        changes it; key-pruned lookups must hash with the version's own
+        count)."""
+        entries = self.history()
+        if not entries:
+            raise ValueError(f"no versions recorded at {self.path}")
+        latest = int(entries[-1]["e"])
+        if as_of is None:
+            as_of = latest
+        if as_of > latest:
+            raise ValueError(f"version {as_of} does not exist (latest is "
+                             f"{latest})")
+        visible = [e for e in entries if int(e["e"]) <= as_of]
+        if not visible or "base" in visible[-1]:
+            # a base entry is the collapsed REMAINS of purged versions —
+            # it supports resolution of newer versions, it is not one
+            oldest = next((e["e"] for e in entries if "base" not in e), None)
+            raise ValueError(f"version {as_of} has been purged (oldest "
+                             f"retained is {oldest})")
+        nb = int(visible[-1].get("num_buckets", self.num_buckets))
+        assign: dict[int, int] = {}
+        dropped: set[int] = set()
+        for entry in reversed(visible):
+            e = int(entry["e"])
+            if "base" in entry:
+                for b, be in entry["base"].items():
+                    b = int(b)
+                    if b not in assign and b not in dropped:
+                        assign[b] = int(be)
+                break
+            for b in entry.get("emptied", ()):
+                if b not in assign:
+                    dropped.add(int(b))
+            for b in entry.get("buckets", ()):
+                if b not in dropped and b not in assign:
+                    assign[int(b)] = e
+            if entry.get("full"):
+                # init / full rewrite: every live row was (re)written at
+                # this epoch — older mentions must not leak through (their
+                # bucket ids may even be hashed under a different count)
+                break
+        return assign, nb
+
+    def _clean_epoch_dirs(self, epoch: int) -> None:
+        """Remove leaf dirs a CRASHED attempt at this epoch may have left
+        (the manifest is written only after a successful write, so a
+        retry reuses the epoch number — appending onto the wreckage would
+        duplicate rows).  One globStatus round trip, not one exists() per
+        bucket: the clean case costs a single JVM call."""
+        fs, root, jvm = self._fs_and_path(self.path)
+        if not fs.exists(root):
+            return
+        glob = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.BUCKET_COL}=*/{self.EPOCH_COL}={epoch}")
+        for st in fs.globStatus(glob) or []:
+            fs.delete(st.getPath(), True)
+
+    def _write_epoch(self, bucketed: DataFrame, epoch: int,
+                     sort_within: Sequence[str] = ()) -> None:
+        """Append ``bucketed`` (already carrying _bucket) as epoch
+        ``epoch``.  Append-only: prior epochs are immutable, so readers
+        of any older version are never disturbed mid-write."""
+        self._clean_epoch_dirs(epoch)
+        shaped = (bucketed.withColumn(self.EPOCH_COL, F.lit(epoch))
+                  .repartition(self.BUCKET_COL))
+        if sort_within:
+            shaped = shaped.sortWithinPartitions(
+                self.BUCKET_COL, self.EPOCH_COL, *sort_within)
+        (shaped.write.mode("append")
+         .partitionBy(self.BUCKET_COL, self.EPOCH_COL)
+         .parquet(self.path))
+
+    def _read_versioned(self, buckets: Sequence[int] | None,
+                        as_of: int | None) -> DataFrame:
+        from pyspark.sql import types as T
+        schema = self._load_schema()
+        assign, _ = self._resolve_epochs(as_of)
+        if buckets is not None:
+            want = set(buckets)
+            assign = {b: e for b, e in assign.items() if b in want}
+        groups: dict[int, list[int]] = {}
+        for b, e in assign.items():
+            groups.setdefault(e, []).append(b)
+        paths = [
+            f"{self.path}/{self.BUCKET_COL}="
+            f"{{{','.join(str(b) for b in sorted(bs))}}}/{self.EPOCH_COL}={e}"
+            for e, bs in sorted(groups.items())]
+        if schema is None:
+            raise ValueError(f"versioned table at {self.path} has no "
+                             "schema sidecar")
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        rschema = T.StructType(
+            list(schema.fields) + [T.StructField(self.EPOCH_COL, T.IntegerType())])
+        try:
+            return (self.spark.read.schema(rschema)
+                    .option("basePath", self.path)
+                    .parquet(*paths)
+                    .drop(self.EPOCH_COL))
+        except AnalysisException as exc:
+            # same absent-path contract as the unversioned read below
+            if exc.getErrorClass() not in ("PATH_NOT_FOUND",
+                                           "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            return self.spark.createDataFrame([], schema)
 
     def exists(self) -> bool:
         jvm = self.spark._jvm
@@ -391,6 +546,20 @@ class KeyedTable:
         if self.tombstones and TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
         bucketed = self._with_bucket(df)
+        if self.versioned:
+            # wipe any prior content: init IS the reset point of history
+            fs, root, _ = self._fs_and_path(self.path)
+            if fs.exists(root):
+                fs.delete(root, True)
+            self._sidecar_cache.clear()
+            self._write_epoch(bucketed, 0)
+            self._save_schema(bucketed)
+            self._save_meta()
+            self._save_manifest([{
+                "e": 0, "op": "init", "full": True,
+                "buckets": list(range(self.num_buckets)), "emptied": [],
+                "num_buckets": self.num_buckets}])
+            return
         (bucketed
          .repartition(self.BUCKET_COL)
          .write.mode("overwrite")
@@ -399,14 +568,23 @@ class KeyedTable:
         self._save_schema(bucketed)
         self._save_meta()
 
-    def _read_raw(self, buckets: Sequence[int] | None = None) -> DataFrame:
+    def _read_raw(self, buckets: Sequence[int] | None = None,
+                  as_of: int | None = None) -> DataFrame:
         """Read the stored snapshot; with ``buckets`` given, read ONLY those
         bucket directories via one brace-alternation glob.  That skips the
         driver-side listing + partition discovery of every bucket dir a
         root-path read performs (measured ~2x plan-construction time on a
         64-bucket table), and the partition filter becomes structural —
         untouched buckets are never even listed.  Buckets with no directory
-        yet (all-new keys) simply don't match the glob."""
+        yet (all-new keys) simply don't match the glob.
+
+        ``as_of`` selects a historical version on a versioned table
+        (None = latest); unversioned tables reject it."""
+        if self.versioned:
+            return self._read_versioned(buckets, as_of)
+        if as_of is not None:
+            raise ValueError("as_of requires a versioned table "
+                             "(KeyedTable(..., versioned=True))")
         schema = self._load_schema()
         try:
             if schema is not None and buckets is not None:
@@ -443,12 +621,14 @@ class KeyedTable:
                   .drop(TOMBSTONE_COL))
         return df
 
-    def read(self) -> DataFrame:
+    def read(self, as_of: int | None = None) -> DataFrame:
         """The LIVE snapshot: tombstone marker rows (and the marker
-        column) are hidden from readers."""
-        return self._hide_tombstones(self._read_raw().drop(self.BUCKET_COL))
+        column) are hidden from readers.  On a versioned table,
+        ``as_of`` time-travels to that epoch's snapshot."""
+        return self._hide_tombstones(
+            self._read_raw(as_of=as_of).drop(self.BUCKET_COL))
 
-    def lookup(self, keys) -> DataFrame:
+    def lookup(self, keys, as_of: int | None = None) -> DataFrame:
         """Point/batch lookup: the live rows for the given keys, reading
         ONLY the buckets those keys hash into — the serving-side
         primitive.  On a 100 TB / 16k-bucket snapshot a point lookup
@@ -472,10 +652,17 @@ class KeyedTable:
             ktypes = T.StructType([schema[k] for k in self.keys])
             keys = self.spark.createDataFrame(rows, ktypes)
         kdf = keys.select(*self.keys).distinct()
-        buckets = [int(r[0]) for r in self._with_bucket(kdf)
-                   .select(self.BUCKET_COL).distinct().collect()]
+        nb = self.num_buckets
+        if self.versioned and as_of is not None:
+            # rebucket may have changed the count since that version;
+            # hash with the count in force THEN or pruning misses keys
+            _, nb = self._resolve_epochs(as_of)
+        bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(nb))
+        buckets = [int(r[0]) for r in kdf.select(bcol.alias(self.BUCKET_COL))
+                   .distinct().collect()]
         df = self._hide_tombstones(
-            self._read_raw(buckets=buckets).drop(self.BUCKET_COL))
+            self._read_raw(buckets=buckets, as_of=as_of)
+            .drop(self.BUCKET_COL))
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
     def purge_tombstones(self, before_version=None,
@@ -493,6 +680,51 @@ class KeyedTable:
             dead = dead & (F.col(version_col) < F.lit(before_version))
         self.rewrite(df.where(~dead))
 
+    def purge_versions(self, keep_last: int = 1) -> list[int]:
+        """GC for versioned tables: retain the newest ``keep_last``
+        versions (and every (bucket, epoch) leaf dir any retained version
+        still resolves to — an untouched bucket's data may live in a much
+        older epoch), delete the rest, and collapse the purged manifest
+        prefix into one terminal ``base`` entry.  Returns the deleted
+        epochs.  Pure filesystem metadata work — no Spark job."""
+        if not self.versioned:
+            raise ValueError("purge_versions requires a versioned table")
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        entries = self.history()
+        if len(entries) <= keep_last:
+            return []
+        cutoff = int(entries[-keep_last]["e"])
+        assign, nb = self._resolve_epochs(cutoff)
+        # every retained version >= cutoff resolves each bucket to either
+        # an epoch >= cutoff (kept wholesale) or to exactly assign[b]
+        needed_old = {(b, e) for b, e in assign.items() if e < cutoff}
+        deleted: set[int] = set()
+        fs, root, jvm = self._fs_and_path(self.path)
+        for entry in entries:
+            e = int(entry["e"])
+            if e >= cutoff:
+                continue
+            deleted.add(e)
+            mentioned = (entry.get("buckets", []) if "base" not in entry
+                         else [int(b) for b in entry["base"]])
+            for b in mentioned:
+                be = e if "base" not in entry else int(entry["base"][str(b)])
+                if (int(b), be) in needed_old:
+                    continue
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{self.BUCKET_COL}={b}/"
+                    f"{self.EPOCH_COL}={be}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+        base_entry = {"e": cutoff - 1, "op": "base",
+                      "base": {str(b): e for b, e in assign.items()
+                               if e < cutoff},
+                      "num_buckets": nb}
+        kept_entries = [en for en in entries if int(en["e"]) >= cutoff]
+        self._save_manifest([base_entry] + kept_entries)
+        return sorted(deleted)
+
     def snapshot_for_rewrite(self) -> DataFrame:
         """ALL stored rows — including tombstone marker rows and the
         marker column — minus the bucket column: the correct base for
@@ -509,8 +741,29 @@ class KeyedTable:
         Spark cannot overwrite a path it is concurrently reading from.
         Tombstone-mode callers: derive ``df`` from snapshot_for_rewrite(),
         not read(), or the rewrite loses the delete markers."""
-        tmp = f"{self.path}__tmp_rewrite"
         bucketed = self._with_bucket(df)
+        if self.versioned:
+            # history-preserving full rewrite: the new epoch's leaves are
+            # disjoint from every dir the plan reads (older epochs), so
+            # no temp-dir swap is needed — and older versions stay
+            # readable.  The entry is terminal ("full"): resolution never
+            # walks past it, so pre-rewrite bucket ids (possibly hashed
+            # under a different bucket count, see rebucket) cannot leak.
+            # Safe to write while reading from this table's own path: the
+            # source scan's file list was pinned at plan time to the OLD
+            # epochs' leaf dirs, and the append only creates new ones.
+            epoch = self.latest_epoch() + 1
+            self._write_epoch(bucketed, epoch, sort_within=sort_within)
+            self._save_schema(bucketed)
+            self._save_meta()
+            entries = self._load_manifest()
+            entries.append({
+                "e": epoch, "op": "rewrite", "full": True,
+                "buckets": list(range(self.num_buckets)), "emptied": [],
+                "num_buckets": self.num_buckets})
+            self._save_manifest(entries)
+            return
+        tmp = f"{self.path}__tmp_rewrite"
         shaped = bucketed.repartition(self.BUCKET_COL)
         if sort_within:
             # Lead with the bucket column: the parquet writer requires rows
@@ -550,9 +803,16 @@ class KeyedTable:
             if not (st.isDirectory() and name.startswith(prefix)):
                 continue
             bucket = int(name[len(prefix):])
-            stats[bucket] = sum(
-                1 for f_ in fs.listStatus(st.getPath())
-                if f_.getPath().getName().endswith(".parquet"))
+            n = 0
+            for f_ in fs.listStatus(st.getPath()):
+                if f_.isDirectory():
+                    # versioned layout: _bucket=k/_epoch=e/part-*.parquet;
+                    # counts accumulate across epochs until purge_versions
+                    n += sum(1 for g in fs.listStatus(f_.getPath())
+                             if g.getPath().getName().endswith(".parquet"))
+                elif f_.getPath().getName().endswith(".parquet"):
+                    n += 1
+            stats[bucket] = n
         return stats
 
     def rebucket(self, new_num_buckets: int) -> None:
@@ -657,48 +917,75 @@ class KeyedTable:
             current = self._read_raw(buckets=buckets).drop(self.BUCKET_COL)
             merged = merge_cdc(current, stg.drop(self.BUCKET_COL), self.keys, **merge_kwargs)
             out = self._with_bucket(merged)
-            if has_deletes:
-                out = out.cache()
-            try:
-                if has_deletes:
-                    # Compute the kept-bucket set BEFORE the write: the
-                    # self-overwrite invalidates the cache (refreshByPath),
-                    # and re-executing this self-referencing plan post-write
-                    # would re-merge against the already-merged files —
-                    # wrong in general, and a hard crash when the pre-merge
-                    # table was empty (the plan's partition schema was built
-                    # from an empty dir listing).  Running it here also
-                    # populates the cache, so the write below reads cached
-                    # partitions instead of rescanning the source.
-                    kept = {r[0] for r in out.select(self.BUCKET_COL).distinct().collect()}
-                # dynamic partition overwrite: only the buckets present in
-                # `out` (== the touched buckets) are replaced on disk.
-                # Set per-write, NOT via session conf — under a session with
-                # the default STATIC mode this write would silently wipe
-                # every untouched bucket.
-                (out.repartition(self.BUCKET_COL)
-                 .write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy(self.BUCKET_COL)
-                 .parquet(self.path))
-                if has_deletes:
-                    # A bucket whose every row was deleted is absent from
-                    # `out`, so dynamic overwrite leaves its old files —
-                    # drop it here.
-                    emptied = [b for b in buckets if b not in kept]
-                    if emptied:
-                        jvm = self.spark._jvm
-                        hconf = self.spark._jsc.hadoopConfiguration()
-                        for b in emptied:
-                            p = jvm.org.apache.hadoop.fs.Path(
-                                f"{self.path}/{self.BUCKET_COL}={b}")
-                            fs = p.getFileSystem(hconf)
-                            if fs.exists(p):
-                                fs.delete(p, True)
-                return len(buckets), n_rows, did_dedup
-            finally:
-                if has_deletes:
-                    out.unpersist()
+            self._commit_merge(out, buckets, has_deletes)
+            return len(buckets), n_rows, did_dedup
         finally:
             stamped.unpersist()
             _aqe_restore(self.spark)
+
+    def _commit_merge(self, out: DataFrame, buckets: Sequence[int],
+                      has_deletes: bool) -> None:
+        """Write the merged touched-bucket content.  Unversioned: dynamic
+        partition overwrite replaces the touched bucket dirs in place.
+        Versioned: append the content as a NEW epoch's leaf dirs and
+        record the epoch in the manifest — same job count, nothing
+        deleted, every prior version still readable."""
+        if has_deletes:
+            out = out.cache()
+        try:
+            if has_deletes:
+                # Compute the kept-bucket set BEFORE the write: the
+                # self-overwrite invalidates the cache (refreshByPath),
+                # and re-executing this self-referencing plan post-write
+                # would re-merge against the already-merged files —
+                # wrong in general, and a hard crash when the pre-merge
+                # table was empty (the plan's partition schema was built
+                # from an empty dir listing).  Running it here also
+                # populates the cache, so the write below reads cached
+                # partitions instead of rescanning the source.
+                kept = {r[0] for r in out.select(self.BUCKET_COL)
+                        .distinct().collect()}
+            else:
+                # no deletes -> every touched bucket retains at least its
+                # upserts; the manifest's kept set is just the touched
+                # list, no extra job (measured ~0.3 s/merge saved)
+                kept = set(buckets)
+            if self.versioned:
+                epoch = self.latest_epoch() + 1
+                self._write_epoch(out, epoch)
+                entries = self._load_manifest()
+                entries.append({
+                    "e": epoch, "op": "merge",
+                    "buckets": sorted(int(b) for b in kept),
+                    "emptied": sorted(int(b) for b in buckets
+                                      if b not in kept),
+                    "num_buckets": self.num_buckets})
+                self._save_manifest(entries)
+                return
+            # dynamic partition overwrite: only the buckets present in
+            # `out` (== the touched buckets) are replaced on disk.
+            # Set per-write, NOT via session conf — under a session with
+            # the default STATIC mode this write would silently wipe
+            # every untouched bucket.
+            (out.repartition(self.BUCKET_COL)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(self.BUCKET_COL)
+             .parquet(self.path))
+            if has_deletes:
+                # A bucket whose every row was deleted is absent from
+                # `out`, so dynamic overwrite leaves its old files —
+                # drop it here.
+                emptied = [b for b in buckets if b not in kept]
+                if emptied:
+                    jvm = self.spark._jvm
+                    hconf = self.spark._jsc.hadoopConfiguration()
+                    for b in emptied:
+                        p = jvm.org.apache.hadoop.fs.Path(
+                            f"{self.path}/{self.BUCKET_COL}={b}")
+                        fs = p.getFileSystem(hconf)
+                        if fs.exists(p):
+                            fs.delete(p, True)
+        finally:
+            if has_deletes:
+                out.unpersist()

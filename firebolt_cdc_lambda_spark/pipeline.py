@@ -61,6 +61,7 @@ class CdcPipeline:
                  insert_deletes: bool = False,
                  version_col: str | None = None,
                  tombstones: bool | None = None,
+                 versioned: bool = False,
                  alert_hook=None):
         self.spark = spark
         self.table_root = table_root.rstrip("/")
@@ -92,13 +93,22 @@ class CdcPipeline:
         if tombstones is None:
             tombstones = not insert_deletes
         self.tombstones = tombstones
+        # versioned=True turns every target into a time-travelable
+        # snapshot table (KeyedTable versioned mode: epoch dirs + a
+        # manifest sidecar; read(as_of=...) / history() /
+        # purge_versions()).  OFF by default: the reference target has no
+        # versions, and epoch accumulation needs a purge cadence the
+        # operator must consciously own.  Existing tables: stored meta
+        # wins, as with tombstones.
+        self.versioned = versioned
         self.alert_hook = alert_hook or (lambda msg: None)
         self._rollups: dict[str, list] = {}
 
     def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
         return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
                           num_buckets=self.num_buckets,
-                          tombstones=self.tombstones)
+                          tombstones=self.tombstones,
+                          versioned=self.versioned)
 
     # -- continuous aggregates maintained per batch -----------------------
     def register_rollup(self, table: str, rollup, project) -> None:
