@@ -510,28 +510,34 @@ class KeyedTable:
         groups: dict[int, list[int]] = {}
         for b, e in assign.items():
             groups.setdefault(e, []).append(b)
-        paths = [
-            f"{self.path}/{self.BUCKET_COL}="
-            f"{{{','.join(str(b) for b in sorted(bs))}}}/{self.EPOCH_COL}={e}"
-            for e, bs in sorted(groups.items())]
         if schema is None:
             raise ValueError(f"versioned table at {self.path} has no "
                              "schema sidecar")
+        # Expand each per-epoch brace glob to its CONCRETE matched dirs
+        # driver-side (one globStatus round trip per distinct epoch).  A
+        # resolved bucket may simply hold no data (its dir was never
+        # written) — that glob arm matches nothing, which is fine; but
+        # handing Spark a multi-path read where ONE path matches nothing
+        # fails the whole read with PATH_NOT_FOUND, and mapping that to
+        # "empty table" would silently drop every bucket that DOES exist
+        # (found by the fresh-replay hypothesis property).
+        fs, _, jvm = self._fs_and_path(self.path)
+        paths: list[str] = []
+        for e, bs in sorted(groups.items()):
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/{self.BUCKET_COL}="
+                f"{{{','.join(str(b) for b in sorted(bs))}}}/"
+                f"{self.EPOCH_COL}={e}")
+            for st in fs.globStatus(glob) or []:
+                paths.append(st.getPath().toString())
         if not paths:
             return self.spark.createDataFrame([], schema)
         rschema = T.StructType(
             list(schema.fields) + [T.StructField(self.EPOCH_COL, T.IntegerType())])
-        try:
-            return (self.spark.read.schema(rschema)
-                    .option("basePath", self.path)
-                    .parquet(*paths)
-                    .drop(self.EPOCH_COL))
-        except AnalysisException as exc:
-            # same absent-path contract as the unversioned read below
-            if exc.getErrorClass() not in ("PATH_NOT_FOUND",
-                                           "UNABLE_TO_INFER_SCHEMA"):
-                raise
-            return self.spark.createDataFrame([], schema)
+        return (self.spark.read.schema(rschema)
+                .option("basePath", self.path)
+                .parquet(*paths)
+                .drop(self.EPOCH_COL))
 
     def exists(self) -> bool:
         jvm = self.spark._jvm

@@ -302,6 +302,22 @@ class CdcPipeline:
                                 version_col=self.version_col)
         return True
 
+    def purge_versions(self, table: str, keep_last: int = 1) -> bool:
+        """Version GC for a versioned target: retain the newest
+        ``keep_last`` snapshots, delete unreachable epoch dirs, collapse
+        the purged manifest prefix.  Returns True if a purge ran (False:
+        table unconfigured / absent / not versioned).  Same maintenance
+        cadence as purge_tombstones and ledger GC — versioned tables
+        accumulate one epoch per merge until this runs."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return False
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.versioned:
+            return False
+        target.purge_versions(keep_last=keep_last)
+        return True
+
     # -- entry point 2: reload driver (retrigger analogue) ----------------
     def reload(self, file_keys: Sequence[str]) -> list[BatchResult]:
         """Replay a path list; already-processed files are no-ops

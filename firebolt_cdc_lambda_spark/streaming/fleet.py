@@ -120,21 +120,26 @@ class CdcFleet:
                     del active[table]
         return status
 
-    def run_maintenance(self, before_version=None) -> dict[str, str]:
+    def run_maintenance(self, before_version=None,
+                        keep_versions: int | None = None) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
         With ``before_version`` (compared on the pipeline's version_col)
         only tombstones older than it are dropped, so still-plausible
-        late arrivals stay gated; without it, all markers go.  One table
+        late arrivals stay gated; without it, all markers go.  With
+        ``keep_versions`` set, versioned targets additionally GC their
+        epoch history down to that many retained snapshots.  One table
         failing must not abort the sweep (same degrade-don't-die posture
         as run_once)."""
         status: dict[str, str] = {}
         for table in self.discover_tables():
             try:
-                status[table] = ("purged"
-                                 if self.pipeline.purge_tombstones(
-                                     table, before_version=before_version)
-                                 else "skipped")
+                did = self.pipeline.purge_tombstones(
+                    table, before_version=before_version)
+                if keep_versions is not None:
+                    did = self.pipeline.purge_versions(
+                        table, keep_last=keep_versions) or did
+                status[table] = "purged" if did else "skipped"
             except Exception as exc:  # noqa: BLE001
                 status[table] = f"failed: {exc}"
         return status

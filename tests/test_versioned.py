@@ -191,3 +191,45 @@ def test_versioned_flag_persisted(spark, tmp_path):
     assert again.versioned and again.num_buckets == 8
     again.merge_batch(spark.createDataFrame([Row(k=1, v="w", Op="U")]))
     assert again.latest_epoch() == 1
+
+
+# -- property: every historical version equals a fresh replay --------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+EVENT = st.fixed_dictionaries({
+    "id": st.integers(min_value=0, max_value=6),
+    "Op": st.sampled_from(["I", "U", "D"]),
+    "v": st.text(alphabet="ab", min_size=1, max_size=2),
+})
+STREAM = st.lists(st.lists(EVENT, min_size=1, max_size=3),
+                  min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=STREAM)
+def test_every_version_equals_fresh_replay(spark, tmp_path_factory, batches):
+    """For ANY batch stream, read(as_of=i) on the versioned table equals
+    replaying batches[0:i] into a fresh unversioned table — the manifest
+    resolution can invent or lose nothing."""
+    from firebolt_cdc_lambda_spark.operators.dedup import deduplicate
+    tmp = tmp_path_factory.mktemp("vprop")
+    init = spark.createDataFrame([Row(k=0, v="base")])
+    kv = KeyedTable(spark, str(tmp / "v"), ["k"], num_buckets=4,
+                    versioned=True)
+    kv.init(init)
+    dfs = []
+    for batch in batches:
+        df = spark.createDataFrame(
+            [Row(k=e["id"], v=e["v"], Op=e["Op"]) for e in batch])
+        # deterministic intra-batch winner: dedup before both replays
+        dfs.append(deduplicate(df, ["k"]).localCheckpoint(eager=True))
+    for df in dfs:
+        kv.merge_batch(df)
+    for i in range(len(dfs) + 1):
+        ku = KeyedTable(spark, str(tmp / f"u{i}"), ["k"], num_buckets=4)
+        ku.init(init)
+        for df in dfs[:i]:
+            ku.merge_batch(df)
+        assert rows(kv.read(as_of=i), "k", "v") == rows(ku.read(), "k", "v"), i
