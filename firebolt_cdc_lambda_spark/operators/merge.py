@@ -741,7 +741,8 @@ class KeyedTable:
         tombstone-mode merge)."""
         return self._read_raw().drop(self.BUCKET_COL)
 
-    def rewrite(self, df: DataFrame, sort_within: Sequence[str] = ()) -> None:
+    def rewrite(self, df: DataFrame,
+                sort_within: Sequence[str | Column] = ()) -> None:
         """Full rewrite that is safe when ``df`` reads from this table's own
         path (e.g. schema evolution): write to a temp dir, then swap.
         Spark cannot overwrite a path it is concurrently reading from.
@@ -835,12 +836,26 @@ class KeyedTable:
         self.rewrite(df)
 
     def cluster_by(self, cols: Sequence[str]) -> None:
-        """Sort rows within each bucket by ``cols`` and rewrite (the
-        ZORDER-lite analogue).  Parquet stores per-row-group min/max for
-        the sort columns, so subsequent range predicates on them skip
-        whole row groups inside every bucket.  Layout-only: bucket
-        assignment and row content are unchanged."""
+        """Sort rows within each bucket by ``cols`` and rewrite.  Parquet
+        stores per-row-group min/max for the sort columns, so subsequent
+        range predicates on them skip whole row groups inside every
+        bucket.  Layout-only: bucket assignment and row content are
+        unchanged.  NOTE a lexicographic sort prunes well only on the
+        LEADING column — for balanced pruning across several filter
+        columns use ``zorder_by``."""
         self.rewrite(self.snapshot_for_rewrite(), sort_within=cols)
+
+    def zorder_by(self, cols: Sequence[str], bits: int = 16) -> None:
+        """Sort rows within each bucket along the Z-curve (Morton order)
+        over ``cols`` and rewrite — balanced multi-column row-group
+        skipping (see operators/zorder.py for the layout argument).
+        Cost: one metadata-sized min/max aggregate + the same single
+        rewrite job ``cluster_by`` pays; the z-value is a pure codegen
+        expression, computed on the fly and never stored."""
+        from .zorder import minmax, zorder_column
+        snap = self.snapshot_for_rewrite()
+        stats = minmax(snap, cols)
+        self.rewrite(snap, sort_within=[zorder_column(stats, bits)])
 
     def merge_batch(self, staging: DataFrame, return_stats: bool = False,
                     **merge_kwargs) -> int | tuple[int, int]:
