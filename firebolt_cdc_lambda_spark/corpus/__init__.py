@@ -57,15 +57,20 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     earliest right row at-or-after each event), and cdc_time_travel
 #     (snapshot-as-of reads through the versioned KeyedTable's epoch
 #     manifest: v1 AND latest union-tagged, both hash-checked);
-#   * slots 36-50 — fifteen of the forty-three r3-stale rows
-#     (asof/join/scalar/window/text-filter/corpus-sampling/embedding/
-#     TPC-H families; q4/q6/q7/q8/q9/q12 were displaced by the six new
-#     rows above and rejoin the r3-stale queue).
-# After round 5: all 128 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=28 — no row older than round 3.  The 28 remaining
+#   * slot 36 — embedding_kmeans_step, added later still in round 5 and
+#     gated immediately (same rule): one Lloyd iteration in exact
+#     integer math — map-only LUT assignment, deferred-division
+#     centroid sums (displaces events_json_extract to round 6);
+#   * slots 37-50 — fourteen of the forty-three r3-stale rows
+#     (asof/join/scalar/window/text-filter/corpus-sampling/embedding
+#     families; q4/q6/q7/q8/q9/q12 were displaced by the six new rows
+#     above, and events_json_extract by embedding_kmeans_step — all
+#     rejoin the r3-stale queue).
+# After round 5: all 129 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=29 — no row older than round 3.  The 29 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
-# fourteen val_* aggregates, none code-touched since r3) lead round 6's
-# rotation.
+# events_json_extract + fourteen val_* aggregates, none code-touched
+# since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -88,14 +93,16 @@ _DRIVER_PRIORITY = [
     "val_quantile_sketch_audit",
     # new-operator rows added with the audits ------------------------------
     "skew_salted_join", "asof_event_next_order", "cdc_time_travel",
-    # r3-stale re-gates (15 of 43) ----------------------------------------
+    # exact-integer Lloyd step, gated immediately --------------------------
+    "embedding_kmeans_step",
+    # r3-stale re-gates (14 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
     "text_decontamination", "text_bigram_fluency",
     "corpus_mixture_sampling", "corpus_sequence_packing",
     "corpus_stratified_sample", "embedding_label_centroids",
-    "embedding_pseudo_label", "events_json_extract",
+    "embedding_pseudo_label",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

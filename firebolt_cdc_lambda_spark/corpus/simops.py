@@ -1165,6 +1165,63 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+# -- k-means: one exact-integer Lloyd iteration ---------------------------
+# The oracle-checkable core of IvfIndex.train_centroids (operators/
+# ivf.py:92): assignment = argmin integer L2 over the current centroids,
+# update = per-(centroid, dimension) member sums + counts.  Division is
+# deferred (sums + counts instead of means) so every output cell is a
+# BIGINT and the cross-engine hash is bit-exact; callers divide when they
+# need the mean.  Scale shape: the K centroids are a driver-side LUT
+# (K x dim literals, metadata-sized like the PQ codebook) folded into ONE
+# codegen projection — assignment is map-only, zero joins, zero shuffles;
+# the only exchange is the final aggregation, whose key space is
+# K*dim (= {K}*64) groups, so map-side partial aggregation reduces the
+# shuffle to ~partitions * K * dim rows regardless of corpus size.
+_KM_K = 8
+
+
+def embedding_kmeans_step(spark, sf):
+    qv = _quantized(spark, sf)
+    cents = (qv.where(F.col("vec_id") < _KM_K)
+             .selectExpr("vec_id", "qv", "norm2")
+             .orderBy("vec_id").collect())        # K rows: driver LUT
+    arms = []
+    for c in cents:
+        lit = "array(" + ",".join(f"{int(x)}L" for x in c["qv"]) + ")"
+        dot = _DOT_SPARK.format(a="qv", b=lit)
+        arms.append(f"struct(norm2 - 2 * ({dot}) + {int(c['norm2'])}L AS d, "
+                    f"{int(c['vec_id'])} AS cent_id)")
+    best = f"array_min(array({', '.join(arms)})).cent_id"
+    assigned = qv.selectExpr(f"{best} AS cent_id", "qv")
+    return (assigned.select("cent_id", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("x").alias("dim_sum"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .selectExpr("CAST(cent_id AS INT) AS cent_id",
+                        "CAST(pos AS INT) AS pos",
+                        "CAST(dim_sum AS BIGINT) AS dim_sum",
+                        "CAST(n_members AS BIGINT) AS n_members"))
+
+
+EMBEDDING_KMEANS_STEP_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+n AS (SELECT vec_id, qv,
+             CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2
+      FROM q),
+c AS (SELECT vec_id AS cent_id, qv AS cv, norm2 AS cn FROM n WHERE vec_id < {_KM_K}),
+d AS (SELECT n.vec_id, c.cent_id, n.qv,
+             n.norm2 - 2 * CAST(list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) + c.cn AS dist
+      FROM n, c),
+a AS (SELECT vec_id, qv, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM d) t WHERE rn = 1),
+e AS (SELECT cent_id, unnest(range(0, len(qv))) AS pos, unnest(qv) AS x FROM a)
+SELECT CAST(cent_id AS INTEGER) AS cent_id, CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(x) AS BIGINT) AS dim_sum, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM e GROUP BY cent_id, pos
+"""
+
+
 QUERIES = {
     "embedding_outlier_trim": Query(
         embedding_outlier_trim, EMBEDDING_OUTLIER_SQL,
@@ -1214,4 +1271,9 @@ QUERIES = {
         dedup_minhash_containment, DEDUP_MINHASH_CONTAINMENT_SQL,
         "asymmetric containment near-dup: catches subset documents "
         "(quote inclusion) that Jaccard under-scores"),
+    "embedding_kmeans_step": Query(
+        embedding_kmeans_step, EMBEDDING_KMEANS_STEP_SQL,
+        "one Lloyd iteration in exact integer math: map-only LUT "
+        "assignment + deferred-division centroid sums (the oracle-"
+        "checkable core of IvfIndex.train_centroids)"),
 }

@@ -182,3 +182,19 @@ def test_prep_funnel_no_joins_single_pass(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join not in plan, join
     assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_kmeans_step_assignment_is_map_only(spark):
+    """embedding_kmeans_step (COVERAGE: Lloyd-step row): centroid
+    assignment is a literal-LUT projection — NO join of any kind in the
+    plan, and the only exchange is the final K*dim-keyed aggregation
+    (which partial-combines map-side), so shuffle traffic is bounded by
+    partitions * K * dim regardless of corpus size."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["embedding_kmeans_step"].fn(spark, SF_DIR)
+    plan = executed(df)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "partial" in plan.lower()
