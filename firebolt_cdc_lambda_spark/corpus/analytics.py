@@ -1425,6 +1425,102 @@ FROM approx a JOIN exact e ON a.status = e.status ORDER BY a.status
 """
 
 
+# -- Structured Streaming watermark semantics, under the value-hash oracle
+# A REAL streaming run (file source, per-file micro-batches, event-time
+# watermark, append mode) whose final output is reproduced row-for-row
+# by batch SQL.  This puts the engine's late-data policy — the thing the
+# reference lacks entirely (SURVEY §2.9 "Late/out-of-order data") —
+# under the same bit-exact oracle as every batch operator.
+#
+# Determinism: the events table is split into N files by event_id % N
+# and the files are given strictly increasing mtimes, so the file source
+# (maxFilesPerTrigger=1, oldest-first) admits exactly one known file per
+# micro-batch.  Spark's observable watermark semantics were pinned
+# empirically (availableNow + noDataMicroBatches, Spark 4.1):
+#   * wm(N) — the watermark REPORTED for batch N — is
+#     max(ts over batches <= N-1) - delay (0 before any data);
+#   * the late-row filter for batch N uses wm(N-1), i.e. data through
+#     batch N-2 — one cycle BEHIND the reported watermark: a row is
+#     dropped iff its window END <= wm(N-1) (window-end-based, not
+#     raw-ts-based; end == wm drops);
+#   * append-mode emission: a window reaches the sink iff its end <=
+#     final wm (max ts over ALL batches - delay), via the trailing
+#     no-data batch; later windows remain in state, never emitted.
+# The oracle below is that model verbatim: per-batch maxes, a 2-lagged
+# running-max watermark, the end-based keep filter, and the final-
+# watermark emission cut.  All arithmetic is epoch-microsecond BIGINT;
+# the value sum is the corpus' exact-decimal pattern — so the driver's
+# value hash must match, not just row counts.
+_WM_N_BATCHES = 4
+_WM_WIN_US = 3_600_000_000            # 1-hour tumbling windows
+_WM_DELAY_US = 48 * 3_600_000_000     # 48-hour watermark delay
+
+
+def events_stream_watermark(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events").select(
+        "ts", "value", (F.col("event_id") % _WM_N_BATCHES).alias("b"))
+    tmp = tempfile.mkdtemp(prefix="wm_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    split = e.select("ts", "value", "b")
+    for i in range(_WM_N_BATCHES):
+        d = os.path.join(src, f"b{i}.parquet")
+        (split.where(F.col("b") == i).select("ts", "value")
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        mt = 1_000_000 + i * 100                    # strictly increasing
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mt, mt))
+        os.utime(d, (mt, mt))
+    schema = split.select("ts", "value").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    agg = (stream.withWatermark("ts", "48 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                   F.col("n_events").cast("bigint").alias("n_events"),
+                   "total_value"))
+    sink = os.path.join(tmp, "sink")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+    return (spark.read.parquet(sink)
+            .select("window_start_us",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "total_value"))
+
+
+EVENTS_STREAM_WATERMARK_SQL = f"""
+WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value,
+                  event_id % {_WM_N_BATCHES} AS b
+           FROM events),
+bm AS (SELECT b, MAX(tus) AS bmax FROM e GROUP BY b),
+wmf AS (SELECT b, COALESCE(MAX(bmax) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0)
+               - {_WM_DELAY_US} AS wm
+        FROM bm),
+kept AS (SELECT e.tus, e.value
+         FROM e JOIN wmf ON e.b = wmf.b
+         WHERE (e.tus // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} > wmf.wm),
+fw AS (SELECT MAX(tus) - {_WM_DELAY_US} AS fwm FROM e)
+SELECT (tus // {_WM_WIN_US}) * {_WM_WIN_US} AS window_start_us,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM kept, fw
+WHERE (tus // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} <= fw.fwm
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1521,4 +1617,9 @@ QUERIES = {
         asof_event_next_order, ASOF_EVENT_NEXT_ORDER_SQL,
         "forward as-of join: earliest order at-or-after each event "
         "(next-touch attribution direction)"),
+    "events_stream_watermark": Query(
+        events_stream_watermark, EVENTS_STREAM_WATERMARK_SQL,
+        "REAL Structured-Streaming run (per-file batches, event-time "
+        "watermark, append mode) whose late-drop + emission semantics "
+        "are reproduced bit-exactly by the batch oracle"),
 }
