@@ -61,21 +61,27 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     gated immediately (same rule): one Lloyd iteration in exact
 #     integer math — map-only LUT assignment, deferred-division
 #     centroid sums (displaces events_json_extract to round 6);
-#   * slot 37 — events_stream_watermark, gated immediately: a REAL
-#     Structured-Streaming run (per-file micro-batches, event-time
-#     watermark, append mode) whose late-drop + emission behavior is
-#     reproduced bit-exactly by the batch oracle (displaces
-#     embedding_pseudo_label to round 6);
-#   * slots 38-50 — thirteen of the forty-three r3-stale rows
-#     (asof/join/scalar/window/text-filter/corpus-sampling/embedding
-#     families; q4/q6/q7/q8/q9/q12 were displaced by the six new rows
-#     above, events_json_extract and embedding_pseudo_label by the two
-#     late additions — all rejoin the r3-stale queue).
-# After round 5: all 130 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=30 — no row older than round 3.  The 30 remaining
+#   * slots 37-38 — the streaming-oracle pair, gated immediately:
+#     events_stream_watermark (a REAL Structured-Streaming windowed
+#     aggregation whose late-drop + append-emission behavior is
+#     reproduced bit-exactly by the batch oracle) and
+#     events_stream_dedup (dropDuplicatesWithinWatermark: replayed and
+#     re-stamped duplicates across time-ordered batches — suppression,
+#     late-drop, and re-emission-after-eviction all under the value
+#     hash).  Displace embedding_pseudo_label + embedding_label_centroids
+#     to round 6;
+#   * slots 39-50 — twelve of the forty-three r3-stale rows
+#     (asof/join/scalar/window/text-filter/corpus-sampling families;
+#     q4/q6/q7/q8/q9/q12 were displaced by the six new rows above,
+#     events_json_extract / embedding_pseudo_label /
+#     embedding_label_centroids by the three late additions — all
+#     rejoin the r3-stale queue).
+# After round 5: all 131 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=31 — no row older than round 3.  The 31 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
-# events_json_extract + embedding_pseudo_label + fourteen val_*
-# aggregates, none code-touched since r3) lead round 6's rotation.
+# events_json_extract + embedding_pseudo_label +
+# embedding_label_centroids + fourteen val_* aggregates, none
+# code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -101,14 +107,14 @@ _DRIVER_PRIORITY = [
     # exact-integer Lloyd step, gated immediately --------------------------
     "embedding_kmeans_step",
     # streaming watermark semantics under the oracle, gated immediately ----
-    "events_stream_watermark",
-    # r3-stale re-gates (13 of 43) ----------------------------------------
+    "events_stream_watermark", "events_stream_dedup",
+    # r3-stale re-gates (12 of 43) ----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
     "text_decontamination", "text_bigram_fluency",
     "corpus_mixture_sampling", "corpus_sequence_packing",
-    "corpus_stratified_sample", "embedding_label_centroids",
+    "corpus_stratified_sample",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -1456,6 +1456,23 @@ _WM_WIN_US = 3_600_000_000            # 1-hour tumbling windows
 _WM_DELAY_US = 48 * 3_600_000_000     # 48-hour watermark delay
 
 
+def _write_stream_batches(split, src, n_batches, cols):
+    """Materialize ``split`` (carrying an int batch column ``b``) as one
+    parquet file per batch under ``src`` with strictly increasing mtimes,
+    so the file source (maxFilesPerTrigger=1, oldest-first) admits
+    exactly batch i in micro-batch i."""
+    import os
+    for i in range(n_batches):
+        d = os.path.join(src, f"b{i}.parquet")
+        (split.where(F.col("b") == i).select(*cols)
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        mt = 1_000_000 + i * 100                    # strictly increasing
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mt, mt))
+        os.utime(d, (mt, mt))
+
+
 def events_stream_watermark(spark, sf):
     import os
     import tempfile
@@ -1464,15 +1481,7 @@ def events_stream_watermark(spark, sf):
     tmp = tempfile.mkdtemp(prefix="wm_stream_q_")   # left for OS cleanup
     src = os.path.join(tmp, "src")
     split = e.select("ts", "value", "b")
-    for i in range(_WM_N_BATCHES):
-        d = os.path.join(src, f"b{i}.parquet")
-        (split.where(F.col("b") == i).select("ts", "value")
-         .coalesce(1).write.mode("overwrite").parquet(d))
-        mt = 1_000_000 + i * 100                    # strictly increasing
-        for root, _, files in os.walk(d):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (mt, mt))
-        os.utime(d, (mt, mt))
+    _write_stream_batches(split, src, _WM_N_BATCHES, ["ts", "value"])
     schema = split.select("ts", "value").schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1")
@@ -1518,6 +1527,119 @@ SELECT (tus // {_WM_WIN_US}) * {_WM_WIN_US} AS window_start_us,
 FROM kept, fw
 WHERE (tus // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} <= fw.fwm
 GROUP BY 1
+"""
+
+
+# -- dropDuplicatesWithinWatermark under the value-hash oracle ------------
+# The streaming-native duplicate-delivery gate (streaming/
+# stateful.streaming_dedup — the reference's retried-upload protection,
+# FIX_DUPLICATE_INSERTS_ON_RETRY.md, in stream form), with its COMPLETE
+# observable semantics reproduced by batch SQL.  Empirical pins (same
+# harness as events_stream_watermark; Spark 4.1):
+#   * a key's row is SUPPRESSED in batch N iff some earlier-emitted row
+#     for the key is still in state, i.e. its (event time + delay) >
+#     wm(N-1) — the same one-cycle-lagged watermark the late filter
+#     uses; state is checked BEFORE the batch's own eviction runs;
+#   * suppressed duplicates do NOT extend the state's expiry (the state
+#     keeps the EMITTED row's event time);
+#   * once the watermark passes the expiry the key's state is evicted
+#     and a later duplicate is RE-EMITTED;
+#   * the late filter drops rows with ts <= wm(N-1) (raw-ts-based here —
+#     there is no window — and one cycle lagged, like aggregation).
+# Workload: time-ordered batches (8-day file windows — the realistic
+# arrival order) + two duplicate classes: an exact replay landing one
+# batch later (same event time — the retry case; always suppressed, and
+# the oracle PROVES that rather than assumes it) and a re-stamped replay
+# (+6 days event time) landing two batches later — far enough out-of-
+# order that, with a 1-day delay, all three fates occur: filter-dropped,
+# state-suppressed, and re-emitted-after-eviction.  Chains of three
+# occurrences (both classes on one key) exercise the no-expiry-extension
+# pin: the third copy is judged against the FIRST emission's state.
+_DD_DELAY_US = 86_400_000_000          # 1-day dedup horizon
+_DD_DAY_US = 86_400_000_000
+_DD_DAY0 = 19723                       # epoch day of 2024-01-01 (fixtures)
+_DD_SHIFT_US = 6 * 86_400_000_000      # class-B re-stamp offset
+
+
+def events_stream_dedup(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events").select("event_id", "ts", "value")
+    nat = e.selectExpr(
+        "event_id", "ts", "value",
+        f"least(3, greatest(0, (unix_micros(ts) div {_DD_DAY_US} - {_DD_DAY0})"
+        f" div 8)) AS b")
+    copy_a = (nat.where((F.col("event_id") % 3 == 0) & (F.col("b") <= 2))
+              .select("event_id", "ts", "value",
+                      (F.col("b") + 1).alias("b")))
+    copy_b = (nat.where((F.col("event_id") % 5 == 0) & (F.col("b") <= 1))
+              .select("event_id",
+                      F.timestamp_micros(
+                          F.unix_micros("ts") + F.lit(_DD_SHIFT_US)).alias("ts"),
+                      "value", (F.col("b") + 2).alias("b")))
+    split = nat.unionByName(copy_a).unionByName(copy_b)
+    tmp = tempfile.mkdtemp(prefix="dd_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    _write_stream_batches(split, src, 4, ["event_id", "ts", "value"])
+    schema = split.select("event_id", "ts", "value").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    out = (stream.withWatermark("ts", "1 day")
+           .dropDuplicatesWithinWatermark(["event_id"])
+           .select("event_id", F.unix_micros("ts").alias("tus"), "value"))
+    sink = os.path.join(tmp, "sink")
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+    return (spark.read.parquet(sink)
+            .select("event_id", "tus", "value"))
+
+
+EVENTS_STREAM_DEDUP_SQL = f"""
+WITH e0 AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+            FROM events),
+nat AS (SELECT event_id, tus, value,
+               LEAST(3, GREATEST(0, (tus // {_DD_DAY_US} - {_DD_DAY0}) // 8)) AS b,
+               0 AS occ
+        FROM e0),
+ca AS (SELECT event_id, tus, value, b + 1 AS b, 1 AS occ FROM nat
+       WHERE event_id % 3 = 0 AND b <= 2),
+cb AS (SELECT event_id, tus + {_DD_SHIFT_US} AS tus, value, b + 2 AS b, 2 AS occ
+       FROM nat WHERE event_id % 5 = 0 AND b <= 1),
+allr AS (SELECT * FROM nat UNION ALL SELECT * FROM ca UNION ALL SELECT * FROM cb),
+bm AS (SELECT b, MAX(tus) AS bmax FROM allr GROUP BY b),
+wmf AS (SELECT b, COALESCE(MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 2 PRECEDING), 0) - {_DD_DELAY_US} AS wm
+        FROM bm),
+r AS (SELECT a.event_id, a.tus, a.value, a.occ, w.wm
+      FROM allr a JOIN wmf w ON a.b = w.b),
+j AS (SELECT k1.event_id, k1.value,
+             k1.tus AS t1, k1.wm AS w1,
+             k2.tus AS t2, k2.wm AS w2,
+             k3.tus AS t3, k3.wm AS w3
+      FROM (SELECT * FROM r WHERE occ = 0) k1
+      LEFT JOIN (SELECT * FROM r WHERE occ = 1) k2 USING (event_id)
+      LEFT JOIN (SELECT * FROM r WHERE occ = 2) k3 USING (event_id)),
+f AS (SELECT *,
+             (t1 > w1) AS e1,
+             (t2 IS NOT NULL AND t2 > w2
+              AND NOT ((t1 > w1) AND t1 + {_DD_DELAY_US} > w2)) AS e2
+      FROM j),
+g AS (SELECT *,
+             (t3 IS NOT NULL AND t3 > w3
+              AND NOT (e1 AND t1 + {_DD_DELAY_US} > w3)
+              AND NOT (e2 AND t2 + {_DD_DELAY_US} > w3)) AS e3
+      FROM f)
+SELECT event_id, t1 AS tus, value FROM g WHERE e1
+UNION ALL SELECT event_id, t2 AS tus, value FROM g WHERE e2
+UNION ALL SELECT event_id, t3 AS tus, value FROM g WHERE e3
 """
 
 
@@ -1622,4 +1744,10 @@ QUERIES = {
         "REAL Structured-Streaming run (per-file batches, event-time "
         "watermark, append mode) whose late-drop + emission semantics "
         "are reproduced bit-exactly by the batch oracle"),
+    "events_stream_dedup": Query(
+        events_stream_dedup, EVENTS_STREAM_DEDUP_SQL,
+        "dropDuplicatesWithinWatermark under the oracle: replayed and "
+        "re-stamped duplicates across time-ordered batches — "
+        "suppression, late-drop, and re-emission-after-eviction all "
+        "reproduced by batch SQL"),
 }

@@ -54,6 +54,26 @@ def test_zorder_edge_cases(spark):
         zorder_column({f"c{i}": (0.0, 1.0) for i in range(70)}, 16)
 
 
+def test_zorder_negative_double_timestamp_columns(spark):
+    """The grid cast handles negative ints, doubles, and timestamps
+    (cast-to-double epoch seconds) — any orderable numericizable column
+    z-orders without constant-collapse."""
+    import datetime
+    rng = random.Random(1)
+    rows = [Row(a=rng.randrange(-500, 500),
+                t=datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(seconds=rng.randrange(10**6)),
+                d=rng.random() * 200 - 100)
+            for _ in range(200)]
+    df = df_of(spark, rows)
+    for cols in (["a", "d"], ["a", "t"], ["t", "d"]):
+        stats = minmax(df, cols)
+        zs = [r.z for r in
+              df.withColumn("z", zorder_column(stats, 16)).collect()]
+        assert all(z is not None and 0 <= z < (1 << 62) for z in zs), cols
+        assert len(set(zs)) > 150, (cols, len(set(zs)))
+
+
 def test_keyed_table_zorder_layout_only(spark, tmp_path):
     """zorder_by preserves content exactly and sorts each physical file
     by the z-value (so parquet row-group min/max skipping engages)."""
