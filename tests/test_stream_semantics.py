@@ -1,0 +1,169 @@
+"""Pins of Spark's observable watermark semantics — the empirical facts
+the events_stream_watermark / events_stream_dedup oracles (corpus/
+analytics.py) are built on.  If a Spark upgrade shifts any of these
+(filter lag, end-based vs ts-based late filter, equality boundaries,
+expiry extension, final no-data-batch emission), these tests fail
+locally instead of the driver gate going red.
+"""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BASE = 1_700_000_000
+
+
+def _write_batches(spark, src, schema, files):
+    """files: list of row-lists, one file per micro-batch (increasing
+    mtimes, one row-tuple per entry)."""
+    for i, rows in enumerate(files):
+        d = os.path.join(src, f"f{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        mt = 1000 + i * 100
+        for root, _, fs in os.walk(d):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mt, mt))
+        os.utime(d, (mt, mt))
+
+
+def _run(spark, src, schema, build, name, ckpt):
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(src))
+    q = (build(stream).writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
+
+
+def _ts(t):
+    return datetime.datetime.utcfromtimestamp(BASE + t)
+
+
+def test_windowed_agg_watermark_pins(spark, tmp_path):
+    """One run covering the aggregation pins: (a) the late filter for
+    batch N lags one cycle (uses max ts through batch N-2 - delay);
+    (b) it is window-END-based and drops on equality; (c) append
+    emission includes windows with end == final watermark, via the
+    trailing no-data batch; (d) open windows never emit."""
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+    files = [
+        [(_ts(100), 0), (_ts(112), 0), (_ts(120), 0)],  # b0: max 120
+        [(_ts(121), 0)],                                # b1: max 121
+        [(_ts(105), 0)],   # b2: filter wm = wm(1) = 110; end(105) = 110
+                           #     == wm -> DROPPED (equality boundary)
+        [(_ts(130), 0), (_ts(119), 0)],  # b3: filter wm = wm(2) = 111;
+                           #     119's end 120 > 111 -> late but KEPT
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .groupBy(F.window("ts", "10 seconds").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.unix_timestamp("w.start").alias("ws"), "n"))
+
+    out = sorted((r.ws - BASE, r.n) for r in
+                 _run(spark, src, schema, build, "wm_pins",
+                      str(tmp_path / "ck")).collect())
+    # [100,110): 100 only (105 dropped at equality end==wm) -> n=1
+    # [110,120): 112 + 119 (late but end 120 > lagged wm 111) -> n=2,
+    #            and end 120 == final wm 120 -> STILL EMITTED (c)
+    # [120,130): 120,121 -> end 130 > 120 -> never emitted (d)
+    assert out == [(100, 1), (110, 2)], out
+
+
+def test_windowed_agg_filter_is_window_end_based(spark, tmp_path):
+    """A row with ts < lagged-wm < window_end is KEPT: the late filter
+    compares the window END, not the raw event time."""
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+    files = [
+        [(_ts(150), 0)],              # b0: max 150 -> lagged wm(b2) = 140
+        [(_ts(300), 0)],              # b1
+        [(_ts(400), 0), (_ts(120), 0)],  # b2: ts 120 < 140 < end 200
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .groupBy(F.window("ts", "100 seconds").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.unix_timestamp("w.start").alias("ws"), "n"))
+
+    out = sorted((r.ws - BASE, r.n) for r in
+                 _run(spark, src, schema, build, "wm_endbased",
+                      str(tmp_path / "ck")).collect())
+    assert (100, 2) in out, out     # 150 and the late 120 both counted
+
+
+def test_dedup_within_watermark_pins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark pins: (a) state checked before the
+    batch's own eviction (a dup in the eviction batch is still
+    suppressed); (b) suppressed dups do NOT extend expiry; (c) after
+    eviction the key RE-EMITS; (d) the late filter is lagged one cycle
+    (a row at ts just above the two-batch-old watermark is kept)."""
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    files = [
+        [("A", _ts(100))],                     # b0: emit A100; max 100
+        [("A", _ts(105)), ("X", _ts(122))],    # b1: A suppressed (b);
+                                               #     emit X; max 122
+        [("Y", _ts(300)), ("H", _ts(100))],    # b2: lagged wm = 90 ->
+                                               #     H100 KEPT (d); max 300
+        [("A", _ts(150)), ("Z", _ts(400))],    # b3: A state expired at
+                                               #     wm 112 (no extension
+                                               #     by the 105 dup) ->
+                                               #     RE-EMIT (b)+(c)
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .dropDuplicatesWithinWatermark(["k"])
+                .select("k", F.unix_timestamp("ts").alias("t")))
+
+    out = sorted((r.k, r.t - BASE) for r in
+                 _run(spark, src, schema, build, "dd_pins",
+                      str(tmp_path / "ck")).collect())
+    assert out == [("A", 100), ("A", 150), ("H", 100),
+                   ("X", 122), ("Y", 300), ("Z", 400)], out
+
+
+def test_dedup_suppression_in_eviction_batch(spark, tmp_path):
+    """A duplicate arriving in the very batch whose commit will evict
+    its key's state is still SUPPRESSED — input is matched against
+    state before eviction runs."""
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    files = [
+        [("B", _ts(100))],              # b0: emit; expiry 110
+        [("D", _ts(200))],              # b1: max 200 -> wm(b2) = 190
+        [("B", _ts(195))],              # b2: expiry 110 <= 190 will evict
+                                        #     at COMMIT, but input first ->
+                                        #     suppressed
+        [("B", _ts(400))],              # b3: state long gone -> re-emit
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .dropDuplicatesWithinWatermark(["k"])
+                .select("k", F.unix_timestamp("ts").alias("t")))
+
+    out = sorted((r.k, r.t - BASE) for r in
+                 _run(spark, src, schema, build, "dd_evict",
+                      str(tmp_path / "ck")).collect())
+    assert out == [("B", 100), ("B", 400), ("D", 200)], out
