@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import deduplicate
 from ..operators.merge import merge_cdc
-from .base import Query, load_table
+from .base import Query, load_table, sql_dsum
 
 _OP_EXPR = (
     "CASE WHEN event_type = 'error' THEN 'D' "
@@ -276,6 +276,87 @@ WHERE NOT (o_orderkey % 1000 < 20 AND o_orderkey % 5 = 0)
 """
 
 
+# -- incremental rollup maintenance under the oracle ----------------------
+# The continuous-aggregate path end-to-end: bootstrap a KeyedTable +
+# monthly RollupTable, apply one CDC batch (updates, deletes, AND
+# cross-group date moves), refresh ONLY the touched groups (pre- and
+# post-image months), and read the rollup back.  The oracle restates
+# the final aggregation directly from the batch rules — so a refresh
+# that misses a group a row LEFT (the pre-image contract), resurrects a
+# deleted row, or recomputes a group against stale base data
+# hash-mismatches.  MAX rides along to prove re-aggregation (not
+# algebraic delta-merging) stays exact under deletes.
+def cdc_rollup_refresh(spark, sf):
+    import tempfile
+
+    from ..operators.dedup import deduplicate
+    from ..operators.merge import KeyedTable
+    from ..operators.rollup_table import RollupTable
+    from .base import dsum
+
+    orders = load_table(spark, sf, "orders")
+    tmp = tempfile.mkdtemp(prefix="cdc_rollup_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=16)
+    kt.init(orders)
+
+    def base_view():
+        return kt.read().withColumn(
+            "month", F.trunc(F.to_date("o_orderdate"), "month"))
+
+    ru = RollupTable(
+        spark, f"{tmp}/rollup", ["month"],
+        lambda: [F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", 4).alias("total"),
+                 F.max("o_totalprice").alias("max_price")],
+        num_buckets=8)
+    ru.init(base_view())
+
+    touched = orders.where("o_orderkey % 1000 < 20")
+    batch = (touched
+             .withColumn("Op", F.when(F.col("o_orderkey") % 5 == 0, "D")
+                         .otherwise("U"))
+             .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+             .withColumn("o_orderdate",
+                         F.when(F.col("o_orderkey") % 7 == 0,
+                                F.date_add(F.to_date("o_orderdate"), 40)
+                                .cast("string"))
+                         .otherwise(F.col("o_orderdate")))
+             .withColumn("load_timestamp",
+                         F.to_timestamp(F.lit("2024-06-01 00:00:00"))))
+    # pre-images MUST be pinned before the merge rewrites the base
+    # (rollup_table.py sequencing contract)
+    pre_months = (base_view()
+                  .join(F.broadcast(batch.select("o_orderkey").distinct()),
+                        "o_orderkey", "left_semi")
+                  .select("month").localCheckpoint(eager=True))
+    post_months = (batch.where(F.col("Op") != "D")
+                   .select(F.trunc(F.to_date("o_orderdate"), "month")
+                           .alias("month")))
+    kt.merge_batch(deduplicate(batch, ["o_orderkey"], check_bypass=True))
+    ru.refresh(base_view(), pre_months.unionByName(post_months))
+    return (ru.read()
+            .select("month", F.col("n_orders").cast("bigint").alias("n_orders"),
+                    "total", "max_price"))
+
+
+CDC_ROLLUP_REFRESH_SQL = f"""
+WITH fin AS (
+  SELECT CASE WHEN o_orderkey % 1000 < 20 AND o_orderkey % 7 = 0
+              THEN CAST(o_orderdate AS DATE) + INTERVAL 40 DAY
+              ELSE CAST(o_orderdate AS DATE) END AS od,
+         CASE WHEN o_orderkey % 1000 < 20 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT (o_orderkey % 1000 < 20 AND o_orderkey % 5 = 0)
+)
+SELECT CAST(DATE_TRUNC('month', od) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       {sql_dsum('price', 4)} AS total,
+       MAX(price) AS max_price
+FROM fin GROUP BY 1
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -298,4 +379,10 @@ QUERIES = {
         cdc_time_travel, CDC_TIME_TRAVEL_SQL,
         "snapshot-as-of reads: version 1 and latest through the "
         "versioned KeyedTable's epoch manifest, union-tagged"),
+    "cdc_rollup_refresh": Query(
+        cdc_rollup_refresh, CDC_ROLLUP_REFRESH_SQL,
+        "incremental continuous-aggregate maintenance: CDC batch with "
+        "updates, deletes, and cross-group moves; only the touched "
+        "months are recomputed, result hash-matched against the full "
+        "re-aggregation"),
 }
