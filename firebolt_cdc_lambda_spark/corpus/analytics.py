@@ -1643,6 +1643,87 @@ UNION ALL SELECT event_id, t3 AS tus, value FROM g WHERE e3
 """
 
 
+# -- streaming SESSION windows under the value-hash oracle ----------------
+# The third member of the streaming-oracle family (tumbling aggregation,
+# dedup gate, and now gap sessions): keyed event-time session windows
+# with a watermark, run as a REAL stream over time-ordered per-file
+# batches, reproduced by batch SQL.  What the stream must get right and
+# the oracle checks:
+#   * cross-batch session-state MERGING — with a 12-hour gap, sessions
+#     genuinely straddle the 8-day file boundaries (sf0.01: 139
+#     straddlers of 3292 sessions), so their early rows sit in the
+#     state store across a micro-batch boundary and must fuse with
+#     rows arriving one (or more) batches later;
+#   * the append-mode emission cut — a session reaches the sink iff its
+#     end (last event + gap) <= final watermark; the trailing ~day of
+#     sessions stays in state, never emitted (sf0.01: 217 withheld).
+# Time-ordered arrival means the late filter provably drops nothing
+# (every row's ts is ~7 days ahead of the two-batch-lagged watermark),
+# so the oracle is plain per-user gap islands + the emission cut.  The
+# adversarial corner — a late row landing inside the gap of an
+# ALREADY-EMITTED session becoming a standalone overlapping session —
+# is deliberately kept out of the data (it has no closed-form SQL model
+# under chained merges) and is pinned instead in
+# tests/test_stream_semantics.py.
+_SW_GAP_US = 12 * 3_600_000_000
+
+
+def events_stream_sessions(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    split = e.selectExpr(
+        "user_id", "ts",
+        f"least(3, greatest(0, (unix_micros(ts) div {_DD_DAY_US} - {_DD_DAY0})"
+        f" div 8)) AS b")
+    tmp = tempfile.mkdtemp(prefix="sw_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    _write_stream_batches(split, src, 4, ["user_id", "ts"])
+    schema = split.select("user_id", "ts").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy("user_id", F.session_window("ts", "12 hours").alias("s"))
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id",
+                   F.unix_micros(F.col("s.start")).alias("session_start_us"),
+                   F.unix_micros(F.col("s.end")).alias("session_end_us"),
+                   F.col("n_events").cast("bigint").alias("n_events")))
+    sink = os.path.join(tmp, "sink")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+    return (spark.read.parquet(sink)
+            .select("user_id", "session_start_us", "session_end_us",
+                    "n_events"))
+
+
+EVENTS_STREAM_SESSIONS_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+s AS (SELECT user_id, tus,
+             CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                       >= {_SW_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM e),
+g AS (SELECT user_id, tus,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+      FROM s),
+sess AS (SELECT user_id, MIN(tus) AS session_start_us,
+                MAX(tus) + {_SW_GAP_US} AS session_end_us,
+                COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sid),
+fw AS (SELECT MAX(tus) - {_DD_DELAY_US} AS fwm FROM e)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM sess, fw WHERE session_end_us <= fw.fwm
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1750,4 +1831,10 @@ QUERIES = {
         "re-stamped duplicates across time-ordered batches — "
         "suppression, late-drop, and re-emission-after-eviction all "
         "reproduced by batch SQL"),
+    "events_stream_sessions": Query(
+        events_stream_sessions, EVENTS_STREAM_SESSIONS_SQL,
+        "streaming session windows under the oracle: cross-batch "
+        "session-state merging (12h-gap sessions straddle the 8-day "
+        "file boundaries) + the append emission cut, as gap islands "
+        "in batch SQL"),
 }

@@ -167,3 +167,40 @@ def test_dedup_suppression_in_eviction_batch(spark, tmp_path):
                  _run(spark, src, schema, build, "dd_evict",
                       str(tmp_path / "ck")).collect())
     assert out == [("B", 100), ("B", 400), ("D", 200)], out
+
+
+def test_session_window_late_row_becomes_standalone_session(spark, tmp_path):
+    """Session-window pins: (a) the late filter is end-based on the
+    row's pre-merge session end (ts + gap) and lags one cycle; (b) a
+    late row landing inside the gap of an ALREADY-EMITTED session is
+    NOT retro-merged — it opens a standalone session, so the final
+    output can contain overlapping sessions.  This corner is why the
+    events_stream_sessions oracle keeps late rows out of its data."""
+    schema = T.StructType([T.StructField("u", T.LongType()),
+                           T.StructField("ts", T.TimestampType())])
+    files = [
+        [(1, _ts(100)), (1, _ts(105))],  # b0: session A [100,115)
+        [(1, _ts(130))],                 # b1: max 130 -> wm(2)=120 > 115
+        [(1, _ts(400))],                 # b2: commit emits A; wm(3)=390
+        [(1, _ts(112))],                 # b3: filter wm = wm(2) = 120;
+                                         #     ts 112 < 120 < ts+gap 122
+                                         #     -> KEPT (end-based), and A
+                                         #     is gone -> standalone
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .groupBy("u", F.session_window("ts", "10 seconds").alias("s"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.unix_timestamp("s.start").alias("ss"),
+                        F.unix_timestamp("s.end").alias("se"), "n"))
+
+    out = sorted((r.ss - BASE, r.se - BASE, r.n) for r in
+                 _run(spark, src, schema, build, "sw_corner",
+                      str(tmp_path / "ck")).collect())
+    # A emitted with its pre-late shape; the late 112 overlaps it as a
+    # separate session; 130's session closed by the final wm 390; the
+    # 400 session stays open (end 410 > 390) and never emits.
+    assert out == [(100, 115, 2), (112, 122, 1), (130, 140, 1)], out
