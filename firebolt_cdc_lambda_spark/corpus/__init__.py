@@ -79,20 +79,24 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     sessions straddle the 8-day file boundaries) + the append
 #     emission cut, as gap islands in batch SQL (displaces
 #     corpus_sequence_packing);
-#   * slots 41-50 — ten of the forty-three r3-stale rows
-#     (asof/join/scalar/window/text-filter/corpus-sampling families;
-#     q4/q6/q7/q8/q9/q12 were displaced by the six new rows above,
-#     events_json_extract / embedding_pseudo_label /
-#     embedding_label_centroids / corpus_stratified_sample /
-#     corpus_sequence_packing by the five late additions — all rejoin
+#   * slot 41 — cdc_stream_changelog, gated immediately: the custom
+#     applyInPandasWithState changelog operator as a real update-mode
+#     stream, per-(key, batch) accumulated-winner emissions reproduced
+#     by batch SQL (displaces corpus_mixture_sampling);
+#   * slots 42-50 — nine of the forty-three r3-stale rows
+#     (asof/join/scalar/window/text-filter families; q4/q6/q7/q8/q9/
+#     q12 were displaced by the six new rows above, events_json_extract
+#     / embedding_pseudo_label / embedding_label_centroids /
+#     corpus_stratified_sample / corpus_sequence_packing /
+#     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# After round 5: all 133 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=33 — no row older than round 3.  The 33 remaining
+# After round 5: all 134 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=34 — no row older than round 3.  The 34 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +
 # embedding_label_centroids + corpus_stratified_sample +
-# corpus_sequence_packing + fourteen val_* aggregates, none
-# code-touched since r3) lead round 6's rotation.
+# corpus_sequence_packing + corpus_mixture_sampling + fourteen val_*
+# aggregates, none code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -123,12 +127,13 @@ _DRIVER_PRIORITY = [
     "cdc_rollup_refresh",
     # streaming session windows under the oracle, gated immediately --------
     "events_stream_sessions",
-    # r3-stale re-gates (10 of 43) ----------------------------------------
+    # the custom Python-state changelog operator, gated immediately --------
+    "cdc_stream_changelog",
+    # r3-stale re-gates (9 of 43) -----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
     "text_decontamination", "text_bigram_fluency",
-    "corpus_mixture_sampling",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

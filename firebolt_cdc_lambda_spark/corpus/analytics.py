@@ -1724,6 +1724,84 @@ FROM sess, fw WHERE session_end_us <= fw.fwm
 """
 
 
+# -- the custom Python-state operator under the value-hash oracle ---------
+# streaming/stateful.stateful_last_value is the engine's ONE custom
+# stateful operator (applyInPandasWithState — the pure-streaming
+# changelog variant of the CDC pipeline, SURVEY §2.9).  This query runs
+# it as a real update-mode stream over per-file batches and reproduces
+# its full changelog in batch SQL.
+#
+# Emission contract (from the operator's code, stateful.py:73-101): for
+# every (key, batch) where the key has input rows, emit ONE row with
+# the state AFTER folding that batch — the winner over ALL rows of the
+# key in batches <= N by (version, op-rank), the first two dedup-cascade
+# levels.  (user_id, ts) is verified unique at every testdata scale
+# (0 duplicate pairs at sf0.001/0.01/0.1), so the winner is total-order
+# unique and the fold is arrival-order-independent — the determinism
+# precondition for hashing a changelog that includes re-emissions of
+# unchanged state.  The winner's payload travels as the operator's real
+# JSON payload; the oracle-compared columns are re-extracted TYPED
+# (get_json_object -> DOUBLE/INT round-trips exactly), never compared
+# as JSON text.
+def cdc_stream_changelog(spark, sf):
+    import os
+    import tempfile
+
+    from ..streaming.stateful import stateful_last_value
+    e = load_table(spark, sf, "events")
+    split = e.selectExpr(
+        "user_id", "ts AS load_timestamp", "value",
+        "CASE WHEN event_type = 'error' THEN 'D' "
+        "WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END AS Op",
+        "CAST(event_id % 4 AS INT) AS b")
+    tmp = tempfile.mkdtemp(prefix="chlog_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    _write_stream_batches(split, src, 4,
+                          ["user_id", "load_timestamp", "value", "Op", "b"])
+    schema = split.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    chlog = stateful_last_value(stream, key="user_id")
+    name = "chlog_" + os.path.basename(tmp).split("_")[-1]
+    q = (chlog.writeStream.outputMode("update").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+    return (spark.table(name)
+            .selectExpr("user_id", "version_us", "deleted",
+                        "CAST(get_json_object(payload, '$.value') AS DOUBLE)"
+                        " AS value",
+                        "CAST(get_json_object(payload, '$.b') AS INT)"
+                        " AS winner_b"))
+
+
+CDC_STREAM_CHANGELOG_SQL = """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ver, value,
+                  CAST(event_id % 4 AS INTEGER) AS b,
+                  CASE WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'purchase' THEN 'U'
+                       ELSE 'I' END AS op
+           FROM events),
+pres AS (SELECT DISTINCT user_id, b FROM e),
+w AS (SELECT p.user_id, p.b AS eb, e.ver, e.value, e.b AS wb, e.op,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.user_id, p.b
+               ORDER BY e.ver DESC,
+                        CASE e.op WHEN 'D' THEN 3 WHEN 'U' THEN 2
+                                  WHEN 'I' THEN 1 ELSE 0 END DESC) AS rn
+      FROM pres p JOIN e ON e.user_id = p.user_id AND e.b <= p.b)
+SELECT user_id, ver AS version_us, (op = 'D') AS deleted, value,
+       wb AS winner_b
+FROM w WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1837,4 +1915,9 @@ QUERIES = {
         "session-state merging (12h-gap sessions straddle the 8-day "
         "file boundaries) + the append emission cut, as gap islands "
         "in batch SQL"),
+    "cdc_stream_changelog": Query(
+        cdc_stream_changelog, CDC_STREAM_CHANGELOG_SQL,
+        "the custom applyInPandasWithState changelog operator as a real "
+        "update-mode stream: per-(key, batch) accumulated-winner "
+        "emissions reproduced by batch SQL, payload round-tripped typed"),
 }
