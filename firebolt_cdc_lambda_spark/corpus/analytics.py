@@ -1456,6 +1456,27 @@ _WM_WIN_US = 3_600_000_000            # 1-hour tumbling windows
 _WM_DELAY_US = 48 * 3_600_000_000     # 48-hour watermark delay
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark, n=8):
+    """Pin spark.sql.shuffle.partitions for a streaming run, restore
+    after.  The state-store partition count is frozen at stream start
+    from this conf; under a plain driver session (200) every
+    micro-batch of a corpus-scale stream pays 200 state-store task
+    launches for a few thousand rows.  Output is partition-count-
+    independent (the stream oracles hash-match under any setting);
+    this is purely gate-cost hygiene.  Fresh checkpoints per query
+    call mean no cross-run state-partition mismatch."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _write_stream_batches(split, src, n_batches, cols):
     """Materialize ``split`` (carrying an int batch column ``b``) as one
     parquet file per batch under ``src`` with strictly increasing mtimes,
@@ -1496,13 +1517,14 @@ def events_stream_watermark(spark, sf):
                    F.col("n_events").cast("bigint").alias("n_events"),
                    "total_value"))
     sink = os.path.join(tmp, "sink")
-    q = (agg.writeStream.outputMode("append").format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
     return (spark.read.parquet(sink)
             .select("window_start_us",
                     F.col("n_events").cast("bigint").alias("n_events"),
@@ -1591,13 +1613,14 @@ def events_stream_dedup(spark, sf):
            .dropDuplicatesWithinWatermark(["event_id"])
            .select("event_id", F.unix_micros("ts").alias("tus"), "value"))
     sink = os.path.join(tmp, "sink")
-    q = (out.writeStream.outputMode("append").format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
     return (spark.read.parquet(sink)
             .select("event_id", "tus", "value"))
 
@@ -1693,13 +1716,14 @@ def events_stream_sessions(spark, sf):
                    F.unix_micros(F.col("s.end")).alias("session_end_us"),
                    F.col("n_events").cast("bigint").alias("n_events")))
     sink = os.path.join(tmp, "sink")
-    q = (agg.writeStream.outputMode("append").format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
     return (spark.read.parquet(sink)
             .select("user_id", "session_start_us", "session_end_us",
                     "n_events"))
@@ -1766,13 +1790,14 @@ def cdc_stream_changelog(spark, sf):
               .parquet(src))
     chlog = stateful_last_value(stream, key="user_id")
     name = "chlog_" + os.path.basename(tmp).split("_")[-1]
-    q = (chlog.writeStream.outputMode("update").format("memory")
-         .queryName(name)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (chlog.writeStream.outputMode("update").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
     return (spark.table(name)
             .selectExpr("user_id", "version_us", "deleted",
                         "CAST(get_json_object(payload, '$.value') AS DOUBLE)"
