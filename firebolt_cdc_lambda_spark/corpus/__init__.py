@@ -83,20 +83,25 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     applyInPandasWithState changelog operator as a real update-mode
 #     stream, per-(key, batch) accumulated-winner emissions reproduced
 #     by batch SQL (displaces corpus_mixture_sampling);
-#   * slots 42-50 — nine of the forty-three r3-stale rows
+#   * slot 50 — cdc_scd2_history, added later still and gated
+#     immediately (same no-new-query-debt rule): SCD Type 2 dimension
+#     history from the CDC change stream (displaces text_bigram_fluency
+#     to round 6's r3-stale queue);
+#   * slots 42-49 — eight of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter families; q4/q6/q7/q8/q9/
 #     q12 were displaced by the six new rows above, events_json_extract
 #     / embedding_pseudo_label / embedding_label_centroids /
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# After round 5: all 134 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=34 — no row older than round 3.  The 34 remaining
+# After round 5: all 135 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=35 — no row older than round 3.  The 35 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +
 # embedding_label_centroids + corpus_stratified_sample +
-# corpus_sequence_packing + corpus_mixture_sampling + fourteen val_*
-# aggregates, none code-touched since r3) lead round 6's rotation.
+# corpus_sequence_packing + corpus_mixture_sampling +
+# text_bigram_fluency + fourteen val_* aggregates, none code-touched
+# since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -133,7 +138,9 @@ _DRIVER_PRIORITY = [
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
-    "text_decontamination", "text_bigram_fluency",
+    "text_decontamination",
+    # SCD Type 2 history, gated immediately ---------------------------------
+    "cdc_scd2_history",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

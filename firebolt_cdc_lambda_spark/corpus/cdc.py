@@ -357,6 +357,44 @@ FROM fin GROUP BY 1
 """
 
 
+# -- SCD Type 2 history from the same change stream ------------------------
+# The dual of the MERGE's latest-row-wins product: every (user_id,
+# event_type) change opens a [valid_from, valid_to) version; consecutive
+# rows with an unchanged tracked value collapse.  One shuffle on the key
+# (plan pinned in test_scd2.py); the oracle restates the change-point +
+# interval-close fold in window SQL.
+def cdc_scd2_history(spark, sf):
+    from ..operators.scd2 import scd2_snapshot
+
+    e = load_table(spark, sf, "events")
+    dim = scd2_snapshot(e.select("user_id", "ts", "event_id", "event_type"),
+                        keys=["user_id"], order=["ts", "event_id"],
+                        tracked=["event_type"])
+    return dim.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version", "is_current")
+
+
+CDC_SCD2_HISTORY_SQL = """
+WITH e AS (SELECT user_id, EPOCH_US(ts) AS tus, event_id, event_type
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+c AS (SELECT *,
+             LAG(event_type) OVER w AS prev,
+             (ROW_NUMBER() OVER w = 1) AS first
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+ch AS (SELECT user_id, tus, event_id, event_type FROM c
+       WHERE first OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       tus AS valid_from_us,
+       LEAD(tus) OVER w AS valid_to_us,
+       ROW_NUMBER() OVER w AS version,
+       (LEAD(tus) OVER w IS NULL) AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -385,4 +423,9 @@ QUERIES = {
         "updates, deletes, and cross-group moves; only the touched "
         "months are recomputed, result hash-matched against the full "
         "re-aggregation"),
+    "cdc_scd2_history": Query(
+        cdc_scd2_history, CDC_SCD2_HISTORY_SQL,
+        "SCD Type 2 dimension history from the CDC change stream: "
+        "collapse no-op changes, close [valid_from, valid_to) intervals, "
+        "number versions — one key-shuffle, plan pinned"),
 }

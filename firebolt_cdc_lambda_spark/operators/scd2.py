@@ -1,0 +1,129 @@
+"""SCD Type 2 dimension history: change events -> versioned validity
+intervals.
+
+The reference pipeline materializes only the LATEST row per key
+(lambda/handler.py's MERGE keeps the newest version and discards the
+path that led there).  A warehouse consumer of the same CDC feed very
+often wants the other product: the full *history* of each key as
+``[valid_from, valid_to)`` intervals — slowly-changing-dimension
+type 2.  This module derives it from the identical change stream, two
+declarative forms:
+
+* :func:`scd2_snapshot` — full rebuild from a complete change history.
+  One shuffle on the key: a lag-window marks change points (consecutive
+  rows whose tracked attributes are unchanged collapse into one
+  version), then lead/row_number over the surviving change rows close
+  the intervals and number the versions.  Both windows share the same
+  partitioning and ordering, so Catalyst plans a single exchange.
+* :func:`scd2_apply` — incremental maintenance: fold ONE later CDC
+  batch into an existing SCD2 table without touching unaffected keys.
+  Work ∝ touched keys (their current rows + the batch), never
+  table-sized; closed history rows and untouched keys stream through.
+
+Batch-order contract (the same one the merge's version gate enforces,
+operators/merge.py): batches arrive time-ordered per key — a batch row
+at or before the key's current ``valid_from`` is STALE and is dropped,
+mirroring the version-gated merge.  Under that gate,
+``scd2_apply(scd2_snapshot(h1), h2)`` equals
+``scd2_snapshot(h1 UNION h2)`` for any time-ordered split — pinned as
+a property in tests/test_scd2.py.
+
+At 100 TB: snapshot is one hash-exchange on the key with both windows
+and the change-point filter riding it; apply is a broadcast semi/anti
+key split plus the same single-exchange collapse over only the touched
+keys' rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: metadata columns this module appends to the key + tracked columns
+META_COLS = ("valid_from", "valid_to", "version", "is_current")
+
+
+def _collapse_and_close(df: DataFrame, keys: list[str], order: list[str],
+                        tracked: list[str],
+                        version_base: str | None = None) -> DataFrame:
+    """Core fold: drop no-op changes, close intervals, number versions.
+
+    ``df`` carries keys + order + tracked (+ ``version_base`` when the
+    incremental path passes each key's pre-existing version floor; the
+    full rebuild numbers from 0).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    cur = F.struct(*[F.col(c) for c in tracked])
+    # Null-safe change detection: a version opens where the tracked tuple
+    # IS DISTINCT FROM the previous row's.  The first row always opens
+    # one (lag is a true NULL there, never equal to a struct value).
+    ch = (df.withColumn("__chg", ~cur.eqNullSafe(F.lag(cur).over(w)))
+            .where(F.col("__chg")))
+    base = (F.col(version_base) if version_base
+            else F.lit(0).cast("bigint"))
+    out = (ch.withColumn("valid_to", F.lead(F.col(order[0])).over(w))
+             .withColumn("version", F.row_number().over(w).cast("bigint")
+                         + base)
+             .withColumn("is_current", F.col("valid_to").isNull())
+             .withColumnRenamed(order[0], "valid_from"))
+    return out.select(*keys, *tracked, *META_COLS)
+
+
+def scd2_snapshot(changes: DataFrame, keys: list[str], order: list[str],
+                  tracked: list[str]) -> DataFrame:
+    """Build a full SCD2 table from a complete change history.
+
+    ``order[0]`` is the event-time column (it becomes ``valid_from`` /
+    ``valid_to``); later order columns are tie-breaks only.  Output:
+    keys + tracked + ``valid_from, valid_to (null = open), version
+    (1-based per key), is_current``.
+    """
+    return _collapse_and_close(changes.select(*keys, *order, *tracked),
+                               keys, order, tracked)
+
+
+def scd2_apply(dim: DataFrame, batch: DataFrame, keys: list[str],
+               order: list[str], tracked: list[str]) -> DataFrame:
+    """Fold one later CDC batch into an existing SCD2 table.
+
+    ``dim`` is a prior :func:`scd2_snapshot` / ``scd2_apply`` output;
+    ``batch`` has the raw change shape (keys + order + tracked).  Keys
+    absent from ``dim`` start a new history at version 1.  For touched
+    keys the CURRENT row re-enters the collapse as the anchor, so a
+    batch whose first value equals the current one collapses into it
+    (no spurious new version) and numbering continues from the key's
+    existing maximum.  Stale rows (order[0] at-or-before the current
+    ``valid_from``) are dropped per the batch-order contract.
+    """
+    tie_types = dict(batch.select(*order).dtypes)
+    bkeys = batch.select(*keys).distinct()
+    untouched = dim.join(F.broadcast(bkeys), keys, "left_anti")
+    touched = dim.join(F.broadcast(bkeys), keys, "left_semi")
+    closed = touched.where(~F.col("is_current"))
+    open_ = touched.where(F.col("is_current"))
+
+    # per-key gate + numbering floor; batch keys new to the table get
+    # (-inf, 0) via the outer join's nulls.
+    gate = open_.select(*keys, F.col("valid_from").alias("__cur_from"),
+                        (F.col("version") - 1).alias("__vbase"))
+    fresh = (batch.select(*keys, *order, *tracked)
+             .join(F.broadcast(gate), keys, "left")
+             .where(F.col("__cur_from").isNull()
+                    | (F.col(order[0]) > F.col("__cur_from")))
+             .withColumn("__vbase",
+                         F.coalesce(F.col("__vbase"), F.lit(0)).cast("bigint"))
+             .drop("__cur_from"))
+    # the open row re-enters as the anchor: its valid_from as event time
+    # (strictly before every gated batch row), null tie-breaks, version
+    # floor = its own version - 1 so it re-numbers to itself.
+    anchor = open_.select(
+        *keys, F.col("valid_from").alias(order[0]),
+        *[F.lit(None).cast(tie_types[c]).alias(c) for c in order[1:]],
+        *tracked, (F.col("version") - 1).alias("__vbase"))
+    redone = _collapse_and_close(fresh.unionByName(anchor), keys, order,
+                                 tracked, version_base="__vbase")
+
+    out_cols = [*keys, *tracked, *META_COLS]
+    return (untouched.select(*out_cols)
+            .unionByName(closed.select(*out_cols))
+            .unionByName(redone.select(*out_cols)))

@@ -1,0 +1,140 @@
+"""SCD Type 2: snapshot build, interval contiguity, incremental apply
+== full rebuild (the batch-split independence property)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.scd2 import (scd2_apply,
+                                                      scd2_snapshot)
+
+KEYS, ORDER, TRACKED = ["k"], ["t", "seq"], ["attr"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, t bigint, seq bigint, attr string")
+
+
+def _canon(df):
+    return sorted((tuple(r) for r in df.select(
+        "k", "attr", "valid_from", "valid_to", "version", "is_current"
+    ).collect()), key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_snapshot_collapses_and_closes(spark):
+    rows = [
+        (1, 10, 0, "a"), (1, 20, 1, "a"),   # no-op change collapses
+        (1, 30, 2, "b"), (1, 40, 3, "a"),   # a->b->a = 3 versions
+        (2, 15, 4, "x"),
+    ]
+    out = _canon(scd2_snapshot(_df(spark, rows), KEYS, ORDER, TRACKED))
+    assert out == [
+        (1, "a", 10, 30, 1, False),
+        (1, "a", 40, None, 3, True),
+        (1, "b", 30, 40, 2, False),
+        (2, "x", 15, None, 1, True),
+    ]
+
+
+def test_snapshot_null_tracked_values(spark):
+    rows = [(1, 10, 0, None), (1, 20, 1, None), (1, 30, 2, "a"),
+            (1, 40, 3, None)]
+    out = _canon(scd2_snapshot(_df(spark, rows), KEYS, ORDER, TRACKED))
+    # null==null collapses (null-safe), null->a->null opens versions
+    assert {(r[1], r[2], r[4]) for r in out} == {
+        (None, 10, 1), ("a", 30, 2), (None, 40, 3)}
+    assert sum(r[5] for r in out) == 1
+
+
+def test_snapshot_tie_break_on_seq(spark):
+    # same timestamp: seq orders the changes; first interval is empty
+    rows = [(1, 10, 1, "b"), (1, 10, 0, "a")]
+    out = _canon(scd2_snapshot(_df(spark, rows), KEYS, ORDER, TRACKED))
+    assert out == [(1, "a", 10, 10, 1, False), (1, "b", 10, None, 2, True)]
+
+
+def test_intervals_are_contiguous_per_key(spark):
+    rng = random.Random(7)
+    rows = [(k, 10 * i, i, rng.choice("abc"))
+            for k in range(6) for i in range(rng.randint(1, 12))]
+    dim = scd2_snapshot(_df(spark, rows), KEYS, ORDER, TRACKED).collect()
+    byk = {}
+    for r in dim:
+        byk.setdefault(r["k"], []).append(r)
+    for k, rs in byk.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r["is_current"] for r in rs[:-1]] == [False] * (len(rs) - 1)
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        # consecutive versions really differ
+        for a, b in zip(rs, rs[1:]):
+            assert a["attr"] != b["attr"]
+
+
+def test_apply_equals_full_rebuild(spark):
+    """The headline property: any time-ordered split of a history,
+    folded batch-by-batch, equals the one-shot snapshot — including
+    collapse across batch boundaries and brand-new keys mid-stream."""
+    rng = random.Random(41)
+    hist = []
+    t = 0
+    for i in range(400):
+        t += rng.randint(1, 5)
+        hist.append((rng.randint(0, 14), t, i, rng.choice("aab")))
+    cuts = sorted(rng.sample(range(1, len(hist)), 3))
+    parts = [hist[a:b] for a, b in
+             zip([0, *cuts], [*cuts, len(hist)])]
+    dim = scd2_snapshot(_df(spark, parts[0]), KEYS, ORDER, TRACKED)
+    for p in parts[1:]:
+        dim = scd2_apply(dim, _df(spark, p), KEYS, ORDER, TRACKED)
+        dim = spark.createDataFrame(dim.collect(), dim.schema)  # cut lineage
+    assert _canon(dim) == _canon(
+        scd2_snapshot(_df(spark, hist), KEYS, ORDER, TRACKED))
+
+
+def test_apply_collapse_across_boundary_and_new_key(spark):
+    h1 = [(1, 10, 0, "a")]
+    h2 = [(1, 20, 1, "a"),            # equals current -> collapses
+          (1, 30, 2, "b"),            # real change -> version 2
+          (9, 25, 3, "z")]            # new key -> version 1
+    dim = scd2_apply(scd2_snapshot(_df(spark, h1), KEYS, ORDER, TRACKED),
+                     _df(spark, h2), KEYS, ORDER, TRACKED)
+    assert _canon(dim) == [
+        (1, "a", 10, 30, 1, False),
+        (1, "b", 30, None, 2, True),
+        (9, "z", 25, None, 1, True),
+    ]
+
+
+def test_apply_drops_stale_rows(spark):
+    h1 = [(1, 10, 0, "a"), (1, 30, 1, "b")]
+    stale = [(1, 20, 2, "c"),   # before current valid_from (30) -> dropped
+             (1, 30, 3, "c")]   # AT current valid_from -> dropped too
+    dim = scd2_apply(scd2_snapshot(_df(spark, h1), KEYS, ORDER, TRACKED),
+                     _df(spark, stale), KEYS, ORDER, TRACKED)
+    assert _canon(dim) == [
+        (1, "a", 10, 30, 1, False),
+        (1, "b", 30, None, 2, True),
+    ]
+
+
+def test_snapshot_single_exchange_plan(spark):
+    """Both windows + the change filter ride ONE hash exchange."""
+    df = _df(spark, [(1, 10, 0, "a"), (1, 20, 1, "b")])
+    plan = (scd2_snapshot(df, KEYS, ORDER, TRACKED)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_apply_untouched_keys_pass_through(spark):
+    h1 = [(1, 10, 0, "a"), (2, 10, 1, "x"), (2, 20, 2, "y")]
+    dim = scd2_snapshot(_df(spark, h1), KEYS, ORDER, TRACKED)
+    out = scd2_apply(dim, _df(spark, [(1, 50, 3, "b")]),
+                     KEYS, ORDER, TRACKED)
+    assert [t for t in _canon(out) if t[0] == 2] == \
+        [t for t in _canon(dim) if t[0] == 2]
+    assert (1, "b", 50, None, 2, True) in _canon(out)
