@@ -83,25 +83,30 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     applyInPandasWithState changelog operator as a real update-mode
 #     stream, per-(key, batch) accumulated-winner emissions reproduced
 #     by batch SQL (displaces corpus_mixture_sampling);
+#   * slot 49 — events_stream_join, gated immediately: the watermarked
+#     stream-stream inner join (fourth member of the streaming-oracle
+#     family) — cross-batch matches through the join state store must
+#     equal the plain batch inequality join (displaces
+#     text_decontamination to round 6's r3-stale queue);
 #   * slot 50 — cdc_scd2_history, added later still and gated
 #     immediately (same no-new-query-debt rule): SCD Type 2 dimension
 #     history from the CDC change stream (displaces text_bigram_fluency
 #     to round 6's r3-stale queue);
-#   * slots 42-49 — eight of the forty-three r3-stale rows
+#   * slots 42-48 — seven of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter families; q4/q6/q7/q8/q9/
 #     q12 were displaced by the six new rows above, events_json_extract
 #     / embedding_pseudo_label / embedding_label_centroids /
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# After round 5: all 135 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=35 — no row older than round 3.  The 35 remaining
+# After round 5: all 136 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=36 — no row older than round 3.  The 36 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +
 # embedding_label_centroids + corpus_stratified_sample +
 # corpus_sequence_packing + corpus_mixture_sampling +
-# text_bigram_fluency + fourteen val_* aggregates, none code-touched
-# since r3) lead round 6's rotation.
+# text_bigram_fluency + text_decontamination + fourteen val_*
+# aggregates, none code-touched since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -138,7 +143,8 @@ _DRIVER_PRIORITY = [
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
     "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
-    "text_decontamination",
+    # stream-stream join under the oracle, gated immediately ----------------
+    "events_stream_join",
     # SCD Type 2 history, gated immediately ---------------------------------
     "cdc_scd2_history",
 ]

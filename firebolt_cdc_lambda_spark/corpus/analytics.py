@@ -1827,6 +1827,84 @@ FROM w WHERE rn = 1
 """
 
 
+# -- stream-STREAM join under the value-hash oracle -----------------------
+# The last uncovered Structured-Streaming operator family: a watermarked
+# stream-stream INNER join with an event-time range condition (views
+# joined to the user's purchases within the following 24 hours), run as
+# a REAL two-source stream over time-ordered per-file batches.  What the
+# state machine must get right and the oracle checks:
+#   * cross-batch matches THROUGH the join state store — a view near the
+#     end of file-batch i matches a purchase arriving in batch i+1
+#     (sf0.01: 38 of 831 pairs), so the view row must be retained in
+#     state and joined a trigger later;
+#   * exactly-once pair emission — no pair duplicated across triggers,
+#     none dropped by premature state eviction.  With 8-day batch
+#     windows, a 2-day watermark delay, and a 24-hour join range, the
+#     eviction frontier (wm - range) provably trails every row still
+#     able to match, so the stream must equal the PLAIN batch
+#     inequality join — which is exactly the oracle.  Any eager state
+#     cleanup, late-filter overreach, or double emission hash-
+#     mismatches here.
+def events_stream_join(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events")
+    bexpr = (f"least(3, greatest(0, (unix_micros(ts) div {_DD_DAY_US}"
+             f" - {_DD_DAY0}) div 8)) AS b")
+    views = e.where("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_id", "ts AS v_ts", bexpr)
+    purch = e.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user_id", "event_id AS purchase_id", "ts AS p_ts",
+        "value", bexpr)
+    tmp = tempfile.mkdtemp(prefix="ssj_stream_q_")   # left for OS cleanup
+    vsrc, psrc = os.path.join(tmp, "views"), os.path.join(tmp, "purch")
+    _write_stream_batches(views, vsrc, 4, ["user_id", "view_id", "v_ts"])
+    _write_stream_batches(purch, psrc, 4,
+                          ["p_user_id", "purchase_id", "p_ts", "value"])
+
+    def _src(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .parquet(path))
+
+    vs = _src(vsrc, views.drop("b").schema).withWatermark("v_ts", "2 days")
+    ps = _src(psrc, purch.drop("b").schema).withWatermark("p_ts", "2 days")
+    j = (vs.join(ps, F.expr(
+            "user_id = p_user_id AND p_ts >= v_ts "
+            "AND p_ts < v_ts + INTERVAL 24 HOURS"))
+         .select("user_id", "view_id", "purchase_id",
+                 F.unix_micros("v_ts").alias("view_us"),
+                 F.unix_micros("p_ts").alias("purchase_us"), "value"))
+    sink = os.path.join(tmp, "sink")
+    with _stream_shuffle_partitions(spark):
+        q = (j.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
+    return (spark.read.parquet(sink)
+            .select("user_id", "view_id", "purchase_id", "view_us",
+                    "purchase_us", "value"))
+
+
+EVENTS_STREAM_JOIN_SQL = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+v AS (SELECT user_id, event_id AS view_id, EPOCH_US(ts) AS view_us
+      FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, EPOCH_US(ts) AS purchase_us,
+             value
+      FROM e WHERE event_type = 'purchase')
+SELECT v.user_id, view_id, purchase_id, view_us, purchase_us, value
+FROM v JOIN p ON v.user_id = p.user_id
+             AND purchase_us >= view_us
+             AND purchase_us < view_us + 86400000000
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -1945,4 +2023,10 @@ QUERIES = {
         "the custom applyInPandasWithState changelog operator as a real "
         "update-mode stream: per-(key, batch) accumulated-winner "
         "emissions reproduced by batch SQL, payload round-tripped typed"),
+    "events_stream_join": Query(
+        events_stream_join, EVENTS_STREAM_JOIN_SQL,
+        "watermarked stream-stream inner join with an event-time range "
+        "condition, two real file-stream sources: cross-batch matches "
+        "through the join state store, exactly-once pair emission — "
+        "must equal the plain batch inequality join"),
 }

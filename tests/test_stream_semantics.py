@@ -204,3 +204,62 @@ def test_session_window_late_row_becomes_standalone_session(spark, tmp_path):
     # separate session; 130's session closed by the final wm 390; the
     # 400 session stays open (end 410 > 390) and never emits.
     assert out == [(100, 115, 2), (112, 122, 1), (130, 140, 1)], out
+
+
+def test_stream_stream_join_pins(spark, tmp_path):
+    """Stream-stream inner join pins: (a) a pair whose sides arrive in
+    DIFFERENT micro-batches is emitted through the join state store,
+    exactly once; (b) the join's lateness frontier is the SAME
+    one-cycle-lagged watermark aggregation uses (filter for batch N =
+    max ts through batch N-2, taken as the MIN across sides, minus
+    delay) — a right row below it is LOST even though a stored left
+    row is in range, while one cycle earlier the identical row is
+    kept.  (b) is the eviction/late-filter reality that makes the
+    corpus query's delay >= disorder sizing load-bearing."""
+    lschema = T.StructType([T.StructField("u", T.LongType()),
+                            T.StructField("vid", T.LongType()),
+                            T.StructField("v_ts", T.TimestampType())])
+    rschema = T.StructType([T.StructField("pu", T.LongType()),
+                            T.StructField("pid", T.LongType()),
+                            T.StructField("p_ts", T.TimestampType())])
+    lfiles = [
+        [(1, 10, _ts(100))],            # b0: view v1@100
+        [(1, 20, _ts(200))],            # b1: view v2@200 (advances wm)
+        [],                             # b2
+        [],                             # b3
+    ]
+    rfiles = [
+        [],                             # b0: nothing
+        [(1, 11, _ts(105)), (1, 21, _ts(200))],  # b1: p@105 matches v1
+                                        #     ACROSS the batch boundary
+        [(1, 12, _ts(104))],            # b2: frontier = through b0 =
+                                        #     min(100, nothing)-10 -> 0,
+                                        #     so this late row still
+                                        #     JOINS v1 (one-cycle lag)
+        [(1, 31, _ts(103))],            # b3: frontier = through b1 =
+                                        #     min(200,200)-10 = 190 ->
+                                        #     LOST despite v1 in range
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batches(spark, lsrc, lschema, lfiles)
+    _write_batches(spark, rsrc, rschema, rfiles)
+
+    def src(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(path))
+
+    j = (src(lsrc, lschema).withWatermark("v_ts", "10 seconds")
+         .join(src(rsrc, rschema).withWatermark("p_ts", "10 seconds"),
+               F.expr("u = pu AND p_ts >= v_ts "
+                      "AND p_ts < v_ts + INTERVAL 10 SECONDS"))
+         .select("vid", "pid"))
+    q = (j.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_pins")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    out = sorted((r.vid, r.pid) for r in spark.table("ssj_pins").collect())
+    assert out == [(10, 11), (10, 12), (20, 21)]
