@@ -83,6 +83,10 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     applyInPandasWithState changelog operator as a real update-mode
 #     stream, per-(key, batch) accumulated-winner emissions reproduced
 #     by batch SQL (displaces corpus_mixture_sampling);
+#   * slot 48 — dedup_substring_runs, gated immediately: exact-substring
+#     near-dup (longest verbatim shared token run per banded-LSH
+#     candidate pair, diagonal islands over token-3-gram positions) —
+#     displaces text_pii_scrub to round 6's r3-stale queue;
 #   * slot 49 — events_stream_join, gated immediately: the watermarked
 #     stream-stream inner join (fourth member of the streaming-oracle
 #     family) — cross-batch matches through the join state store must
@@ -92,21 +96,22 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     immediately (same no-new-query-debt rule): SCD Type 2 dimension
 #     history from the CDC change stream (displaces text_bigram_fluency
 #     to round 6's r3-stale queue);
-#   * slots 42-48 — seven of the forty-three r3-stale rows
+#   * slots 42-47 — six of the forty-three r3-stale rows
 #     (asof/join/scalar/window/text-filter families; q4/q6/q7/q8/q9/
 #     q12 were displaced by the six new rows above, events_json_extract
 #     / embedding_pseudo_label / embedding_label_centroids /
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# After round 5: all 136 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=36 — no row older than round 3.  The 36 remaining
+# After round 5: all 137 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=37 — no row older than round 3.  The 37 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +
 # embedding_label_centroids + corpus_stratified_sample +
 # corpus_sequence_packing + corpus_mixture_sampling +
-# text_bigram_fluency + text_decontamination + fourteen val_*
-# aggregates, none code-touched since r3) lead round 6's rotation.
+# text_bigram_fluency + text_decontamination + text_pii_scrub +
+# fourteen val_* aggregates, none code-touched since r3) lead round
+# 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -142,7 +147,9 @@ _DRIVER_PRIORITY = [
     # r3-stale re-gates (9 of 43) -----------------------------------------
     "asof_event_last_order", "join_enriched_orders",
     "scalar_functions_showcase", "window_rank_family",
-    "text_repetition_filter", "text_quality_filter", "text_pii_scrub",
+    "text_repetition_filter", "text_quality_filter",
+    # exact-substring run dedup, gated immediately --------------------------
+    "dedup_substring_runs",
     # stream-stream join under the oracle, gated immediately ----------------
     "events_stream_join",
     # SCD Type 2 history, gated immediately ---------------------------------

@@ -285,6 +285,107 @@ WHERE greatest(CAST(i.i AS DOUBLE) / z1.n, CAST(i.i AS DOUBLE) / z2.n)
 """
 
 
+# -- exact-substring run detection over candidate pairs -------------------
+# The near-dup statistics above (Jaccard / containment) measure SET
+# overlap; training-data curation also wants the SEQUENCE fact: the
+# longest VERBATIM shared token run between two documents (the
+# "deduplicating training data" exact-substring criterion — a 50-token
+# quote matters even when the documents' overall Jaccard is low).
+# Method: diagonal islands over token-3-gram positions.  A common token
+# run of length L appears as L-2 consecutive 3-gram matches on one
+# diagonal (i - j constant), so: match positions on 3-gram text, group
+# by (pair, diagonal), detect consecutive-i islands with the classic
+# i - row_number() trick, take the per-pair max island.  Candidates are
+# the SAME banded-LSH pairs as dedup_minhash_lsh — never all pairs —
+# so the matching join's left side is the candidate pairs' token grams
+# only.  All arithmetic is integer; threshold = runs of >= 10 tokens.
+_MIN_RUN_TOKENS = 10
+
+
+def dedup_substring_runs(spark, sf):
+    corpus = _neardup_corpus(spark, sf)
+    docs = _shingle_sets(corpus)
+    mins = [
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    sig = docs.select("doc_id", *mins)
+    bands = [
+        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
+        for bi, idxs in enumerate(_BANDS)
+    ]
+    sig = sig.select("doc_id", *bands).cache()
+    cands = None
+    for bi in range(len(_BANDS)):
+        a = sig.selectExpr("doc_id AS d1", f"band{bi} AS bk")
+        b = sig.selectExpr("doc_id AS d2", f"band{bi} AS bk2")
+        c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
+             .select("d1", "d2"))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.dropDuplicates(["d1", "d2"])
+
+    tg = (corpus
+          .selectExpr("doc_id",
+                      "filter(split(clean, ' '), x -> x <> '') AS t")
+          .where("size(t) >= 3")
+          .selectExpr(
+              "doc_id",
+              "explode(transform(sequence(1, size(t) - 2), i -> "
+              "struct(i AS pos, concat_ws(' ', element_at(t, i), "
+              "element_at(t, i + 1), element_at(t, i + 2)) AS g))) AS e")
+          .select("doc_id", "e.pos", "e.g"))
+    m = (tg.selectExpr("doc_id AS d1", "pos AS i", "g")
+         .join(F.broadcast(cand), "d1")
+         .join(tg.selectExpr("doc_id AS jd", "pos AS j", "g AS g2"),
+               (F.col("jd") == F.col("d2")) & (F.col("g2") == F.col("g")))
+         .select("d1", "d2", "i", "j"))
+    from pyspark.sql import Window
+    wd = (Window.partitionBy("d1", "d2", (F.col("i") - F.col("j")))
+          .orderBy("i"))
+    runs = (m.withColumn("grp", F.col("i") - F.row_number().over(wd))
+            .groupBy("d1", "d2", (F.col("i") - F.col("j")).alias("diag"),
+                     "grp")
+            .agg(F.count(F.lit(1)).alias("run")))
+    return (runs.groupBy("d1", "d2")
+            .agg((F.max("run") + 2).cast("bigint").alias("max_run_tokens"))
+            .where(F.col("max_run_tokens") >= _MIN_RUN_TOKENS)
+            .select(F.col("d1").alias("doc_id_1"),
+                    F.col("d2").alias("doc_id_2"), "max_run_tokens"))
+
+
+DEDUP_SUBSTRING_RUNS_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+       {_mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {_band_cols} FROM sig),
+cand AS (SELECT DISTINCT d1, d2 FROM ({_band_joins})),
+tok AS (SELECT doc_id, list_filter(str_split(clean, ' '), x -> x <> '') AS t
+        FROM corpus),
+tg AS (SELECT doc_id, i AS pos,
+              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+             FROM tok WHERE len(t) >= 3)),
+m AS (SELECT c.d1, c.d2, a.pos AS i, b.pos AS j
+      FROM cand c
+      JOIN tg a ON a.doc_id = c.d1
+      JOIN tg b ON b.doc_id = c.d2 AND b.g = a.g),
+r AS (SELECT d1, d2, i - j AS diag, i,
+             i - ROW_NUMBER() OVER (PARTITION BY d1, d2, i - j ORDER BY i)
+             AS grp
+      FROM m),
+isl AS (SELECT d1, d2, diag, grp, COUNT(*) AS run
+        FROM r GROUP BY d1, d2, diag, grp)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+       CAST(MAX(run) + 2 AS BIGINT) AS max_run_tokens
+FROM isl GROUP BY d1, d2
+HAVING CAST(MAX(run) + 2 AS BIGINT) >= {_MIN_RUN_TOKENS}
+"""
+
+
 # -- SimHash (16-bit) ----------------------------------------------------
 _SIMHASH_BITS = 16
 _HAMMING_MAX = 3
@@ -1276,4 +1377,10 @@ QUERIES = {
         "one Lloyd iteration in exact integer math: map-only LUT "
         "assignment + deferred-division centroid sums (the oracle-"
         "checkable core of IvfIndex.train_centroids)"),
+    "dedup_substring_runs": Query(
+        dedup_substring_runs, DEDUP_SUBSTRING_RUNS_SQL,
+        "exact-substring near-dup: longest verbatim shared token run "
+        "per banded-LSH candidate pair via diagonal islands over "
+        "token-3-gram positions (the sequence statistic Jaccard/"
+        "containment set overlap cannot see)"),
 }
