@@ -395,6 +395,30 @@ FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 """
 
 
+# -- the INCREMENTAL SCD2 path under the same oracle -----------------------
+# scd2_apply's contract is apply(snapshot(h1), h2) == snapshot(h1+h2) for
+# a time-ordered split; this row runs exactly that composition (15-day
+# time split of events — keys straddling the cut exercise the cross-
+# batch collapse anchor, keys first seen after it the new-key path) and
+# hash-checks the FINAL dim against the full-rebuild SQL oracle.  A
+# wrong version floor, resurrected closed row, dropped new key, or
+# boundary no-op change that opens a spurious version all mismatch.
+def cdc_scd2_incremental(spark, sf):
+    from ..operators.scd2 import scd2_apply, scd2_snapshot
+
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    keys, order, tracked = ["user_id"], ["ts", "event_id"], ["event_type"]
+    dim = scd2_snapshot(e.where(F.col("ts") < cut), keys, order, tracked)
+    dim = scd2_apply(dim, e.where(F.col("ts") >= cut), keys, order, tracked)
+    return dim.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version", "is_current")
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -428,4 +452,9 @@ QUERIES = {
         "SCD Type 2 dimension history from the CDC change stream: "
         "collapse no-op changes, close [valid_from, valid_to) intervals, "
         "number versions — one key-shuffle, plan pinned"),
+    "cdc_scd2_incremental": Query(
+        cdc_scd2_incremental, CDC_SCD2_HISTORY_SQL,
+        "the incremental SCD2 path: snapshot(first 15 days) + "
+        "scd2_apply(rest) hash-checked against the full-rebuild oracle "
+        "— apply==rebuild under the driver's value hash"),
 }
