@@ -1827,6 +1827,74 @@ FROM w WHERE rn = 1
 """
 
 
+# -- ordered funnel analysis (composed forward as-of joins) ---------------
+# The classic product-analytics operator: per user, the first 'view',
+# then the earliest 'signup' at-or-after it within 7 days, then the
+# earliest 'purchase' at-or-after THAT within 7 days.  Spark side
+# composes the forward as-of operator twice (each = ONE key-shuffle
+# union+carry window, operators/asof.py — never an inequality self-join);
+# the cap is applied after the carry (earliest-overall > cap <=> none
+# within cap).  The oracle restates each step as a bounded MIN — an
+# independent formulation.  (user_id, ts) is tie-free at all fixture
+# scales, so every step is total-order deterministic.
+_FUNNEL_GAP_US = 7 * 86_400_000_000
+
+
+def events_funnel_steps(spark, sf):
+    from ..operators.asof import asof_join
+    e = (load_table(spark, sf, "events")
+         .select("user_id", F.unix_micros("ts").alias("tus"), "event_type"))
+    v = (e.where("event_type = 'view'")
+         .groupBy("user_id").agg(F.min("tus").alias("v_us")))
+    signups = e.where("event_type = 'signup'").select(
+        "user_id", F.col("tus").alias("s_ts"), F.col("tus").alias("s_val"))
+    s = (asof_join(v, signups, on="user_id", left_ts="v_us",
+                   right_ts="s_ts", right_payload=["s_val"],
+                   direction="forward")
+         .withColumn("s_us", F.when(
+             F.col("s_val") <= F.col("v_us") + _FUNNEL_GAP_US,
+             F.col("s_val")))
+         .select("user_id", "v_us", "s_us"))
+    purchases = e.where("event_type = 'purchase'").select(
+        "user_id", F.col("tus").alias("p_ts"), F.col("tus").alias("p_val"))
+    withp = (asof_join(s.where(F.col("s_us").isNotNull()), purchases,
+                       on="user_id", left_ts="s_us", right_ts="p_ts",
+                       right_payload=["p_val"], direction="forward")
+             .withColumn("p_us", F.when(
+                 F.col("p_val") <= F.col("s_us") + _FUNNEL_GAP_US,
+                 F.col("p_val")))
+             .select("user_id", "p_us"))
+    return (s.join(withp, "user_id", "left")
+            .select("user_id", "v_us", "s_us", "p_us",
+                    (F.lit(1) + F.col("s_us").isNotNull().cast("int")
+                     + F.col("p_us").isNotNull().cast("int"))
+                    .cast("bigint").alias("steps_completed")))
+
+
+EVENTS_FUNNEL_STEPS_SQL = f"""
+WITH e AS (SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS tus, event_type
+           FROM events),
+v AS (SELECT user_id, MIN(tus) AS v_us FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+s AS (SELECT v.user_id, v.v_us,
+             MIN(CASE WHEN e.event_type = 'signup' AND e.tus >= v.v_us
+                       AND e.tus <= v.v_us + {_FUNNEL_GAP_US}
+                      THEN e.tus END) AS s_us
+      FROM v LEFT JOIN e ON e.user_id = v.user_id
+      GROUP BY v.user_id, v.v_us),
+p AS (SELECT s.user_id, s.s_us,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.tus >= s.s_us
+                       AND e.tus <= s.s_us + {_FUNNEL_GAP_US}
+                      THEN e.tus END) AS p_us
+      FROM s LEFT JOIN e ON e.user_id = s.user_id AND s.s_us IS NOT NULL
+      GROUP BY s.user_id, s.s_us)
+SELECT s.user_id, s.v_us, s.s_us, p.p_us,
+       CAST(1 + (s.s_us IS NOT NULL)::INT + (p.p_us IS NOT NULL)::INT
+            AS BIGINT) AS steps_completed
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+
 # -- stream-STREAM join under the value-hash oracle -----------------------
 # The last uncovered Structured-Streaming operator family: a watermarked
 # stream-stream INNER join with an event-time range condition (views
@@ -2023,6 +2091,11 @@ QUERIES = {
         "the custom applyInPandasWithState changelog operator as a real "
         "update-mode stream: per-(key, batch) accumulated-winner "
         "emissions reproduced by batch SQL, payload round-tripped typed"),
+    "events_funnel_steps": Query(
+        events_funnel_steps, EVENTS_FUNNEL_STEPS_SQL,
+        "ordered 3-step funnel (view -> signup -> purchase, 7-day "
+        "bounded gaps) composed from two forward as-of joins — one "
+        "key-shuffle per step, never an inequality self-join"),
     "events_stream_join": Query(
         events_stream_join, EVENTS_STREAM_JOIN_SQL,
         "watermarked stream-stream inner join with an event-time range "
