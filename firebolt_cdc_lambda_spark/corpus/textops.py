@@ -1232,6 +1232,72 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# -- collocation mining: PMI-style lift in exact integer form --------------
+# Which token pairs co-occur in the same document more than independence
+# predicts?  lift(t1,t2) = P(t1,t2)/(P(t1)P(t2)) = n12*N / (c1*c2) — the
+# exponential of PMI, which keeps the statistic DIVISION-ONLY (log-based
+# PMI is not correctly-rounded cross-engine; the same dodge as the
+# chi-square drift row).  The significance gate is evaluated in exact
+# integer cross-multiplied form (10*n12*N >= 12*c1*c2, i.e. lift >= 1.2,
+# support >= 5) so no float comparison decides membership; the reported
+# lift itself is one IEEE division of two exact BIGINTs.
+# Scale shape: per-doc distinct-token pair explosion is O(L²) map-side
+# (L <= 64-char prefix tokens), then ONE pair groupBy; the token-count
+# side is a broadcast (vocabulary-sized).
+_PMI_MIN_SUP = 5
+_PMI_LIFT_NUM, _PMI_LIFT_DEN = 12, 10           # lift >= 1.2
+
+
+def text_pmi_collocations(spark, sf):
+    d = load_table(spark, sf, "documents")
+    w = (d.selectExpr("doc_id", f"{_CLEAN_SPARK} AS clean")
+         .selectExpr("doc_id",
+                     "array_sort(array_distinct(filter(split(clean, ' '), "
+                     "x -> x != ''))) AS ws")
+         .where("size(ws) > 0"))
+    tok = w.selectExpr("doc_id", "explode(ws) AS t")
+    ct = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nd = tok.agg(F.count_distinct("doc_id").alias("nd"))
+    pairs = (w.selectExpr(
+        "explode(flatten(transform(ws, (x, i) -> "
+        "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS t1, y AS t2)"
+        ")))) AS pr")
+        .select("pr.t1", "pr.t2"))
+    p = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    out = (p.join(F.broadcast(ct.selectExpr("t AS t1", "c AS c1")), "t1")
+           .join(F.broadcast(ct.selectExpr("t AS t2", "c AS c2")), "t2")
+           .crossJoin(F.broadcast(nd)))
+    keep = ((F.col("n12") >= _PMI_MIN_SUP)
+            & (_PMI_LIFT_DEN * F.col("n12") * F.col("nd")
+               >= _PMI_LIFT_NUM * F.col("c1") * F.col("c2")))
+    return (out.where(keep)
+            .select("t1", "t2", "n12", "c1", "c2",
+                    ((F.col("n12") * F.col("nd")).cast("double")
+                     / (F.col("c1") * F.col("c2"))).alias("lift")))
+
+
+TEXT_PMI_COLLOCATIONS_SQL = f"""
+WITH c AS (SELECT doc_id, {_CLEAN_DUCK} AS clean FROM documents),
+w AS (SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(clean, ' '),
+                                              x -> x <> ''))) AS t
+      FROM c),
+ct AS (SELECT t, COUNT(*) AS c FROM w GROUP BY t),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM w),
+p AS (SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n12
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t)
+SELECT p.t1, p.t2, p.n12, c1.c AS c1, c2.c AS c2,
+       CAST(p.n12 * n.nd AS DOUBLE) / (c1.c * c2.c) AS lift
+FROM p
+JOIN ct c1 ON c1.t = p.t1
+JOIN ct c2 ON c2.t = p.t2
+CROSS JOIN n
+WHERE p.n12 >= {_PMI_MIN_SUP}
+  AND {_PMI_LIFT_DEN} * p.n12 * n.nd >= {_PMI_LIFT_NUM} * c1.c * c2.c
+"""
+
+
 QUERIES = {
     "text_passage_dedup": Query(text_passage_dedup, TEXT_PASSAGE_DEDUP_SQL,
                                 "cross-doc 20-token span dedup profile"),
@@ -1294,4 +1360,9 @@ QUERIES = {
         corpus_prep_pipeline, CORPUS_PREP_PIPELINE_SQL,
         "the composed prep funnel: exact dedup -> quality gate -> "
         "per-language cap, reported as a per-language funnel"),
+    "text_pmi_collocations": Query(
+        text_pmi_collocations, TEXT_PMI_COLLOCATIONS_SQL,
+        "collocation mining: document-level co-occurrence lift "
+        "(exp-PMI) with an exact-integer significance gate — "
+        "division-only, no logs, no float membership decisions"),
 }
