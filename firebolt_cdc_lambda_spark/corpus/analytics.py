@@ -1913,7 +1913,7 @@ FROM s LEFT JOIN p ON p.user_id = s.user_id
 #     inequality join — which is exactly the oracle.  Any eager state
 #     cleanup, late-filter overreach, or double emission hash-
 #     mismatches here.
-def events_stream_join(spark, sf):
+def _run_stream_join(spark, sf, how):
     import os
     import tempfile
     e = load_table(spark, sf, "events")
@@ -1941,7 +1941,7 @@ def events_stream_join(spark, sf):
     ps = _src(psrc, purch.drop("b").schema).withWatermark("p_ts", "2 days")
     j = (vs.join(ps, F.expr(
             "user_id = p_user_id AND p_ts >= v_ts "
-            "AND p_ts < v_ts + INTERVAL 24 HOURS"))
+            "AND p_ts < v_ts + INTERVAL 24 HOURS"), how)
          .select("user_id", "view_id", "purchase_id",
                  F.unix_micros("v_ts").alias("view_us"),
                  F.unix_micros("p_ts").alias("purchase_us"), "value"))
@@ -1957,6 +1957,51 @@ def events_stream_join(spark, sf):
     return (spark.read.parquet(sink)
             .select("user_id", "view_id", "purchase_id", "view_us",
                     "purchase_us", "value"))
+
+
+def events_stream_join(spark, sf):
+    return _run_stream_join(spark, sf, "inner")
+
+
+# -- stream-stream LEFT OUTER join under the value-hash oracle ------------
+# The outer variant adds the watermark-closure emission rule, pinned
+# empirically (test_stream_semantics.test_stream_stream_outer_join_pins):
+# an UNMATCHED left row emits its null-padded row only once its join
+# window [v_ts, v_ts + range) has closed below the FINAL watermark —
+# which is the MIN across sides of (side's own max event time) - delay.
+# Views in the trailing window stay in state, never emitted.  Matched
+# pairs emit exactly as the inner join.  The oracle states both rules
+# directly (NOT EXISTS + the closure cut); the fixtures sit nowhere
+# near the <=-vs-< closure boundary, so the row is deterministic.
+def events_stream_join_outer(spark, sf):
+    return _run_stream_join(spark, sf, "left_outer")
+
+
+EVENTS_STREAM_JOIN_OUTER_SQL = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+v AS (SELECT user_id, event_id AS view_id, EPOCH_US(ts) AS view_us
+      FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, EPOCH_US(ts) AS purchase_us,
+             value
+      FROM e WHERE event_type = 'purchase'),
+fw AS (SELECT LEAST((SELECT MAX(view_us) FROM v),
+                    (SELECT MAX(purchase_us) FROM p))
+              - 172800000000 AS fwm)
+SELECT v.user_id, view_id, purchase_id, view_us, purchase_us, value
+FROM v JOIN p ON v.user_id = p.user_id
+             AND purchase_us >= view_us
+             AND purchase_us < view_us + 86400000000
+UNION ALL
+SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+       v.view_us, CAST(NULL AS BIGINT) AS purchase_us,
+       CAST(NULL AS DOUBLE) AS value
+FROM v, fw
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = v.user_id
+                    AND p.purchase_us >= v.view_us
+                    AND p.purchase_us < v.view_us + 86400000000)
+  AND v.view_us + 86400000000 <= fw.fwm
+"""
 
 
 EVENTS_STREAM_JOIN_SQL = """
@@ -2102,4 +2147,10 @@ QUERIES = {
         "condition, two real file-stream sources: cross-batch matches "
         "through the join state store, exactly-once pair emission — "
         "must equal the plain batch inequality join"),
+    "events_stream_join_outer": Query(
+        events_stream_join_outer, EVENTS_STREAM_JOIN_OUTER_SQL,
+        "stream-stream LEFT OUTER join: matched pairs as inner, plus "
+        "null-padded rows for unmatched views whose join window closed "
+        "below the min-of-sides final watermark; trailing views "
+        "withheld in state"),
 }

@@ -263,3 +263,55 @@ def test_stream_stream_join_pins(spark, tmp_path):
         q.stop()
     out = sorted((r.vid, r.pid) for r in spark.table("ssj_pins").collect())
     assert out == [(10, 11), (10, 12), (20, 21)]
+
+
+def test_stream_stream_outer_join_pins(spark, tmp_path):
+    """Left-outer join emission pins (the events_stream_join_outer
+    oracle's model): (a) matched pairs emit as inner; (b) an unmatched
+    left row emits its null row once its join window closes below the
+    final watermark; (c) the final watermark is the MIN across sides of
+    each side's own max event time minus delay — here the LEFT side's
+    max (300) caps it at 290, so the unmatched left@300 (window end
+    310 > 290) is WITHHELD even though the right side reached 400."""
+    lschema = T.StructType([T.StructField("u", T.LongType()),
+                            T.StructField("vid", T.LongType()),
+                            T.StructField("v_ts", T.TimestampType())])
+    rschema = T.StructType([T.StructField("pu", T.LongType()),
+                            T.StructField("pid", T.LongType()),
+                            T.StructField("p_ts", T.TimestampType())])
+    lfiles = [
+        [(1, 10, _ts(100)), (1, 20, _ts(110))],  # v1 matched; v2 never
+        [(1, 30, _ts(300))],                     # v3 unmatched, trailing
+        [],
+    ]
+    rfiles = [
+        [],
+        [(1, 11, _ts(105))],                     # matches v1
+        [(1, 99, _ts(400))],                     # advances right side only
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batches(spark, lsrc, lschema, lfiles)
+    _write_batches(spark, rsrc, rschema, rfiles)
+
+    def src(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(path))
+
+    j = (src(lsrc, lschema).withWatermark("v_ts", "10 seconds")
+         .join(src(rsrc, rschema).withWatermark("p_ts", "10 seconds"),
+               F.expr("u = pu AND p_ts >= v_ts "
+                      "AND p_ts < v_ts + INTERVAL 10 SECONDS"),
+               "left_outer")
+         .select("vid", "pid"))
+    q = (j.writeStream.outputMode("append").format("memory")
+         .queryName("ssjo_pins")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    out = sorted((r.vid, r.pid if r.pid is not None else -1)
+                 for r in spark.table("ssjo_pins").collect())
+    # v2's null row emitted (window end 120 <= 290); v3 withheld
+    assert out == [(10, 11), (20, -1)]
