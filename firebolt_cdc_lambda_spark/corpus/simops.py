@@ -1048,6 +1048,36 @@ FROM assigned a JOIN sz USING (cluster_id)
 """
 
 
+# -- leakage-safe train/val/test split (cluster-aware) --------------------
+# Splitting by hashing DOC ids leaks: two near-duplicate documents land
+# in different splits and the eval set contains (a shifted copy of) the
+# training data.  The decontamination-by-construction split hashes the
+# dedup CLUSTER id instead, so every near-dup cluster lands wholly in
+# one split.  The hash is explicit LCG arithmetic (no engine-native
+# hash): h = (cluster_id * 1103515245 + 12345) mod 2^31, split by
+# h mod 10 -> 8/1/1.  Composes the connected-components assignment
+# (same recursive-CTE oracle); the split projection is map-only on top.
+def corpus_leakage_safe_split(spark, sf):
+    assigned = dedup_cluster_assign(spark, sf)
+    h = "((cluster_id * 1103515245 + 12345) % 2147483648) % 10"
+    return assigned.selectExpr(
+        "doc_id", "cluster_id", "cluster_size",
+        f"CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'val' "
+        "ELSE 'test' END AS split")
+
+
+CORPUS_LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH assigned_full AS ({DEDUP_CLUSTER_ASSIGN_SQL})
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 < 8
+            THEN 'train'
+            WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 = 8
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned_full
+"""
+
+
 # -- incremental dedup: new batch filtered against the existing corpus ---
 # The ingestion-time shape of near-dup dedup (what operators/lsh.LshIndex
 # does operationally, here as a pure oracle-checked query): a NEW batch
@@ -1383,4 +1413,9 @@ QUERIES = {
         "per banded-LSH candidate pair via diagonal islands over "
         "token-3-gram positions (the sequence statistic Jaccard/"
         "containment set overlap cannot see)"),
+    "corpus_leakage_safe_split": Query(
+        corpus_leakage_safe_split, CORPUS_LEAKAGE_SAFE_SPLIT_SQL,
+        "leakage-safe train/val/test split: explicit-LCG hash of the "
+        "dedup CLUSTER id, so near-duplicate documents can never "
+        "straddle splits (decontamination by construction)"),
 }

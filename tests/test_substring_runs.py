@@ -49,3 +49,23 @@ def test_threshold_excludes_short_overlaps(spark, sf_dir):
     out = dedup_substring_runs(spark, sf_dir)
     assert out.where(
         out.max_run_tokens < _MIN_RUN_TOKENS).count() == 0
+
+
+def test_leakage_safe_split_properties(spark, sf_dir):
+    """No near-dup cluster straddles splits, and all three splits are
+    populated on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.corpus.simops import \
+        corpus_leakage_safe_split
+    out = corpus_leakage_safe_split(spark, sf_dir)
+    straddle = (out.groupBy("cluster_id")
+                .agg(F.count_distinct("split").alias("ns"))
+                .where("ns > 1").count())
+    assert straddle == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    # every multi-doc cluster's members share the split (the leakage case)
+    multi = (out.where("cluster_size > 1").groupBy("cluster_id")
+             .agg(F.count_distinct("split").alias("ns")).collect())
+    assert multi and all(r.ns == 1 for r in multi)
