@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "asof_event_last_order",
     "range_join_event_pairs",
     "q10_returned_items",
+    "cdc_scd2_history",
+    "events_funnel_steps",
 ]
 
 

@@ -116,23 +116,27 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     immediately (same no-new-query-debt rule): SCD Type 2 dimension
 #     history from the CDC change stream (displaces text_bigram_fluency
 #     to round 6's r3-stale queue);
-#   * slot 42 — one of the forty-three r3-stale rows
+#   * slot 42 — cdc_table_changes, gated immediately: the change-data-
+#     feed surface (KeyedTable.diff between versioned snapshots, all
+#     four change fates, changed-bucket-pruned scan) — displaces
+#     asof_event_last_order, the last in-gate r3 re-gate, to round 6
 #     (asof/join/scalar/window/text-filter families; q4/q6/q7/q8/q9/
 #     q12 were displaced by the six new rows above, events_json_extract
 #     / embedding_pseudo_label / embedding_label_centroids /
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# After round 5: all 142 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=42 — no row older than round 3.  The 42 remaining
+# After round 5: all 143 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=43 — no row older than round 3.  The 43 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +
 # embedding_label_centroids + corpus_stratified_sample +
 # corpus_sequence_packing + corpus_mixture_sampling +
 # text_bigram_fluency + text_decontamination + text_pii_scrub +
 # text_quality_filter + text_repetition_filter + window_rank_family +
-# scalar_functions_showcase + join_enriched_orders + fourteen val_*
-# aggregates, none code-touched since r3) lead round 6's rotation.
+# scalar_functions_showcase + join_enriched_orders +
+# asof_event_last_order + fourteen val_* aggregates, none code-touched
+# since r3) lead round 6's rotation.
 _DRIVER_PRIORITY = [
     # never-driver-gated (added after the round-4 freeze) -----------------
     "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
@@ -166,7 +170,8 @@ _DRIVER_PRIORITY = [
     # the custom Python-state changelog operator, gated immediately --------
     "cdc_stream_changelog",
     # r3-stale re-gates (9 of 43) -----------------------------------------
-    "asof_event_last_order",
+    # change data feed, gated immediately -----------------------------------
+    "cdc_table_changes",
     # leakage-safe split, gated immediately ---------------------------------
     "corpus_leakage_safe_split",
     # stream-stream LEFT OUTER join, gated immediately ----------------------

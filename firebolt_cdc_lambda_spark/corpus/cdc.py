@@ -357,6 +357,71 @@ FROM fin GROUP BY 1
 """
 
 
+# -- change data feed between versioned snapshots --------------------------
+# KeyedTable.diff(from, to): row-level insert/delete/update_pre/
+# update_post between two epochs of the versioned store, scanning ONLY
+# buckets whose epoch assignment changed between the manifests
+# (identical assignments resolve to the same immutable files — no row
+# can differ; pruning pinned in test_cdf).  Workload: v1 = +10% price
+# and %3-deletes over keys %100<10; v2 = x2 price over %100>=90 PLUS
+# brand-new inserted keys (+10M).  diff(0 -> latest) must classify all
+# four fates; DuckDB restates them from the batch rules alone.
+def cdc_table_changes(spark, sf):
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="cdc_cdf_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=32,
+                    versioned=True)
+    kt.init(orders)
+    batch1 = (orders.where("o_orderkey % 100 < 10")
+              .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+              .withColumn("Op", F.when(F.col("o_orderkey") % 3 == 0, "D")
+                          .otherwise("U")))
+    slice2 = orders.where("o_orderkey % 100 >= 90")
+    batch2 = (slice2
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+              .withColumn("Op", F.lit("U"))
+              .unionByName(
+                  slice2.selectExpr("o_orderkey + 10000000 AS o_orderkey",
+                                    "o_custkey", "o_orderstatus",
+                                    "o_totalprice * 3 AS o_totalprice",
+                                    "'U' AS Op")))
+    kt.merge_batch(batch1)
+    kt.merge_batch(batch2)
+    return kt.diff(0)
+
+
+CDC_TABLE_CHANGES_SQL = """
+WITH upd1 AS (SELECT * FROM orders
+              WHERE o_orderkey % 100 < 10 AND o_orderkey % 3 <> 0),
+del1 AS (SELECT * FROM orders
+         WHERE o_orderkey % 100 < 10 AND o_orderkey % 3 = 0),
+upd2 AS (SELECT * FROM orders WHERE o_orderkey % 100 >= 90)
+SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice * 3 AS o_totalprice, 'insert' AS _change_type
+FROM upd2
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       'delete' AS _change_type FROM del1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       'update_preimage' AS _change_type FROM upd1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       'update_preimage' AS _change_type FROM upd2
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1,
+       'update_postimage' AS _change_type FROM upd1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       'update_postimage' AS _change_type FROM upd2
+"""
+
+
 # -- SCD Type 2 history from the same change stream ------------------------
 # The dual of the MERGE's latest-row-wins product: every (user_id,
 # event_type) change opens a [valid_from, valid_to) version; consecutive
@@ -457,4 +522,9 @@ QUERIES = {
         "the incremental SCD2 path: snapshot(first 15 days) + "
         "scd2_apply(rest) hash-checked against the full-rebuild oracle "
         "— apply==rebuild under the driver's value hash"),
+    "cdc_table_changes": Query(
+        cdc_table_changes, CDC_TABLE_CHANGES_SQL,
+        "change data feed between versioned snapshots: insert / delete "
+        "/ update_preimage / update_postimage via KeyedTable.diff, "
+        "scanning only buckets whose epoch assignment changed"),
 }

@@ -731,6 +731,64 @@ class KeyedTable:
         self._save_manifest([base_entry] + kept_entries)
         return sorted(deleted)
 
+    def diff(self, from_version: int,
+             to_version: int | None = None) -> DataFrame:
+        """Change data feed: row-level changes between two versions of a
+        versioned table, as the table's live columns plus
+        ``_change_type`` in ('insert', 'delete', 'update_preimage',
+        'update_postimage').  Deletes report the FROM-version row (a
+        tombstoned key reads as deleted, correctly); updates report
+        both images.
+
+        Scan pruning: a bucket whose epoch assignment is IDENTICAL in
+        both manifests resolves to the same immutable leaf dirs, so no
+        row in it can differ — only buckets whose assignment changed
+        between the versions are read, on both sides.  Diff cost is
+        therefore ∝ buckets touched between the versions (the same
+        locality bound as the merge that produced them), never
+        table-sized.  A rebucket between the versions voids the
+        bucket-to-bucket correspondence; the diff then scans both
+        snapshots fully (still correct).
+        """
+        if not self.versioned:
+            raise ValueError("diff requires a versioned table "
+                             "(KeyedTable(..., versioned=True))")
+        a_assign, a_nb = self._resolve_epochs(from_version)
+        b_assign, b_nb = self._resolve_epochs(to_version)
+        if a_nb == b_nb:
+            changed: Sequence[int] | None = sorted(
+                b for b in set(a_assign) | set(b_assign)
+                if a_assign.get(b) != b_assign.get(b))
+        else:
+            changed = None
+        old = self._hide_tombstones(
+            self._read_raw(buckets=changed, as_of=from_version)
+            .drop(self.BUCKET_COL))
+        new = self._hide_tombstones(
+            self._read_raw(buckets=changed, as_of=to_version)
+            .drop(self.BUCKET_COL))
+        keys = list(self.keys)
+        payload = [c for c in old.columns if c not in keys]
+        # zero-payload tables can only insert/delete; the lit(0) field
+        # makes the structs always-equal so the update legs are empty
+        pfields = [F.col(c) for c in payload] or [F.lit(0)]
+        o = old.select(*keys, F.struct(*pfields).alias("__o"))
+        n = new.select(*keys, F.struct(*pfields).alias("__n"))
+        j = o.join(n, keys, "full_outer")
+
+        def leg(side: str, ctype: str, cond):
+            return (j.where(cond)
+                    .select(*keys,
+                            *[F.col(f"{side}.{c}").alias(c) for c in payload],
+                            F.lit(ctype).alias("_change_type")))
+
+        both = F.col("__o").isNotNull() & F.col("__n").isNotNull()
+        differs = both & ~F.col("__o").eqNullSafe(F.col("__n"))
+        return (leg("__n", "insert", F.col("__o").isNull())
+                .unionByName(leg("__o", "delete", F.col("__n").isNull()))
+                .unionByName(leg("__o", "update_preimage", differs))
+                .unionByName(leg("__n", "update_postimage", differs)))
+
     def snapshot_for_rewrite(self) -> DataFrame:
         """ALL stored rows — including tombstone marker rows and the
         marker column — minus the bucket column: the correct base for
