@@ -484,6 +484,61 @@ def cdc_scd2_incremental(spark, sf):
         "version", "is_current")
 
 
+# -- point-in-time enrichment against the SCD2 dimension -------------------
+# The reason SCD2 exists: join each FACT to the dimension version VALID
+# AT ITS TIMESTAMP (training-feature correctness — joining facts to the
+# current dim value leaks the future).  Facts = purchase events; dim =
+# the SCD2 history of each user's non-purchase event_type.  Because dim
+# versions are keyed by valid_from and extend to the next valid_from,
+# the PIT join IS the backward as-of on valid_from — one key-shuffle
+# carry window, never an inequality join.  The oracle uses DuckDB's
+# NATIVE ASOF LEFT JOIN — an independent implementation of the same
+# semantics, not a restatement of ours.
+def cdc_scd2_pit_join(spark, sf):
+    from ..operators.asof import asof_join
+    from ..operators.scd2 import scd2_snapshot
+
+    e = load_table(spark, sf, "events")
+    dim = (scd2_snapshot(
+        e.where("event_type <> 'purchase'")
+        .select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"], order=["ts", "event_id"], tracked=["event_type"])
+        .select("user_id", F.unix_micros("valid_from").alias("vf_us"),
+                "event_type", "version"))
+    facts = (e.where("event_type = 'purchase'")
+             .select("user_id", "event_id",
+                     F.unix_micros("ts").alias("tus"), "value"))
+    return (asof_join(facts, dim, on="user_id", left_ts="tus",
+                      right_ts="vf_us",
+                      right_payload=["event_type", "version"],
+                      direction="backward")
+            .select("user_id", "event_id", "tus", "value",
+                    F.col("event_type").alias("dim_event_type"),
+                    F.col("version").alias("dim_version")))
+
+
+CDC_SCD2_PIT_JOIN_SQL = """
+WITH e AS (SELECT user_id, EPOCH_US(ts) AS tus, event_id, event_type, value
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+nd AS (SELECT user_id, tus, event_id, event_type FROM e
+       WHERE event_type <> 'purchase'),
+c AS (SELECT *,
+             LAG(event_type) OVER w AS prev,
+             (ROW_NUMBER() OVER w = 1) AS first
+      FROM nd WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+dim AS (SELECT user_id, tus AS vf_us, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS version
+        FROM c WHERE first OR prev IS DISTINCT FROM event_type),
+facts AS (SELECT user_id, event_id, tus, value FROM e
+          WHERE event_type = 'purchase')
+SELECT f.user_id, f.event_id, f.tus, f.value,
+       d.event_type AS dim_event_type, d.version AS dim_version
+FROM facts f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.tus >= d.vf_us
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -527,4 +582,9 @@ QUERIES = {
         "change data feed between versioned snapshots: insert / delete "
         "/ update_preimage / update_postimage via KeyedTable.diff, "
         "scanning only buckets whose epoch assignment changed"),
+    "cdc_scd2_pit_join": Query(
+        cdc_scd2_pit_join, CDC_SCD2_PIT_JOIN_SQL,
+        "point-in-time enrichment: facts joined to the SCD2 dimension "
+        "version valid at each fact's timestamp (backward as-of on "
+        "valid_from) — oracle is DuckDB's NATIVE ASOF JOIN"),
 }
