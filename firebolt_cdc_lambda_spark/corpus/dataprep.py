@@ -255,6 +255,73 @@ FROM p, g GROUP BY g.A, g.B
 """
 
 
+# -- mixture balance: Gini concentration in exact integers -----------------
+# The acceptance report for a training mixture: how concentrated are
+# documents across languages and tokens across sources?  Gini via the
+# order-statistic identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+# with x ascending (ties broken by group name — the tie order changes
+# sum(i*x_i), so the tie-break must be part of the definition to stay
+# cross-engine deterministic).  Numerators stay BIGINT; the ONLY float
+# op is the final division.  One groupBy + one tiny (n-groups) window
+# per dimension — scan-bound at any scale.
+def corpus_gini_balance(spark, sf):
+    from pyspark.sql import Window
+    from .textops import _CLEAN_SPARK
+    d = (load_table(spark, sf, "documents")
+         .selectExpr("lang", "source",
+                     f"size(filter(split({_CLEAN_SPARK}, ' '), "
+                     "x -> x != '')) AS ntok"))
+
+    def gini_row(grouped, prefix):
+        w = Window.orderBy(F.col("x").asc(), F.col("g").asc())
+        ranked = grouped.select("g", "x", F.row_number().over(w).alias("i"))
+        return (ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("tot"),
+            F.sum(F.col("i") * F.col("x")).cast("bigint").alias("iwx"))
+            .selectExpr(
+                f"n AS {prefix}_groups",
+                f"tot AS {prefix}_total",
+                f"2 * iwx - (n + 1) * tot AS {prefix}_gini_num",
+                f"CAST(2 * iwx - (n + 1) * tot AS DOUBLE) / (n * tot)"
+                f" AS {prefix}_gini"))
+
+    lang = gini_row(d.groupBy(F.col("lang").alias("g"))
+                    .agg(F.count(F.lit(1)).alias("x")), "lang_docs")
+    src = gini_row(d.groupBy(F.col("source").alias("g"))
+                   .agg(F.sum("ntok").alias("x")), "src_tokens")
+    return lang.crossJoin(src)
+
+
+def _gini_sql(src_cte: str, prefix: str) -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS {prefix}_groups,
+       CAST(SUM(x) AS BIGINT) AS {prefix}_total,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
+         AS {prefix}_gini_num,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+         / (COUNT(*) * SUM(x)) AS {prefix}_gini
+FROM (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x ASC, g ASC) AS i
+      FROM ({src_cte}))
+"""
+
+
+from .textops import _CLEAN_DUCK as _GINI_CLEAN  # noqa: E402
+
+CORPUS_GINI_BALANCE_SQL = f"""
+WITH d AS (SELECT lang, source,
+                  len(list_filter(string_split({_GINI_CLEAN}, ' '),
+                                  x -> x <> '')) AS ntok
+           FROM documents),
+lang_gini AS ({_gini_sql(
+    "SELECT lang AS g, COUNT(*) AS x FROM d GROUP BY lang", "lang_docs")}),
+src_gini AS ({_gini_sql(
+    "SELECT source AS g, SUM(ntok) AS x FROM d GROUP BY source",
+    "src_tokens")})
+SELECT * FROM lang_gini CROSS JOIN src_gini
+"""
+
+
 QUERIES = {
     "corpus_drift_tv": Query(
         corpus_drift_tv, CORPUS_DRIFT_TV_SQL,
@@ -283,4 +350,9 @@ QUERIES = {
         "snapshot drift: chi-square distance (rarity-weighted companion "
         "to TV), floor-grid-summed for cross-engine determinism",
         ("dataprep", "drift")),
+    "corpus_gini_balance": Query(
+        corpus_gini_balance, CORPUS_GINI_BALANCE_SQL,
+        "mixture-balance report: Gini concentration of docs-per-language "
+        "and tokens-per-source, exact BIGINT numerators + one final "
+        "division", ("dataprep", "balance")),
 }
