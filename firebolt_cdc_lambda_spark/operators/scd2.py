@@ -36,7 +36,9 @@ keys' rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: metadata columns this module appends to the key + tracked columns
@@ -127,3 +129,90 @@ def scd2_apply(dim: DataFrame, batch: DataFrame, keys: list[str],
     return (untouched.select(*out_cols)
             .unionByName(closed.select(*out_cols))
             .unionByName(redone.select(*out_cols)))
+
+
+class Scd2Table:
+    """Persistent SCD2 dimension, incrementally maintained from CDC
+    batches — the operational form of :func:`scd2_apply`.
+
+    Storage: plain parquet partitioned by ``_bucket =
+    pmod(xxhash64(keys), N)`` over the BUSINESS key (not the version),
+    so every version of a key colocates in one bucket and an apply
+    touches only the buckets its batch keys hash into — the same
+    locality bound as ``KeyedTable.merge_batch`` (operators/merge.py).
+    History rows are immutable once closed; an apply rewrites only the
+    touched buckets via dynamic partition overwrite.
+
+    Replay idempotency falls out of the batch-order gate: re-applying
+    an already-applied batch finds every row at-or-before each key's
+    current ``valid_from`` and drops it all — apply(b); apply(b) ==
+    apply(b), pinned in tests/test_scd2.py.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str,
+                 keys: Sequence[str], order: Sequence[str],
+                 tracked: Sequence[str], num_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.order = list(order)
+        self.tracked = list(tracked)
+        self.num_buckets = num_buckets
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                   F.lit(self.num_buckets)))
+
+    def _write(self, dim: DataFrame, dynamic: bool) -> None:
+        # init must be a STATIC overwrite (wipe the whole path — a
+        # dynamic one would leave stale buckets from any prior table
+        # there); apply must be DYNAMIC (replace only written buckets).
+        (self._with_bucket(dim).repartition(self.BUCKET_COL)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode",
+                 "dynamic" if dynamic else "static")
+         .partitionBy(self.BUCKET_COL)
+         .parquet(self.path))
+
+    def init(self, history: DataFrame) -> None:
+        """Bootstrap from a full change history."""
+        self._write(scd2_snapshot(history, self.keys, self.order,
+                                  self.tracked), dynamic=False)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
+        if not buckets:
+            return self.read().limit(0)
+        glob = ",".join(str(b) for b in sorted(set(buckets)))
+        return (self.spark.read
+                .option("basePath", self.path)
+                .parquet(f"{self.path}/{self.BUCKET_COL}={{{glob}}}")
+                .drop(self.BUCKET_COL))
+
+    def apply(self, batch: DataFrame) -> Sequence[int]:
+        """Fold one later CDC batch in; returns the bucket ids
+        rewritten.  Cost ∝ touched buckets: untouched buckets are
+        neither read nor written."""
+        bkeys = batch.select(*self.keys).distinct()
+        buckets = sorted(
+            r[0] for r in self._with_bucket(bkeys)
+            .select(self.BUCKET_COL).distinct().collect())
+        dim = self._read_buckets(buckets)
+        redone = scd2_apply(dim, batch, self.keys, self.order,
+                            self.tracked)
+        # pin the result before the dynamic overwrite replaces the very
+        # files the plan reads (same hazard as RollupTable pre-images)
+        redone = redone.localCheckpoint(eager=True)
+        self._write(redone, dynamic=True)
+        return buckets
+
+    def current(self) -> DataFrame:
+        """The live dimension rows — equivalent to the keyed snapshot a
+        ``KeyedTable`` would hold."""
+        return self.read().where(F.col("is_current"))

@@ -138,3 +138,49 @@ def test_apply_untouched_keys_pass_through(spark):
     assert [t for t in _canon(out) if t[0] == 2] == \
         [t for t in _canon(dim) if t[0] == 2]
     assert (1, "b", 50, None, 2, True) in _canon(out)
+
+
+def test_scd2_table_apply_matches_rebuild_and_is_idempotent(spark, tmp_path):
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    h1 = [(k, 10 * i, k * 100 + i, "ab"[(k + i) % 2])
+          for k in range(8) for i in range(4)]
+    h2 = [(k, 100 + 10 * i, 10000 + k * 100 + i, "ba"[(k + i) % 2])
+          for k in range(0, 12, 2) for i in range(3)]
+    t = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
+                  num_buckets=8)
+    t.init(_df(spark, h1))
+    touched = t.apply(_df(spark, h2))
+    assert touched and len(touched) <= 8
+    want = _canon(scd2_snapshot(_df(spark, h1 + h2), KEYS, ORDER, TRACKED))
+    assert _canon(t.read()) == want
+    # replay: the whole batch is stale now -> no-op
+    t.apply(_df(spark, h2))
+    assert _canon(t.read()) == want
+    # current() is the keyed last-value snapshot
+    cur = {r["k"]: r["attr"] for r in t.current().collect()}
+    assert len(cur) == 10   # 8 initial keys + keys 8,10 new in h2
+
+
+def test_scd2_table_apply_prunes_buckets(spark, tmp_path):
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    rows = [(k, 10, k, "a") for k in range(64)]
+    t = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
+                  num_buckets=16)
+    t.init(_df(spark, rows))
+    touched = t.apply(_df(spark, [(5, 50, 999, "b")]))
+    assert len(touched) == 1
+    out = _canon(t.read())
+    assert (5, "a", 10, 50, 1, False) in out
+    assert (5, "b", 50, None, 2, True) in out
+    assert len(out) == 65
+
+
+def test_scd2_table_init_wipes_prior_content(spark, tmp_path):
+    """init is a STATIC overwrite: re-initializing over an old table
+    leaves no stale buckets behind (a dynamic overwrite would)."""
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    p = str(tmp_path / "dim")
+    t = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=16)
+    t.init(_df(spark, [(k, 10, k, "a") for k in range(32)]))
+    t.init(_df(spark, [(1, 10, 0, "z")]))   # re-bootstrap, 1 key only
+    assert _canon(t.read()) == [(1, "z", 10, None, 1, True)]
