@@ -187,13 +187,25 @@ class Scd2Table:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
     def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
+        from pyspark.errors import AnalysisException
         if not buckets:
             return self.read().limit(0)
         glob = ",".join(str(b) for b in sorted(set(buckets)))
-        return (self.spark.read
-                .option("basePath", self.path)
-                .parquet(f"{self.path}/{self.BUCKET_COL}={{{glob}}}")
-                .drop(self.BUCKET_COL))
+        try:
+            return (self.spark.read
+                    .option("basePath", self.path)
+                    .parquet(f"{self.path}/{self.BUCKET_COL}={{{glob}}}")
+                    .drop(self.BUCKET_COL))
+        except AnalysisException as exc:
+            # ONE brace glob matching zero dirs (a batch of all-new keys
+            # whose buckets were never written) is a legal empty state;
+            # anything else re-raises (the read-errors-must-raise
+            # contract, merge.py._read_raw).  Partial matches never
+            # error — Spark globs the single pattern and proceeds with
+            # whatever dirs exist.
+            if exc.getErrorClass() != "PATH_NOT_FOUND":
+                raise
+            return self.read().limit(0)
 
     def apply(self, batch: DataFrame) -> Sequence[int]:
         """Fold one later CDC batch in; returns the bucket ids

@@ -184,3 +184,20 @@ def test_scd2_table_init_wipes_prior_content(spark, tmp_path):
     t.init(_df(spark, [(k, 10, k, "a") for k in range(32)]))
     t.init(_df(spark, [(1, 10, 0, "z")]))   # re-bootstrap, 1 key only
     assert _canon(t.read()) == [(1, "z", 10, None, 1, True)]
+
+
+def test_scd2_table_apply_all_new_keys_in_absent_buckets(spark, tmp_path):
+    """A batch of only-new keys whose bucket dirs were never written
+    must not fail the pruned read (single-glob zero-match == empty),
+    and a partially-absent glob proceeds with the existing dirs."""
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    t = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
+                  num_buckets=64)
+    t.init(_df(spark, [(1, 10, 0, "a")]))
+    t.apply(_df(spark, [(2, 20, 1, "b")]))        # all-new, absent bucket
+    t.apply(_df(spark, [(1, 30, 2, "c"), (3, 30, 3, "d")]))  # mixed
+    out = _canon(t.read())
+    assert (2, "b", 20, None, 1, True) in out
+    assert (1, "c", 30, None, 2, True) in out
+    assert (3, "d", 30, None, 1, True) in out
+    assert len(out) == 4
