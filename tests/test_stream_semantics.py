@@ -315,3 +315,37 @@ def test_stream_stream_outer_join_pins(spark, tmp_path):
                  for r in spark.table("ssjo_pins").collect())
     # v2's null row emitted (window end 120 <= 290); v3 withheld
     assert out == [(10, 11), (20, -1)]
+
+
+def test_sliding_window_late_filter_is_per_window(spark, tmp_path):
+    """Sliding windows (20s, slide 10s): a late row belonging to TWO
+    windows is filtered per (row, window) pair, not per row — its older
+    window's contribution (end <= lagged wm) is dropped while the same
+    row still counts in its newer window (end > lagged wm).  The
+    window-END-based, one-cycle-lagged frontier of the tumbling pin
+    therefore applies after window EXPANSION."""
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+    files = [
+        [(_ts(100), 1)],   # windows [90,110) and [100,120)
+        [(_ts(115), 1)],   # max 115 -> lagged wm for b3 = 105
+        [(_ts(300), 1)],   # advances final wm to 290
+        [(_ts(95), 1)],    # late: [80,100) end 100 <= 105 -> dropped;
+                           #       [90,110) end 110 >  105 -> KEPT
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, files)
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 seconds")
+                .groupBy(F.window("ts", "20 seconds", "10 seconds")
+                         .alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.unix_timestamp("w.start").alias("ws"), "n"))
+
+    out = sorted((r.ws - BASE, r.n) for r in
+                 _run(spark, src, schema, build, "slide_pins",
+                      str(tmp_path / "ck")).collect())
+    # [80,100) never emits (its only row was dropped); [90,110) counts
+    # BOTH 100 and the late 95; [100,120) = {100,115}; [110,130) = {115}
+    assert out == [(90, 2), (100, 2), (110, 1)], out
