@@ -1942,7 +1942,10 @@ def _run_stream_join(spark, sf, how):
     j = (vs.join(ps, F.expr(
             "user_id = p_user_id AND p_ts >= v_ts "
             "AND p_ts < v_ts + INTERVAL 24 HOURS"), how)
-         .select("user_id", "view_id", "purchase_id",
+         # full_outer's unmatched-RIGHT rows have a null left key;
+         # surface the real user id from whichever side is present
+         .select(F.coalesce("user_id", "p_user_id").alias("user_id"),
+                 "view_id", "purchase_id",
                  F.unix_micros("v_ts").alias("view_us"),
                  F.unix_micros("p_ts").alias("purchase_us"), "value"))
     sink = os.path.join(tmp, "sink")
@@ -2015,6 +2018,59 @@ SELECT v.user_id, view_id, purchase_id, view_us, purchase_us, value
 FROM v JOIN p ON v.user_id = p.user_id
              AND purchase_us >= view_us
              AND purchase_us < view_us + 86400000000
+"""
+
+
+# -- stream-stream FULL OUTER join under the value-hash oracle ------------
+# The third join mode.  Null-emission rules, pinned empirically
+# (test_stream_semantics.test_stream_stream_full_outer_pins):
+#   * matched pairs emit as inner;
+#   * an unmatched LEFT (view) emits its null row when its join window
+#     [v, v + range) closes below the final watermark (v + range <= fwm
+#     — same rule as left_outer);
+#   * an unmatched RIGHT (purchase) emits when no future left can match
+#     it: its candidate lefts satisfy v <= p, so the state closes when
+#     the watermark passes p itself (p < fwm — strict: a purchase AT
+#     the frontier is withheld);
+#   * fwm is the min across sides of each side's own max minus delay.
+# The fixtures sit nowhere near either boundary, so the row is
+# deterministic at every scale.
+def events_stream_join_full(spark, sf):
+    return _run_stream_join(spark, sf, "full_outer")
+
+
+EVENTS_STREAM_JOIN_FULL_SQL = """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+v AS (SELECT user_id, event_id AS view_id, EPOCH_US(ts) AS view_us
+      FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, EPOCH_US(ts) AS purchase_us,
+             value
+      FROM e WHERE event_type = 'purchase'),
+fw AS (SELECT LEAST((SELECT MAX(view_us) FROM v),
+                    (SELECT MAX(purchase_us) FROM p))
+              - 172800000000 AS fwm)
+SELECT v.user_id, view_id, purchase_id, view_us, purchase_us, value
+FROM v JOIN p ON v.user_id = p.user_id
+             AND purchase_us >= view_us
+             AND purchase_us < view_us + 86400000000
+UNION ALL
+SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT), v.view_us,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM v, fw
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = v.user_id
+                    AND p.purchase_us >= v.view_us
+                    AND p.purchase_us < v.view_us + 86400000000)
+  AND v.view_us + 86400000000 <= fw.fwm
+UNION ALL
+SELECT p.user_id, CAST(NULL AS BIGINT), p.purchase_id,
+       CAST(NULL AS BIGINT), p.purchase_us, p.value
+FROM p, fw
+WHERE NOT EXISTS (SELECT 1 FROM v
+                  WHERE v.user_id = p.user_id
+                    AND p.purchase_us >= v.view_us
+                    AND p.purchase_us < v.view_us + 86400000000)
+  AND p.purchase_us < fw.fwm
 """
 
 
@@ -2153,4 +2209,10 @@ QUERIES = {
         "null-padded rows for unmatched views whose join window closed "
         "below the min-of-sides final watermark; trailing views "
         "withheld in state"),
+    "events_stream_join_full": Query(
+        events_stream_join_full, EVENTS_STREAM_JOIN_FULL_SQL,
+        "stream-stream FULL OUTER join: inner pairs + closed unmatched "
+        "views (v + range <= fwm) + closed unmatched purchases "
+        "(p < fwm, strict) — both null-emission rules pinned "
+        "empirically"),
 }

@@ -349,3 +349,55 @@ def test_sliding_window_late_filter_is_per_window(spark, tmp_path):
     # [80,100) never emits (its only row was dropped); [90,110) counts
     # BOTH 100 and the late 95; [100,120) = {100,115}; [110,130) = {115}
     assert out == [(90, 2), (100, 2), (110, 1)], out
+
+
+def test_stream_stream_full_outer_pins(spark, tmp_path):
+    """Full-outer pins (the events_stream_join_full oracle's model):
+    matched pairs as inner; unmatched-LEFT null rows on window closure
+    (the left_outer rule); unmatched-RIGHT null rows once no future
+    left can match — the frontier is the right row's OWN timestamp,
+    STRICT: a right row exactly AT the final watermark is withheld."""
+    lschema = T.StructType([T.StructField("u", T.LongType()),
+                            T.StructField("vid", T.LongType()),
+                            T.StructField("v_ts", T.TimestampType())])
+    rschema = T.StructType([T.StructField("pu", T.LongType()),
+                            T.StructField("pid", T.LongType()),
+                            T.StructField("p_ts", T.TimestampType())])
+    lfiles = [
+        [(1, 10, _ts(100))],                     # matched by p@105
+        [(1, 98, _ts(400))],                     # matches p@400
+        [],
+    ]
+    rfiles = [
+        [(1, 11, _ts(105)), (1, 20, _ts(110))],  # 11 matches; 20 never
+        [(1, 30, _ts(390)), (1, 99, _ts(400))],  # 30 unmatched AT the
+        [],                                      #   final wm (390)
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batches(spark, lsrc, lschema, lfiles)
+    _write_batches(spark, rsrc, rschema, rfiles)
+
+    def src(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(path))
+
+    j = (src(lsrc, lschema).withWatermark("v_ts", "10 seconds")
+         .join(src(rsrc, rschema).withWatermark("p_ts", "10 seconds"),
+               F.expr("u = pu AND p_ts >= v_ts "
+                      "AND p_ts < v_ts + INTERVAL 10 SECONDS"),
+               "full_outer")
+         .select("vid", "pid"))
+    q = (j.writeStream.outputMode("append").format("memory")
+         .queryName("ssjf_pins")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    out = sorted((r.vid if r.vid is not None else -1,
+                  r.pid if r.pid is not None else -1)
+                 for r in spark.table("ssjf_pins").collect())
+    # fwm = min(400, 400) - 10 = 390.  p@110 null-emits (110 < 390);
+    # p@390 withheld (390 < 390 is false — STRICT); both matches emit.
+    assert out == [(-1, 20), (10, 11), (98, 99)], out
