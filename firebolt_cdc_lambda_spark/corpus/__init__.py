@@ -126,15 +126,15 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# cdc_scd2_pit_join, corpus_gini_balance, and events_stream_join_full
-# (the 10th/11th/12th queries of the round-5 continuation) were added
-# after every in-gate slot already held a round-5 row with no older
-# driver row to fall back on; displacing one would just move the debt.
-# They are the ONLY never-gated queries and go FIRST in round 6's
-# rotation (all green in the local differential suite at sf0.001,
-# sf0.01 AND sf0.1, and plain-session checked).
-# After round 5: 143 of the 146 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=43 (+3 never-gated, above) — no
+# cdc_scd2_pit_join, corpus_gini_balance, events_stream_join_full, and
+# events_stream_sliding (the 10th-13th queries of the round-5
+# continuation) were added after every in-gate slot already held a
+# round-5 row with no older driver row to fall back on; displacing one
+# would just move the debt.  They are the ONLY never-gated queries and
+# go FIRST in round 6's rotation (all green in the local differential
+# suite at sf0.001, sf0.01 AND sf0.1, and plain-session checked).
+# After round 5: 143 of the 147 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=43 (+4 never-gated, above) — no
 # GATED row older than round 3.  The 43 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +

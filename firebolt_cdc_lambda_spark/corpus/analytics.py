@@ -1552,6 +1552,79 @@ GROUP BY 1
 """
 
 
+# -- SLIDING windows under the value-hash oracle --------------------------
+# Same harness and watermark model as events_stream_watermark, with
+# OVERLAPPING windows (1 hour, slide 30 min — every event belongs to
+# exactly two).  The model extension, pinned empirically
+# (test_stream_semantics.test_sliding_window_late_filter_is_per_window):
+# the one-cycle-lagged, end-based late filter applies PER (row, window)
+# after expansion — a late row is dropped from its older window while
+# still counting in its newer one.  The oracle expands each event into
+# its two window starts, applies the lagged filter per window, and cuts
+# emission at end <= final watermark.
+_SL_SLIDE_US = 1_800_000_000          # 30-minute slide
+
+
+def events_stream_sliding(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events").select(
+        "ts", "value", (F.col("event_id") % _WM_N_BATCHES).alias("b"))
+    tmp = tempfile.mkdtemp(prefix="sl_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    _write_stream_batches(e, src, _WM_N_BATCHES, ["ts", "value"])
+    schema = e.select("ts", "value").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    agg = (stream.withWatermark("ts", "48 hours")
+           .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                   F.col("n_events").cast("bigint").alias("n_events"),
+                   "total_value"))
+    sink = os.path.join(tmp, "sink")
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
+    return (spark.read.parquet(sink)
+            .select("window_start_us",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "total_value"))
+
+
+EVENTS_STREAM_SLIDING_SQL = f"""
+WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value,
+                  event_id % {_WM_N_BATCHES} AS b
+           FROM events),
+bm AS (SELECT b, MAX(tus) AS bmax FROM e GROUP BY b),
+wmf AS (SELECT b, COALESCE(MAX(bmax) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0)
+               - {_WM_DELAY_US} AS wm
+        FROM bm),
+x AS (SELECT e.tus, e.value, e.b,
+             (e.tus // {_SL_SLIDE_US}) * {_SL_SLIDE_US}
+               - o.d * {_SL_SLIDE_US} AS ws
+      FROM e CROSS JOIN (VALUES (0), (1)) AS o(d)),
+kept AS (SELECT x.ws, x.value FROM x JOIN wmf ON x.b = wmf.b
+         WHERE x.ws + {_WM_WIN_US} > wmf.wm),
+fw AS (SELECT MAX(tus) - {_WM_DELAY_US} AS fwm FROM e)
+SELECT ws AS window_start_us, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM kept, fw
+WHERE ws + {_WM_WIN_US} <= fw.fwm
+GROUP BY 1
+"""
+
+
 # -- dropDuplicatesWithinWatermark under the value-hash oracle ------------
 # The streaming-native duplicate-delivery gate (streaming/
 # stateful.streaming_dedup — the reference's retried-upload protection,
@@ -2209,6 +2282,12 @@ QUERIES = {
         "null-padded rows for unmatched views whose join window closed "
         "below the min-of-sides final watermark; trailing views "
         "withheld in state"),
+    "events_stream_sliding": Query(
+        events_stream_sliding, EVENTS_STREAM_SLIDING_SQL,
+        "sliding windows under the oracle: overlapping 1h/30min "
+        "windows with the per-(row,window) lagged late filter and the "
+        "end-based emission cut, reproduced by expand-then-filter "
+        "batch SQL"),
     "events_stream_join_full": Query(
         events_stream_join_full, EVENTS_STREAM_JOIN_FULL_SQL,
         "stream-stream FULL OUTER join: inner pairs + closed unmatched "
