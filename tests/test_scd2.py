@@ -201,3 +201,27 @@ def test_scd2_table_apply_all_new_keys_in_absent_buckets(spark, tmp_path):
     assert (1, "c", 30, None, 2, True) in out
     assert (3, "d", 30, None, 1, True) in out
     assert len(out) == 4
+
+
+def test_scd2_table_partial_write_then_replay_converges(spark, tmp_path):
+    """Crash model: apply() writes some touched buckets, dies, and the
+    checkpoint replays the WHOLE batch.  Rows for already-written keys
+    are stale-gated (their valid_from advanced), rows for unwritten
+    keys apply normally — the mixed state converges to exactly the
+    clean single-apply result."""
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    h1 = [(k, 10, k, "a") for k in range(12)]
+    batch = [(k, 50, 100 + k, "b") for k in range(12)]
+    clean = Scd2Table(spark, str(tmp_path / "clean"), KEYS, ORDER,
+                      TRACKED, num_buckets=8)
+    clean.init(_df(spark, h1))
+    clean.apply(_df(spark, batch))
+
+    crashed = Scd2Table(spark, str(tmp_path / "crashed"), KEYS, ORDER,
+                        TRACKED, num_buckets=8)
+    crashed.init(_df(spark, h1))
+    # "partial write": only the batch rows for half the keys landed
+    crashed.apply(_df(spark, [r for r in batch if r[0] < 6]))
+    # checkpoint replay re-delivers the FULL batch
+    crashed.apply(_df(spark, batch))
+    assert _canon(crashed.read()) == _canon(clean.read())
