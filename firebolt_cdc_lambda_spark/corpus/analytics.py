@@ -854,6 +854,175 @@ GROUP BY 1
 # EXISTS(another lineitem, same order, different supplier) — applied to
 # returned items: suppliers who were the only supplier on orders that
 # have multiple lineitems.
+# -- the four partsupp-dependent TPC-H queries (q2/q11/q16/q20) -----------
+# The testdata has no partsupp table, so these were "inexpressible" —
+# until you DERIVE one: 4 suppliers per part by pure integer arithmetic
+# ((p_partkey*7 + i*13) mod |supplier|, availqty/supplycost likewise),
+# identical on both engines, making the remaining TPC-H shapes
+# expressible with bit-matchable oracles.  Shape-faithful adaptations
+# (like q12/q21): filters are re-targeted at the fixtures' domains,
+# decimal arithmetic follows the corpus exactness rules, and every
+# LIMIT carries a total order.
+def _derived_partsupp(spark, sf):
+    part = load_table(spark, sf, "part").select("p_partkey")
+    ns = load_table(spark, sf, "supplier").agg(
+        F.count(F.lit(1)).alias("__ns"))
+    return (part.crossJoin(F.broadcast(ns))
+            .selectExpr("p_partkey", "__ns",
+                        "explode(sequence(0, 3)) AS i")
+            .selectExpr(
+                "p_partkey",
+                "(p_partkey * 7 + i * 13) % __ns AS ps_suppkey",
+                "(p_partkey * 13 + i * 7) % 9999 + 1 AS ps_availqty",
+                "CAST((p_partkey * 31 + i * 17) % 100000 AS DOUBLE)"
+                " / 100.0 AS ps_supplycost"))
+
+
+_PS_SQL = """
+ps AS (
+  SELECT p_partkey,
+         (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier)
+           AS ps_suppkey,
+         (p_partkey * 13 + i * 7) % 9999 + 1 AS ps_availqty,
+         CAST((p_partkey * 31 + i * 17) % 100000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM part, unnest(range(0, 4)) AS t(i)
+)
+"""
+
+
+def q2_min_cost_supplier(spark, sf):
+    ps = _derived_partsupp(spark, sf)
+    part = (load_table(spark, sf, "part").where("p_size % 10 = 5")
+            .select("p_partkey", "p_name"))
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").where("r_name = 'EUROPE'")
+    eu = (sup.join(F.broadcast(nat),
+                   sup.s_nationkey == nat.n_nationkey)
+          .join(F.broadcast(reg),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    j = (ps.join(part, "p_partkey")
+         .join(eu, F.col("ps_suppkey") == F.col("s_suppkey")))
+    m = j.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("mc"))
+    return (j.join(m, "p_partkey").where("ps_supplycost = mc")
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", "ps_supplycost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+Q2_SQL = f"""
+WITH {_PS_SQL},
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+       JOIN nation ON n_nationkey = s_nationkey
+       JOIN region ON r_regionkey = n_regionkey
+       WHERE r_name = 'EUROPE'),
+j AS (SELECT p.p_partkey, p.p_name, ps.ps_supplycost,
+             eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN part p USING (p_partkey)
+      JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+      WHERE p.p_size % 10 = 5),
+m AS (SELECT p_partkey, MIN(ps_supplycost) AS mc FROM j GROUP BY 1)
+SELECT j.s_acctbal, j.s_name, j.n_name, j.p_partkey, j.p_name,
+       j.ps_supplycost
+FROM j JOIN m ON j.p_partkey = m.p_partkey AND j.ps_supplycost = m.mc
+ORDER BY j.s_acctbal DESC, j.n_name, j.s_name, j.p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark, sf):
+    ps = _derived_partsupp(spark, sf)
+    sup = load_table(spark, sf, "supplier").where("s_nationkey % 5 = 2")
+    v = (ps.join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+         .groupBy("p_partkey")
+         .agg(F.sum(F.expr(
+             "CAST(ps_supplycost AS DECIMAL(18,2))"
+             " * CAST(ps_availqty AS DECIMAL(10,0))")).alias("val")))
+    tot = v.agg(F.sum("val").alias("t"))
+    return (v.crossJoin(F.broadcast(tot))
+            .where("val * 10000 > t")
+            .selectExpr("p_partkey", "CAST(val AS DOUBLE) AS stock_value"))
+
+
+Q11_SQL = f"""
+WITH {_PS_SQL},
+v AS (SELECT p_partkey,
+             SUM(CAST(ps_supplycost AS DECIMAL(18,2))
+                 * CAST(ps_availqty AS DECIMAL(10,0))) AS val
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+      WHERE s_nationkey % 5 = 2 GROUP BY 1),
+tot AS (SELECT SUM(val) AS t FROM v)
+SELECT p_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM v, tot WHERE val * 10000 > t
+"""
+
+
+def q16_part_supplier_variety(spark, sf):
+    ps = _derived_partsupp(spark, sf)
+    part = load_table(spark, sf, "part").where(
+        "p_brand <> 'Brand#13' AND p_type <> 'MEDIUM' "
+        "AND p_size IN (3,7,11,15,19,23,27,31)")
+    sup = load_table(spark, sf, "supplier").where("s_acctbal >= 0")
+    return (ps.join(part, "p_partkey")
+            .join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt")))
+
+
+Q16_SQL = f"""
+WITH {_PS_SQL}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part USING (p_partkey)
+JOIN supplier ON s_suppkey = ps_suppkey AND s_acctbal >= 0
+WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+  AND p_size IN (3,7,11,15,19,23,27,31)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_promotion_suppliers(spark, sf):
+    ps = _derived_partsupp(spark, sf)
+    part = load_table(spark, sf, "part").where("p_name LIKE '%red%'")
+    li = load_table(spark, sf, "lineitem")
+    l97 = (li.where("year(l_shipdate) = 1997")
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))"))
+                .alias("qty")))
+    cand = (ps.join(part, "p_partkey")
+            .join(l97, (F.col("ps_suppkey") == F.col("l_suppkey"))
+                  & (F.col("p_partkey") == F.col("l_partkey")))
+            .where("CAST(2 * ps_availqty AS DECIMAL(18,2)) > qty")
+            .select("ps_suppkey").distinct())
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    return (cand.join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+
+
+Q20_SQL = f"""
+WITH {_PS_SQL},
+l97 AS (SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1997
+        GROUP BY 1, 2),
+cand AS (SELECT DISTINCT ps.ps_suppkey FROM ps
+         JOIN part p USING (p_partkey)
+         JOIN l97 ON l97.l_partkey = ps.p_partkey
+                 AND l97.l_suppkey = ps.ps_suppkey
+         WHERE p.p_name LIKE '%red%'
+           AND CAST(2 * ps_availqty AS DECIMAL(18,2)) > l97.qty)
+SELECT s_suppkey, s_name, s_acctbal, n_name
+FROM cand JOIN supplier ON s_suppkey = cand.ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
 def q21_sole_supplier_multi_line(spark, sf):
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag")
@@ -2282,6 +2451,22 @@ QUERIES = {
         "null-padded rows for unmatched views whose join window closed "
         "below the min-of-sides final watermark; trailing views "
         "withheld in state"),
+    "q2_min_cost_supplier": Query(
+        q2_min_cost_supplier, Q2_SQL,
+        "TPC-H q2 adapted over DERIVED partsupp: min-cost European "
+        "supplier per part, total-ordered top-100"),
+    "q11_important_stock": Query(
+        q11_important_stock, Q11_SQL,
+        "TPC-H q11 adapted: per-part stock value over a nation group, "
+        "HAVING vs scaled total in exact decimals"),
+    "q16_part_supplier_variety": Query(
+        q16_part_supplier_variety, Q16_SQL,
+        "TPC-H q16 adapted: supplier variety per (brand, type, size) "
+        "with exclusion filters, COUNT DISTINCT"),
+    "q20_promotion_suppliers": Query(
+        q20_promotion_suppliers, Q20_SQL,
+        "TPC-H q20 adapted: suppliers whose derived stock exceeds "
+        "half the 1997 shipped quantity for red parts"),
     "events_stream_sliding": Query(
         events_stream_sliding, EVENTS_STREAM_SLIDING_SQL,
         "sliding windows under the oracle: overlapping 1h/30min "
