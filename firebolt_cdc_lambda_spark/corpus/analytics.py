@@ -905,8 +905,14 @@ def q2_min_cost_supplier(spark, sf):
           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     j = (ps.join(part, "p_partkey")
          .join(eu, F.col("ps_suppkey") == F.col("s_suppkey")))
-    m = j.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("mc"))
-    return (j.join(m, "p_partkey").where("ps_supplycost = mc")
+    # min-cost per part as a WINDOW over the single p_partkey exchange —
+    # not a groupBy + join-back, which plans as two extra SMJs of
+    # ps-sized relations (the oracle keeps the join-back formulation as
+    # an independent restatement)
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    return (j.withColumn("mc", F.min("ps_supplycost").over(w))
+            .where("ps_supplycost = mc")
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     "p_name", "ps_supplycost")
             .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
