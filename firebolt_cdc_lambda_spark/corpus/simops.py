@@ -161,26 +161,41 @@ def _shingle_sets(corpus: DataFrame) -> DataFrame:
                         f"array_distinct(transform(sequence(1, length(clean) - 4), i -> {h})) AS hs"))
 
 
-def dedup_minhash_lsh(spark, sf):
-    docs = _shingle_sets(_neardup_corpus(spark, sf))
+def _lsh_band_candidates(corpus: DataFrame, carry_sets: bool) -> DataFrame:
+    """The SHARED banded-LSH candidate generator: minhash signatures as
+    one codegen projection, one self-join per band, distinct (d1, d2)
+    pairs with d1 < d2.  ``carry_sets`` rides the shingle-set arrays
+    along (hs1/hs2) for exact verification; candidate-only consumers
+    (substring runs) skip the array payload.  Single source of truth so
+    'same candidates as dedup_minhash_lsh' stays structural, not a
+    docstring promise."""
+    docs = _shingle_sets(corpus)
     mins = [
         F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
         for k, (a, b) in enumerate(_MINHASH_PERMS)
     ]
-    sig = docs.select("doc_id", "hs", *mins)
+    carry = ["hs"] if carry_sets else []
+    sig = docs.select("doc_id", *carry, *mins)
     bands = [
         F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
         for bi, idxs in enumerate(_BANDS)
     ]
-    sig = sig.select("doc_id", "hs", *bands).cache()   # read once per band join
+    sig = sig.select("doc_id", *carry, *bands).cache()  # one read per band join
+    a_carry = ["hs AS hs1"] if carry_sets else []
+    b_carry = ["hs AS hs2"] if carry_sets else []
+    out_cols = ["d1", "d2", *(["hs1", "hs2"] if carry_sets else [])]
     cands = None
     for bi in range(len(_BANDS)):
-        a = sig.selectExpr("doc_id AS d1", "hs AS hs1", f"band{bi} AS bk")
-        b = sig.selectExpr("doc_id AS d2", "hs AS hs2", f"band{bi} AS bk2")
+        a = sig.selectExpr("doc_id AS d1", *a_carry, f"band{bi} AS bk")
+        b = sig.selectExpr("doc_id AS d2", *b_carry, f"band{bi} AS bk2")
         c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
-             .select("d1", "d2", "hs1", "hs2"))
+             .select(*out_cols))
         cands = c if cands is None else cands.unionByName(c)
-    cand = cands.dropDuplicates(["d1", "d2"])
+    return cands.dropDuplicates(["d1", "d2"])
+
+
+def dedup_minhash_lsh(spark, sf):
+    cand = _lsh_band_candidates(_neardup_corpus(spark, sf), carry_sets=True)
     jac = (F.expr("size(array_intersect(hs1, hs2))").cast("double")
            / F.expr("size(hs1) + size(hs2) - size(array_intersect(hs1, hs2))"))
     return (cand.where(jac >= _JACCARD_THRESHOLD)
@@ -225,25 +240,7 @@ _CONTAINMENT_THRESHOLD = 0.9
 
 
 def dedup_minhash_containment(spark, sf):
-    docs = _shingle_sets(_neardup_corpus(spark, sf))
-    mins = [
-        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
-        for k, (a, b) in enumerate(_MINHASH_PERMS)
-    ]
-    sig = docs.select("doc_id", "hs", *mins)
-    bands = [
-        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
-        for bi, idxs in enumerate(_BANDS)
-    ]
-    sig = sig.select("doc_id", "hs", *bands).cache()
-    cands = None
-    for bi in range(len(_BANDS)):
-        a = sig.selectExpr("doc_id AS d1", "hs AS hs1", f"band{bi} AS bk")
-        b = sig.selectExpr("doc_id AS d2", "hs AS hs2", f"band{bi} AS bk2")
-        c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
-             .select("d1", "d2", "hs1", "hs2"))
-        cands = c if cands is None else cands.unionByName(c)
-    cand = cands.dropDuplicates(["d1", "d2"])
+    cand = _lsh_band_candidates(_neardup_corpus(spark, sf), carry_sets=True)
     inter = F.expr("size(array_intersect(hs1, hs2))")
     c12 = inter.cast("double") / F.expr("size(hs1)")
     c21 = inter.cast("double") / F.expr("size(hs2)")
@@ -304,25 +301,7 @@ _MIN_RUN_TOKENS = 10
 
 def dedup_substring_runs(spark, sf):
     corpus = _neardup_corpus(spark, sf)
-    docs = _shingle_sets(corpus)
-    mins = [
-        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))").alias(f"mh{k}")
-        for k, (a, b) in enumerate(_MINHASH_PERMS)
-    ]
-    sig = docs.select("doc_id", *mins)
-    bands = [
-        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in idxs]).alias(f"band{bi}")
-        for bi, idxs in enumerate(_BANDS)
-    ]
-    sig = sig.select("doc_id", *bands).cache()
-    cands = None
-    for bi in range(len(_BANDS)):
-        a = sig.selectExpr("doc_id AS d1", f"band{bi} AS bk")
-        b = sig.selectExpr("doc_id AS d2", f"band{bi} AS bk2")
-        c = (a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
-             .select("d1", "d2"))
-        cands = c if cands is None else cands.unionByName(c)
-    cand = cands.dropDuplicates(["d1", "d2"])
+    cand = _lsh_band_candidates(corpus, carry_sets=False)
 
     tg = (corpus
           .selectExpr("doc_id",
@@ -1054,12 +1033,17 @@ FROM assigned a JOIN sz USING (cluster_id)
 # training data.  The decontamination-by-construction split hashes the
 # dedup CLUSTER id instead, so every near-dup cluster lands wholly in
 # one split.  The hash is explicit LCG arithmetic (no engine-native
-# hash): h = (cluster_id * 1103515245 + 12345) mod 2^31, split by
-# h mod 10 -> 8/1/1.  Composes the connected-components assignment
+# hash): h = ((cluster_id mod 2^31) * 1103515245 + 12345) mod 2^31,
+# split by h mod 10 -> 8/1/1.  The id is reduced mod 2^31 BEFORE the
+# multiply so the product never exceeds BIGINT — without it, ids above
+# ~8.4e9 overflow, which Spark (ansi off) silently wraps negative while
+# DuckDB errors, breaking both the 8/1/1 split and the cross-engine
+# determinism claim.  Composes the connected-components assignment
 # (same recursive-CTE oracle); the split projection is map-only on top.
 def corpus_leakage_safe_split(spark, sf):
     assigned = dedup_cluster_assign(spark, sf)
-    h = "((cluster_id * 1103515245 + 12345) % 2147483648) % 10"
+    h = ("(((cluster_id % 2147483648) * 1103515245 + 12345)"
+         " % 2147483648) % 10")
     return assigned.selectExpr(
         "doc_id", "cluster_id", "cluster_size",
         f"CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'val' "
@@ -1067,14 +1051,16 @@ def corpus_leakage_safe_split(spark, sf):
 
 
 CORPUS_LEAKAGE_SAFE_SPLIT_SQL = f"""
-WITH assigned_full AS ({DEDUP_CLUSTER_ASSIGN_SQL})
+WITH assigned_full AS ({DEDUP_CLUSTER_ASSIGN_SQL}),
+h AS (SELECT *,
+             (((cluster_id % 2147483648) * 1103515245 + 12345)
+              % 2147483648) % 10 AS hv
+      FROM assigned_full)
 SELECT doc_id, cluster_id, cluster_size,
-       CASE WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 < 8
-            THEN 'train'
-            WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 = 8
-            THEN 'val'
+       CASE WHEN hv < 8 THEN 'train'
+            WHEN hv = 8 THEN 'val'
             ELSE 'test' END AS split
-FROM assigned_full
+FROM h
 """
 
 

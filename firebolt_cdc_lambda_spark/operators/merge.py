@@ -753,6 +753,14 @@ class KeyedTable:
         if not self.versioned:
             raise ValueError("diff requires a versioned table "
                              "(KeyedTable(..., versioned=True))")
+        resolved_to = (self.latest_epoch() if to_version is None
+                       else to_version)
+        if from_version > resolved_to:
+            # an inverted range would silently emit INVERTED change
+            # types (inserts as deletes, pre/post images swapped)
+            raise ValueError(
+                f"diff range is inverted: from_version {from_version} > "
+                f"to_version {resolved_to}")
         a_assign, a_nb = self._resolve_epochs(from_version)
         b_assign, b_nb = self._resolve_epochs(to_version)
         if a_nb == b_nb:

@@ -131,6 +131,11 @@ def scd2_apply(dim: DataFrame, batch: DataFrame, keys: list[str],
             .unionByName(redone.select(*out_cols)))
 
 
+#: tracked rider marking delete events (op_col mode); part of the
+#: tracked tuple, so a delete opens a closing version like any change
+DELETED_COL = "__deleted"
+
+
 class Scd2Table:
     """Persistent SCD2 dimension, incrementally maintained from CDC
     batches — the operational form of :func:`scd2_apply`.
@@ -141,7 +146,18 @@ class Scd2Table:
     touches only the buckets its batch keys hash into — the same
     locality bound as ``KeyedTable.merge_batch`` (operators/merge.py).
     History rows are immutable once closed; an apply rewrites only the
-    touched buckets via dynamic partition overwrite.
+    touched buckets via dynamic partition overwrite.  A
+    ``_scd2_meta.json`` sidecar pins num_buckets/keys/order/tracked:
+    reopening with a different bucket count would otherwise hash keys
+    into the wrong dirs and silently duplicate histories, so mismatches
+    raise.
+
+    Deletes (``op_col`` mode): a CDC delete event is a CHANGE — it
+    opens a version with ``__deleted = true`` riding the tracked tuple,
+    closing the previous interval.  ``current()`` excludes
+    deleted-current keys; a later re-insert opens the next version.
+    Without ``op_col``, batches are treated as pure change events (the
+    caller must not feed delete rows).
 
     Replay idempotency falls out of the batch-order gate: re-applying
     an already-applied batch finds every row at-or-before each key's
@@ -150,16 +166,72 @@ class Scd2Table:
     """
 
     BUCKET_COL = "_bucket"
+    META = "_scd2_meta.json"
 
     def __init__(self, spark: SparkSession, path: str,
                  keys: Sequence[str], order: Sequence[str],
-                 tracked: Sequence[str], num_buckets: int = 64):
+                 tracked: Sequence[str], num_buckets: int = 64,
+                 op_col: str | None = None,
+                 delete_values: Sequence[str] = ("D",)):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.order = list(order)
         self.tracked = list(tracked)
         self.num_buckets = num_buckets
+        self.op_col = op_col
+        self.delete_values = list(delete_values)
+        self._load_meta()
+
+    # -- metadata sidecar ---------------------------------------------------
+    def _load_meta(self) -> None:
+        import json
+
+        from ..fsio import read_text
+        text = read_text(self.spark, f"{self.path}/{self.META}")
+        if text is None:
+            return
+        meta = json.loads(text)
+        if meta.get("keys") != self.keys:
+            raise ValueError(
+                f"Scd2Table at {self.path} was created with keys "
+                f"{meta.get('keys')}, not {self.keys}")
+        stored_nb = int(meta.get("num_buckets", self.num_buckets))
+        if stored_nb != self.num_buckets:
+            # honoring the stored count is the safe resolution: a
+            # mismatched count would hash keys into the wrong dirs and
+            # silently fork per-key histories
+            self.num_buckets = stored_nb
+        self.order = list(meta.get("order", self.order))
+        self.tracked = list(meta.get("tracked", self.tracked))
+        self.op_col = meta.get("op_col", self.op_col)
+
+    def _save_meta(self) -> None:
+        import json
+
+        from ..fsio import write_text
+        write_text(self.spark, f"{self.path}/{self.META}", json.dumps({
+            "keys": self.keys, "order": self.order,
+            "tracked": self.tracked, "num_buckets": self.num_buckets,
+            "op_col": self.op_col}))
+
+    @property
+    def _tracked_eff(self) -> list[str]:
+        return [*self.tracked, *( [DELETED_COL] if self.op_col else [] )]
+
+    def _prep(self, batch: DataFrame) -> DataFrame:
+        """Normalize a raw batch to keys + order + effective tracked."""
+        cols = [*self.keys, *self.order, *self.tracked]
+        if not self.op_col:
+            return batch.select(*cols)
+        if self.op_col not in batch.columns:
+            raise ValueError(
+                f"op_col {self.op_col!r} missing from batch columns "
+                f"{batch.columns}")
+        vals = ", ".join(f"'{v}'" for v in self.delete_values)
+        return batch.select(
+            *cols,
+            F.expr(f"{self.op_col} IN ({vals})").alias(DELETED_COL))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -180,8 +252,19 @@ class Scd2Table:
 
     def init(self, history: DataFrame) -> None:
         """Bootstrap from a full change history."""
-        self._write(scd2_snapshot(history, self.keys, self.order,
-                                  self.tracked), dynamic=False)
+        self._write(scd2_snapshot(self._prep(history), self.keys,
+                                  self.order, self._tracked_eff),
+                    dynamic=False)
+        self._save_meta()
+
+    def has_data(self) -> bool:
+        """True iff at least one bucket directory was COMMITTED.  A
+        crashed first init leaves only _temporary/ (or nothing), which
+        must route the next batch back to init, not apply — otherwise
+        the stream wedges on an uninferrable empty dir."""
+        from ..fsio import list_names
+        return any(n.startswith(f"{self.BUCKET_COL}=")
+                   for n in list_names(self.spark, self.path))
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
@@ -211,13 +294,14 @@ class Scd2Table:
         """Fold one later CDC batch in; returns the bucket ids
         rewritten.  Cost ∝ touched buckets: untouched buckets are
         neither read nor written."""
+        batch = self._prep(batch)
         bkeys = batch.select(*self.keys).distinct()
         buckets = sorted(
             r[0] for r in self._with_bucket(bkeys)
             .select(self.BUCKET_COL).distinct().collect())
         dim = self._read_buckets(buckets)
         redone = scd2_apply(dim, batch, self.keys, self.order,
-                            self.tracked)
+                            self._tracked_eff)
         # pin the result before the dynamic overwrite replaces the very
         # files the plan reads (same hazard as RollupTable pre-images)
         redone = redone.localCheckpoint(eager=True)
@@ -225,6 +309,9 @@ class Scd2Table:
         return buckets
 
     def current(self) -> DataFrame:
-        """The live dimension rows — equivalent to the keyed snapshot a
-        ``KeyedTable`` would hold."""
-        return self.read().where(F.col("is_current"))
+        """The LIVE dimension rows — open versions, minus keys whose
+        open version is a delete marker (op_col mode)."""
+        cur = self.read().where(F.col("is_current"))
+        if self.op_col:
+            cur = cur.where(~F.col(DELETED_COL))
+        return cur

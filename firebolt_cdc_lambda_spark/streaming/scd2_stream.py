@@ -18,6 +18,15 @@ genuinely out-of-order older row is DROPPED by that same gate, exactly
 like the version-gated merge drops stale updates; feed historical
 backfills through ``Scd2Table.init`` (full rebuild), not the stream.
 
+Within-file ordering: the stream stamps the file-local
+``ingestion_seq`` (parquet row order = binlog order, the reference's
+CRITICAL invariant — cdc_stream.py stamps it for the same reason) and
+REQUIRES the table's last order column to be ``ingestion_seq``, so two
+same-key changes with equal event-time columns in one file fold
+deterministically.  Deletes: construct the ``Scd2Table`` with
+``op_col`` so delete events close intervals instead of silently
+folding as attribute updates (the Op column is passed through).
+
 Cost per trigger: O(batch + touched buckets) — the same locality bound
 as the merge stream (apply reads and rewrites only the buckets the
 batch's keys hash into).
@@ -29,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fsio import exists
 from ..operators.scd2 import Scd2Table
 
 
@@ -40,6 +48,11 @@ class Scd2Stream:
                  checkpoint_dir: str,
                  schema: T.StructType | None = None,
                  max_files_per_trigger: int | None = 1):
+        if table.order[-1] != "ingestion_seq":
+            raise ValueError(
+                "Scd2Stream requires the table's final order column to "
+                "be 'ingestion_seq' (the stream stamps it per file; "
+                f"got order={table.order!r})")
         self.table = table
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
@@ -57,14 +70,19 @@ class Scd2Stream:
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        from ..sources.ingest import with_ingestion_seq
         cols = [*self.table.keys, *self.table.order, *self.table.tracked]
-        batch = batch_df.select(*cols)
-        if exists(batch_df.sparkSession, self.table.path):
+        if self.table.op_col:
+            cols.append(self.table.op_col)
+        batch = with_ingestion_seq(batch_df,
+                                   assert_file_names=True).select(*cols)
+        # has_data(), not a bare dir-exists check: a CRASHED first init
+        # leaves the directory with only _temporary/ wreckage, and
+        # routing that to apply() would wedge the stream on an
+        # uninferrable empty read; init's static overwrite resets it.
+        if self.table.has_data():
             self.table.apply(batch)
         else:
-            # first batch bootstraps the history (the empty-dim case of
-            # apply would be equivalent; init keeps the static-overwrite
-            # wipe semantics for a fresh path)
             self.table.init(batch)
 
     def start(self, spark: SparkSession, available_now: bool = True):

@@ -106,3 +106,13 @@ def test_diff_after_rebucket_full_scan_still_correct(spark, tmp_path):
         (2, "b", 20, "update_preimage"),
         (2, "b2", 20, "update_postimage"),
     ]
+
+
+def test_diff_rejects_inverted_range(spark, tmp_path):
+    kt = _table(spark, str(tmp_path / "t"), [(1, "a", 10)])
+    kt.merge_batch(spark.createDataFrame(
+        [(1, "a2", 10, "U")], "k int, v string, x int, Op string"))
+    with pytest.raises(ValueError, match="inverted"):
+        kt.diff(1, 0)
+    with pytest.raises(ValueError, match="inverted"):
+        kt.diff(2)          # from beyond latest

@@ -1,16 +1,16 @@
 """Scd2Stream: per-file micro-batches fold into the persistent SCD2
-dimension; the result equals the one-shot rebuild; restart from the
-checkpoint skips processed files; LOAD* files are excluded."""
+dimension with the stamped ingestion_seq tie-break and Op-aware delete
+closure; restart from the checkpoint skips processed files; LOAD*
+files are excluded."""
 
 import os
 
-from pyspark.sql import functions as F
-
-from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table, scd2_snapshot
+from firebolt_cdc_lambda_spark.operators.scd2 import (DELETED_COL,
+                                                      Scd2Table)
 from firebolt_cdc_lambda_spark.streaming.scd2_stream import Scd2Stream
 
-KEYS, ORDER, TRACKED = ["k"], ["t", "seq"], ["attr"]
-SCHEMA = "k int, t bigint, seq bigint, attr string"
+KEYS, ORDER, TRACKED = ["k"], ["t", "ingestion_seq"], ["attr"]
+SCHEMA = "k int, t bigint, attr string, Op string"
 
 
 def _write_file(spark, path, rows, mtime):
@@ -22,62 +22,127 @@ def _write_file(spark, path, rows, mtime):
     os.utime(path, (mtime, mtime))
 
 
-def _rows(lo, hi, seed_attr):
-    return [(k, 10 * i, 1000 * i + k, seed_attr[(k + i) % len(seed_attr)])
-            for k in range(6) for i in range(lo, hi)]
+def _canon(df):
+    rows = df.select("k", "attr", "valid_from", "valid_to", "version",
+                     "is_current", DELETED_COL).collect()
+    return sorted((tuple(r) for r in rows),
+                  key=lambda t: tuple((v is None, v) for v in t))
 
 
-def test_stream_folds_batches_and_resumes(spark, tmp_path):
+def _mk(spark, tmp_path, files):
     src = str(tmp_path / "src")
-    f1, f2 = _rows(0, 3, "ab"), _rows(3, 6, "ba")
-    _write_file(spark, os.path.join(src, "2024", "01", "01", "a.parquet"),
-                f1, 1000)
-    _write_file(spark, os.path.join(src, "2024", "01", "02", "b.parquet"),
-                f2, 1100)
+    for i, rows in enumerate(files):
+        _write_file(spark, os.path.join(src, "2024", "01", f"{i+1:02d}",
+                                        f"f{i}.parquet"), rows, 1000 + i)
     dim = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
-                    num_buckets=8)
+                    num_buckets=8, op_col="Op")
     stream = Scd2Stream(dim, src, str(tmp_path / "ckpt"))
     stream.run_to_completion(spark)
+    return dim, stream, src
 
-    want = sorted(tuple(r) for r in scd2_snapshot(
-        spark.createDataFrame(f1 + f2, SCHEMA), KEYS, ORDER, TRACKED)
-        .collect())
-    got = sorted(tuple(r) for r in dim.read()
-                 .select(*[f.name for f in scd2_snapshot(
-                     spark.createDataFrame(f1, SCHEMA), KEYS, ORDER,
-                     TRACKED).schema.fields]).collect())
-    assert got == want
 
-    # restart: nothing new -> no change (checkpoint skips both files)
+def test_stream_folds_deletes_and_resumes(spark, tmp_path):
+    files = [
+        [(1, 10, "a", "I"), (2, 10, "x", "I")],
+        [(1, 20, "b", "U"), (2, 20, "x", "D")],   # 2 deleted
+        [(2, 30, "y", "I")],                       # 2 re-inserted
+    ]
+    dim, stream, src = _mk(spark, tmp_path, files)
+    out = _canon(dim.read())
+    # key 1: a -> b (2 versions); key 2: x -> deleted -> y (3 versions)
+    assert [t for t in out if t[0] == 1] == [
+        (1, "a", 10, 20, 1, False, False),
+        (1, "b", 20, None, 2, True, False),
+    ]
+    k2 = [t for t in out if t[0] == 2]
+    assert [(t[4], t[6]) for t in k2] == [(1, False), (2, True), (3, False)]
+    # current() hides nothing here (key 2's open version is the
+    # re-insert), but it must have hidden key 2 mid-history; assert the
+    # final live view
+    cur = {(r["k"], r["attr"]) for r in dim.current().collect()}
+    assert cur == {(1, "b"), (2, "y")}
+
+    # restart: no new files -> no change
+    before = _canon(dim.read())
     stream.run_to_completion(spark)
-    got2 = sorted(tuple(r) for r in dim.read().collect())
-    assert len(got2) == len(want)
+    assert _canon(dim.read()) == before
 
-    # a third file arrives; only it is processed
-    f3 = _rows(6, 8, "ab")
-    _write_file(spark, os.path.join(src, "2024", "01", "03", "c.parquet"),
-                f3, 1200)
-    stream.run_to_completion(spark)
-    want3 = sorted(tuple(r) for r in scd2_snapshot(
-        spark.createDataFrame(f1 + f2 + f3, SCHEMA), KEYS, ORDER, TRACKED)
-        .collect())
-    got3 = sorted(tuple(r) for r in dim.read().collect())
-    assert len(got3) == len(want3)
-    assert {t[:2] for t in got3} == {
-        (r["k"], r["attr"]) for r in scd2_snapshot(
-            spark.createDataFrame(f1 + f2 + f3, SCHEMA), KEYS, ORDER,
-            TRACKED).collect()}
+
+def test_stream_delete_hides_key_from_current(spark, tmp_path):
+    files = [
+        [(5, 10, "v", "I")],
+        [(5, 20, "v", "D")],
+    ]
+    dim, _, _ = _mk(spark, tmp_path, files)
+    assert dim.current().count() == 0
+    out = _canon(dim.read())
+    assert [(t[4], t[6]) for t in out] == [(1, False), (2, True)]
+
+
+def test_stream_same_timestamp_rows_fold_in_file_order(spark, tmp_path):
+    """Two changes to one key with IDENTICAL event times in one file:
+    the stamped ingestion_seq makes the LATER row in file order win."""
+    files = [
+        [(7, 10, "first", "I"), (7, 10, "second", "U")],
+    ]
+    dim, _, _ = _mk(spark, tmp_path, files)
+    cur = dim.current().collect()
+    assert len(cur) == 1 and cur[0]["attr"] == "second"
+
+
+def test_stream_requires_ingestion_seq_order(spark, tmp_path):
+    import pytest
+    dim = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ["t"], TRACKED,
+                    num_buckets=4, op_col="Op")
+    with pytest.raises(ValueError, match="ingestion_seq"):
+        Scd2Stream(dim, str(tmp_path / "src"), str(tmp_path / "ck"))
 
 
 def test_stream_skips_load_files(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_file(spark, os.path.join(src, "2024", "01", "01",
                                     "LOAD00000001.parquet"),
-                [(99, 10, 0, "x")], 1000)
+                [(99, 10, "x", "I")], 1000)
     _write_file(spark, os.path.join(src, "2024", "01", "01", "a.parquet"),
-                [(1, 10, 0, "a")], 1100)
+                [(1, 10, "a", "I")], 1100)
     dim = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
-                    num_buckets=4)
+                    num_buckets=4, op_col="Op")
     Scd2Stream(dim, src, str(tmp_path / "ckpt")).run_to_completion(spark)
     ks = {r["k"] for r in dim.read().collect()}
     assert ks == {1}
+
+
+def test_wrecked_first_init_recovers(spark, tmp_path):
+    """A table dir containing only non-bucket wreckage (the crashed
+    first-write shape) routes the next batch to init, not apply."""
+    dimdir = tmp_path / "dim"
+    (dimdir / "_temporary").mkdir(parents=True)
+    src = str(tmp_path / "src")
+    _write_file(spark, os.path.join(src, "2024", "01", "01", "a.parquet"),
+                [(1, 10, "a", "I")], 1000)
+    dim = Scd2Table(spark, str(dimdir), KEYS, ORDER, TRACKED,
+                    num_buckets=4, op_col="Op")
+    assert not dim.has_data()
+    Scd2Stream(dim, src, str(tmp_path / "ckpt")).run_to_completion(spark)
+    assert dim.has_data()
+    assert dim.current().count() == 1
+
+
+def test_meta_sidecar_pins_bucket_count_and_keys(spark, tmp_path):
+    import pytest
+    p = str(tmp_path / "dim")
+    t = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=64,
+                  op_col="Op")
+    t.init(spark.createDataFrame([(1, 10, 0, "a", "I")],
+                                 "k int, t bigint, ingestion_seq bigint, "
+                                 "attr string, Op string"))
+    # reopening with a different count silently HONORS the stored one
+    t2 = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=8,
+                   op_col="Op")
+    assert t2.num_buckets == 64
+    t2.apply(spark.createDataFrame([(1, 20, 0, "b", "U")],
+                                   "k int, t bigint, ingestion_seq bigint, "
+                                   "attr string, Op string"))
+    assert {r["attr"] for r in t2.current().collect()} == {"b"}
+    with pytest.raises(ValueError, match="keys"):
+        Scd2Table(spark, p, ["other"], ORDER, TRACKED, num_buckets=64)
