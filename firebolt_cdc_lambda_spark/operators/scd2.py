@@ -147,10 +147,11 @@ class Scd2Table:
     locality bound as ``KeyedTable.merge_batch`` (operators/merge.py).
     History rows are immutable once closed; an apply rewrites only the
     touched buckets via dynamic partition overwrite.  A
-    ``_scd2_meta.json`` sidecar pins num_buckets/keys/order/tracked:
-    reopening with a different bucket count would otherwise hash keys
-    into the wrong dirs and silently duplicate histories, so mismatches
-    raise.
+    ``_scd2_meta.json`` sidecar pins the table's definition: a KEY
+    mismatch on reopen raises; a differing bucket count (or order/
+    tracked/op settings) is overridden by the STORED values — hashing
+    with a different count would read the wrong dirs and silently fork
+    per-key histories.
 
     Deletes (``op_col`` mode): a CDC delete event is a CHANGE — it
     opens a version with ``__deleted = true`` riding the tracked tuple,
@@ -205,6 +206,8 @@ class Scd2Table:
         self.order = list(meta.get("order", self.order))
         self.tracked = list(meta.get("tracked", self.tracked))
         self.op_col = meta.get("op_col", self.op_col)
+        self.delete_values = list(meta.get("delete_values",
+                                           self.delete_values))
 
     def _save_meta(self) -> None:
         import json
@@ -213,7 +216,7 @@ class Scd2Table:
         write_text(self.spark, f"{self.path}/{self.META}", json.dumps({
             "keys": self.keys, "order": self.order,
             "tracked": self.tracked, "num_buckets": self.num_buckets,
-            "op_col": self.op_col}))
+            "op_col": self.op_col, "delete_values": self.delete_values}))
 
     @property
     def _tracked_eff(self) -> list[str]:
