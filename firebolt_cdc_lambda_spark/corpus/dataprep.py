@@ -290,7 +290,7 @@ def corpus_gini_balance(spark, sf):
                     .agg(F.count(F.lit(1)).alias("x")), "lang_docs")
     src = gini_row(d.groupBy(F.col("source").alias("g"))
                    .agg(F.sum("ntok").alias("x")), "src_tokens")
-    return lang.crossJoin(src)
+    return lang.crossJoin(F.broadcast(src))   # both sides are 1 row
 
 
 def _gini_sql(src_cte: str, prefix: str) -> str:
