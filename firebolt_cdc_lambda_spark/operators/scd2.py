@@ -182,6 +182,13 @@ class Scd2Table:
         self.num_buckets = num_buckets
         self.op_col = op_col
         self.delete_values = list(delete_values)
+        # the caller's definition, kept verbatim: init() is a full
+        # static-overwrite rebuild, so THERE the constructor arguments
+        # win over any stored sidecar (reconfiguration point); apply()
+        # keeps honoring the stored definition loaded below.
+        self._ctor = {"order": list(order), "tracked": list(tracked),
+                      "num_buckets": num_buckets, "op_col": op_col,
+                      "delete_values": list(delete_values)}
         self._load_meta()
 
     # -- metadata sidecar ---------------------------------------------------
@@ -231,7 +238,12 @@ class Scd2Table:
             raise ValueError(
                 f"op_col {self.op_col!r} missing from batch columns "
                 f"{batch.columns}")
-        vals = ", ".join(f"'{v}'" for v in self.delete_values)
+        # escape like merge.py's delete predicate: a quote or backslash
+        # in a configured delete value must not break (or subtly alter)
+        # the parsed IN-list
+        vals = ", ".join(
+            "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+            for v in self.delete_values)
         return batch.select(
             *cols,
             F.expr(f"{self.op_col} IN ({vals})").alias(DELETED_COL))
@@ -254,7 +266,12 @@ class Scd2Table:
          .parquet(self.path))
 
     def init(self, history: DataFrame) -> None:
-        """Bootstrap from a full change history."""
+        """Bootstrap from a full change history.  As the table's reset
+        point, init re-asserts the CONSTRUCTOR's definition (order/
+        tracked/num_buckets/op settings) over any stored sidecar — a
+        re-init is how the table is reconfigured."""
+        for attr, val in self._ctor.items():
+            setattr(self, attr, val)
         self._write(scd2_snapshot(self._prep(history), self.keys,
                                   self.order, self._tracked_eff),
                     dynamic=False)

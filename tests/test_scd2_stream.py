@@ -146,3 +146,42 @@ def test_meta_sidecar_pins_bucket_count_and_keys(spark, tmp_path):
     assert {r["attr"] for r in t2.current().collect()} == {"b"}
     with pytest.raises(ValueError, match="keys"):
         Scd2Table(spark, p, ["other"], ORDER, TRACKED, num_buckets=64)
+
+
+def test_reinit_reasserts_constructor_definition(spark, tmp_path):
+    """init() is the reconfiguration point: a re-init with different
+    delete_values (or bucket count) must WIN over the stored sidecar —
+    otherwise a reconfigured delete value silently folds deletes as
+    updates again."""
+    p = str(tmp_path / "dim")
+    rows = "k int, t bigint, ingestion_seq bigint, attr string, Op string"
+    t = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=8,
+                  op_col="Op", delete_values=("D",))
+    t.init(spark.createDataFrame([(1, 10, 0, "a", "I")], rows))
+    t2 = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=16,
+                   op_col="Op", delete_values=("D", "delete"))
+    # before re-init: stored definition governs apply()
+    assert t2.delete_values == ["D"] and t2.num_buckets == 8
+    t2.init(spark.createDataFrame([(1, 10, 0, "a", "I")], rows))
+    assert t2.delete_values == ["D", "delete"] and t2.num_buckets == 16
+    t2.apply(spark.createDataFrame([(1, 20, 0, "a", "delete")], rows))
+    assert t2.current().count() == 0          # 'delete' now recognized
+    # and a fresh reopen sees the NEW stored definition
+    t3 = Scd2Table(spark, p, KEYS, ORDER, TRACKED)
+    assert t3.delete_values == ["D", "delete"] and t3.num_buckets == 16
+
+
+def test_delete_values_with_quote_and_backslash(spark, tmp_path):
+    """Configured delete values are escaped into the IN-list exactly
+    like merge.py's delete predicate."""
+    rows = "k int, t bigint, ingestion_seq bigint, attr string, Op string"
+    t = Scd2Table(spark, str(tmp_path / "dim"), KEYS, ORDER, TRACKED,
+                  num_buckets=4, op_col="Op",
+                  delete_values=("D\\x", "o'p"))
+    t.init(spark.createDataFrame([(1, 10, 0, "a", "I")], rows))
+    t.apply(spark.createDataFrame([(1, 20, 1, "a", "D\\x")], rows))
+    t.apply(spark.createDataFrame([(2, 20, 2, "b", "o'p")], rows))
+    out = {(r["k"], r[DELETED_COL]) for r in
+           t.read().where("is_current").collect()}
+    assert out == {(1, True), (2, True)}
+    assert t.current().count() == 0
