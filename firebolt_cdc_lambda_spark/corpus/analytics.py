@@ -2322,6 +2322,49 @@ WHERE NOT EXISTS (SELECT 1 FROM v
 """
 
 
+# -- cohort retention matrix ----------------------------------------------
+# The product-analytics staple next to sessionization and funnels:
+# bucket users by their FIRST-active day (the cohort), then count how
+# many of each cohort return k days later.  Days are absolute epoch
+# days (unix_micros DIV 86400000000 — pure BIGINT arithmetic, no
+# calendar/timezone semantics to diverge on).  Daily granularity is
+# what binds on the fixtures: the event stream opens with a ramp-up, so
+# sf0.01 has 2 distinct first-active days and sf0.1 has 4 (weekly
+# cohorts would collapse to one).  Plan shape: the cohort (per-user MIN
+# day) is a window over the user_id exchange, and the re-aggregation by
+# (cohort_day, day_offset) groups the SAME rows — one shuffle on
+# user_id + one small re-agg exchange whose key space is O(days^2),
+# map-side combined.  No join: the window carries the cohort to every
+# row, so the 100 TB shape is scan + two exchanges (the second over a
+# few thousand groups) regardless of user count.
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def events_retention_cohorts(spark, sf):
+    e = (load_table(spark, sf, "events")
+         .selectExpr("user_id", f"unix_micros(ts) DIV {_DAY_US} AS d"))
+    w = Window.partitionBy("user_id")
+    c = e.withColumn("cohort_day", F.min("d").over(w))
+    return (c.groupBy(F.col("cohort_day").cast("bigint").alias("cohort_day"),
+                      (F.col("d") - F.col("cohort_day")).cast("bigint")
+                      .alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+EVENTS_RETENTION_COHORTS_SQL = f"""
+WITH e AS (SELECT user_id, EPOCH_US(ts) // {_DAY_US} AS d
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+c AS (SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+      FROM e)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(d - cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM c GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -2479,6 +2522,12 @@ QUERIES = {
         "windows with the per-(row,window) lagged late filter and the "
         "end-based emission cut, reproduced by expand-then-filter "
         "batch SQL"),
+    "events_retention_cohorts": Query(
+        events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL,
+        "cohort retention matrix: users bucketed by first-active epoch-"
+        "week, distinct-user retention per week offset — one window "
+        "exchange on user_id reused by the re-aggregation, all-integer "
+        "week arithmetic"),
     "events_stream_join_full": Query(
         events_stream_join_full, EVENTS_STREAM_JOIN_FULL_SQL,
         "stream-stream FULL OUTER join: inner pairs + closed unmatched "

@@ -322,6 +322,112 @@ SELECT * FROM lang_gini CROSS JOIN src_gini
 """
 
 
+# -- corpus drift: Hellinger distance, transcendental-free ----------------
+# Third member of the divergence family (TV = mass-shift, chi-square =
+# rarity-weighted, Hellinger = geometry of sqrt-space — bounded [0,1]
+# and symmetric, the standard choice when p and q have disjoint
+# support regions that make chi-square blow up).  H^2(p, q) =
+# 0.5 * sum_t (sqrt(p_t) - sqrt(q_t))^2.  Exactness: IEEE 754 REQUIRES
+# sqrt to be correctly rounded (like +-*/), so sqrt(a/A) is
+# bit-identical cross-engine; the per-token (s_p - s_q)^2 is two more
+# exactly-rounded ops on identical inputs.  The order-dependent double
+# SUM is dodged with the same FLOOR grid as corpus_drift_chisq:
+# floor(contrib * 1e15) is BIGINT-exact (sum of contribs <= 2, so the
+# scaled sum <= 2e15) and floor has no tie-break semantics to diverge
+# on; truncation error < |vocab| * 1e-15.
+def corpus_drift_hellinger(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.selectExpr("doc_id % 2 AS half",
+                        f"explode({_TOKENS_SPARK}) AS token")
+    per_tok = (toks.groupBy("token")
+               .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+                    F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b")))
+    totals = per_tok.agg(F.sum("a").alias("tot_a"), F.sum("b").alias("tot_b"))
+    contrib = ("(sqrt(CAST(a AS DOUBLE) / tot_a) - sqrt(CAST(b AS DOUBLE) / tot_b))"
+               " * (sqrt(CAST(a AS DOUBLE) / tot_a) - sqrt(CAST(b AS DOUBLE) / tot_b))")
+    return (per_tok.crossJoin(F.broadcast(totals))
+            .agg(F.max("tot_a").alias("n_tokens_a"),
+                 F.max("tot_b").alias("n_tokens_b"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum(F.expr(
+                     f"CAST(floor(({contrib}) * 1e15) AS BIGINT)"))
+                 .alias("hellinger_scaled"))
+            .selectExpr("n_tokens_a", "n_tokens_b", "n_vocab",
+                        "hellinger_scaled",
+                        "0.5 * CAST(hellinger_scaled AS DOUBLE) / 1e15"
+                        " AS hellinger_sq"))
+
+
+_HELLINGER_CONTRIB_DUCK = (
+    "(sqrt(p.a::DOUBLE / g.A) - sqrt(p.b::DOUBLE / g.B))"
+    " * (sqrt(p.a::DOUBLE / g.A) - sqrt(p.b::DOUBLE / g.B))")
+CORPUS_DRIFT_HELLINGER_SQL = f"""
+WITH t AS (SELECT doc_id % 2 AS half, unnest({_TOKENS_DUCK}) AS token
+           FROM documents),
+p AS (SELECT token,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM t GROUP BY 1),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS A, CAST(SUM(b) AS BIGINT) AS B
+      FROM p)
+SELECT g.A AS n_tokens_a, g.B AS n_tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CAST(floor(({_HELLINGER_CONTRIB_DUCK}) * 1e15) AS BIGINT)) AS BIGINT)
+         AS hellinger_scaled,
+       0.5 * CAST(SUM(CAST(floor(({_HELLINGER_CONTRIB_DUCK}) * 1e15) AS BIGINT)) AS DOUBLE)
+         / 1e15 AS hellinger_sq
+FROM p, g GROUP BY g.A, g.B
+"""
+
+
+# -- temperature-smoothed mixture weights ---------------------------------
+# The standard multilingual/multi-source rebalancing step (alpha-
+# smoothing, alpha = 0.5): sampling weight w_i proportional to
+# p_i^alpha, which upsamples low-resource languages without discarding
+# high-resource mass.  alpha = 0.5 makes p^alpha = sqrt(p) — and IEEE
+# sqrt is correctly rounded, so every per-group value is bit-identical
+# cross-engine.  The cross-group normalizing SUM of sqrt-doubles would
+# be order-dependent; dodge: s_i = floor(sqrt(n_docs) * 1e9) is an
+# exact BIGINT (sqrt(n) <= ~1e4 at any plausible doc count, so
+# s_i <= ~1e13, sums far under 2^63), the total is an exact integer
+# sum, and each weight/boost is a fixed expression tree of exactly-
+# rounded ops on identical inputs.  Plan: one map-side-combined
+# groupBy(lang) (a handful of groups) + a broadcast 1-row total —
+# scan-bound at any scale.
+def corpus_temperature_mixture(spark, sf):
+    d = load_table(spark, sf, "documents")
+    per_lang = (d.groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+                .selectExpr("lang", "n_docs",
+                            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e9)"
+                            " AS BIGINT) AS sqrt_scaled"))
+    totals = per_lang.agg(F.sum("n_docs").cast("bigint").alias("tot_docs"),
+                          F.sum("sqrt_scaled").cast("bigint").alias("tot_sqrt"))
+    return (per_lang.crossJoin(F.broadcast(totals))
+            .selectExpr(
+                "lang", "n_docs", "sqrt_scaled",
+                "CAST(n_docs AS DOUBLE) / tot_docs AS raw_share",
+                "CAST(sqrt_scaled AS DOUBLE) / tot_sqrt AS temp_weight",
+                "(CAST(sqrt_scaled AS DOUBLE) / tot_sqrt)"
+                " / (CAST(n_docs AS DOUBLE) / tot_docs) AS boost"))
+
+
+CORPUS_TEMPERATURE_MIXTURE_SQL = """
+WITH p AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT)
+                    AS sqrt_scaled
+           FROM documents GROUP BY lang),
+g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+             CAST(SUM(sqrt_scaled) AS BIGINT) AS tot_sqrt FROM p)
+SELECT p.lang, p.n_docs, p.sqrt_scaled,
+       CAST(p.n_docs AS DOUBLE) / g.tot_docs AS raw_share,
+       CAST(p.sqrt_scaled AS DOUBLE) / g.tot_sqrt AS temp_weight,
+       (CAST(p.sqrt_scaled AS DOUBLE) / g.tot_sqrt)
+         / (CAST(p.n_docs AS DOUBLE) / g.tot_docs) AS boost
+FROM p, g
+"""
+
+
 QUERIES = {
     "corpus_drift_tv": Query(
         corpus_drift_tv, CORPUS_DRIFT_TV_SQL,
@@ -355,4 +461,14 @@ QUERIES = {
         "mixture-balance report: Gini concentration of docs-per-language "
         "and tokens-per-source, exact BIGINT numerators + one final "
         "division", ("dataprep", "balance")),
+    "corpus_drift_hellinger": Query(
+        corpus_drift_hellinger, CORPUS_DRIFT_HELLINGER_SQL,
+        "snapshot drift: Hellinger distance (bounded, symmetric third "
+        "member of the divergence family) — IEEE-correctly-rounded "
+        "sqrt per token, floor-grid-summed", ("dataprep", "drift")),
+    "corpus_temperature_mixture": Query(
+        corpus_temperature_mixture, CORPUS_TEMPERATURE_MIXTURE_SQL,
+        "temperature-smoothed (alpha=0.5) mixture reweighting: "
+        "sqrt-share sampling weights + low-resource boost factors in "
+        "exact scaled BIGINTs", ("dataprep", "balance")),
 }

@@ -1339,6 +1339,68 @@ FROM e GROUP BY cent_id, pos
 """
 
 
+# -- contrastive hard-negative mining -------------------------------------
+# Training-pair construction for contrastive/embedding models: for each
+# query vector, the top-k most-similar vectors whose LABEL differs —
+# "hard negatives", the near-misses that carry the most gradient signal
+# (easy negatives are random pairs; these are mined from the similarity
+# structure).  Same determinism discipline as ann_cosine_topk: integer-
+# quantized dot products (exact BIGINTs), one sqrt + one division per
+# pair (correctly rounded), total-ordered top-k.  Scale shape: the
+# query side is broadcast (a training batch, not the corpus), the label
+# filter is a codegen predicate on the scanned side, and the per-query
+# top-k is a WindowGroupLimit — map-side partial top-k, never a global
+# sort; the corpus side streams through ONE scan regardless of k.
+_HN_TOP_K = 10
+
+
+def ann_hard_negatives(spark, sf):
+    from pyspark.sql import Window
+    e = load_table(spark, sf, "embeddings")
+    qv = e.selectExpr("vec_id", "label", f"{_QUANT_SPARK} AS qv")
+    dot_self = _DOT_SPARK.format(a="qv", b="qv")
+    qv = qv.selectExpr("vec_id", "label", "qv", f"{dot_self} AS norm2")
+    queries = qv.where(F.col("vec_id") < _N_QUERIES) \
+        .selectExpr("vec_id AS query_id", "label AS query_label",
+                    "qv AS qq", "norm2 AS qn")
+    dot = _DOT_SPARK.format(a="qq", b="qv")
+    scored = (F.broadcast(queries).crossJoin(qv)
+              .where(F.col("label") != F.col("query_label"))
+              .selectExpr("query_id", "query_label", "vec_id",
+                          "label AS neg_label",
+                          f"CAST({dot} AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)"
+                          " * CAST(norm2 AS DOUBLE)) AS cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _HN_TOP_K)
+            .select("query_id", F.col("query_label").cast("int").alias("query_label"),
+                    "vec_id", F.col("neg_label").cast("int").alias("neg_label"),
+                    "cosine", F.col("rank").cast("int").alias("rank")))
+
+
+ANN_HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings),
+n AS (SELECT vec_id, label, qv,
+             CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS norm2
+      FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label, b.vec_id,
+         b.label AS neg_label,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cosine
+  FROM n a, n b
+  WHERE a.vec_id < {_N_QUERIES} AND b.label <> a.label
+)
+SELECT query_id, CAST(query_label AS INTEGER) AS query_label, vec_id,
+       CAST(neg_label AS INTEGER) AS neg_label, cosine,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_HN_TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_outlier_trim": Query(
         embedding_outlier_trim, EMBEDDING_OUTLIER_SQL,
@@ -1404,4 +1466,10 @@ QUERIES = {
         "leakage-safe train/val/test split: explicit-LCG hash of the "
         "dedup CLUSTER id, so near-duplicate documents can never "
         "straddle splits (decontamination by construction)"),
+    "ann_hard_negatives": Query(
+        ann_hard_negatives, ANN_HARD_NEGATIVES_SQL,
+        "contrastive hard-negative mining: per query, the top-k most-"
+        "similar vectors with a DIFFERENT label (the pairs that teach "
+        "an embedding model the most) — broadcast queries, map-side "
+        "top-k, exact integer dot products"),
 }
