@@ -2365,6 +2365,148 @@ FROM c GROUP BY 1, 2
 """
 
 
+# -- stream-STATIC enrichment join under the value-hash oracle ------------
+# The most common production streaming shape — a dimension lookup on a
+# stream (enrich each event with a static attribute, then window-
+# aggregate per attribute) — completing the streaming join family next
+# to the stream-stream inner/left/full rows.  Semantics: the join is
+# STATELESS (each micro-batch joins the static snapshot; no join state,
+# no watermark interaction from the static side).  withWatermark is
+# applied on the stream BEFORE the join, so ALL stream rows advance the
+# watermark — including rows the inner join then drops (user_id 0 has
+# no customer row; putting the watermark after the join would let
+# unmatched rows' event times vanish from the frontier).  The windowed
+# aggregation then follows the empirically pinned model verbatim
+# (one-cycle-lagged, window-END-based late filter; end <= final-wm
+# emission): the oracle is EVENTS_STREAM_WATERMARK_SQL's CTE chain with
+# the dimension join applied to the kept rows and the segment added to
+# the group key.  Scale shape: the static dim is broadcast per
+# micro-batch (dims are metadata-sized next to a 100 TB stream); state
+# is bounded by open windows x segments.
+def events_stream_static_enrich(spark, sf):
+    import os
+    import tempfile
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "value", (F.col("event_id") % _WM_N_BATCHES).alias("b"))
+    cust = (load_table(spark, sf, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    tmp = tempfile.mkdtemp(prefix="ss_stream_q_")   # left for OS cleanup
+    src = os.path.join(tmp, "src")
+    _write_stream_batches(e, src, _WM_N_BATCHES, ["user_id", "ts", "value"])
+    schema = e.select("user_id", "ts", "value").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    joined = (stream.withWatermark("ts", "48 hours")
+              .join(F.broadcast(cust), "user_id"))      # stateless dim join
+    agg = (joined.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"))
+           .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                   F.col("c_mktsegment").alias("segment"),
+                   F.col("n_events").cast("bigint").alias("n_events"),
+                   "total_value"))
+    sink = os.path.join(tmp, "sink")
+    with _stream_shuffle_partitions(spark):
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        if q.isActive:
+            q.stop()
+    return (spark.read.parquet(sink)
+            .select("window_start_us", "segment",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "total_value"))
+
+
+EVENTS_STREAM_STATIC_ENRICH_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value,
+                  event_id % {_WM_N_BATCHES} AS b
+           FROM events),
+bm AS (SELECT b, MAX(tus) AS bmax FROM e GROUP BY b),
+wmf AS (SELECT b, COALESCE(MAX(bmax) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0)
+               - {_WM_DELAY_US} AS wm
+        FROM bm),
+kept AS (SELECT e.user_id, e.tus, e.value
+         FROM e JOIN wmf ON e.b = wmf.b
+         WHERE (e.tus // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} > wmf.wm),
+fw AS (SELECT MAX(tus) - {_WM_DELAY_US} AS fwm FROM e)
+SELECT (k.tus // {_WM_WIN_US}) * {_WM_WIN_US} AS window_start_us,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM kept k JOIN customer c ON k.user_id = c.c_custkey, fw
+WHERE (k.tus // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} <= fw.fwm
+GROUP BY 1, 2
+"""
+
+
+# -- grouped OLS trend + Pearson correlation (in-database regression) -----
+# The drift-trend primitive: fit price-over-time per order priority with
+# ordinary least squares and report the correlation strength — entirely
+# as ONE map-side-combined groupBy.  Exactness: x = epoch day (BIGINT),
+# y = price cents (exact via the corpus-wide DECIMAL(18,2) pattern);
+# the five moment sums (Sx, Sy, Sxy, Sxx, Syy) accumulate as
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact and associative, so
+# partitioning cannot change them, and Syy ~ 7.5e19 at sf0.1 would
+# already overflow a BIGINT accumulator (the 128-bit sums are the scale
+# story, not a nicety).  The closed-form statistics are then fixed
+# expression trees of exactly-rounded IEEE ops (casts, one division
+# each, sqrt is correctly rounded) on identical integers — bit-exact
+# cross-engine.  Plan: scan + ONE exchange over a handful of groups.
+def orders_trend_ols(spark, sf):
+    o = load_table(spark, sf, "orders")
+    pts = o.selectExpr(
+        "o_orderpriority AS grp",
+        "unix_micros(o_orderdate) DIV 86400000000 AS x",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y")
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"))
+    slope = ("CAST(n*sxy - sx*sy AS DOUBLE)"
+             " / CAST(n*sxx - sx*sx AS DOUBLE)")
+    return s.selectExpr(
+        "grp", "CAST(n AS BIGINT) AS n_orders",
+        f"{slope} AS slope_cents_per_day",
+        f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE) AS intercept_cents",
+        "CAST(n*sxy - sx*sy AS DOUBLE)"
+        " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+        " * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r")
+
+
+_OLS_SLOPE_DUCK = ("CAST(n*sxy - sx*sy AS DOUBLE)"
+                   " / CAST(n*sxx - sx*sx AS DOUBLE)")
+ORDERS_TREND_OLS_SQL = f"""
+WITH pts AS (SELECT o_orderpriority AS grp,
+                    EPOCH_US(o_orderdate) // 86400000000 AS x,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+             FROM orders),
+s AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy
+      FROM pts GROUP BY grp)
+SELECT grp, CAST(n AS BIGINT) AS n_orders,
+       {_OLS_SLOPE_DUCK} AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE) - ({_OLS_SLOPE_DUCK}) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
+FROM s
+"""
+
+
 QUERIES = {
     "events_lead_lag_gaps": Query(
         events_lead_lag_gaps, EVENTS_LEAD_LAG_SQL,
@@ -2522,6 +2664,19 @@ QUERIES = {
         "windows with the per-(row,window) lagged late filter and the "
         "end-based emission cut, reproduced by expand-then-filter "
         "batch SQL"),
+    "events_stream_static_enrich": Query(
+        events_stream_static_enrich, EVENTS_STREAM_STATIC_ENRICH_SQL,
+        "stream-static enrichment join: per-micro-batch broadcast dim "
+        "lookup (stateless) feeding a watermarked windowed agg — "
+        "watermark BEFORE the join so dropped-by-join rows still "
+        "advance the frontier; oracle = pinned watermark model + the "
+        "dim join"),
+    "orders_trend_ols": Query(
+        orders_trend_ols, ORDERS_TREND_OLS_SQL,
+        "in-database regression: per-group OLS slope/intercept + "
+        "Pearson r from five 128-bit-exact moment sums (one map-side-"
+        "combined groupBy), closed forms as exactly-rounded IEEE "
+        "expression trees"),
     "events_retention_cohorts": Query(
         events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL,
         "cohort retention matrix: users bucketed by first-active epoch-"

@@ -198,3 +198,47 @@ def test_kmeans_step_assignment_is_map_only(spark):
         assert join not in plan, join
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "partial" in plan.lower()
+
+
+def test_hard_negatives_broadcast_queries_map_side_topk(spark):
+    """ann_hard_negatives (COVERAGE: hard-negative row): the query
+    batch is BROADCAST against the corpus scan (never a shuffle join),
+    the label filter stays a codegen predicate, and the per-query top-k
+    is a WindowGroupLimit — so the corpus side streams through ONE scan
+    with map-side partial top-k regardless of k."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["ann_hard_negatives"].fn(spark, SF_DIR)
+    plan = executed(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_retention_cohorts_no_join_two_exchanges(spark):
+    """events_retention_cohorts (COVERAGE: cohort-retention row): the
+    per-user cohort MIN rides ONE user_id window exchange (no
+    self-join back to the events), and the (cohort, offset) re-agg is
+    the only other exchange, partial-combined map-side."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["events_retention_cohorts"].fn(spark, SF_DIR)
+    plan = executed(df)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert plan.count("Exchange") <= 3, plan   # user_id + re-agg (+AQE read)
+    assert "Window" in plan and "partial" in plan.lower()
+
+
+def test_trend_ols_single_exchange_no_join(spark):
+    """orders_trend_ols (COVERAGE: in-database regression row): the five
+    moment sums ride ONE map-side-combined groupBy over the scan — no
+    join of any kind, one exchange over a handful of groups, and the
+    closed forms are post-aggregation projections."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["orders_trend_ols"].fn(spark, SF_DIR)
+    plan = executed(df)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "partial" in plan.lower()
