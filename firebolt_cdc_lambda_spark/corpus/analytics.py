@@ -2473,6 +2473,10 @@ def orders_trend_ols(spark, sf):
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"))
     slope = ("CAST(n*sxy - sx*sy AS DOUBLE)"
              " / CAST(n*sxx - sx*sx AS DOUBLE)")
+    # degenerate-group guard (exact integer predicate, identical in the
+    # oracle): a group with one point — or all points on one day — has
+    # zero x-variance and the closed forms would divide by zero
+    s = s.where("n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0")
     return s.selectExpr(
         "grp", "CAST(n AS BIGINT) AS n_orders",
         f"{slope} AS slope_cents_per_day",
@@ -2504,6 +2508,7 @@ SELECT grp, CAST(n AS BIGINT) AS n_orders,
          / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
             * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
 FROM s
+WHERE n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
 """
 
 

@@ -70,6 +70,14 @@ DEFAULT_DELETE_VALUES = ("D",)
 # merge in captures the true prior value and disables; last merge out
 # restores it.  (Analytic queries running concurrently with a merge lose
 # AQE for that window — a bounded perf effect, never a correctness one.)
+#
+# Per-query scoping via spark.newSession() (an isolated SQLConf on the
+# shared context) was considered and REJECTED: the staging DataFrame is
+# created by the CALLER's session — under streaming it is the
+# foreachBatch micro-batch DF, whose plan is bound to that session and
+# its state — and re-binding or re-materializing it on a clone session
+# is either unsupported (streaming sources) or costs an extra write.
+# Revisit only if Spark grows true per-query conf scoping.
 _AQE_LOCK = threading.Lock()
 _AQE_STATE: dict[int, list] = {}   # id(session) -> [depth, prior_value]
 
