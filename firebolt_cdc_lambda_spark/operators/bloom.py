@@ -1,0 +1,212 @@
+"""Bloom-filter secondary index: bucket pruning for NON-key predicates.
+
+``KeyedTable.lookup`` prunes buckets through the key hash — but a
+predicate on any other column must scan every bucket.  ``BloomIndex``
+closes that gap the way lakehouse formats do (Delta/Iceberg bloom
+columns, the reference's Firebolt side has sparse secondary indexes on
+the production tables): a per-bucket bloom filter over the indexed
+column, stored next to the table, consulted at lookup time to read only
+the buckets that might contain the probed values.
+
+Design (100 TB first):
+
+* **Storage** — the filter words live in a parquet dataset at the
+  SIBLING path ``<table>__bloom_<col>/`` (one row per (bucket, word);
+  a sibling, not a child, because Spark's file index refuses to read a
+  dataset whose root is underscore-prefixed, and a non-underscored
+  child dir would be swept into the table's own scans — same
+  convention as the ``__tmp_rewrite`` swap dir), partitioned by
+  bucket so a refresh rewrites only refreshed buckets.  At 16k buckets
+  x 64 Kbit filters that is ~128 MB — metadata-sized next to the table,
+  far too big for a JSON sidecar, which is why probing is a small Spark
+  job over this dataset rather than a driver deserialization.  The tiny
+  JSON sidecar ``_bloom_<col>.json`` holds only {m, k, table_version,
+  built, dirty}.
+* **Probing** — the probe values' k bit positions are computed by the
+  SAME Spark expression used at build time (``xxhash64(col, j) mod m``
+  — computing them driver-side would mean reimplementing xxhash64 and
+  praying the arithmetic matches), then broadcast-joined against the
+  words dataset; a bucket is a candidate for a value iff all k of its
+  bits are set.  Cost: two metadata-sized jobs, then the same
+  brace-glob pruned scan ``lookup`` uses.
+* **Staleness (fail-open, never wrong)** — merges flag the buckets they
+  rewrote as DIRTY in the sidecar (``KeyedTable._mark_bloom_dirty``,
+  riding the commit); dirty buckets are ALWAYS candidates until
+  ``refresh()`` recomputes exactly those buckets (reading only them —
+  incremental maintenance, cost ∝ churn like the merge itself).
+  Wholesale rewrites (init / rebucket / cluster_by / zorder_by /
+  evolution) bump the table's ``table_version``; a version mismatch
+  voids the whole index and ``lookup`` falls back to a full scan until
+  ``build()`` is re-run.  Both failure directions are conservative:
+  a stale index can only over-scan, never miss a row.
+* **False positives** only ever cost extra bucket reads.  Size ``m``
+  at ~10 bits per expected distinct value per bucket for ~1% fp
+  (default 4096 bits suits the fixture scale; a 100 TB table with
+  ~500 MB buckets wants 64-256 Kbit).
+
+NULLs: rows with a NULL indexed value are skipped at build and NULL
+probes are rejected — ``isin`` semantics can never match NULL anyway.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .merge import KeyedTable
+
+_WORD_BITS = 32
+
+
+class BloomIndex:
+    def __init__(self, table: KeyedTable, column: str,
+                 m_bits: int = 4096, k: int = 3):
+        if k < 1 or m_bits < _WORD_BITS:
+            raise ValueError("need k >= 1 and m_bits >= 32")
+        self.table = table
+        self.column = column
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.spark = table.spark
+        self.words_path = f"{table.path}__bloom_{column}"
+        self.sidecar = f"_bloom_{column}.json"
+
+    # -- shared hash expression (build AND probe use this verbatim) -------
+    def _positions(self, col: str) -> F.Column:
+        return F.array(*[
+            F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(self.m))
+            for j in range(self.k)])
+
+    def _words_for(self, buckets: Sequence[int] | None) -> DataFrame:
+        """The (b, w, bits) filter words for the given buckets (None =
+        every bucket currently on disk), via the table's pruned scan."""
+        t = self.table
+        df = t._read_raw(buckets=list(buckets) if buckets else None)
+        pos = (df.where(F.col(self.column).isNotNull())
+               .select(F.col(t.BUCKET_COL).cast("int").alias("b"),
+                       F.explode(self._positions(self.column)).alias("p")))
+        return (pos.groupBy("b", F.expr(f"CAST(p DIV {_WORD_BITS} AS INT)")
+                            .alias("w"))
+                .agg(F.bit_or(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits")))
+
+    def _load_side(self) -> dict | None:
+        text = self.table._read_sidecar(self.sidecar)
+        return None if text is None else json.loads(text)
+
+    def _save_side(self, side: dict) -> None:
+        self.table._write_sidecar(self.sidecar, json.dumps(side))
+
+    def _current_tv(self) -> int:
+        meta = self.table._load_meta()
+        return int((meta or {}).get("table_version", 0))
+
+    # -- build / refresh ---------------------------------------------------
+    def build(self) -> int:
+        """Full (re)build over every bucket on disk; registers the column
+        in the table meta so merges start flagging dirty buckets.
+        Returns the number of buckets indexed."""
+        words = self._words_for(None)
+        (words.repartition("b").write.mode("overwrite")
+         .partitionBy("b").parquet(self.words_path))
+        built = sorted(self.table.file_stats())
+        self._save_side({"column": self.column, "m": self.m, "k": self.k,
+                         "table_version": self._current_tv(),
+                         "built": built, "dirty": []})
+        if self.column not in self.table.bloom_columns:
+            self.table.bloom_columns.append(self.column)
+            self.table._save_meta()
+        return len(built)
+
+    def refresh(self) -> list[int]:
+        """Recompute ONLY the merge-flagged dirty buckets (reading only
+        them).  On a table_version mismatch — some wholesale rewrite
+        happened — falls back to a full ``build``.  Returns the buckets
+        recomputed."""
+        side = self._load_side()
+        if side is None or side["table_version"] != self._current_tv() \
+                or side["m"] != self.m or side["k"] != self.k:
+            self.build()
+            return sorted(self.table.file_stats())
+        dirty = [int(b) for b in side.get("dirty", [])]
+        if not dirty:
+            return []
+        words = self._words_for(dirty)
+        # dynamic overwrite: replace exactly the dirty buckets' words.
+        # A bucket emptied since build keeps its old words — harmless,
+        # false-positive-only (see module docstring).
+        (words.repartition("b").write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("b").parquet(self.words_path))
+        side["built"] = sorted(set(side["built"]) | set(dirty))
+        side["dirty"] = []
+        self._save_side(side)
+        return sorted(dirty)
+
+    # -- probe -------------------------------------------------------------
+    def candidate_buckets(self, values: Sequence) -> list[int] | None:
+        """Buckets that might contain any of ``values``: the dirty set
+        (fail-open) plus every built bucket whose filter has all k bits
+        set for at least one value.  Returns None when the index is
+        absent or voided by a wholesale rewrite (caller must full-scan)."""
+        side = self._load_side()
+        if side is None or side["table_version"] != self._current_tv():
+            return None
+        if any(v is None for v in values):
+            raise ValueError("NULL probe values cannot match (isin "
+                             "semantics); filter them out")
+        values = list(dict.fromkeys(values))   # dup values would break ==k
+        schema = self.table._load_schema()
+        vtype = schema[self.column].dataType
+        from pyspark.sql import types as T
+        probe = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("v", vtype)]))
+        # the probe value itself is the per-value group key (an id column
+        # via monotonically_increasing_id would be evaluated per
+        # POST-explode row — k distinct ids per value, count never == k)
+        probe_rows = (probe
+                      .select(F.col("v").alias("vid"),
+                              F.posexplode(self._positions("v"))
+                              .alias("j", "p"))
+                      .select("vid", "j",
+                              F.expr(f"CAST(p DIV {_WORD_BITS} AS INT)")
+                              .alias("w"),
+                              F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                     f"CAST(p % {_WORD_BITS} AS INT))")
+                              .alias("mask")))
+        try:
+            words = self.spark.read.parquet(self.words_path)
+        except Exception:
+            return None        # words dataset missing/unreadable: fail open
+        hits = (words.join(F.broadcast(probe_rows), "w")
+                .where(F.col("bits").bitwiseAND(F.col("mask"))
+                       == F.col("mask"))
+                .groupBy("b", "vid")
+                .agg(F.countDistinct("j").alias("nbits"))
+                .where(F.col("nbits") == self.k)
+                .select("b").distinct())
+        matched = {int(r[0]) for r in hits.collect()}
+        dirty = {int(b) for b in side.get("dirty", [])}
+        return sorted(matched | dirty)
+
+    def lookup(self, values: Sequence) -> DataFrame:
+        """The table's live rows where ``column`` is in ``values``,
+        reading only the candidate buckets (same brace-glob pruned scan
+        as ``KeyedTable.lookup``).  Falls back to a full scan — never a
+        wrong answer — when the index is absent or voided."""
+        t = self.table
+        cands = self.candidate_buckets(values)
+        if cands is None:
+            base = t.read()
+        elif not cands:
+            schema = t._load_schema()
+            base = t._hide_tombstones(
+                self.spark.createDataFrame([], schema)).drop(t.BUCKET_COL)
+        else:
+            base = t._hide_tombstones(
+                t._read_raw(buckets=cands).drop(t.BUCKET_COL))
+        return base.where(F.col(self.column).isin(list(values)))

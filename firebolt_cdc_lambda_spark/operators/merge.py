@@ -319,11 +319,15 @@ class KeyedTable:
         # would physically delete rows another writer relies on for
         # version gating; a merger unaware of versioned mode would
         # dynamic-overwrite epoch history away.
+        self.table_version = 0
+        self.bloom_columns: list[str] = []
         meta = self._load_meta()
         if meta is not None:
             self.num_buckets = int(meta["num_buckets"])
             self.tombstones = bool(meta.get("tombstones", False))
             self.versioned = bool(meta.get("versioned", False))
+            self.table_version = int(meta.get("table_version", 0))
+            self.bloom_columns = list(meta.get("bloom_columns", []))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -380,7 +384,34 @@ class KeyedTable:
         import json
         self._write_sidecar("_meta.json", json.dumps(
             {"num_buckets": self.num_buckets, "keys": self.keys,
-             "tombstones": self.tombstones, "versioned": self.versioned}))
+             "tombstones": self.tombstones, "versioned": self.versioned,
+             "table_version": self.table_version,
+             "bloom_columns": self.bloom_columns}))
+
+    def _mark_bloom_dirty(self, buckets: Sequence[int]) -> None:
+        """Secondary-index maintenance riding the merge commit: flag the
+        touched buckets dirty in every bloom sidecar (operators/bloom.py)
+        so lookups treat them as always-candidates (fail-open) until
+        ``BloomIndex.refresh`` recomputes exactly those buckets.  The
+        column list is re-read from the CURRENT meta sidecar (mtime-
+        cached — one getFileStatus when no index exists) so an index
+        built by another process after this merger was constructed is
+        still maintained.  Wholesale rewrites (init/rewrite/rebucket/
+        cluster_by/zorder_by/evolution) instead bump ``table_version``,
+        which voids every bloom sidecar at probe time."""
+        import json
+        meta = self._load_meta()
+        cols = (meta or {}).get("bloom_columns", [])
+        for col in cols:
+            name = f"_bloom_{col}.json"
+            text = self._read_sidecar(name)
+            if text is None:
+                continue
+            side = json.loads(text)
+            dirty = set(side.get("dirty", []))
+            dirty.update(int(b) for b in buckets)
+            side["dirty"] = sorted(dirty)
+            self._write_sidecar(name, json.dumps(side))
 
     def _load_meta(self):
         import json
@@ -559,6 +590,7 @@ class KeyedTable:
         via a separate scheduled job, CHANGELOG.md:9-14)."""
         if self.tombstones and TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
+        self.table_version += 1      # voids any bloom sidecar (fail-open)
         bucketed = self._with_bucket(df)
         if self.versioned:
             # wipe any prior content: init IS the reset point of history
@@ -822,6 +854,7 @@ class KeyedTable:
         Spark cannot overwrite a path it is concurrently reading from.
         Tombstone-mode callers: derive ``df`` from snapshot_for_rewrite(),
         not read(), or the rewrite loses the delete markers."""
+        self.table_version += 1      # voids any bloom sidecar (fail-open)
         bucketed = self._with_bucket(df)
         if self.versioned:
             # history-preserving full rewrite: the new epoch's leaves are
@@ -1056,6 +1089,7 @@ class KeyedTable:
                                       if b not in kept),
                     "num_buckets": self.num_buckets})
                 self._save_manifest(entries)
+                self._mark_bloom_dirty(buckets)
                 return
             # dynamic partition overwrite: only the buckets present in
             # `out` (== the touched buckets) are replaced on disk.
@@ -1081,6 +1115,7 @@ class KeyedTable:
                         fs = p.getFileSystem(hconf)
                         if fs.exists(p):
                             fs.delete(p, True)
+            self._mark_bloom_dirty(buckets)
         finally:
             if has_deletes:
                 out.unpersist()

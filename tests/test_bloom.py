@@ -1,0 +1,129 @@
+"""BloomIndex: bucket pruning for non-key predicates, fail-open staleness.
+
+Invariants pinned here:
+  * NO FALSE NEGATIVES, ever: lookup == full-scan filter, in every
+    staleness state (fresh, post-merge dirty, post-rebuild voided).
+  * pruning actually prunes: a selective probe reads < all buckets.
+  * merges flag exactly their touched buckets dirty; refresh recomputes
+    only those and restores pruning.
+  * wholesale rewrites (rebucket) void the index (candidate_buckets ->
+    None) and lookup falls back to a correct full scan.
+  * a merge creating a brand-new bucket (unseen at build) is found via
+    the dirty flag.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+
+def _rows(spark, ids, cat=lambda i: f"cat_{i % 7}"):
+    return spark.createDataFrame([
+        Row(id=i, category=cat(i), payload=f"p{i}",
+            Op="U", load_timestamp=dt.datetime(2024, 1, 2)) for i in ids])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=16)
+    kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+    return kt
+
+
+def _expect(table, values):
+    return sorted(
+        tuple(r) for r in
+        table.read().where(F.col("category").isin(values)).collect())
+
+
+def test_lookup_equals_full_scan_and_prunes(table):
+    ix = BloomIndex(table, "category")
+    n = ix.build()
+    assert n == 16
+    got = sorted(tuple(r) for r in ix.lookup(["cat_3"]).collect())
+    assert got == _expect(table, ["cat_3"]) and got   # non-empty, identical
+    # a value that exists nowhere: candidates nearly empty, result empty
+    cands = ix.candidate_buckets(["no_such_category"])
+    assert cands is not None and len(cands) < 16
+    assert ix.lookup(["no_such_category"]).count() == 0
+
+
+def test_merge_marks_dirty_and_stays_correct_before_refresh(spark, table):
+    ix = BloomIndex(table, "category")
+    ix.build()
+    # merge rewrites some buckets introducing a category unseen at build
+    table.merge_batch(_rows(spark, [7, 400, 401], cat=lambda i: "fresh_cat"))
+    side = ix._load_side()
+    assert side["dirty"], "merge must flag its touched buckets"
+    got = sorted(tuple(r) for r in ix.lookup(["fresh_cat"]).collect())
+    assert got == _expect(table, ["fresh_cat"]) and len(got) == 3
+    # refresh recomputes exactly the dirty buckets and restores pruning
+    dirty = sorted(int(b) for b in side["dirty"])
+    assert ix.refresh() == dirty
+    assert ix._load_side()["dirty"] == []
+    got2 = sorted(tuple(r) for r in ix.lookup(["fresh_cat"]).collect())
+    assert got2 == got
+    cands = ix.candidate_buckets(["fresh_cat"])
+    assert cands is not None and len(cands) < 16
+
+
+def test_new_bucket_after_build_is_found(spark, tmp_path):
+    # 64 buckets, 5 ids -> init leaves most buckets nonexistent; a merge
+    # then creates a bucket that had no dir (and no words) at build time
+    kt = KeyedTable(spark, str(tmp_path / "nb"), ["id"], num_buckets=64)
+    kt.init(_rows(spark, range(5)).drop("Op", "load_timestamp"))
+    ix = BloomIndex(kt, "category")
+    built = ix.build()
+    assert built < 64
+    kt.merge_batch(_rows(spark, range(5, 40), cat=lambda i: "late_cat"))
+    got = ix.lookup(["late_cat"]).count()
+    assert got == 35
+
+
+def test_wholesale_rewrite_voids_index_fail_open(spark, table):
+    ix = BloomIndex(table, "category")
+    ix.build()
+    table.rebucket(8)
+    assert ix.candidate_buckets(["cat_1"]) is None
+    got = sorted(tuple(r) for r in ix.lookup(["cat_1"]).collect())
+    assert got == _expect(table, ["cat_1"]) and got
+    # rebuild re-enables pruning under the new bucket count
+    assert ix.build() == 8
+    assert ix.candidate_buckets(["cat_1"]) is not None
+
+
+def test_refresh_after_rebuild_mismatch_does_full_build(spark, table):
+    ix = BloomIndex(table, "category")
+    ix.build()
+    table.zorder_by(["id"])
+    assert ix.candidate_buckets(["cat_1"]) is None     # voided
+    ix.refresh()                                       # falls back to build
+    assert ix.candidate_buckets(["cat_1"]) is not None
+
+
+def test_null_probe_rejected(table):
+    ix = BloomIndex(table, "category")
+    ix.build()
+    with pytest.raises(ValueError, match="NULL probe"):
+        ix.candidate_buckets(["cat_1", None])
+
+
+def test_lookup_scan_is_bucket_pruned(spark, table):
+    """Plan contract: on a SELECTIVE column (unique payloads — `category`
+    has only 7 values so nearly every bucket truly contains each one),
+    the probe narrows to a handful of buckets and the scan's input files
+    all live under candidate bucket dirs — untouched buckets are never
+    read."""
+    ix = BloomIndex(table, "payload", m_bits=16384)
+    ix.build()
+    cands = ix.candidate_buckets(["p123"])
+    assert cands is not None and 1 <= len(cands) <= 4   # 1 true + rare fps
+    df = ix.lookup(["p123"])
+    assert [r["id"] for r in df.collect()] == [123]
+    allowed = {f"_bucket={b}" for b in cands}
+    for f in df.inputFiles():
+        assert any(a in f for a in allowed), f
