@@ -246,6 +246,71 @@ def cdc_time_travel(spark, sf):
     return v1.unionByName(v2)
 
 
+# -- bloom-index lookup under the oracle ----------------------------------
+# The serving-side secondary index (operators/bloom.py) as an oracled
+# fact: build a customer snapshot keyed by c_custkey, index the
+# NON-key c_name, merge a CDC batch WITHOUT refreshing the index (one
+# probed name is updated in a now-dirty bucket; one brand-new name
+# lands in a possibly-new bucket), then look up four names:
+#   * two untouched  -> found via bloom-pruned buckets,
+#   * one updated    -> found via the merge-flagged dirty buckets
+#                       (fail-open path: row must show the POST-merge
+#                       balance, proving dirty buckets are re-read),
+#   * one inserted   -> found via dirty even though the index never
+#                       saw the value,
+#   * one absent     -> empty.
+# The oracle restates the merge + IN-filter in pure SQL; value-hash
+# equality pins that neither staleness path loses or duplicates rows.
+_BLOOM_PROBE_KEYS = (7, 109)
+_BLOOM_NEW_KEY = 1_000_000
+_BLOOM_NEW_NAME = "Customer#zzz_new"
+
+
+def cdc_bloom_lookup(spark, sf):
+    import tempfile
+
+    from ..operators.bloom import BloomIndex
+    from ..operators.merge import KeyedTable
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="cdc_bloom_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/customer", ["c_custkey"], num_buckets=32)
+    kt.init(cust)
+    ix = BloomIndex(kt, "c_name", m_bits=65536)
+    ix.build()
+    # CDC batch: +100.00 balance for custkey % 50 == 7 (touches probed
+    # key 7), plus one inserted row with a never-indexed name
+    upd = (cust.where("c_custkey % 50 = 7")
+           .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+           .withColumn("Op", F.lit("U")))
+    ins = spark.createDataFrame(
+        [(_BLOOM_NEW_KEY, _BLOOM_NEW_NAME, 0.0, "BUILDING", "U")],
+        upd.schema)
+    kt.merge_batch(upd.unionByName(ins))           # index NOT refreshed
+    probe = [f"Customer#{k:09d}" for k in _BLOOM_PROBE_KEYS] + [
+        _BLOOM_NEW_NAME, "Customer#no_such_row"]
+    return (ix.lookup(probe)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+
+
+CDC_BLOOM_LOOKUP_SQL = f"""
+WITH merged AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 50 = 7 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT {_BLOOM_NEW_KEY}, '{_BLOOM_NEW_NAME}', 0.0, 'BUILDING'
+)
+SELECT * FROM merged
+WHERE c_name IN ('Customer#{_BLOOM_PROBE_KEYS[0]:09d}',
+                 'Customer#{_BLOOM_PROBE_KEYS[1]:09d}',
+                 '{_BLOOM_NEW_NAME}', 'Customer#no_such_row')
+"""
+
+
 CDC_TIME_TRAVEL_SQL = """
 WITH v1 AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -587,4 +652,10 @@ QUERIES = {
         "point-in-time enrichment: facts joined to the SCD2 dimension "
         "version valid at each fact's timestamp (backward as-of on "
         "valid_from) — oracle is DuckDB's NATIVE ASOF JOIN"),
+    "cdc_bloom_lookup": Query(
+        cdc_bloom_lookup, CDC_BLOOM_LOOKUP_SQL,
+        "bloom-index lookup by a NON-key business id, probed through "
+        "both staleness paths (bloom-pruned untouched buckets + merge-"
+        "flagged dirty buckets, no refresh) — fail-open correctness "
+        "under the value hash"),
 }
