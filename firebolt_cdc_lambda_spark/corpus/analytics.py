@@ -2445,6 +2445,50 @@ GROUP BY 1, 2
 """
 
 
+# -- Markov transition matrix (next-event behavioral model) ---------------
+# The first-order Markov estimate behind "what do users do next":
+# per-user event sequences (total-ordered by ts, event_id) yield
+# from->to transition counts via ONE lead() over the user_id exchange;
+# the row-normalized probability is count / outgoing-total — integer
+# counts and a single IEEE division, bit-exact.  The per-from totals
+# ride a tiny window over the |event_types|^2 aggregate (no second
+# scan, no join).  Scale: the sequence window is the same single
+# exchange as sessionization; the transition matrix is O(types^2) rows
+# regardless of corpus size.
+def events_markov_transitions(spark, sf):
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.withColumn("to_type", F.lead("event_type").over(w))
+             .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("from_type"), "to_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    tot = Window.partitionBy("from_type")
+    return (counts.withColumn("from_total",
+                              F.sum("n_transitions").over(tot))
+            .selectExpr("from_type", "to_type", "n_transitions",
+                        "from_total",
+                        "CAST(n_transitions AS DOUBLE) / from_total"
+                        " AS probability"))
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, ts, event_id, event_type
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+p AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY from_type) AS probability
+FROM c
+"""
+
+
 # -- grouped OLS trend + Pearson correlation (in-database regression) -----
 # The drift-trend primitive: fit price-over-time per order priority with
 # ordinary least squares and report the correlation strength — entirely
@@ -2669,6 +2713,11 @@ QUERIES = {
         "windows with the per-(row,window) lagged late filter and the "
         "end-based emission cut, reproduced by expand-then-filter "
         "batch SQL"),
+    "events_markov_transitions": Query(
+        events_markov_transitions, EVENTS_MARKOV_TRANSITIONS_SQL,
+        "first-order Markov next-event model: per-user transition "
+        "counts via one lead() on the user_id exchange, row-normalized "
+        "probabilities as integer counts + one division"),
     "events_stream_static_enrich": Query(
         events_stream_static_enrich, EVENTS_STREAM_STATIC_ENRICH_SQL,
         "stream-static enrichment join: per-micro-batch broadcast dim "
