@@ -127,3 +127,44 @@ def test_lookup_scan_is_bucket_pruned(spark, table):
     allowed = {f"_bucket={b}" for b in cands}
     for f in df.inputFiles():
         assert any(a in f for a in allowed), f
+
+
+def test_randomized_merge_probe_no_false_negatives(spark, tmp_path):
+    """Seeded randomized sequence of merges (updates, inserts, deletes)
+    interleaved with probes and occasional refreshes: at every step, for
+    every staleness state the index may be in, lookup must equal the
+    full-scan filter.  The one invariant that must survive any history."""
+    import random
+    rng = random.Random(20260814)
+    kt = KeyedTable(spark, str(tmp_path / "r"), ["id"], num_buckets=8)
+    kt.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    ix = BloomIndex(kt, "category", m_bits=2048)
+    ix.build()
+    alive = set(range(100))
+    next_id = 100
+    for step in range(5):
+        n_new = rng.randint(0, 10)
+        new_ids = list(range(next_id, next_id + n_new))
+        next_id += n_new
+        upd_ids = rng.sample(sorted(alive), min(8, len(alive)))
+        del_ids = rng.sample(sorted(alive - set(upd_ids)),
+                             min(3, len(alive) - len(upd_ids)))
+        tag = f"s{step}"
+        batch = spark.createDataFrame(
+            [Row(id=i, category=f"cat_{tag}", payload=f"p{i}", Op="U",
+                 load_timestamp=dt.datetime(2024, 1, 3 + step))
+             for i in upd_ids + new_ids] +
+            [Row(id=i, category="x", payload="x", Op="D",
+                 load_timestamp=dt.datetime(2024, 1, 3 + step))
+             for i in del_ids])
+        kt.merge_batch(batch)
+        alive = (alive | set(new_ids)) - set(del_ids)
+        probes = [f"cat_{tag}", f"cat_{rng.randint(0, 6)}", "cat_nope"]
+        for v in probes:
+            got = sorted(tuple(r) for r in ix.lookup([v]).collect())
+            exp = sorted(
+                tuple(r) for r in
+                kt.read().where(F.col("category") == v).collect())
+            assert got == exp, (step, v)
+        if step == 2:
+            ix.refresh()
