@@ -124,13 +124,16 @@ class BloomIndex:
     def refresh(self) -> list[int]:
         """Recompute ONLY the merge-flagged dirty buckets (reading only
         them).  On a table_version mismatch — some wholesale rewrite
-        happened — falls back to a full ``build``.  Returns the buckets
-        recomputed."""
+        happened — falls back to a full ``build``.  The STORED index's
+        m/k are adopted (they define the on-disk word format): a
+        maintenance caller constructing with default parameters must
+        never silently rebuild a differently-sized index.  Returns the
+        buckets recomputed."""
         side = self._load_side()
-        if side is None or side["table_version"] != self._current_tv() \
-                or side["m"] != self.m or side["k"] != self.k:
+        if side is None or side["table_version"] != self._current_tv():
             self.build()
             return sorted(self.table.file_stats())
+        self.m, self.k = int(side["m"]), int(side["k"])
         dirty = [int(b) for b in side.get("dirty", [])]
         if not dirty:
             return []
@@ -155,6 +158,9 @@ class BloomIndex:
         side = self._load_side()
         if side is None or side["table_version"] != self._current_tv():
             return None
+        # adopt the stored m/k — probe positions computed under a
+        # different m than the on-disk words would false-NEGATIVE
+        self.m, self.k = int(side["m"]), int(side["k"])
         if any(v is None for v in values):
             raise ValueError("NULL probe values cannot match (isin "
                              "semantics); filter them out")

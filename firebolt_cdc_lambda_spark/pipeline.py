@@ -302,6 +302,26 @@ class CdcPipeline:
                                 version_col=self.version_col)
         return True
 
+    def refresh_bloom_indexes(self, table: str) -> list[str]:
+        """Recompute the dirty buckets of every bloom secondary index
+        registered on ``table`` (operators/bloom.py — merges flag the
+        buckets they rewrite; this is the cadence slot that pays that
+        debt down, cost ∝ churn since the last refresh).  Returns the
+        refreshed columns (empty: table unconfigured / absent / no
+        indexes / nothing dirty)."""
+        from .operators.bloom import BloomIndex
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return []
+        target = self.target_for(table, keys)
+        if not target.exists():
+            return []
+        refreshed = []
+        for col in list(target.bloom_columns):
+            if BloomIndex(target, col).refresh():
+                refreshed.append(col)
+        return refreshed
+
     def purge_versions(self, table: str, keep_last: int = 1) -> bool:
         """Version GC for a versioned target: retain the newest
         ``keep_last`` snapshots, delete unreachable epoch dirs, collapse

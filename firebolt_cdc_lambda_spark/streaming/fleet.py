@@ -139,6 +139,9 @@ class CdcFleet:
                 if keep_versions is not None:
                     did = self.pipeline.purge_versions(
                         table, keep_last=keep_versions) or did
+                # bloom secondary indexes: pay down the merge-flagged
+                # dirty buckets on the same cadence (cost ∝ churn)
+                did = bool(self.pipeline.refresh_bloom_indexes(table)) or did
                 status[table] = "purged" if did else "skipped"
             except Exception as exc:  # noqa: BLE001
                 status[table] = f"failed: {exc}"

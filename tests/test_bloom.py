@@ -168,3 +168,40 @@ def test_randomized_merge_probe_no_false_negatives(spark, tmp_path):
             assert got == exp, (step, v)
         if step == 2:
             ix.refresh()
+
+
+def test_stored_mk_wins_for_probe_and_refresh(spark, table):
+    """An index built with non-default m must stay correct when probed
+    or refreshed through a handle constructed with DEFAULT parameters
+    (the maintenance path): probe positions under the wrong m would
+    false-negative; refresh under the wrong m would silently rebuild."""
+    BloomIndex(table, "payload", m_bits=16384, k=4).build()
+    handle = BloomIndex(table, "payload")          # defaults: 4096/3
+    cands = handle.candidate_buckets(["p123"])
+    assert (handle.m, handle.k) == (16384, 4)      # adopted from sidecar
+    assert cands is not None
+    assert [r["id"] for r in handle.lookup(["p123"]).collect()] == [123]
+    table.merge_batch(_rows(spark, [7]))
+    refreshed = BloomIndex(table, "payload").refresh()
+    assert refreshed                               # dirty-only, not rebuild
+    side = BloomIndex(table, "payload")._load_side()
+    assert (side["m"], side["k"]) == (16384, 4) and side["dirty"] == []
+
+
+def test_fleet_maintenance_refreshes_bloom(spark, tmp_path):
+    """CdcPipeline.refresh_bloom_indexes: the cadence hook recomputes
+    merge-flagged dirty buckets for every registered index column."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'), num_buckets=8)
+    kt = pipe.target_for("users", ["id"])
+    kt.init(_rows(spark, range(50)).drop("Op", "load_timestamp"))
+    BloomIndex(kt, "category").build()
+    assert pipe.refresh_bloom_indexes("users") == []       # nothing dirty
+    kt2 = pipe.target_for("users", ["id"])                 # fresh handle
+    kt2.merge_batch(_rows(spark, [1, 2, 60]))
+    assert pipe.refresh_bloom_indexes("users") == ["category"]
+    assert BloomIndex(kt2, "category")._load_side()["dirty"] == []
+    assert pipe.refresh_bloom_indexes("nope") == []        # unconfigured
