@@ -1339,6 +1339,61 @@ FROM e GROUP BY cent_id, pos
 """
 
 
+# -- triangle count + clustering coefficient of the near-dup graph --------
+# Graph analytics beyond connected components: how CLIQUE-LIKE are the
+# near-dup clusters?  A chain of pairwise-similar docs (A~B~C but A!~C,
+# the transitive-closure trap CC deliberately accepts) has triangles=0;
+# a true duplicate family is a clique.  The triangle census is the
+# standard oriented-edge algorithm: edges already carry d1 < d2, so
+# each triangle {x<y<z} is counted EXACTLY once as the join
+# (x,y)+(y,z) closed by (x,z) — no division by 6, no double counting.
+# Wedges (open triads) are sum-over-nodes C(deg, 2) from one degree
+# aggregation; global clustering coefficient = 3*triangles / wedges
+# (all-integer numerators, one IEEE division).  Scale: fan-out of the
+# wedge join is bounded by the near-dup DEGREE (band-collision bound,
+# small by construction) — never corpus-sized; the edge list itself is
+# the LSH candidate output, already ∝ collisions.
+def dedup_graph_triangles(spark, sf):
+    e = (dedup_minhash_lsh(spark, sf)
+         .selectExpr("doc_id_1 AS a", "doc_id_2 AS b").cache())
+    deg = (e.selectExpr("a AS v").unionAll(e.selectExpr("b AS v"))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    e2 = e.selectExpr("a AS b2", "b AS c")
+    e3 = e.selectExpr("a AS a3", "b AS c3")
+    tri = (e.join(e2, F.col("b") == F.col("b2"))
+           .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (wedges.crossJoin(F.broadcast(edges))
+            .crossJoin(F.broadcast(tri))     # all sides are 1 row
+            .selectExpr("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                        "CAST(3 * n_triangles AS DOUBLE) / n_wedges"
+                        " AS clustering_coeff"))
+
+
+DEDUP_GRAPH_TRIANGLES_SQL = f"""
+WITH edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM ({DEDUP_MINHASH_LSH_SQL})
+),
+deg AS (SELECT v, COUNT(*) AS d FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        GROUP BY v),
+w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT w.n_nodes, m.n_edges, w.n_wedges, t.n_triangles,
+       CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges AS clustering_coeff
+FROM w, m, t
+"""
+
+
 # -- contrastive hard-negative mining -------------------------------------
 # Training-pair construction for contrastive/embedding models: for each
 # query vector, the top-k most-similar vectors whose LABEL differs —
@@ -1466,6 +1521,12 @@ QUERIES = {
         "leakage-safe train/val/test split: explicit-LCG hash of the "
         "dedup CLUSTER id, so near-duplicate documents can never "
         "straddle splits (decontamination by construction)"),
+    "dedup_graph_triangles": Query(
+        dedup_graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL,
+        "triangle census + global clustering coefficient of the "
+        "near-dup graph (are clusters cliques or chains?) — oriented "
+        "d1<d2 edges count each triangle exactly once; wedge fan-out "
+        "bounded by near-dup degree"),
     "ann_hard_negatives": Query(
         ann_hard_negatives, ANN_HARD_NEGATIVES_SQL,
         "contrastive hard-negative mining: per query, the top-k most-"
