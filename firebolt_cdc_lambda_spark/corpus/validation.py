@@ -570,6 +570,56 @@ FROM a UNPIVOT (value FOR metric IN (sum_price, avg_price, n_orders))
 """
 
 
+# -- declarative expectations report (operators/expectations.py) ----------
+# The reference's DATA_VALIDATION_QUERIES.sql practice as ONE operator
+# call: five constraint families declared fluently, compiled into a
+# single aggregation over a single scan, reported long-format.  The
+# oracle restates each check as its own conditional aggregate — an
+# independent second derivation of every count.  All-integer outputs.
+# Bounds chosen so BOTH report sides bind on the fixtures: the range
+# cap (400k < max totalprice ~499k) and the accepted-values set
+# (excluding the real 'P' status) each count real violations, while
+# not_null/unique/matches pass with 0 — the report mixes live
+# failures with live passes instead of an all-zero column.
+def val_expectations_report(spark, sf):
+    from ..operators.expectations import Expectations
+    o = load_table(spark, sf, "orders")
+    return (Expectations(o)
+            .not_null("o_custkey")
+            .unique("o_orderkey")
+            .in_range("o_totalprice", 0, 400000)
+            .accepted_values("o_orderstatus", ["O", "F"])
+            .matches("o_orderpriority", "^[1-5]-")
+            .report())
+
+
+VAL_EXPECTATIONS_REPORT_SQL = """
+WITH s AS (
+  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 400000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS av,
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mt
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS "check", nn AS violations, nn = 0 AS passed FROM s
+UNION ALL
+SELECT 'unique:o_orderkey', uq, uq = 0 FROM s
+UNION ALL
+SELECT 'in_range:o_totalprice', rng, rng = 0 FROM s
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', av, av = 0 FROM s
+UNION ALL
+SELECT 'matches:o_orderpriority', mt, mt = 0 FROM s
+"""
+
+
 QUERIES = {
     "sql_surface_unpivot": Query(
         sql_surface_unpivot, SQL_SURFACE_UNPIVOT_SQL,
@@ -626,4 +676,10 @@ QUERIES = {
     "skew_salted_join": Query(
         skew_salted_join, SKEW_SALTED_JOIN_SQL,
         "salted (key, salt) skew-spread equi-join == plain join"),
+    "val_expectations_report": Query(
+        val_expectations_report, VAL_EXPECTATIONS_REPORT_SQL,
+        "declarative data-quality gate (operators/expectations): five "
+        "constraint families compiled into ONE aggregation pass, "
+        "reported as (check, violations, passed) — the reference's "
+        "hand-written validation SQL as a composable operator"),
 }

@@ -1,0 +1,85 @@
+"""Expectations: the single-pass declarative quality gate."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from firebolt_cdc_lambda_spark.operators.expectations import (
+    ExpectationError, Expectations)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame([
+        Row(id=1, status="O", amount=10.0, name="ok_one"),
+        Row(id=2, status="F", amount=-5.0, name="bad amount"),
+        Row(id=2, status="P", amount=20.0, name="dup id"),
+        Row(id=3, status="X", amount=30.0, name=None),
+        Row(id=None, status="O", amount=40.0, name="null id"),
+    ])
+
+
+def test_report_counts_each_violation_class(spark, df):
+    rep = {r["check"]: (r["violations"], r["passed"]) for r in (
+        Expectations(df)
+        .not_null("id", "name")
+        .unique("id")
+        .in_range("amount", 0, 100)
+        .accepted_values("status", ["O", "F", "P"])
+        .matches("name", r"^[a-z_]+$")
+        .report().collect())}
+    assert rep["not_null:id"] == (1, False)
+    assert rep["not_null:name"] == (1, False)
+    assert rep["unique:id"] == (1, False)          # id=2 twice
+    assert rep["in_range:amount"] == (1, False)    # -5.0
+    assert rep["accepted_values:status"] == (1, False)  # X
+    # "bad amount", "dup id", "null id" (NULL name is skipped, not counted)
+    assert rep["matches:name"] == (3, False)
+
+
+def test_single_aggregation_job(spark, df):
+    """All checks compile into ONE aggregate over one scan — no join,
+    no per-check job."""
+    exp = (Expectations(df).not_null("id").unique("id")
+           .in_range("amount", 0, 100))
+    agg = df.agg(*[c for _, c in exp._checks])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert plan.count("Exchange") <= 2      # partial + final of one agg
+
+
+def test_enforce_raises_with_every_failure_listed(spark, df):
+    with pytest.raises(ExpectationError) as exc:
+        Expectations(df).not_null("id").unique("id").enforce()
+    msg = str(exc.value)
+    assert "not_null:id (1 violations)" in msg
+    assert "unique:id (1 violations)" in msg
+
+
+def test_enforce_passes_clean_data(spark):
+    clean = spark.createDataFrame([Row(id=1), Row(id=2)])
+    Expectations(clean).not_null("id").unique("id").enforce()  # no raise
+
+
+def test_unique_counts_null_keys_like_the_merge(spark):
+    """NULL-keyed rows group like any value (struct distinct) — two
+    NULL-id rows are duplicates, matching merge_cdc's null-safe key
+    semantics."""
+    d = spark.createDataFrame([(None, 1), (None, 2)], "id bigint, v int")
+    rep = Expectations(d).unique("id").report().collect()[0]
+    assert rep["violations"] == 1 and not rep["passed"]
+
+
+def test_custom_predicate(spark, df):
+    rep = (Expectations(df)
+           .custom("amount_vs_status",
+                   (F.col("status") == "F") & (F.col("amount") >= 0))
+           .report().collect()[0])
+    assert rep["check"] == "custom:amount_vs_status"
+    assert rep["violations"] == 0 and rep["passed"]
+
+
+def test_no_checks_rejected(spark, df):
+    with pytest.raises(ValueError, match="no expectations"):
+        Expectations(df).report()
