@@ -62,7 +62,8 @@ class CdcPipeline:
                  version_col: str | None = None,
                  tombstones: bool | None = None,
                  versioned: bool = False,
-                 alert_hook=None):
+                 alert_hook=None,
+                 expectations=None):
         self.spark = spark
         self.table_root = table_root.rstrip("/")
         self.table_keys = table_keys or TableKeys()
@@ -102,6 +103,13 @@ class CdcPipeline:
         # wins, as with tombstones.
         self.versioned = versioned
         self.alert_hook = alert_hook or (lambda msg: None)
+        # per-table pre-merge quality gates: {table: staging_df ->
+        # operators.expectations.Expectations}.  A violating batch fails
+        # LOUDLY before it can land (alert + raise; process_file records
+        # 'failed' in the ledger) — the declarative replacement for the
+        # reference's after-the-fact validation SQL.  One extra
+        # aggregation job per gated batch; zero cost when unconfigured.
+        self.expectations = dict(expectations or {})
         self._rollups: dict[str, list] = {}
 
     def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
@@ -193,6 +201,15 @@ class CdcPipeline:
                       staging: DataFrame) -> BatchResult:
         t0 = time.time()
         target = self.target_for(table, keys)
+
+        gate = self.expectations.get(table)
+        if gate is not None:
+            from .operators.expectations import ExpectationError
+            try:
+                gate(staging).enforce()
+            except ExpectationError as exc:
+                self.alert_hook(f"[{table}] quality gate: {exc}")
+                raise
 
         if not target.exists():
             # bootstrap: first batch creates the table (schema from Parquet,

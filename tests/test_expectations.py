@@ -83,3 +83,43 @@ def test_custom_predicate(spark, df):
 def test_no_checks_rejected(spark, df):
     with pytest.raises(ValueError, match="no expectations"):
         Expectations(df).report()
+
+
+def test_pipeline_quality_gate_blocks_bad_batch(spark, tmp_path):
+    """CdcPipeline(expectations=...): a violating batch alerts, raises,
+    records 'failed' in the ledger, and does NOT land; the next clean
+    batch lands normally."""
+    import datetime as dt
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.sources.ledger import FileLedger
+
+    alerts = []
+    ledger = FileLedger(spark, str(tmp_path / "ledger"),
+                        cleanup_probability=0.0)
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), TableKeys.from_json('{"users": "id"}'),
+        ledger=ledger, num_buckets=4, alert_hook=alerts.append,
+        expectations={"users": lambda df: Expectations(df)
+                      .not_null("id").in_range("amount", 0, 100)})
+
+    def write_batch(name, rows):
+        p = str(tmp_path / "fair" / "users" / "2024" / "01" / "05" / name)
+        spark.createDataFrame(rows, "id bigint, amount double, Op string") \
+            .withColumn("load_timestamp",
+                        F.lit(dt.datetime(2024, 1, 5)).cast("timestamp")) \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        return p
+
+    bad = write_batch("f1.parquet", [(1, 50.0, "I"), (None, 999.0, "I")])
+    with pytest.raises(ExpectationError):
+        pipe.process_file(bad)
+    assert alerts and "quality gate" in alerts[0]
+    assert not (tmp_path / "wh" / "users").exists()      # nothing landed
+    assert ledger.is_processed(bad) is False             # recorded failed
+
+    good = write_batch("f2.parquet", [(1, 50.0, "I"), (2, 60.0, "I")])
+    res = pipe.process_file(good)
+    assert res.status == "bootstrapped"
+    kt = pipe.target_for("users", ["id"])
+    assert kt.read().count() == 2
