@@ -2445,6 +2445,59 @@ GROUP BY 1, 2
 """
 
 
+# -- exact-integer EWMA smoothing (time-series family) --------------------
+# Exponentially-weighted moving average of per-user event values —
+# the smoothing primitive next to lead/lag, sessionization, and the
+# retention/Markov rows.  Determinism is the interesting part: a float
+# EWMA recurrence is order-of-operations-dependent, but alpha = 1/2
+# over a bounded 20-row frame makes everything EXACT INTEGERS — the
+# fold num = num*2 + x over the frame (oldest -> newest) yields
+# weights 2^j (newest ~ half the mass, pandas ewm(adjust=True)
+# semantics), den = 2^n - 1, both BIGINT-exact (cents * 2^19 * 20
+# ~ 5e14 < 2^53), and the single final division is correctly rounded.
+# The ORACLE derives the same ratio via a completely different route —
+# a rn-bounded self-join with weights 2^(19-d), a fixed 2^s rescaling
+# of BOTH terms that cancels exactly in the division — so the check is
+# an independent second derivation, not a restatement.  Scale shape:
+# Spark side is ONE user_id window exchange + a codegen fold (no
+# join); the O(20x) pair expansion exists only on the oracle side.
+# fold NEWEST-first (reverse of the frame's oldest->newest order): the
+# k-th element folded lands with weight 2^(n-1-k), so the newest row
+# carries 2^(n-1) — half the total mass — and the oldest carries 2^0
+_EWMA_FOLD = (
+    "aggregate(reverse(vals), "
+    "struct(CAST(0 AS BIGINT) AS num, CAST(0 AS BIGINT) AS den), "
+    "(acc, x) -> struct(acc.num * 2 + x, acc.den * 2 + 1))")
+
+
+def events_ewma_smoothing(spark, sf):
+    e = (load_table(spark, sf, "events")
+         .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+                     "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                     " AS cents"))
+    w = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+         .rowsBetween(-19, 0))
+    return (e.withColumn("vals", F.collect_list("cents").over(w))
+            .selectExpr("user_id", "event_id", "tus", "cents",
+                        f"CAST(({_EWMA_FOLD}).num AS DOUBLE)"
+                        f" / ({_EWMA_FOLD}).den AS ewma_cents"))
+
+
+EVENTS_EWMA_SMOOTHING_SQL = """
+WITH e AS (SELECT user_id, event_id, EPOCH_US(ts) AS tus,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) AS rn FROM e)
+SELECT a.user_id, a.event_id, a.tus, a.cents,
+       CAST(SUM(b.cents * (CAST(1 AS BIGINT) << (19 - (a.rn - b.rn)))) AS DOUBLE)
+         / SUM(CAST(1 AS BIGINT) << (19 - (a.rn - b.rn))) AS ewma_cents
+FROM r a JOIN r b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+GROUP BY a.user_id, a.event_id, a.tus, a.cents
+"""
+
+
 # -- Markov transition matrix (next-event behavioral model) ---------------
 # The first-order Markov estimate behind "what do users do next":
 # per-user event sequences (total-ordered by ts, event_id) yield
@@ -2713,6 +2766,12 @@ QUERIES = {
         "windows with the per-(row,window) lagged late filter and the "
         "end-based emission cut, reproduced by expand-then-filter "
         "batch SQL"),
+    "events_ewma_smoothing": Query(
+        events_ewma_smoothing, EVENTS_EWMA_SMOOTHING_SQL,
+        "exact-integer EWMA (alpha=1/2, 20-row frame): windowed "
+        "codegen fold num*2+x / den*2+1 — no float recurrence; oracle "
+        "re-derives the ratio via a rn-bounded self-join whose 2^s "
+        "rescaling cancels exactly"),
     "events_markov_transitions": Query(
         events_markov_transitions, EVENTS_MARKOV_TRANSITIONS_SQL,
         "first-order Markov next-event model: per-user transition "
