@@ -2792,10 +2792,10 @@ QUERIES = {
         "expression trees"),
     "events_retention_cohorts": Query(
         events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL,
-        "cohort retention matrix: users bucketed by first-active epoch-"
-        "week, distinct-user retention per week offset — one window "
+        "cohort retention matrix: users bucketed by first-active epoch "
+        "DAY, distinct-user retention per day offset — one window "
         "exchange on user_id reused by the re-aggregation, all-integer "
-        "week arithmetic"),
+        "day arithmetic"),
     "events_stream_join_full": Query(
         events_stream_join_full, EVENTS_STREAM_JOIN_FULL_SQL,
         "stream-stream FULL OUTER join: inner pairs + closed unmatched "

@@ -252,13 +252,14 @@ def cdc_time_travel(spark, sf):
 # NON-key c_name, merge a CDC batch WITHOUT refreshing the index (one
 # probed name is updated in a now-dirty bucket; one brand-new name
 # lands in a possibly-new bucket), then look up four names:
-#   * two untouched  -> found via bloom-pruned buckets,
-#   * one updated    -> found via the merge-flagged dirty buckets
-#                       (fail-open path: row must show the POST-merge
-#                       balance, proving dirty buckets are re-read),
-#   * one inserted   -> found via dirty even though the index never
-#                       saw the value,
-#   * one absent     -> empty.
+#   * key 109, untouched -> found via a bloom-pruned bucket,
+#   * key 7, updated     -> found via the merge-flagged dirty buckets
+#                           (fail-open path: the row must show the
+#                           POST-merge balance, proving dirty buckets
+#                           are re-read),
+#   * the inserted name  -> found via dirty even though the index
+#                           never saw the value,
+#   * an absent name     -> empty.
 # The oracle restates the merge + IN-filter in pure SQL; value-hash
 # equality pins that neither staleness path loses or duplicates rows.
 _BLOOM_PROBE_KEYS = (7, 109)

@@ -71,7 +71,12 @@ class BloomIndex:
         self.k = int(k)
         self.spark = table.spark
         self.words_path = f"{table.path}__bloom_{column}"
-        self.sidecar = f"_bloom_{column}.json"
+        # SIBLING path, like the words dataset: the unversioned rewrite
+        # swap DELETES the whole table dir, so a sidecar inside it would
+        # vanish on every rebucket/zorder — losing the stored m/k (and
+        # the index registration's paper trail) instead of just being
+        # voided by the table_version bump
+        self.sidecar_path = f"{table.path}__bloom_{column}.json"
 
     # -- shared hash expression (build AND probe use this verbatim) -------
     def _positions(self, col: str) -> F.Column:
@@ -94,11 +99,13 @@ class BloomIndex:
                     f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits")))
 
     def _load_side(self) -> dict | None:
-        text = self.table._read_sidecar(self.sidecar)
+        from .. import fsio
+        text = fsio.read_text(self.spark, self.sidecar_path)
         return None if text is None else json.loads(text)
 
     def _save_side(self, side: dict) -> None:
-        self.table._write_sidecar(self.sidecar, json.dumps(side))
+        from .. import fsio
+        fsio.write_text(self.spark, self.sidecar_path, json.dumps(side))
 
     def _current_tv(self) -> int:
         meta = self.table._load_meta()
@@ -130,10 +137,14 @@ class BloomIndex:
         never silently rebuild a differently-sized index.  Returns the
         buckets recomputed."""
         side = self._load_side()
+        if side is not None:
+            # adopt the stored sizing FIRST — including on the voided
+            # branch below, where build() would otherwise silently
+            # rebuild a custom-sized index at the constructor defaults
+            self.m, self.k = int(side["m"]), int(side["k"])
         if side is None or side["table_version"] != self._current_tv():
             self.build()
             return sorted(self.table.file_stats())
-        self.m, self.k = int(side["m"]), int(side["k"])
         dirty = [int(b) for b in side.get("dirty", [])]
         if not dirty:
             return []
@@ -204,6 +215,12 @@ class BloomIndex:
         reading only the candidate buckets (same brace-glob pruned scan
         as ``KeyedTable.lookup``).  Falls back to a full scan — never a
         wrong answer — when the index is absent or voided."""
+        if any(v is None for v in values):
+            # reject on EVERY path, not just the live-index one inside
+            # candidate_buckets — otherwise the same call would work
+            # while the index is voided and crash after the next build
+            raise ValueError("NULL probe values cannot match (isin "
+                             "semantics); filter them out")
         t = self.table
         cands = self.candidate_buckets(values)
         if cands is None:

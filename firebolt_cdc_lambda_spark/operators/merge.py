@@ -388,6 +388,22 @@ class KeyedTable:
              "table_version": self.table_version,
              "bloom_columns": self.bloom_columns}))
 
+    def _bump_table_version(self) -> None:
+        """Advance table_version for a wholesale rewrite, against the
+        STORED value, not this handle's in-memory copy.  Two handles on
+        one table (fleet mode, or an index built by another process)
+        would otherwise both compute old+1 from stale copies — handle
+        A's rewrite could land the SAME version a bloom sidecar was
+        built under, silently un-voiding an index whose bucket ids no
+        longer exist (false-negative lookups).  bloom_columns is merged
+        for the same reason: a stale handle's _save_meta must not
+        unregister an index another process registered."""
+        meta = self._load_meta() or {}
+        self.table_version = int(
+            meta.get("table_version", self.table_version)) + 1
+        self.bloom_columns = sorted(
+            set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
+
     def _mark_bloom_dirty(self, buckets: Sequence[int]) -> None:
         """Secondary-index maintenance riding the merge commit: flag the
         touched buckets dirty in every bloom sidecar (operators/bloom.py)
@@ -400,18 +416,21 @@ class KeyedTable:
         cluster_by/zorder_by/evolution) instead bump ``table_version``,
         which voids every bloom sidecar at probe time."""
         import json
+
+        from .. import fsio
         meta = self._load_meta()
         cols = (meta or {}).get("bloom_columns", [])
         for col in cols:
-            name = f"_bloom_{col}.json"
-            text = self._read_sidecar(name)
+            # sibling path (survives the rewrite swap; see bloom.py)
+            p = f"{self.path}__bloom_{col}.json"
+            text = fsio.read_text(self.spark, p)
             if text is None:
                 continue
             side = json.loads(text)
             dirty = set(side.get("dirty", []))
             dirty.update(int(b) for b in buckets)
             side["dirty"] = sorted(dirty)
-            self._write_sidecar(name, json.dumps(side))
+            fsio.write_text(self.spark, p, json.dumps(side))
 
     def _load_meta(self):
         import json
@@ -590,7 +609,7 @@ class KeyedTable:
         via a separate scheduled job, CHANGELOG.md:9-14)."""
         if self.tombstones and TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
-        self.table_version += 1      # voids any bloom sidecar (fail-open)
+        self._bump_table_version()   # voids any bloom sidecar (fail-open)
         bucketed = self._with_bucket(df)
         if self.versioned:
             # wipe any prior content: init IS the reset point of history
@@ -854,7 +873,7 @@ class KeyedTable:
         Spark cannot overwrite a path it is concurrently reading from.
         Tombstone-mode callers: derive ``df`` from snapshot_for_rewrite(),
         not read(), or the rewrite loses the delete markers."""
-        self.table_version += 1      # voids any bloom sidecar (fail-open)
+        self._bump_table_version()   # voids any bloom sidecar (fail-open)
         bucketed = self._with_bucket(df)
         if self.versioned:
             # history-preserving full rewrite: the new epoch's leaves are

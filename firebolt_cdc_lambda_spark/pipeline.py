@@ -143,6 +143,21 @@ class CdcPipeline:
             rollup.refresh(base, touched)
 
     # -- full-load bootstrap (the LOAD* path the CDC stream skips) --------
+    def _run_quality_gate(self, table: str, staging: DataFrame) -> None:
+        """Enforce the table's declared expectations (if any) — shared by
+        EVERY path that can land rows: CDC batches (incl. their bootstrap
+        branch) AND full-load bootstraps.  A violating batch alerts and
+        raises before anything is written."""
+        gate = self.expectations.get(table)
+        if gate is None:
+            return
+        from .operators.expectations import ExpectationError
+        try:
+            gate(staging).enforce()
+        except ExpectationError as exc:
+            self.alert_hook(f"[{table}] quality gate: {exc}")
+            raise
+
     def bootstrap_from_load_files(self, table: str, paths: Sequence[str]) -> BatchResult:
         """Reference full loads run as a separate scheduled job
         (CHANGELOG.md:9-14); this is that job: read LOAD* files, dedup,
@@ -152,6 +167,7 @@ class CdcPipeline:
             return BatchResult("skipped", table=table, reason="null primary key")
         t0 = time.time()
         df = read_cdc_files(self.spark, list(paths))
+        self._run_quality_gate(table, df)   # full loads are gated too
         deduped = deduplicate(df, keys, check_bypass=True)
         target = self.target_for(table, keys)
         target.init(deduped.select(*self._out_cols(deduped)))
@@ -202,14 +218,7 @@ class CdcPipeline:
         t0 = time.time()
         target = self.target_for(table, keys)
 
-        gate = self.expectations.get(table)
-        if gate is not None:
-            from .operators.expectations import ExpectationError
-            try:
-                gate(staging).enforce()
-            except ExpectationError as exc:
-                self.alert_hook(f"[{table}] quality gate: {exc}")
-                raise
+        self._run_quality_gate(table, staging)
 
         if not target.exists():
             # bootstrap: first batch creates the table (schema from Parquet,

@@ -205,3 +205,55 @@ def test_fleet_maintenance_refreshes_bloom(spark, tmp_path):
     assert pipe.refresh_bloom_indexes("users") == ["category"]
     assert BloomIndex(kt2, "category")._load_side()["dirty"] == []
     assert pipe.refresh_bloom_indexes("nope") == []        # unconfigured
+
+
+def test_two_handle_rewrite_cannot_collide_with_index_version(spark, tmp_path):
+    """Review finding: table_version must advance against the STORED
+    value.  Handle A (stale in-memory tv) rewriting after handle B's
+    rebucket + index rebuild must land a version DIFFERENT from the
+    sidecar's, voiding the index — never silently un-voiding it into
+    false negatives against re-hashed bucket ids."""
+    path = str(tmp_path / "t")
+    a = KeyedTable(spark, path, ["id"], num_buckets=16)
+    a.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    b = KeyedTable(spark, path, ["id"])          # second handle
+    b.rebucket(8)                                # stored tv bumps
+    ix = BloomIndex(b, "category")
+    ix.build()                                   # sidecar pinned at tv
+    a.rebucket(4)                                # stale handle rewrites
+    assert ix.candidate_buckets(["cat_1"]) is None   # voided, not collided
+    got = sorted(tuple(r) for r in ix.lookup(["cat_1"]).collect())
+    assert got == _expect(a, ["cat_1"]) and got
+
+
+def test_stale_handle_save_meta_keeps_bloom_registration(spark, tmp_path):
+    """Review finding: a stale handle's wholesale rewrite must not
+    unregister an index another handle registered in the meta."""
+    path = str(tmp_path / "t")
+    a = KeyedTable(spark, path, ["id"], num_buckets=8)
+    a.init(_rows(spark, range(50)).drop("Op", "load_timestamp"))
+    b = KeyedTable(spark, path, ["id"])
+    BloomIndex(b, "category").build()            # registers on B's meta
+    a.zorder_by(["id"])                          # A's meta save follows
+    assert "category" in KeyedTable(spark, path, ["id"]).bloom_columns
+
+
+def test_refresh_of_voided_custom_index_keeps_stored_sizing(spark, table):
+    """Review finding: the voided branch of refresh() must adopt the
+    stored m/k BEFORE rebuilding — a default-parameter maintenance
+    handle must not silently downsize a custom-sized index 32x."""
+    BloomIndex(table, "payload", m_bits=16384, k=4).build()
+    table.zorder_by(["id"])                      # wholesale rewrite: voided
+    BloomIndex(table, "payload").refresh()       # defaults: 4096/3
+    side = BloomIndex(table, "payload")._load_side()
+    assert (side["m"], side["k"]) == (16384, 4)
+
+
+def test_null_probe_rejected_on_every_path(spark, table):
+    """Review finding: lookup must reject NULL probes consistently —
+    including while the index is voided (full-scan fallback)."""
+    ix = BloomIndex(table, "category")
+    ix.build()
+    table.rebucket(8)                            # index voided
+    with pytest.raises(ValueError, match="NULL probe"):
+        ix.lookup(["cat_1", None])

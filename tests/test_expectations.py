@@ -123,3 +123,26 @@ def test_pipeline_quality_gate_blocks_bad_batch(spark, tmp_path):
     assert res.status == "bootstrapped"
     kt = pipe.target_for("users", ["id"])
     assert kt.read().count() == 2
+
+
+def test_full_load_bootstrap_is_gated_too(spark, tmp_path):
+    """Review finding: bootstrap_from_load_files must run the same
+    quality gate as process_batch — a bad full load must not land."""
+    import datetime as dt
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    alerts = []
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"), TableKeys.from_json('{"users": "id"}'),
+        ledger=False, num_buckets=4, alert_hook=alerts.append,
+        expectations={"users": lambda df: Expectations(df).not_null("id")})
+    p = str(tmp_path / "LOAD00000001.parquet")
+    spark.createDataFrame([(1, "I"), (None, "I")], "id bigint, Op string") \
+        .withColumn("load_timestamp",
+                    F.lit(dt.datetime(2024, 1, 5)).cast("timestamp")) \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    with pytest.raises(ExpectationError):
+        pipe.bootstrap_from_load_files("users", [p])
+    assert alerts and "quality gate" in alerts[0]
+    assert not (tmp_path / "wh" / "users").exists()
