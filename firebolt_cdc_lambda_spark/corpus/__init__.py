@@ -126,16 +126,16 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     corpus_stratified_sample / corpus_sequence_packing /
 #     corpus_mixture_sampling by the six late additions — all rejoin
 #     the r3-stale queue).
-# NINETEEN queries of the round-5 continuations arrived after every
+# TWENTY queries of the round-5 continuations arrived after every
 # in-gate slot already held a round-5 row with no older driver row to
 # fall back on; displacing one would just move the debt.  They are the
 # ONLY never-gated queries, each green in the local differential suite
 # at sf0.001, sf0.01 AND sf0.1 (and plain-session checked), and they
-# are round 6's FIRST NINETEEN slots, in this order: cdc_scd2_pit_join,
+# are round 6's FIRST TWENTY slots, in this order: cdc_scd2_pit_join,
 # corpus_gini_balance, events_stream_join_full, events_stream_sliding,
 # q2_min_cost_supplier, q11_important_stock, q16_part_supplier_variety,
 # q20_promotion_suppliers (the last four complete TPC-H 22/22 via the
-# DERIVED partsupp), then the eleven of the THIRD continuation:
+# DERIVED partsupp), then the twelve of the THIRD continuation:
 # events_stream_static_enrich (stream-static dim-enrichment join —
 # completes the streaming join family), cdc_bloom_lookup (the bloom
 # secondary index's two staleness paths under the value hash),
@@ -143,14 +143,15 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # events_markov_transitions (first-order next-event model),
 # events_ewma_smoothing (exact-integer alpha=1/2 EWMA fold),
 # dedup_graph_triangles (triangle census + clustering coefficient of
-# the near-dup graph), val_expectations_report (the declarative
+# the near-dup graph), corpus_dedup_canonical (survivorship: canonical
+# doc per near-dup cluster + member mapping), val_expectations_report (the declarative
 # single-pass data-quality gate, operators/expectations.py),
 # ann_hard_negatives (contrastive hard-negative mining),
 # orders_trend_ols (grouped OLS + Pearson from 128-bit-exact moment
 # sums), corpus_drift_hellinger (third divergence-family member),
 # corpus_temperature_mixture (alpha=0.5 sqrt-share reweighting).
-# After round 5: 143 of the 162 queries ever-gated; newest-row distribution
-# r5=50, r4=50, r3=43 (+19 never-gated, above) — no
+# After round 5: 143 of the 163 queries ever-gated; newest-row distribution
+# r5=50, r4=50, r3=43 (+20 never-gated, above) — no
 # GATED row older than round 3.  The 43 remaining
 # r3 rows (q4/q6/q7/q8/q9/q12/q13/q14/q15/q17/q18/q19/q21/q22 +
 # events_json_extract + embedding_pseudo_label +

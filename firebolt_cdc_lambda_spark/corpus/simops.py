@@ -1064,6 +1064,52 @@ FROM h
 """
 
 
+# -- survivorship: the canonical document per near-dup cluster ------------
+# The pipeline step BETWEEN clustering and training: every near-dup
+# cluster keeps exactly one canonical document (the longest — shifted
+# copies are strict-substring truncations, so "longest wins" recovers
+# the original; ties break on doc_id as part of the definition) and
+# every member maps to it, so downstream joins can rewrite references
+# instead of just dropping rows.  Composes the CC assignment under its
+# recursive-CTE oracle; the selection itself is ONE window (FIRST_VALUE
+# over a total order) on the cluster exchange — no join beyond the
+# length lookup, no second pass.
+def corpus_dedup_canonical(spark, sf):
+    from pyspark.sql import Window
+    assigned = dedup_cluster_assign(spark, sf).select(
+        "doc_id", "cluster_id", "cluster_size")
+    c = _neardup_corpus(spark, sf).selectExpr(
+        "doc_id", "length(clean) AS n_chars")
+    j = assigned.join(c, "doc_id")
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (j.withColumn("canonical_doc_id", F.first("doc_id").over(w))
+            .selectExpr("doc_id", "cluster_id", "cluster_size",
+                        "CAST(n_chars AS BIGINT) AS n_chars",
+                        "canonical_doc_id",
+                        "doc_id = canonical_doc_id AS is_canonical"))
+
+
+CORPUS_DEDUP_CANONICAL_SQL = f"""
+WITH assigned_full AS ({DEDUP_CLUSTER_ASSIGN_SQL}),
+c2 AS ({_NEARDUP_CORPUS_SQL})
+SELECT a.doc_id, a.cluster_id, a.cluster_size,
+       CAST(length(c2.clean) AS BIGINT) AS n_chars,
+       FIRST_VALUE(a.doc_id) OVER (
+         PARTITION BY a.cluster_id
+         ORDER BY length(c2.clean) DESC, a.doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS canonical_doc_id,
+       a.doc_id = FIRST_VALUE(a.doc_id) OVER (
+         PARTITION BY a.cluster_id
+         ORDER BY length(c2.clean) DESC, a.doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS is_canonical
+FROM assigned_full a JOIN c2 ON c2.doc_id = a.doc_id
+"""
+
+
 # -- incremental dedup: new batch filtered against the existing corpus ---
 # The ingestion-time shape of near-dup dedup (what operators/lsh.LshIndex
 # does operationally, here as a pure oracle-checked query): a NEW batch
@@ -1521,6 +1567,12 @@ QUERIES = {
         "leakage-safe train/val/test split: explicit-LCG hash of the "
         "dedup CLUSTER id, so near-duplicate documents can never "
         "straddle splits (decontamination by construction)"),
+    "corpus_dedup_canonical": Query(
+        corpus_dedup_canonical, CORPUS_DEDUP_CANONICAL_SQL,
+        "survivorship selection: the canonical (longest, doc_id "
+        "tie-break) document per near-dup cluster + member->canonical "
+        "mapping — ONE FIRST_VALUE window on the cluster exchange over "
+        "the CC assignment"),
     "dedup_graph_triangles": Query(
         dedup_graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL,
         "triangle census + global clustering coefficient of the "
