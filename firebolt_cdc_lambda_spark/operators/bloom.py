@@ -123,9 +123,9 @@ class BloomIndex:
         self._save_side({"column": self.column, "m": self.m, "k": self.k,
                          "table_version": self._current_tv(),
                          "built": built, "dirty": []})
-        if self.column not in self.table.bloom_columns:
-            self.table.bloom_columns.append(self.column)
-            self.table._save_meta()
+        # registration re-reads the stored meta (never writes this
+        # handle's possibly-stale table_version/bloom_columns back)
+        self.table._register_bloom_column(self.column)
         return len(built)
 
     def refresh(self) -> list[int]:
@@ -166,15 +166,18 @@ class BloomIndex:
         (fail-open) plus every built bucket whose filter has all k bits
         set for at least one value.  Returns None when the index is
         absent or voided by a wholesale rewrite (caller must full-scan)."""
+        # reject NULLs FIRST — before the absent/voided early-returns —
+        # so the same call can never work while the index is voided and
+        # start raising after the next build (lookup() inherits this)
+        if any(v is None for v in values):
+            raise ValueError("NULL probe values cannot match (isin "
+                             "semantics); filter them out")
         side = self._load_side()
         if side is None or side["table_version"] != self._current_tv():
             return None
         # adopt the stored m/k — probe positions computed under a
         # different m than the on-disk words would false-NEGATIVE
         self.m, self.k = int(side["m"]), int(side["k"])
-        if any(v is None for v in values):
-            raise ValueError("NULL probe values cannot match (isin "
-                             "semantics); filter them out")
         values = list(dict.fromkeys(values))   # dup values would break ==k
         schema = self.table._load_schema()
         vtype = schema[self.column].dataType
@@ -215,13 +218,8 @@ class BloomIndex:
         reading only the candidate buckets (same brace-glob pruned scan
         as ``KeyedTable.lookup``).  Falls back to a full scan — never a
         wrong answer — when the index is absent or voided."""
-        if any(v is None for v in values):
-            # reject on EVERY path, not just the live-index one inside
-            # candidate_buckets — otherwise the same call would work
-            # while the index is voided and crash after the next build
-            raise ValueError("NULL probe values cannot match (isin "
-                             "semantics); filter them out")
         t = self.table
+        # candidate_buckets rejects NULL probes up front, on every path
         cands = self.candidate_buckets(values)
         if cands is None:
             base = t.read()

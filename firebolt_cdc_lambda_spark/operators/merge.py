@@ -390,19 +390,45 @@ class KeyedTable:
 
     def _bump_table_version(self) -> None:
         """Advance table_version for a wholesale rewrite, against the
-        STORED value, not this handle's in-memory copy.  Two handles on
-        one table (fleet mode, or an index built by another process)
-        would otherwise both compute old+1 from stale copies — handle
-        A's rewrite could land the SAME version a bloom sidecar was
-        built under, silently un-voiding an index whose bucket ids no
-        longer exist (false-negative lookups).  bloom_columns is merged
-        for the same reason: a stale handle's _save_meta must not
-        unregister an index another process registered."""
+        STORED value, not this handle's in-memory copy.  A handle
+        constructed before another writer's rewrite would otherwise
+        compute old+1 from a stale copy — its rewrite could land the
+        SAME version a bloom sidecar was built under, silently
+        un-voiding an index whose bucket ids no longer exist
+        (false-negative lookups).  bloom_columns is merged for the same
+        reason: a stale handle's _save_meta must not unregister an
+        index another process registered.
+
+        Scope: this closes the SEQUENTIAL stale-handle case (construct,
+        someone else rewrites, then you rewrite).  CONCURRENT wholesale
+        rewrites of one table remain a read-modify-write race — out of
+        contract, exactly as concurrent merges are: the engine's
+        documented concurrency model is single-writer per table (fleet
+        mode serializes per-table work; see functions/retry.py and the
+        fleet drain pool).  The sidecar mtime cache adds a further
+        caveat only under concurrent writers (a write landing within
+        mtime granularity of a cached read), i.e. only outside the
+        contract."""
         meta = self._load_meta() or {}
         self.table_version = int(
             meta.get("table_version", self.table_version)) + 1
         self.bloom_columns = sorted(
             set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
+
+    def _register_bloom_column(self, column: str) -> None:
+        """Register a bloom index column in the meta WITHOUT disturbing
+        the stored table_version (registration is not a rewrite): both
+        fields are re-read from the stored meta first, so a stale
+        handle's registration can neither regress another writer's
+        version bump nor unregister another process' index (the same
+        hazard class _bump_table_version closes for rewrites)."""
+        meta = self._load_meta() or {}
+        self.table_version = int(
+            meta.get("table_version", self.table_version))
+        self.bloom_columns = sorted(
+            set(self.bloom_columns) | set(meta.get("bloom_columns", []))
+            | {column})
+        self._save_meta()
 
     def _mark_bloom_dirty(self, buckets: Sequence[int]) -> None:
         """Secondary-index maintenance riding the merge commit: flag the
@@ -604,12 +630,28 @@ class KeyedTable:
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         return p.getFileSystem(hconf).exists(p)
 
+    def _drop_bloom_artifacts(self) -> None:
+        """Delete SIBLING bloom artifacts (`<path>__bloom_*` json +
+        words datasets) left by a PRIOR table at this path.  init is
+        the reset point of history, and a recreated table restarts
+        table_version at 1 — an orphaned sidecar recorded at the old
+        table's version 1 would otherwise match and serve the OLD
+        table's filter words as live (false negatives, not fail-open)."""
+        fs, _, jvm = self._fs_and_path(self.path)
+        glob = jvm.org.apache.hadoop.fs.Path(f"{self.path}__bloom_*")
+        for st in fs.globStatus(glob) or []:
+            fs.delete(st.getPath(), True)
+
     def init(self, df: DataFrame) -> None:
         """Bootstrap the snapshot (full-load path; reference handles these
         via a separate scheduled job, CHANGELOG.md:9-14)."""
         if self.tombstones and TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
+        self._drop_bloom_artifacts()
         self._bump_table_version()   # voids any bloom sidecar (fail-open)
+        # AFTER the bump (which merges the old meta's registrations):
+        # a recreated table must not inherit a prior table's index list
+        self.bloom_columns = []
         bucketed = self._with_bucket(df)
         if self.versioned:
             # wipe any prior content: init IS the reset point of history

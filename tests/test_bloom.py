@@ -257,3 +257,56 @@ def test_null_probe_rejected_on_every_path(spark, table):
     table.rebucket(8)                            # index voided
     with pytest.raises(ValueError, match="NULL probe"):
         ix.lookup(["cat_1", None])
+
+
+def test_stale_handle_build_does_not_regress_version_or_registry(spark, tmp_path):
+    """Second-pass review finding: build() must register via the STORED
+    meta — a stale handle building a second index must neither regress
+    another writer's table_version nor unregister the first index."""
+    path = str(tmp_path / "t")
+    stale = KeyedTable(spark, path, ["id"], num_buckets=8)
+    stale.init(_rows(spark, range(50)).drop("Op", "load_timestamp"))
+    other = KeyedTable(spark, path, ["id"])
+    other.rebucket(4)                               # stored tv advances
+    BloomIndex(other, "category").build()           # registers 'category'
+    BloomIndex(stale, "payload").build()            # stale handle builds
+    fresh = KeyedTable(spark, path, ["id"])
+    assert sorted(fresh.bloom_columns) == ["category", "payload"]
+    assert fresh.table_version == other.table_version  # no regression
+    # both indexes live and correct
+    assert BloomIndex(fresh, "category").candidate_buckets(["cat_1"]) is not None
+    assert [r["id"] for r in BloomIndex(fresh, "payload")
+            .lookup(["p7"]).collect()] == [7]
+
+
+def test_recreated_table_does_not_inherit_orphan_index(spark, tmp_path):
+    """Second-pass review finding: a table re-init'd at the same path
+    restarts table_version — an orphaned sibling sidecar from the prior
+    table must be dropped at init, not matched as live (its words
+    describe the OLD table: false negatives, not fail-open)."""
+    import os
+    path = str(tmp_path / "t")
+    kt = KeyedTable(spark, path, ["id"], num_buckets=8)
+    kt.init(_rows(spark, range(50)).drop("Op", "load_timestamp"))
+    BloomIndex(kt, "category").build()
+    # simulate external drop of the table dir (sidecar siblings survive)
+    import shutil
+    shutil.rmtree(path)
+    assert os.path.exists(path + "__bloom_category.json")
+    kt2 = KeyedTable(spark, path, ["id"], num_buckets=8)
+    kt2.init(_rows(spark, range(30), cat=lambda i: f"new_{i % 3}")
+             .drop("Op", "load_timestamp"))
+    assert not os.path.exists(path + "__bloom_category.json")  # cleaned
+    assert kt2.bloom_columns == []
+    ix = BloomIndex(kt2, "category")
+    assert ix.candidate_buckets(["new_1"]) is None     # no orphan match
+    assert ix.lookup(["new_1"]).count() == 10          # full-scan fallback
+
+
+def test_null_probe_rejected_even_when_index_absent(spark, table):
+    """Second-pass review finding: candidate_buckets must reject NULLs
+    BEFORE the absent/voided early-returns — never None-then-raise
+    depending on maintenance timing."""
+    ix = BloomIndex(table, "category")     # never built
+    with pytest.raises(ValueError, match="NULL probe"):
+        ix.candidate_buckets(["cat_1", None])
