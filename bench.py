@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "cdc_scd2_history",
     "events_funnel_steps",
+    # round 6: the SCD2 point-in-time (as-of carry) shape, driver-gated in
+    # r6 slot 1 — tracked alongside cdc_scd2_history per the r5 verdict
+    "cdc_scd2_pit_join",
 ]
 
 
@@ -447,31 +450,36 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bloom-lookup bench failed: {exc}", file=sys.stderr)
         bloom_lookup = 0.0
-    # streams: best-of-2 (each run builds a fresh source+checkpoint, so a
+    # streams: best-of-N (each run builds a fresh source+checkpoint, so a
     # single sample carries dirty-page/GC jitter the query reps don't);
-    # throughput metrics report MAX, dispersion negates them so min=worst
+    # throughput metrics report MAX, dispersion negates them so min=worst.
+    # n>=3 across the whole stream family per the round-5 verdict: this
+    # box drifts +-30%, and medians of 2 (or 1) can't absorb that.
+    N_STREAM = 3
     stream_samples = [bench_stream_throughput(spark, sf_dir)
-                      for _ in range(2)]
+                      for _ in range(N_STREAM)]
     stream_fps = max(stream_samples)
     dispersion["stream_files_per_sec"] = summarize(stream_samples)
     catchup_samples = [bench_stream_throughput(spark, sf_dir,
                                                max_files_per_trigger=10)
-                       for _ in range(2)]
+                       for _ in range(N_STREAM)]
     catchup_fps = max(catchup_samples)
     dispersion["stream_catchup_files_per_sec"] = summarize(catchup_samples)
     # round-4 additions are shielded: their failure must never lose the
     # long-established metrics above
     try:
         fleet_samples = [bench_fleet_throughput(spark, sf_dir)
-                         for _ in range(2)]
+                         for _ in range(N_STREAM)]
         fleet_fps = max(fleet_samples)
         dispersion["fleet_files_per_sec"] = summarize(fleet_samples)
     except Exception as exc:  # noqa: BLE001
         print(f"fleet bench failed: {exc}", file=sys.stderr)
         fleet_fps = 0.0
     try:
-        neardup_dps = bench_neardup_stream(spark, sf_dir)
-        dispersion["stream_neardup_docs_per_sec"] = summarize([neardup_dps])
+        neardup_samples = [bench_neardup_stream(spark, sf_dir)
+                           for _ in range(N_STREAM)]
+        neardup_dps = max(neardup_samples)
+        dispersion["stream_neardup_docs_per_sec"] = summarize(neardup_samples)
     except Exception as exc:  # noqa: BLE001
         print(f"neardup stream bench failed: {exc}", file=sys.stderr)
         neardup_dps = 0.0

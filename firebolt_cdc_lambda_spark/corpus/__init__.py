@@ -162,57 +162,78 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # scalar_functions_showcase + join_enriched_orders +
 # asof_event_last_order + fourteen val_* aggregates, none code-touched
 # since r3) lead round 6's rotation.
+# ROUND 6 (this gate) — executes the round-5 judge's order #1 exactly:
+#   * slots 1-20 — the TWENTY never-gated round-5 continuations, in the
+#     ledger's exact order (above).  cdc_scd2_pit_join and
+#     val_expectations_report carry the most weight: sole oracle rows
+#     for the SCD2 point-in-time join and the Expectations gate;
+#     q2/q11/q16/q20 complete TPC-H 22/22 under the driver's oracle.
+#     After these land, every one of the corpus's queries has been
+#     driver-gated at least once (163/163 ever-gated).
+#   * slots 21-34 — the fourteen r3-stale TPC-H flagships
+#     (q4 q6 q7 q8 q9 q12 q13 q14 q15 q17 q18 q19 q21 q22).
+#   * slots 35-40 — the six round-5 displacement orphans
+#     (events_json_extract, embedding_pseudo_label,
+#     embedding_label_centroids, corpus_stratified_sample,
+#     corpus_sequence_packing, corpus_mixture_sampling), each bumped
+#     from a confirmed round-5 slot at the last minute; judge order #5.
+#   * slots 41-50 — ten of the fourteen r3-stale val_* aggregates.
+#     Four val_* rows are deferred to round 7, chosen so every VERDICT
+#     coverage row still receives a fresh r6 member via its twin:
+#     val_duplicate_keys (twin val_duplicate_pks gated, slot 43),
+#     val_monthly_distribution (twin val_date_distribution, slot 42),
+#     val_category_counts and val_profile_orders (their GROUP-BY /
+#     multi-agg shapes are each re-gated by several other slots).
+# Post-round arithmetic (if all 50 land green): 163/163 ever-gated;
+# newest-row distribution r6=50, r5=50, r4=37, r3=13; the 13 rows older
+# than r4 (the judge's ceiling was <=13) are the four deferred val_*
+# above + text_bigram_fluency, text_decontamination, text_pii_scrub,
+# text_quality_filter, text_repetition_filter, window_rank_family,
+# scalar_functions_showcase, join_enriched_orders,
+# asof_event_last_order — none code-touched since r3; they lead
+# round 7's rotation.
+#
+# GATE-FREEZE POLICY (round 6 forward; judge order #2 — the never-gated
+# queue grew 7 -> 20 across rounds 4-5 because new queries kept landing
+# after every slot held a fresh row):
+#   1. The 50-slot rotation is finalized and validated at round start.
+#   2. A new corpus query may land ONLY by taking a gate slot in the
+#      same round, displacing the tail re-gate slot with the most
+#      recent surviving driver row (displacement documented inline
+#      here, as always).  Stale re-gates are deferrable debt; a
+#      never-gated query is not.
+#   3. Once a round's tail slots are exhausted — or in the final third
+#      of a round (no time to re-validate the rotation) — new corpus
+#      queries are FROZEN until the next round's rotation.
+#   Invariant from round 6 on: a round ends with ZERO never-gated
+#   queries.
 _DRIVER_PRIORITY = [
-    # never-driver-gated (added after the round-4 freeze) -----------------
-    "cdc_out_of_order_replay", "ann_pq_topk", "embedding_int8_quant",
-    "multimodal_png_neardup", "multimodal_video_scenes",
-    "text_bpe_pair_merge", "text_ngram_novelty",
-    # new in round 5, gated immediately -----------------------------------
-    "ann_ivfpq_rerank_topk", "text_cms_heavy_hitters",
-    "dedup_minhash_containment", "events_distinct_sketch_audit",
-    "corpus_prep_pipeline", "corpus_drift_chisq",
-    # the sixteen r2-stale rows, code-touched dedup trio first ------------
-    "cdc_dedup_cascade", "cdc_dedup_last_writer", "cdc_dedup_bypass_stats",
-    "val_row_counts", "val_agg_summary", "val_checksum",
-    "val_approx_distinct", "val_ingestion_seq", "sql_surface_in_subquery",
-    "join_anti_customers_no_orders", "join_semi_active_customers",
-    "join_full_outer_compare", "join_correlated_nation_counts",
-    "set_ops_summary", "grouping_sets_status_priority",
-    "cube_status_priority",
-    # sketch-family audits added later in round 5, gated immediately ------
-    "join_bloom_filter_audit", "events_hll_register_audit",
-    "val_quantile_sketch_audit",
-    # new-operator rows added with the audits ------------------------------
-    "skew_salted_join", "asof_event_next_order", "cdc_time_travel",
-    # exact-integer Lloyd step, gated immediately --------------------------
-    "embedding_kmeans_step",
-    # streaming watermark semantics under the oracle, gated immediately ----
-    "events_stream_watermark", "events_stream_dedup",
-    # incremental rollup maintenance, gated immediately --------------------
-    "cdc_rollup_refresh",
-    # streaming session windows under the oracle, gated immediately --------
-    "events_stream_sessions",
-    # the custom Python-state changelog operator, gated immediately --------
-    "cdc_stream_changelog",
-    # r3-stale re-gates (9 of 43) -----------------------------------------
-    # change data feed, gated immediately -----------------------------------
-    "cdc_table_changes",
-    # leakage-safe split, gated immediately ---------------------------------
-    "corpus_leakage_safe_split",
-    # stream-stream LEFT OUTER join, gated immediately ----------------------
-    "events_stream_join_outer",
-    # collocation mining, gated immediately ---------------------------------
-    "text_pmi_collocations",
-    # ordered funnel analysis, gated immediately ----------------------------
-    "events_funnel_steps",
-    # incremental SCD2 fold, gated immediately ------------------------------
-    "cdc_scd2_incremental",
-    # exact-substring run dedup, gated immediately --------------------------
-    "dedup_substring_runs",
-    # stream-stream join under the oracle, gated immediately ----------------
-    "events_stream_join",
-    # SCD Type 2 history, gated immediately ---------------------------------
-    "cdc_scd2_history",
+    # slots 1-20: the twenty never-gated round-5 continuations ------------
+    "cdc_scd2_pit_join", "corpus_gini_balance", "events_stream_join_full",
+    "events_stream_sliding", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_part_supplier_variety", "q20_promotion_suppliers",
+    "events_stream_static_enrich", "cdc_bloom_lookup",
+    "events_retention_cohorts", "events_markov_transitions",
+    "events_ewma_smoothing", "dedup_graph_triangles",
+    "corpus_dedup_canonical", "val_expectations_report",
+    "ann_hard_negatives", "orders_trend_ols", "corpus_drift_hellinger",
+    "corpus_temperature_mixture",
+    # slots 21-34: r3-stale TPC-H flagships -------------------------------
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q12_shipping_delay_classes",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q21_sole_supplier_multi_line",
+    "q22_idle_rich_customers",
+    # slots 35-40: the six round-5 displacement orphans -------------------
+    "events_json_extract", "embedding_pseudo_label",
+    "embedding_label_centroids", "corpus_stratified_sample",
+    "corpus_sequence_packing", "corpus_mixture_sampling",
+    # slots 41-50: ten r3-stale val_* aggregates --------------------------
+    "val_date_distribution", "val_duplicate_pks", "val_freshness",
+    "val_null_counts",
+    "val_percentiles", "val_pivot_status", "val_price_histogram",
+    "val_rollup_status_priority", "val_sample_rows", "val_topk_orders",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
