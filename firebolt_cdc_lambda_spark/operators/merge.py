@@ -773,19 +773,32 @@ class KeyedTable:
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
     def purge_tombstones(self, before_version=None,
-                         version_col: str | None = None) -> None:
+                         version_col: str | None = None) -> bool:
         """Maintenance: physically drop tombstone rows — all of them, or
         (with ``before_version`` + ``version_col``) only those whose
         version is older, keeping recent tombstones to gate still-
         plausible late arrivals.  Full rewrite via temp-dir swap, like
-        rebucket/cluster_by (run on the same maintenance cadence)."""
+        rebucket/cluster_by (run on the same maintenance cadence).
+
+        Returns True iff a rewrite ran.  A table with NO purgeable
+        tombstones short-circuits to False BEFORE the rewrite: the
+        existence probe is a column-pruned scan of the marker column
+        with the predicate pushed to parquet, while the rewrite it
+        avoids is a full-table copy (and, on a versioned table, a whole
+        new epoch of history).  With tombstones default-ON every target
+        has the column, so without this gate a fleet maintenance sweep
+        would rewrite EVERY table every cadence — O(fleet data size)
+        instead of O(tables that actually deleted something)."""
         df = self._read_raw().drop(self.BUCKET_COL)
         if TOMBSTONE_COL not in df.columns:
-            return
+            return False
         dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
         if before_version is not None and version_col is not None:
             dead = dead & (F.col(version_col) < F.lit(before_version))
+        if df.where(dead).limit(1).isEmpty():
+            return False
         self.rewrite(df.where(~dead))
+        return True
 
     def purge_versions(self, keep_last: int = 1) -> list[int]:
         """GC for versioned tables: retain the newest ``keep_last``
@@ -989,6 +1002,84 @@ class KeyedTable:
                     n += 1
             stats[bucket] = n
         return stats
+
+    def health_report(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
+        """Small-file / history health metrics from a pure filesystem
+        listing — no Spark job, no footer reads (fleet-cadence cheap:
+        cost ∝ this table's file count, never its row count).
+
+        LIVE files are the ones the current snapshot resolves to — for a
+        versioned table each bucket's single current-epoch leaf, for a
+        plain table every data file.  Everything else is retained
+        history: immutable epoch leaves only ``read(as_of=)`` can still
+        reach, reclaimable via ``purge_versions``.  ``dead_ratio``
+        (dead bytes / total bytes) is the compaction signal
+        ``CdcFleet.run_maintenance`` gates version GC on, so fleet
+        maintenance cost scales with the tables that NEED it.
+
+        ``bucket_bytes_skew`` (max / mean live bucket bytes) flags a
+        hot-hashing or outgrown layout — the ``rebucket`` signal; at
+        100 TB a skewed bucket is a straggler task in every merge that
+        touches it.  ``small_live_files`` counts live data files under
+        ``small_file_bytes`` (default 32 MiB): many small LIVE files
+        mean the bucket count is too high for the data (also
+        ``rebucket``, downward)."""
+        fs, root, jvm = self._fs_and_path(self.path)
+        report = {
+            "num_buckets": self.num_buckets, "versioned": self.versioned,
+            "manifest_entries": 0, "live_files": 0, "live_bytes": 0,
+            "small_live_files": 0, "dead_files": 0, "dead_bytes": 0,
+            "dead_ratio": 0.0, "max_bucket_bytes": 0,
+            "mean_bucket_bytes": 0.0, "bucket_bytes_skew": 1.0,
+        }
+        if not fs.exists(root):
+            return report
+        assign: dict[int, int] = {}
+        if self.versioned:
+            report["manifest_entries"] = len(self._load_manifest())
+            assign, _ = self._resolve_epochs(None)
+        prefix = f"{self.BUCKET_COL}="
+        eprefix = f"{self.EPOCH_COL}="
+        bucket_bytes: dict[int, int] = {}
+
+        def tally(status, live: bool, bucket: int) -> None:
+            if not status.getPath().getName().endswith(".parquet"):
+                return
+            size = int(status.getLen())
+            if live:
+                report["live_files"] += 1
+                report["live_bytes"] += size
+                bucket_bytes[bucket] = bucket_bytes.get(bucket, 0) + size
+                if size < small_file_bytes:
+                    report["small_live_files"] += 1
+            else:
+                report["dead_files"] += 1
+                report["dead_bytes"] += size
+
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
+            bucket = int(name[len(prefix):])
+            for child in fs.listStatus(st.getPath()):
+                if child.isDirectory():
+                    cname = child.getPath().getName()
+                    live = (cname.startswith(eprefix)
+                            and assign.get(bucket) == int(cname[len(eprefix):]))
+                    for f_ in fs.listStatus(child.getPath()):
+                        tally(f_, live, bucket)
+                else:
+                    tally(child, True, bucket)
+        total = report["live_bytes"] + report["dead_bytes"]
+        if total:
+            report["dead_ratio"] = report["dead_bytes"] / total
+        if bucket_bytes:
+            report["max_bucket_bytes"] = max(bucket_bytes.values())
+            report["mean_bucket_bytes"] = (
+                report["live_bytes"] / len(bucket_bytes))
+            report["bucket_bytes_skew"] = (
+                report["max_bucket_bytes"] / report["mean_bucket_bytes"])
+        return report
 
     def rebucket(self, new_num_buckets: int) -> None:
         """Re-hash the table into a different bucket count (scale-out op:

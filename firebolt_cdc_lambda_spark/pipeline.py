@@ -315,8 +315,11 @@ class CdcPipeline:
         """Physically drop ``table``'s tombstone marker rows — all of
         them, or only those older than ``before_version`` (compared on
         this pipeline's version_col), keeping recent tombstones to gate
-        still-plausible late arrivals.  Returns True if a purge ran
-        (False: table unconfigured / absent / not tombstone-mode).  Run
+        still-plausible late arrivals.  Returns True if a purge actually
+        rewrote the table (False: table unconfigured / absent / not
+        tombstone-mode / no purgeable tombstones — the no-op probe is a
+        pushed-down marker-column scan, so a clean fleet sweep costs
+        metadata + one pruned scan per table, never a rewrite).  Run
         on the maintenance cadence, alongside ledger GC and rebucket."""
         keys = self.table_keys.resolve(table)
         if keys is None:
@@ -324,9 +327,8 @@ class CdcPipeline:
         target = self.target_for(table, keys)
         if not target.exists() or not target.tombstones:
             return False
-        target.purge_tombstones(before_version=before_version,
-                                version_col=self.version_col)
-        return True
+        return target.purge_tombstones(before_version=before_version,
+                                       version_col=self.version_col)
 
     def refresh_bloom_indexes(self, table: str) -> list[str]:
         """Recompute the dirty buckets of every bloom secondary index
@@ -363,6 +365,19 @@ class CdcPipeline:
             return False
         target.purge_versions(keep_last=keep_last)
         return True
+
+    def table_health(self, table: str,
+                     small_file_bytes: int = 32 * 1024 * 1024) -> dict | None:
+        """Small-file / history health metrics for one target (pure
+        filesystem listing, no Spark job — KeyedTable.health_report).
+        None: table unconfigured or absent."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return None
+        target = self.target_for(table, keys)
+        if not target.exists():
+            return None
+        return target.health_report(small_file_bytes=small_file_bytes)
 
     # -- entry point 2: reload driver (retrigger analogue) ----------------
     def reload(self, file_keys: Sequence[str]) -> list[BatchResult]:

@@ -120,25 +120,54 @@ class CdcFleet:
                     del active[table]
         return status
 
+    def health(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict[str, dict]:
+        """Fleet-wide small-file / history health report: one
+        KeyedTable.health_report per configured, existing target (pure
+        filesystem metadata — no Spark job, so this is safe on any
+        cadence even against a reference-scale 809-table fleet).  Tables
+        that fail to report get an ``{"error": ...}`` row rather than
+        aborting the sweep."""
+        out: dict[str, dict] = {}
+        for table in self.discover_tables():
+            try:
+                report = self.pipeline.table_health(
+                    table, small_file_bytes=small_file_bytes)
+                if report is not None:
+                    out[table] = report
+            except Exception as exc:  # noqa: BLE001
+                out[table] = {"error": str(exc)}
+        return out
+
     def run_maintenance(self, before_version=None,
-                        keep_versions: int | None = None) -> dict[str, str]:
+                        keep_versions: int | None = None,
+                        purge_dead_ratio: float | None = None) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
         With ``before_version`` (compared on the pipeline's version_col)
         only tombstones older than it are dropped, so still-plausible
         late arrivals stay gated; without it, all markers go.  With
         ``keep_versions`` set, versioned targets additionally GC their
-        epoch history down to that many retained snapshots.  One table
-        failing must not abort the sweep (same degrade-don't-die posture
-        as run_once)."""
+        epoch history down to that many retained snapshots;
+        ``purge_dead_ratio`` gates that GC on the table's measured
+        history fragmentation (health_report's dead_ratio — a pure
+        metadata read), so the expensive step runs only for tables that
+        NEED it and maintenance cost scales with churn, not fleet size.
+        One table failing must not abort the sweep (same
+        degrade-don't-die posture as run_once)."""
         status: dict[str, str] = {}
         for table in self.discover_tables():
             try:
                 did = self.pipeline.purge_tombstones(
                     table, before_version=before_version)
                 if keep_versions is not None:
-                    did = self.pipeline.purge_versions(
-                        table, keep_last=keep_versions) or did
+                    wants_gc = True
+                    if purge_dead_ratio is not None:
+                        report = self.pipeline.table_health(table)
+                        wants_gc = (report is not None and
+                                    report["dead_ratio"] >= purge_dead_ratio)
+                    if wants_gc:
+                        did = self.pipeline.purge_versions(
+                            table, keep_last=keep_versions) or did
                 # bloom secondary indexes: pay down the merge-flagged
                 # dirty buckets on the same cadence (cost ∝ churn)
                 did = bool(self.pipeline.refresh_bloom_indexes(table)) or did

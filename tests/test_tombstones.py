@@ -194,10 +194,14 @@ def test_pipeline_purge_tombstones(spark, tmp_path):
     assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
     assert pipe.purge_tombstones("nok") is False          # unconfigured
     assert pipe.purge_tombstones("ghost") is False        # absent
-    assert pipe.purge_tombstones("users", before_version=TS[1]) is True
+    # the only tombstone is NEWER than the cutoff: nothing purgeable, so
+    # the no-op probe must short-circuit BEFORE any rewrite (False)
+    assert pipe.purge_tombstones("users", before_version=TS[1]) is False
     assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1  # too new
     assert pipe.purge_tombstones("users") is True
     assert t._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
+    # and now that zero tombstones remain, a repeat purge is a no-op too
+    assert pipe.purge_tombstones("users") is False
     assert {r["id"] for r in t.read().collect()} == {2}   # live rows intact
 
 
