@@ -177,17 +177,32 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     embedding_label_centroids, corpus_stratified_sample,
 #     corpus_sequence_packing, corpus_mixture_sampling), each bumped
 #     from a confirmed round-5 slot at the last minute; judge order #5.
-#   * slots 41-50 — ten of the fourteen r3-stale val_* aggregates.
-#     Four val_* rows are deferred to round 7, chosen so every VERDICT
+#   * slots 41-50 — NINE of the fourteen r3-stale val_* aggregates plus
+#     one policy-rule-2 displacement (below).  Four val_* rows were
+#     deferred to round 7 at rotation time, chosen so every VERDICT
 #     coverage row still receives a fresh r6 member via its twin:
 #     val_duplicate_keys (twin val_duplicate_pks gated, slot 43),
 #     val_monthly_distribution (twin val_date_distribution, slot 42),
 #     val_category_counts and val_profile_orders (their GROUP-BY /
 #     multi-agg shapes are each re-gated by several other slots).
-# Post-round arithmetic (if all 50 land green): 163/163 ever-gated;
-# newest-row distribution r6=50, r5=50, r4=37, r3=13; the 13 rows older
-# than r4 (the judge's ceiling was <=13) are the four deferred val_*
-# above + text_bigram_fluency, text_decontamination, text_pii_scrub,
+#   * slot 46 — corpus_drift_jsd, the ONE new round-6 corpus query
+#     (judge order #7's named candidate: transcendental-free
+#     Jensen-Shannon divergence — log2 via exact bit-length range
+#     reduction + a pinned atanh series, bit-identical cross-engine),
+#     landed under GATE-FREEZE rule 2: it takes a gate slot in its own
+#     round, displacing val_pivot_status (the tail re-gate whose
+#     conditional-agg pivot shape is most redundantly re-covered by
+#     other r6 slots — val_rollup_status_priority, val_null_counts,
+#     q12, q14 all pin the same CASE-aggregate family; val_pivot_status
+#     is not a VERDICT §2-cited row).  Validated at sf0.001 + sf0.01 +
+#     sf0.1 and in a plain default session before taking the slot.
+# Post-round arithmetic (if all 50 land green): 164/164 ever-gated;
+# newest-row distribution r6=50, r5=50, r4=37, r3=14; the 14 rows older
+# than r4 (one above the judge's <=13 plan ceiling — the +1 is
+# val_pivot_status, displaced by the round's single new query under
+# policy rule 2, the mechanism the round-5 judge ordered for exactly
+# this trade) are the four deferred val_* above + val_pivot_status +
+# text_bigram_fluency, text_decontamination, text_pii_scrub,
 # text_quality_filter, text_repetition_filter, window_rank_family,
 # scalar_functions_showcase, join_enriched_orders,
 # asof_event_last_order — none code-touched since r3; they lead
@@ -229,10 +244,11 @@ _DRIVER_PRIORITY = [
     "events_json_extract", "embedding_pseudo_label",
     "embedding_label_centroids", "corpus_stratified_sample",
     "corpus_sequence_packing", "corpus_mixture_sampling",
-    # slots 41-50: ten r3-stale val_* aggregates --------------------------
+    # slots 41-50: nine r3-stale val_* aggregates + the round's one new
+    # query (corpus_drift_jsd, displacing val_pivot_status — rule 2) ----
     "val_date_distribution", "val_duplicate_pks", "val_freshness",
     "val_null_counts",
-    "val_percentiles", "val_pivot_status", "val_price_histogram",
+    "val_percentiles", "corpus_drift_jsd", "val_price_histogram",
     "val_rollup_status_priority", "val_sample_rows", "val_topk_orders",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -380,6 +380,130 @@ FROM p, g GROUP BY g.A, g.B
 """
 
 
+# -- corpus drift: Jensen-Shannon divergence, transcendental-free ---------
+# Fourth member of the divergence family (TV = mass-shift, chi-square =
+# rarity-weighted, Hellinger = sqrt-space geometry, JS = the
+# information-theoretic standard: symmetric, bounded [0,1] in bits,
+# finite on disjoint support).  JSD(p,q) = 0.5 * sum_t [ p*log2(p/m) +
+# q*log2(q/m) ], m = (p+q)/2.  log2 is NOT IEEE-correctly-rounded, so
+# calling the engine's log2 would break the bit-exact oracle — instead
+# the chi-square dodge EXTENDS to logs in two steps, both exact:
+#   1. exact dyadic range reduction in INTEGER space: every log2
+#      argument here is a ratio of integer count products — p/m =
+#      2aB/(aB+bA) — so log2(u) for BIGINT u splits as k + log2(u/2^k)
+#      with k = length(bin(u)) - 1 (bin() prints no leading zeros in
+#      both engines, so k is an EXACT integer) and u/2^k in [1,2)
+#      computed as one exact cast (u < 2^53) and one exact
+#      power-of-two division;
+#   2. a PINNED truncated series on [1,2): log2(m) = (2/ln2)*atanh(z),
+#      z = (m-1)/(m+1) in [0,1/3), evaluated as a fixed Horner tree of
+#      14 odd terms through z^27.  Every op is an exactly-rounded IEEE
+#      +-*/ on bit-identical inputs, and (2/ln2) plus the 1/(2j+1)
+#      coefficients are decimal literals both engines parse to the
+#      same doubles — so the value is BIT-IDENTICAL cross-engine by
+#      construction (verified over 1..2^53-1 spot grid).  Truncation
+#      error: remainder <= z^29/(29*(1-z^2)) < 6e-16, so the statistic
+#      is true JSD to ~1e-14 — below the 1e15 floor grid that (as in
+#      chi-square) dodges the order-dependent double SUM.
+# Integer-exactness bound: aB + bA must stay under 2^53 (max per-token
+# count x other half's total).  Holds through sf10 with room; beyond
+# that, pre-divide both halves' counts by a common power of two (exact)
+# before the ratio.
+_JSD_GRID = "1e15"
+
+
+def _pinned_log2(u: str, dialect: str) -> str:
+    """Deterministic log2 for a BIGINT SQL expression ``u`` >= 1: exact
+    bit-length range reduction + pinned 14-term atanh series (see
+    corpus_drift_jsd header).  Bit-identical across Spark and DuckDB."""
+    k = f"(length(bin({u})) - 1)"
+    two_k = (f"shiftleft(CAST(1 AS BIGINT), {k})" if dialect == "spark"
+             else f"(CAST(1 AS BIGINT) << {k})")
+    m = f"(CAST({u} AS DOUBLE) / CAST({two_k} AS DOUBLE))"
+    z = f"(({m} - 1.0e0) / ({m} + 1.0e0))"
+    horner = "(1.0e0 / 27.0e0)"
+    for j in range(25, 0, -2):
+        horner = f"((1.0e0 / {j}.0e0) + (__Z2 * {horner}))"
+    return (f"(CAST({k} AS DOUBLE)"
+            f" + (2.8853900817779268e0 * (__Z * {horner})))"
+            .replace("__Z2", f"(__Z * __Z)").replace("__Z", z))
+
+
+def _jsd_contrib(a, b, ta, tb, dialect: str) -> str:
+    """Per-token JSD contribution p*log2(p/m) + q*log2(q/m) with
+    p = a/A, q = b/B, m = (p+q)/2, hence p/m = 2aB/(aB+bA): every log2
+    argument an exact integer product (the a=0 / b=0 terms are zero by
+    the p*log(p) convention)."""
+    u, v = f"({a} * {tb})", f"({b} * {ta})"
+    w = f"({u} + {v})"
+    lw = _pinned_log2(w, dialect)
+    term_p = (f"(CAST({a} AS DOUBLE) / {ta})"
+              f" * ((1.0e0 + {_pinned_log2(u, dialect)}) - {lw})")
+    term_q = (f"(CAST({b} AS DOUBLE) / {tb})"
+              f" * ((1.0e0 + {_pinned_log2(v, dialect)}) - {lw})")
+    return (f"((CASE WHEN {a} = 0 THEN 0.0e0 ELSE {term_p} END)"
+            f" + (CASE WHEN {b} = 0 THEN 0.0e0 ELSE {term_q} END))")
+
+
+def corpus_drift_jsd(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.selectExpr("doc_id % 2 AS half",
+                        f"explode({_TOKENS_SPARK}) AS token")
+    per_tok = (toks.groupBy("token")
+               .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+                    F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b")))
+    totals = per_tok.agg(F.sum("a").alias("tot_a"), F.sum("b").alias("tot_b"))
+    # each pinned-log2 tree is its OWN projected column: a single SQL
+    # expression codegens to one Java method, and the full contribution
+    # (five inlined log trees, L(w) twice) overflows Janino's 64 KB
+    # method limit (interpreted fallback, ~10x slower).  Splitting by
+    # column keeps every method small AND evaluates L(w) once; the
+    # VALUE is identical to the oracle's inlined form — same ops, named
+    # intermediates.
+    lu = _pinned_log2("(a * tot_b)", "spark")
+    lv = _pinned_log2("(b * tot_a)", "spark")
+    lw = _pinned_log2("((a * tot_b) + (b * tot_a))", "spark")
+    contrib = ("((CASE WHEN a = 0 THEN 0.0e0 ELSE"
+               " (CAST(a AS DOUBLE) / tot_a) * ((1.0e0 + lu) - lw) END)"
+               " + (CASE WHEN b = 0 THEN 0.0e0 ELSE"
+               " (CAST(b AS DOUBLE) / tot_b) * ((1.0e0 + lv) - lw) END))")
+    return (per_tok.crossJoin(F.broadcast(totals))
+            .select("a", "b", "tot_a", "tot_b",
+                    F.expr(lu).alias("lu"), F.expr(lv).alias("lv"),
+                    F.expr(lw).alias("lw"))
+            .select("tot_a", "tot_b",
+                    F.expr(f"CAST(floor(({contrib}) * {_JSD_GRID})"
+                           " AS BIGINT)").alias("contrib_scaled"))
+            .agg(F.max("tot_a").alias("n_tokens_a"),
+                 F.max("tot_b").alias("n_tokens_b"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum("contrib_scaled").alias("jsd_scaled"))
+            .selectExpr("n_tokens_a", "n_tokens_b", "n_vocab",
+                        "jsd_scaled",
+                        f"0.5 * CAST(jsd_scaled AS DOUBLE) / {_JSD_GRID}"
+                        " AS jsd_bits"))
+
+
+_JSD_CONTRIB_DUCK = _jsd_contrib("p.a", "p.b", "g.A", "g.B", "duck")
+CORPUS_DRIFT_JSD_SQL = f"""
+WITH t AS (SELECT doc_id % 2 AS half, unnest({_TOKENS_DUCK}) AS token
+           FROM documents),
+p AS (SELECT token,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM t GROUP BY 1),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS A, CAST(SUM(b) AS BIGINT) AS B
+      FROM p)
+SELECT g.A AS n_tokens_a, g.B AS n_tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CAST(floor(({_JSD_CONTRIB_DUCK}) * {_JSD_GRID}) AS BIGINT)) AS BIGINT)
+         AS jsd_scaled,
+       0.5 * CAST(SUM(CAST(floor(({_JSD_CONTRIB_DUCK}) * {_JSD_GRID}) AS BIGINT)) AS DOUBLE)
+         / {_JSD_GRID} AS jsd_bits
+FROM p, g GROUP BY g.A, g.B
+"""
+
+
 # -- temperature-smoothed mixture weights ---------------------------------
 # The standard multilingual/multi-source rebalancing step (alpha-
 # smoothing, alpha = 0.5): sampling weight w_i proportional to
@@ -471,4 +595,10 @@ QUERIES = {
         "temperature-smoothed (alpha=0.5) mixture reweighting: "
         "sqrt-share sampling weights + low-resource boost factors in "
         "exact scaled BIGINTs", ("dataprep", "balance")),
+    "corpus_drift_jsd": Query(
+        corpus_drift_jsd, CORPUS_DRIFT_JSD_SQL,
+        "snapshot drift: Jensen-Shannon divergence in bits — log2 via "
+        "exact bit-length range reduction + pinned atanh series "
+        "(bit-identical cross-engine), floor-grid-summed",
+        ("dataprep", "drift")),
 }
