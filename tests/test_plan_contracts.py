@@ -242,3 +242,29 @@ def test_trend_ols_single_exchange_no_join(spark):
         assert join not in plan, join
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "partial" in plan.lower()
+
+
+def test_drift_jsd_codegen_compiles_and_broadcast_totals(spark):
+    """corpus_drift_jsd (COVERAGE: JS-divergence row): the token
+    aggregation is map-side-combined (one data-sized exchange), the
+    1-row totals side BROADCASTS (the only join), and the three
+    pinned-log2 projection columns stay inside whole-stage codegen —
+    the inlined form overflowed Janino's 64 KB method limit and fell
+    back to interpreted eval, which this contract pins out."""
+    from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
+    df = ALL_QUERIES["corpus_drift_jsd"].fn(spark, SF_DIR)
+    plan = executed(df)
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+    assert "BroadcastExchange" in plan          # the 1-row totals
+    assert "partial" in plan.lower()            # map-side token combine
+    # codegen health, asserted the direct way: with fallback disabled, a
+    # generated method over Janino's 64 KB limit raises instead of
+    # silently demoting to interpreted eval (~10x slower)
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        fresh = ALL_QUERIES["corpus_drift_jsd"].fn(spark, SF_DIR)
+        assert fresh.count() == 1
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
