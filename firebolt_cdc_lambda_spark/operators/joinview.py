@@ -1,0 +1,172 @@
+"""Incrementally-maintained materialized join view (fact ⋈ dim).
+
+The reference's consumers run enrichment joins against its CDC-merged
+production tables on every query (DATA_VALIDATION_QUERIES.sql joins the
+snapshot tables back to their sources); at 100 TB the standard move is
+to MATERIALIZE the join once and maintain it from the same CDC deltas
+the merge path already receives — the delta-join rule
+Δ(F ⋈ D) = ΔF ⋈ D  ∪  σ[fk ∈ keys(ΔD)](F) ⋈ ΔD.  ``JoinView`` stores
+``fact LEFT JOIN dim`` as a :class:`KeyedTable` keyed by the fact PK
+and applies both delta legs incrementally:
+
+* **Fact-side delta** (the common leg): the batch's rows are enriched
+  by ``dim.lookup`` — a KEY-hash bucket-pruned read of only the dim
+  buckets the batch's fk values hash into — then merged into the view
+  through the ordinary bucket-pruned CDC merge.  Cost ∝ batch size +
+  touched dim/view buckets; the view is never scanned.
+* **Dim-side delta** (the fan-out leg): the affected view rows are the
+  ones whose fk is in the delta's key set — an fk is NOT the view's
+  key, so this is exactly the non-key predicate
+  :class:`~..operators.bloom.BloomIndex` exists for.  ``rebuild``
+  builds a bloom index over the view's fk column; the dim leg probes
+  it and reads only candidate buckets (fail-open: a stale/voided index
+  degrades to a full scan, never a wrong answer).  The surviving rows
+  re-join the delta's post-image (broadcast — it is micro-batch-sized)
+  and merge back.  Cost ∝ rows actually referencing the changed dim
+  keys, plus bloom false positives.
+
+Ordering within a batch uses the same 5-level CDC cascade as the merge
+path (operators.ordering); across batches the caller applies deltas in
+commit order, exactly like the CDC pipeline replaying its file ledger.
+Correctness contract (pinned by tests/test_joinview.py's property
+test): after ANY interleaving of fact and dim deltas,
+``view.read()`` ≡ the from-scratch ``fact LEFT JOIN dim`` — apply and
+rebuild are the same function.
+
+Restrictions (v1, honest): single-column dim key and fk (the bloom
+index is single-column; composite dims want a fused fk), and the fact
+batch must carry the fk column (standard CDC full-row images).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bloom import BloomIndex
+from .dedup import deduplicate
+from .merge import DEFAULT_DELETE_VALUES, KeyedTable
+from .ordering import CDC_META_COLS, OP_COL
+
+
+class JoinView:
+    """Materialized ``fact LEFT JOIN dim`` with incremental maintenance.
+
+    ``fact``/``dim`` are the source :class:`KeyedTable` snapshots the
+    CDC pipeline maintains; the view stores the fact columns plus the
+    dim's payload columns renamed ``{dim_prefix}{col}`` (the dim key
+    itself is not copied — the fact's fk column already carries it).
+    """
+
+    def __init__(self, spark, path: str, fact: KeyedTable, dim: KeyedTable,
+                 fk: str, dim_prefix: str = "dim_",
+                 num_buckets: int | None = None):
+        if len(dim.keys) != 1:
+            raise ValueError("JoinView v1 supports single-column dim keys; "
+                             "fuse composite keys into one fk column first")
+        self.spark = spark
+        self.fact = fact
+        self.dim = dim
+        self.fk = fk
+        self.dim_key = dim.keys[0]
+        self.dim_prefix = dim_prefix
+        self.table = KeyedTable(
+            spark, path, fact.keys,
+            num_buckets=num_buckets or fact.num_buckets)
+
+    # -- naming ------------------------------------------------------------
+    def _enrich_cols(self) -> list[str]:
+        """View-side names of the dim payload columns."""
+        return [f"{self.dim_prefix}{c}" for c in self.dim.read().columns
+                if c != self.dim_key]
+
+    def _prefixed_dim(self, dim_df: DataFrame) -> DataFrame:
+        """Dim rows shaped for the view join: key kept under its own
+        name (join column, dropped after), payload prefixed."""
+        cols = [F.col(self.dim_key)] + [
+            F.col(c).alias(f"{self.dim_prefix}{c}")
+            for c in dim_df.columns
+            if c != self.dim_key and c not in CDC_META_COLS]
+        return dim_df.select(*cols)
+
+    def _joined(self, fact_df: DataFrame, dim_df: DataFrame,
+                broadcast_dim: bool) -> DataFrame:
+        d = self._prefixed_dim(dim_df)
+        if broadcast_dim:
+            d = F.broadcast(d)
+        return (fact_df.join(
+            d, on=fact_df[self.fk] == d[self.dim_key], how="left")
+            .drop(d[self.dim_key]))
+
+    # -- full rebuild ------------------------------------------------------
+    def rebuild(self) -> None:
+        """Recompute the view from the current fact/dim snapshots (the
+        one full-join job; Catalyst picks broadcast vs shuffle by dim
+        size) and (re)build the fk bloom index that makes the dim-side
+        delta leg bucket-pruned."""
+        full = self._joined(self.fact.read(), self.dim.read(),
+                            broadcast_dim=False)
+        if self.table.exists():
+            self.table.rewrite(full)
+        else:
+            self.table.init(full)
+        BloomIndex(self.table, self.fk).build()
+
+    # -- delta legs --------------------------------------------------------
+    def apply_fact_delta(self, batch: DataFrame, op_col: str = OP_COL,
+                         delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
+                         order=None) -> int:
+        """ΔF leg: enrich the batch against only the dim buckets its fk
+        values hash into (``dim.lookup`` with the fk column AS the key
+        DataFrame — no value collect), then CDC-merge into the view.
+        Returns #view buckets rewritten.  Apply the same batch to
+        ``fact`` separately — the view is a downstream consumer, not
+        the fact table's writer."""
+        latest = deduplicate(batch, self.fact.keys, order=order,
+                             check_bypass=True)
+        probe = (latest.select(F.col(self.fk).alias(self.dim_key))
+                 .where(F.col(self.dim_key).isNotNull()).distinct())
+        dim_rows = self.dim.lookup(probe)
+        enriched = self._joined(latest, dim_rows, broadcast_dim=True)
+        return self.table.merge_batch(enriched, op_col=op_col,
+                                      delete_values=delete_values)
+
+    def apply_dim_delta(self, batch: DataFrame, op_col: str = OP_COL,
+                        delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
+                        order=None) -> int:
+        """ΔD leg: find the view rows referencing the changed dim keys
+        through the fk bloom index (candidate-bucket read; full scan
+        only if the index is absent/voided — fail-open, never wrong),
+        recompute their enrichment from the delta's post-images
+        (deleted dim keys revert to NULL enrichment, matching LEFT
+        JOIN), and merge the refreshed rows back.  The probe key list
+        is collected on the driver — micro-batch-bounded by the same
+        contract as the merge path's touched-bucket list."""
+        latest = deduplicate(batch, [self.dim_key], order=order,
+                             check_bypass=True)
+        changed = [r[0] for r in
+                   latest.select(self.dim_key).distinct().collect()
+                   if r[0] is not None]
+        if not changed:
+            return 0
+        affected = BloomIndex(self.table, self.fk).lookup(changed)
+        if op_col in latest.columns:
+            vals = [str(v) for v in delete_values]
+            live = latest.where(
+                ~F.coalesce(F.col(op_col).isin(vals), F.lit(False)))
+        else:
+            live = latest
+        refreshed = self._joined(affected.drop(*self._enrich_cols()),
+                                 live, broadcast_dim=True)
+        # refreshed rows carry no op column: all-upsert merge
+        return self.table.merge_batch(refreshed.drop(op_col))
+
+    # -- serving / maintenance --------------------------------------------
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    def refresh_index(self) -> list[int]:
+        """Pay down the merge-flagged dirty buckets of the fk bloom
+        index (cost ∝ churn); run on the fleet maintenance cadence."""
+        return BloomIndex(self.table, self.fk).refresh()

@@ -1,0 +1,199 @@
+"""JoinView: incrementally-maintained materialized fact-LEFT-JOIN-dim.
+
+The contract under test is apply ≡ rebuild: after ANY interleaving of
+fact-side and dim-side CDC deltas, the incrementally-maintained view
+equals the from-scratch join of the current snapshots — including the
+LEFT JOIN edges (fact rows referencing a missing/deleted dim read NULL
+enrichment; a late-arriving dim insert back-fills them through the
+bloom-pruned dim leg).
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+
+
+def ts(i):
+    return T0 + dt.timedelta(minutes=i)
+
+
+def fact_rows(spec, t):
+    """spec: [(id, fk, val, op)]"""
+    return [Row(id=i, cust=fk, val=v, Op=op, load_timestamp=t)
+            for i, fk, v, op in spec]
+
+
+def dim_rows(spec, t):
+    """spec: [(did, name, op)]"""
+    return [Row(did=d, name=n, Op=op, load_timestamp=t)
+            for d, n, op in spec]
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    fact = KeyedTable(spark, str(tmp_path / "fact"), ["id"], num_buckets=4)
+    dim = KeyedTable(spark, str(tmp_path / "dim"), ["did"], num_buckets=4)
+    fact.init(spark.createDataFrame(fact_rows(
+        [(1, 10, "a", "I"), (2, 10, "b", "I"), (3, 20, "c", "I"),
+         (4, 99, "d", "I"), (5, None, "e", "I")], ts(0))).drop("Op"))
+    dim.init(spark.createDataFrame(dim_rows(
+        [(10, "ten", "I"), (20, "twenty", "I"), (30, "thirty", "I")],
+        ts(0))).drop("Op"))
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    view.rebuild()
+    return fact, dim, view
+
+
+def oracle(view):
+    """From-scratch recompute of the current join."""
+    return view._joined(view.fact.read(), view.dim.read(),
+                        broadcast_dim=False)
+
+
+def assert_synced(view):
+    got = sorted(map(tuple, view.read().select(
+        "id", "cust", "val", "dim_name").collect()))
+    exp = sorted(map(tuple, oracle(view).select(
+        "id", "cust", "val", "dim_name").collect()))
+    assert got == exp
+
+
+def test_rebuild_matches_full_join(tables):
+    fact, dim, view = tables
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows[1] == "ten" and rows[3] == "twenty"
+    assert rows[4] is None          # fk 99 has no dim row (LEFT edge)
+    assert rows[5] is None          # NULL fk
+
+
+def test_fact_delta_upsert_insert_delete_fkchange(spark, tables):
+    fact, dim, view = tables
+    batch = spark.createDataFrame(fact_rows(
+        [(1, 20, "a2", "U"),        # fk change 10 -> 20
+         (6, 30, "f", "I"),         # new fact row
+         (2, 10, "b", "D"),         # delete
+         (7, 404, "g", "I")], ts(1)))   # references missing dim
+    fact.merge_batch(batch)
+    view.apply_fact_delta(batch)
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows[1] == "twenty" and rows[6] == "thirty"
+    assert 2 not in rows and rows[7] is None
+
+
+def test_dim_delta_update_delete_backfill(spark, tables):
+    fact, dim, view = tables
+    batch = spark.createDataFrame(dim_rows(
+        [(10, "TEN!", "U"),         # rename fans out to facts 1 and 2
+         (20, "twenty", "D"),       # delete nulls fact 3's enrichment
+         (99, "found", "I")], ts(1)))   # back-fills fact 4's LEFT edge
+    dim.merge_batch(batch)
+    view.apply_dim_delta(batch)
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows[1] == "TEN!" and rows[2] == "TEN!"
+    assert rows[3] is None and rows[4] == "found"
+
+
+def test_within_batch_dedup_latest_wins(spark, tables):
+    fact, dim, view = tables
+    batch = spark.createDataFrame(
+        fact_rows([(1, 30, "old", "U")], ts(1))
+        + fact_rows([(1, 20, "new", "U")], ts(2)))
+    fact.merge_raw_batch(batch)     # raw path dedups internally
+    view.apply_fact_delta(batch)
+    assert_synced(view)
+    row = view.read().where("id = 1").first()
+    assert row["val"] == "new" and row["dim_name"] == "twenty"
+
+
+def test_dim_delta_prunes_through_bloom(spark, tables):
+    """The dim leg must consult the fk bloom index — candidate buckets
+    for a changed key that no fact references are empty, so the leg
+    reads nothing and merges nothing."""
+    fact, dim, view = tables
+    batch = spark.createDataFrame(dim_rows([(30, "THIRTY!", "U")], ts(1)))
+    dim.merge_batch(batch)
+    # fk=30 is unreferenced: no view rows affected, zero buckets merged
+    assert view.apply_dim_delta(batch) == 0
+    assert_synced(view)
+
+
+def test_refresh_index_pays_down_dirty(spark, tables):
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    fact, dim, view = tables
+    batch = spark.createDataFrame(fact_rows([(8, 10, "h", "I")], ts(1)))
+    fact.merge_batch(batch)
+    view.apply_fact_delta(batch)
+    idx = BloomIndex(view.table, "cust")
+    assert idx._load_side()["dirty"]          # merge flagged its buckets
+    assert view.refresh_index()               # repaid
+    assert not idx._load_side()["dirty"]
+    assert_synced(view)
+
+
+def test_property_random_interleaving(spark, tmp_path):
+    """Randomized apply ≡ rebuild: 8 rounds of mixed fact/dim deltas
+    (upserts, inserts, deletes, fk rewires, dim deletes/backfills) keep
+    the incrementally-maintained view identical to the from-scratch
+    join after every round."""
+    rng = random.Random(20260814)
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=4)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["did"], num_buckets=4)
+    fact.init(spark.createDataFrame(fact_rows(
+        [(i, rng.choice([10, 20, 30, 777]), f"v{i}", "I")
+         for i in range(20)], ts(0))).drop("Op"))
+    dim.init(spark.createDataFrame(dim_rows(
+        [(d, f"n{d}", "I") for d in (10, 20, 30)], ts(0))).drop("Op"))
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk="cust")
+    view.rebuild()
+    next_id = 20
+    for step in range(1, 9):
+        if rng.random() < 0.55:
+            spec = []
+            for _ in range(rng.randint(1, 4)):
+                r = rng.random()
+                if r < 0.5:     # upsert existing (maybe rewiring fk)
+                    spec.append((rng.randrange(next_id),
+                                 rng.choice([10, 20, 30, 777, None]),
+                                 f"u{step}", "U"))
+                elif r < 0.8:   # insert
+                    spec.append((next_id, rng.choice([10, 30, 777]),
+                                 f"i{step}", "I"))
+                    next_id += 1
+                else:           # delete
+                    spec.append((rng.randrange(next_id), 10, "x", "D"))
+            batch = spark.createDataFrame(fact_rows(spec, ts(step)))
+            fact.merge_raw_batch(batch)
+            view.apply_fact_delta(batch)
+        else:
+            spec = []
+            for _ in range(rng.randint(1, 2)):
+                r = rng.random()
+                if r < 0.5:
+                    spec.append((rng.choice([10, 20, 30]),
+                                 f"n{step}", "U"))
+                elif r < 0.8:   # back-fill / new dim key
+                    spec.append((777, f"late{step}", "I"))
+                else:
+                    spec.append((rng.choice([20, 30]), "x", "D"))
+            batch = spark.createDataFrame(dim_rows(spec, ts(step)))
+            dim.merge_raw_batch(batch)
+            view.apply_dim_delta(batch)
+        assert_synced(view)
+
+
+def test_composite_dim_key_rejected(spark, tmp_path):
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["a", "b"])
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"])
+    with pytest.raises(ValueError, match="single-column dim key"):
+        JoinView(spark, str(tmp_path / "v"), fact, dim, fk="x")
