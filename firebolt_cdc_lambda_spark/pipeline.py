@@ -111,6 +111,7 @@ class CdcPipeline:
         # aggregation job per gated batch; zero cost when unconfigured.
         self.expectations = dict(expectations or {})
         self._rollups: dict[str, list] = {}
+        self._join_views: dict[str, list] = {}
 
     def target_for(self, table: str, keys: Sequence[str]) -> KeyedTable:
         return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
@@ -141,6 +142,40 @@ class CdcPipeline:
             touched = (project(pre_images).select(*rollup.group_cols)
                        .unionByName(post.select(*rollup.group_cols)))
             rollup.refresh(base, touched)
+
+    # -- materialized join views maintained per batch ---------------------
+    def register_join_view(self, view, fact_table: str | None = None,
+                           dim_table: str | None = None) -> None:
+        """Attach a :class:`~.operators.joinview.JoinView` whose fact
+        and/or dim side this pipeline maintains: after every merge into
+        ``fact_table`` (resp. ``dim_table``) the SAME batch is applied
+        to the view's fact (resp. dim) delta leg, so the materialized
+        join tracks the snapshots batch-for-batch — the reference's
+        downstream enrichment joins, kept fresh by the lambda itself.
+        A view that does not exist yet is auto-rebuilt on the first
+        batch once BOTH source tables exist (deltas before that point
+        are covered by the rebuild, which reads the merged snapshots).
+        Recovery contract: like rollups, a leg failure after the merge
+        landed leaves the view behind until ``view.rebuild()``."""
+        if fact_table is None and dim_table is None:
+            raise ValueError("register_join_view needs fact_table and/or "
+                             "dim_table")
+        if fact_table is not None:
+            self._join_views.setdefault(fact_table, []).append(("fact", view))
+        if dim_table is not None:
+            self._join_views.setdefault(dim_table, []).append(("dim", view))
+
+    def _apply_join_views(self, table: str, batch: DataFrame) -> None:
+        for leg, view in self._join_views.get(table, ()):
+            if not view.table.exists():
+                if view.fact.exists() and view.dim.exists():
+                    view.rebuild()
+                continue   # rebuild covered this batch (or a source is
+                           # still missing — covered when it bootstraps)
+            if leg == "fact":
+                view.apply_fact_delta(batch)
+            else:
+                view.apply_dim_delta(batch)
 
     # -- full-load bootstrap (the LOAD* path the CDC stream skips) --------
     def _run_quality_gate(self, table: str, staging: DataFrame) -> None:
@@ -227,6 +262,7 @@ class CdcPipeline:
             # see _out_cols)
             deduped = deduplicate(staging, keys, check_bypass=True)
             target.init(deduped.select(*self._out_cols(deduped)))
+            self._apply_join_views(table, staging)
             return BatchResult("bootstrapped", table=table,
                                rows=target.read().count(),
                                duration_sec=time.time() - t0)
@@ -305,6 +341,7 @@ class CdcPipeline:
 
         if pre_images is not None:
             self._refresh_rollups(table, keys, pre_images, changed_keys, target)
+        self._apply_join_views(table, stg)
 
         return BatchResult("completed", table=table, rows=n_rows,
                            deduped=did_dedup, buckets_rewritten=n_buckets,

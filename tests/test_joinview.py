@@ -197,3 +197,59 @@ def test_composite_dim_key_rejected(spark, tmp_path):
     fact = KeyedTable(spark, str(tmp_path / "f"), ["id"])
     with pytest.raises(ValueError, match="single-column dim key"):
         JoinView(spark, str(tmp_path / "v"), fact, dim, fk="x")
+
+
+def test_pipeline_maintains_registered_views(spark, tmp_path):
+    """register_join_view: the pipeline applies each merged batch to the
+    matching delta leg — including the auto-rebuild on first batch —
+    so the view tracks the snapshots file-for-file."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    root = str(tmp_path / "src")
+
+    def write(table, name, rows):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            f"{root}/fair/{table}/2024/01/01/{name}")
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"orders": "id", "custs": "did"}'),
+        num_buckets=4)
+    fact = pipe.target_for("orders", ["id"])
+    dim = pipe.target_for("custs", ["did"])
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    pipe.register_join_view(view, fact_table="orders", dim_table="custs")
+
+    # bootstraps: dim first (view skipped — fact missing), then fact
+    # (both exist now -> auto-rebuild covers everything so far)
+    write("custs", "d0.parquet", dim_rows(
+        [(10, "ten", "I"), (20, "twenty", "I")], ts(0)))
+    write("orders", "f0.parquet", fact_rows(
+        [(1, 10, "a", "I"), (2, 20, "b", "I"), (3, 99, "c", "I")], ts(0)))
+    assert pipe.process_file(
+        f"{root}/fair/custs/2024/01/01/d0.parquet").status == "bootstrapped"
+    assert not view.table.exists()
+    assert pipe.process_file(
+        f"{root}/fair/orders/2024/01/01/f0.parquet").status == "bootstrapped"
+    assert view.table.exists()
+    assert_synced(view)
+
+    # incremental legs ride the ordinary per-file merges
+    write("orders", "f1.parquet", fact_rows(
+        [(1, 20, "a2", "U"), (2, 20, "b", "D"), (4, 10, "d", "I")], ts(1)))
+    assert pipe.process_file(
+        f"{root}/fair/orders/2024/01/01/f1.parquet").status == "completed"
+    assert_synced(view)
+    write("custs", "d1.parquet", dim_rows(
+        [(10, "TEN!", "U"), (99, "late", "I")], ts(1)))
+    assert pipe.process_file(
+        f"{root}/fair/custs/2024/01/01/d1.parquet").status == "completed"
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows == {1: "twenty", 3: "late", 4: "TEN!"}
+
+    # replay is a no-op through the ledger: the view must not double-apply
+    assert pipe.process_file(
+        f"{root}/fair/orders/2024/01/01/f1.parquet").status == "already_processed"
+    assert_synced(view)
