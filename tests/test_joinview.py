@@ -253,3 +253,43 @@ def test_pipeline_maintains_registered_views(spark, tmp_path):
     assert pipe.process_file(
         f"{root}/fair/orders/2024/01/01/f1.parquet").status == "already_processed"
     assert_synced(view)
+
+
+def test_stream_maintains_registered_view(spark, tmp_path):
+    """Structured-Streaming maintenance comes free: CdcStream drives
+    pipeline.process_batch per file, which applies registered view
+    legs — the materialized join is stream-maintained with no extra
+    wiring."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming import CdcStream
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"orders": "id", "custs": "did"}'),
+        num_buckets=4)
+    dim = pipe.target_for("custs", ["did"])
+    dim.init(spark.createDataFrame(dim_rows(
+        [(10, "ten", "I"), (20, "twenty", "I")], ts(0))).drop("Op"))
+    fact = pipe.target_for("orders", ["id"])
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    pipe.register_join_view(view, fact_table="orders")
+
+    src = str(tmp_path / "src" / "fair" / "orders")
+
+    def write(date, name, rows):
+        y, m, d = date.split("-")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            f"{src}/{y}/{m}/{d}/{name}")
+
+    write("2024-01-01", "f0.parquet", fact_rows(
+        [(1, 10, "a", "I"), (2, 20, "b", "I")], ts(0)))
+    write("2024-01-02", "f1.parquet", fact_rows(
+        [(1, 20, "a2", "U"), (3, 10, "c", "I")], ts(1)))
+    stream = CdcStream(pipe, "orders", ["id"], src,
+                       str(tmp_path / "ckpt"))
+    stream.run_to_completion(spark)
+    assert view.table.exists()
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows == {1: "twenty", 2: "twenty", 3: "ten"}
