@@ -71,9 +71,15 @@ class JoinView:
         self.fk = fk
         self.dim_key = dim.keys[0]
         self.dim_prefix = dim_prefix
+        # the view inherits the fact table's tombstone mode: without
+        # markers, a fact key deleted and then referenced by a STALE
+        # late batch would be resurrected in the view even though the
+        # fact table's own tombstone gate blocked it (stored view meta
+        # still wins over this default, as everywhere)
         self.table = KeyedTable(
             spark, path, fact.keys,
-            num_buckets=num_buckets or fact.num_buckets)
+            num_buckets=num_buckets or fact.num_buckets,
+            tombstones=fact.tombstones)
 
     # -- naming ------------------------------------------------------------
     def _enrich_cols(self) -> list[str]:
@@ -104,9 +110,16 @@ class JoinView:
         """Recompute the view from the current fact/dim snapshots (the
         one full-join job; Catalyst picks broadcast vs shuffle by dim
         size) and (re)build the fk bloom index that makes the dim-side
-        delta leg bucket-pruned."""
-        full = self._joined(self.fact.read(), self.dim.read(),
-                            broadcast_dim=False)
+        delta leg bucket-pruned.  On a tombstone-mode pair the rebuild
+        copies the fact's marker rows into the view (joined like any
+        row; hidden from read()), so a stale late batch for a deleted
+        key is version-gated by the view exactly as by the fact table
+        even right after a rebuild — rebuilding must not reopen the
+        resurrection hole tombstones exist to close."""
+        base = (self.fact.snapshot_for_rewrite()
+                if self.table.tombstones and self.fact.tombstones
+                else self.fact.read())
+        full = self._joined(base, self.dim.read(), broadcast_dim=False)
         if self.table.exists():
             self.table.rewrite(full)
         else:
@@ -116,13 +129,16 @@ class JoinView:
     # -- delta legs --------------------------------------------------------
     def apply_fact_delta(self, batch: DataFrame, op_col: str = OP_COL,
                          delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
-                         order=None) -> int:
+                         order=None, version_col: str | None = None) -> int:
         """ΔF leg: enrich the batch against only the dim buckets its fk
         values hash into (``dim.lookup`` with the fk column AS the key
         DataFrame — no value collect), then CDC-merge into the view.
         Returns #view buckets rewritten.  Apply the same batch to
         ``fact`` separately — the view is a downstream consumer, not
-        the fact table's writer."""
+        the fact table's writer.  Pass the SAME ``version_col`` the
+        fact merge gates on (the pipeline threads its own): a stale
+        late batch the fact table rejected must be rejected by the
+        view too, or the two desync until a rebuild."""
         latest = deduplicate(batch, self.fact.keys, order=order,
                              check_bypass=True)
         probe = (latest.select(F.col(self.fk).alias(self.dim_key))
@@ -130,19 +146,22 @@ class JoinView:
         dim_rows = self.dim.lookup(probe)
         enriched = self._joined(latest, dim_rows, broadcast_dim=True)
         return self.table.merge_batch(enriched, op_col=op_col,
-                                      delete_values=delete_values)
+                                      delete_values=delete_values,
+                                      version_col=version_col)
 
-    def apply_dim_delta(self, batch: DataFrame, op_col: str = OP_COL,
-                        delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
-                        order=None) -> int:
+    def apply_dim_delta(self, batch: DataFrame, order=None) -> int:
         """ΔD leg: find the view rows referencing the changed dim keys
         through the fk bloom index (candidate-bucket read; full scan
-        only if the index is absent/voided — fail-open, never wrong),
-        recompute their enrichment from the delta's post-images
-        (deleted dim keys revert to NULL enrichment, matching LEFT
-        JOIN), and merge the refreshed rows back.  The probe key list
-        is collected on the driver — micro-batch-bounded by the same
-        contract as the merge path's touched-bucket list."""
+        only if the index is absent/voided — fail-open, never wrong)
+        and recompute their enrichment from the CURRENT dim table —
+        not from the batch's own images.  Call AFTER merging the batch
+        into ``dim``: reading back the merged rows means whatever the
+        dim merge decided (stale rows version-gated out, deletes
+        landed or tombstoned) is exactly what the view absorbs —
+        deleted dim keys come back empty from ``dim.lookup`` and
+        revert to NULL enrichment, matching LEFT JOIN.  The probe key
+        list is collected on the driver — micro-batch-bounded by the
+        same contract as the merge path's touched-bucket list."""
         latest = deduplicate(batch, [self.dim_key], order=order,
                              check_bypass=True)
         changed = [r[0] for r in
@@ -151,16 +170,13 @@ class JoinView:
         if not changed:
             return 0
         affected = BloomIndex(self.table, self.fk).lookup(changed)
-        if op_col in latest.columns:
-            vals = [str(v) for v in delete_values]
-            live = latest.where(
-                ~F.coalesce(F.col(op_col).isin(vals), F.lit(False)))
-        else:
-            live = latest
+        current = self.dim.lookup(
+            latest.select(self.dim_key).where(
+                F.col(self.dim_key).isNotNull()).distinct())
         refreshed = self._joined(affected.drop(*self._enrich_cols()),
-                                 live, broadcast_dim=True)
+                                 current, broadcast_dim=True)
         # refreshed rows carry no op column: all-upsert merge
-        return self.table.merge_batch(refreshed.drop(op_col))
+        return self.table.merge_batch(refreshed)
 
     # -- serving / maintenance --------------------------------------------
     def read(self) -> DataFrame:

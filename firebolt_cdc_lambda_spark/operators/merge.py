@@ -670,6 +670,14 @@ class KeyedTable:
         (bucketed
          .repartition(self.BUCKET_COL)
          .write.mode("overwrite")
+         # STATIC overwrite, explicitly: the session default is dynamic
+         # (the merge path wants it), under which re-initializing an
+         # existing table would replace only the buckets present in the
+         # new data — any bucket the new rows don't hash into would keep
+         # serving the PREVIOUS table's rows.  init is the reset point:
+         # the whole path must be truncated (the versioned branch above
+         # deletes the root for the same reason).
+         .option("partitionOverwriteMode", "static")
          .partitionBy(self.BUCKET_COL)
          .parquet(self.path))
         self._save_schema(bucketed)
@@ -794,7 +802,15 @@ class KeyedTable:
             return False
         dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
         if before_version is not None and version_col is not None:
-            dead = dead & (F.col(version_col) < F.lit(before_version))
+            # NULL versions sort before everything (the version gate's
+            # documented contract), so a NULL-version tombstone is older
+            # than any cutoff — purgeable.  The explicit isNull keeps the
+            # probe predicate the exact complement of the keep-filter:
+            # with a bare `<`, a NULL comparison made the probe skip the
+            # row but the rewrite's `~dead` DROP it, so whether it was
+            # purged depended on whether any other row was purgeable.
+            dead = dead & (F.col(version_col).isNull()
+                           | (F.col(version_col) < F.lit(before_version)))
         if df.where(dead).limit(1).isEmpty():
             return False
         self.rewrite(df.where(~dead))
@@ -981,27 +997,41 @@ class KeyedTable:
         maintenance ops that DO matter at scale are ``rebucket`` (bucket
         count outgrown) and ``cluster_by`` (in-bucket sort for row-group
         skipping)."""
+        stats: dict[int, int] = {}
+        for bucket, status, _epoch in self._walk_data_files():
+            stats[bucket] = stats.get(bucket, 0) + 1
+        return stats
+
+    def _walk_data_files(self):
+        """One walk of the table's data layout shared by ``file_stats``
+        and ``health_report`` (a layout change must not be able to make
+        the two diverge): yields ``(bucket, FileStatus, epoch)`` for
+        every ``.parquet`` data file, ``epoch`` = the leaf dir's epoch
+        for the versioned layout, None for a plain bucket file.  Note
+        an absent bucket yields nothing — callers see only buckets
+        that hold at least one data file."""
         fs, root, jvm = self._fs_and_path(self.path)
         if not fs.exists(root):
-            return {}
-        stats: dict[int, int] = {}
+            return
         prefix = f"{self.BUCKET_COL}="
+        eprefix = f"{self.EPOCH_COL}="
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith(prefix)):
                 continue
             bucket = int(name[len(prefix):])
-            n = 0
-            for f_ in fs.listStatus(st.getPath()):
-                if f_.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                cname = child.getPath().getName()
+                if child.isDirectory():
                     # versioned layout: _bucket=k/_epoch=e/part-*.parquet;
-                    # counts accumulate across epochs until purge_versions
-                    n += sum(1 for g in fs.listStatus(f_.getPath())
-                             if g.getPath().getName().endswith(".parquet"))
-                elif f_.getPath().getName().endswith(".parquet"):
-                    n += 1
-            stats[bucket] = n
-        return stats
+                    # files accumulate across epochs until purge_versions
+                    epoch = (int(cname[len(eprefix):])
+                             if cname.startswith(eprefix) else None)
+                    for f_ in fs.listStatus(child.getPath()):
+                        if f_.getPath().getName().endswith(".parquet"):
+                            yield bucket, f_, epoch
+                elif cname.endswith(".parquet"):
+                    yield bucket, child, None
 
     def health_report(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
         """Small-file / history health metrics from a pure filesystem
@@ -1023,8 +1053,14 @@ class KeyedTable:
         touches it.  ``small_live_files`` counts live data files under
         ``small_file_bytes`` (default 32 MiB): many small LIVE files
         mean the bucket count is too high for the data (also
-        ``rebucket``, downward)."""
-        fs, root, jvm = self._fs_and_path(self.path)
+        ``rebucket``, downward).
+
+        Degrade contract: a versioned root whose manifest is missing or
+        empty (crash between the epoch-0 write and the manifest save, or
+        a lost sidecar) cannot be classified — every file is then
+        reported LIVE with ``manifest_unreadable: True``, so the
+        dead_ratio gate reads 0.0 and can never invite ``purge_versions``
+        to delete history the next manifest repair might still need."""
         report = {
             "num_buckets": self.num_buckets, "versioned": self.versioned,
             "manifest_entries": 0, "live_files": 0, "live_bytes": 0,
@@ -1032,19 +1068,17 @@ class KeyedTable:
             "dead_ratio": 0.0, "max_bucket_bytes": 0,
             "mean_bucket_bytes": 0.0, "bucket_bytes_skew": 1.0,
         }
-        if not fs.exists(root):
-            return report
-        assign: dict[int, int] = {}
+        assign: dict[int, int] | None = None
         if self.versioned:
             report["manifest_entries"] = len(self._load_manifest())
-            assign, _ = self._resolve_epochs(None)
-        prefix = f"{self.BUCKET_COL}="
-        eprefix = f"{self.EPOCH_COL}="
+            try:
+                assign, _ = self._resolve_epochs(None)
+            except ValueError:
+                report["manifest_unreadable"] = True
         bucket_bytes: dict[int, int] = {}
-
-        def tally(status, live: bool, bucket: int) -> None:
-            if not status.getPath().getName().endswith(".parquet"):
-                return
+        for bucket, status, epoch in self._walk_data_files():
+            live = (epoch is None or assign is None
+                    or assign.get(bucket) == epoch)
             size = int(status.getLen())
             if live:
                 report["live_files"] += 1
@@ -1055,21 +1089,6 @@ class KeyedTable:
             else:
                 report["dead_files"] += 1
                 report["dead_bytes"] += size
-
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith(prefix)):
-                continue
-            bucket = int(name[len(prefix):])
-            for child in fs.listStatus(st.getPath()):
-                if child.isDirectory():
-                    cname = child.getPath().getName()
-                    live = (cname.startswith(eprefix)
-                            and assign.get(bucket) == int(cname[len(eprefix):]))
-                    for f_ in fs.listStatus(child.getPath()):
-                        tally(f_, live, bucket)
-                else:
-                    tally(child, True, bucket)
         total = report["live_bytes"] + report["dead_bytes"]
         if total:
             report["dead_ratio"] = report["dead_bytes"] / total

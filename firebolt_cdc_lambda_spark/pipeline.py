@@ -173,9 +173,19 @@ class CdcPipeline:
                 continue   # rebuild covered this batch (or a source is
                            # still missing — covered when it bootstraps)
             if leg == "fact":
-                view.apply_fact_delta(batch)
+                view.apply_fact_delta(batch, version_col=self.version_col)
             else:
                 view.apply_dim_delta(batch)
+
+    def _rebuild_join_views(self, table: str) -> None:
+        """Force-rebuild every view registered on ``table`` (both legs)
+        whose sources both exist.  The (re)initialization paths must use
+        this, never a delta leg: init REPLACES the snapshot, and a delta
+        can only upsert its own keys — it cannot express 'every other
+        row vanished'."""
+        for _leg, view in self._join_views.get(table, ()):
+            if view.fact.exists() and view.dim.exists():
+                view.rebuild()
 
     # -- full-load bootstrap (the LOAD* path the CDC stream skips) --------
     def _run_quality_gate(self, table: str, staging: DataFrame) -> None:
@@ -206,6 +216,7 @@ class CdcPipeline:
         deduped = deduplicate(df, keys, check_bypass=True)
         target = self.target_for(table, keys)
         target.init(deduped.select(*self._out_cols(deduped)))
+        self._rebuild_join_views(table)
         return BatchResult("bootstrapped", table=table,
                            rows=target.read().count(),
                            duration_sec=time.time() - t0)
@@ -262,7 +273,7 @@ class CdcPipeline:
             # see _out_cols)
             deduped = deduplicate(staging, keys, check_bypass=True)
             target.init(deduped.select(*self._out_cols(deduped)))
-            self._apply_join_views(table, staging)
+            self._rebuild_join_views(table)
             return BatchResult("bootstrapped", table=table,
                                rows=target.read().count(),
                                duration_sec=time.time() - t0)

@@ -154,6 +154,12 @@ class CdcFleet:
         NEED it and maintenance cost scales with churn, not fleet size.
         One table failing must not abort the sweep (same
         degrade-don't-die posture as run_once)."""
+        if purge_dead_ratio is not None and keep_versions is None:
+            # the gate modifies the keep_versions GC; alone it would be
+            # silently inert — the operator would believe version GC is
+            # fragmentation-gated when it is actually disabled
+            raise ValueError("purge_dead_ratio gates version GC: pass "
+                             "keep_versions with it")
         status: dict[str, str] = {}
         for table in self.discover_tables():
             try:

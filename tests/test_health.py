@@ -139,3 +139,35 @@ def test_fleet_health_and_dead_ratio_gate(spark, tmp_path):
     after = fleet.health()["users"]
     assert after["dead_files"] == 0
     assert [r["name"] for r in tgt.read().collect()] == ["v2"]
+
+
+def test_manifest_unreadable_degrades_to_all_live(spark, tmp_path):
+    """Review regression: a versioned root whose manifest is lost (crash
+    between epoch write and manifest save, or a deleted sidecar) must
+    REPORT, not raise — and must classify everything LIVE so the
+    dead_ratio gate can never invite purge_versions to delete history a
+    manifest repair might still need."""
+    import os
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["k"], num_buckets=4,
+                    versioned=True)
+    kt.init(base_df(spark))
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=0, v="u", Op="U")]))
+    os.remove(str(tmp_path / "t" / "_epochs.json"))
+    KeyedTable._sidecar_cache.clear()
+    r = kt.health_report()
+    assert r["manifest_unreadable"] is True
+    assert r["dead_files"] == 0 and r["dead_ratio"] == 0.0
+    assert r["live_files"] == sum(kt.file_stats().values())
+
+
+def test_dead_ratio_gate_requires_keep_versions(spark, tmp_path):
+    """Review regression: purge_dead_ratio alone would be silently
+    inert (it gates the keep_versions GC) — reject it loudly."""
+    import pytest
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=2)
+    fleet = CdcFleet(pipe, str(tmp_path / "src"), str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="keep_versions"):
+        fleet.run_maintenance(purge_dead_ratio=0.5)

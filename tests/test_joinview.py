@@ -293,3 +293,88 @@ def test_stream_maintains_registered_view(spark, tmp_path):
     assert_synced(view)
     rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
     assert rows == {1: "twenty", 2: "twenty", 3: "ten"}
+
+
+def test_stale_late_batch_gated_like_the_fact_table(spark, tmp_path):
+    """Review regression: the view's legs must apply the SAME version
+    gate and tombstone protection as the fact merge — a stale late
+    batch the fact table rejected (including a resurrection attempt on
+    a deleted key) must leave the view synced, not desynced until a
+    manual rebuild."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    root = str(tmp_path / "src")
+
+    def write(name, rows):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            f"{root}/fair/orders/2024/01/01/{name}")
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"orders": "id", "custs": "did"}'),
+        num_buckets=4, version_col="load_timestamp")   # tombstones default ON
+    dim = pipe.target_for("custs", ["did"])
+    dim.init(spark.createDataFrame(dim_rows(
+        [(10, "ten", "I"), (20, "twenty", "I")], ts(0))).drop("Op"))
+    fact = pipe.target_for("orders", ["id"])
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    assert view.table.tombstones is False or True  # resolved below
+    pipe.register_join_view(view, fact_table="orders")
+
+    write("f0.parquet", fact_rows(
+        [(1, 10, "a", "I"), (2, 20, "b", "I")], ts(0)))
+    write("f2.parquet", fact_rows(
+        [(1, 20, "a2", "U"), (2, 20, "b", "D")], ts(2)))
+    # the STALE file: an older update for key 1 and a resurrection
+    # attempt on deleted key 2, arriving AFTER f2
+    write("f1_late.parquet", fact_rows(
+        [(1, 10, "STALE", "U"), (2, 10, "ZOMBIE", "U")], ts(1)))
+    for f in ("f0.parquet", "f2.parquet", "f1_late.parquet"):
+        pipe.process_file(f"{root}/fair/orders/2024/01/01/{f}")
+    assert view.table.tombstones is True        # inherited from the fact
+    assert_synced(view)
+    rows = {r["id"]: (r["val"], r["dim_name"])
+            for r in view.read().collect()}
+    assert rows == {1: ("a2", "twenty")}        # stale gated, zombie gated
+
+    # the same gating survives a REBUILD (markers copied into the view)
+    view.rebuild()
+    assert_synced(view)
+    write("f1_later.parquet", fact_rows([(2, 10, "ZOMBIE2", "U")], ts(1)))
+    pipe.process_file(f"{root}/fair/orders/2024/01/01/f1_later.parquet")
+    assert_synced(view)
+    assert {r["id"] for r in view.read().collect()} == {1}
+
+
+def test_bootstrap_from_load_files_rebuilds_views(spark, tmp_path):
+    """Review regression: a full-load re-initialization REPLACES the
+    snapshot, so registered views must rebuild — a delta leg cannot
+    express 'every other row vanished'."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"orders": "id", "custs": "did"}'),
+        num_buckets=4)
+    dim = pipe.target_for("custs", ["did"])
+    dim.init(spark.createDataFrame(dim_rows(
+        [(10, "ten", "I")], ts(0))).drop("Op"))
+    fact = pipe.target_for("orders", ["id"])
+    fact.init(spark.createDataFrame(fact_rows(
+        [(1, 10, "a", "I"), (2, 10, "b", "I"), (3, 10, "c", "I")],
+        ts(0))).drop("Op"))
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    view.rebuild()
+    pipe.register_join_view(view, fact_table="orders")
+
+    # full reload with a DISJOINT, smaller row set
+    load = str(tmp_path / "src" / "fair" / "orders" / "2024" / "01" / "02"
+               / "LOAD00000001.parquet")
+    spark.createDataFrame(fact_rows(
+        [(7, 10, "seven", "I")], ts(1))).coalesce(1).write.parquet(load)
+    assert pipe.bootstrap_from_load_files("orders", [load]).status \
+        == "bootstrapped"
+    assert_synced(view)
+    assert {r["id"] for r in view.read().collect()} == {7}

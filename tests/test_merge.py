@@ -373,3 +373,18 @@ def test_read_raw_only_absent_paths_read_as_empty(spark, tmp_path):
     t2.spark = _BoomSpark(spark)
     with pytest.raises(AnalysisException):
         t2._read_raw(buckets=[0, 1])
+
+
+def test_reinit_truncates_all_buckets(spark, tmp_path):
+    """Review regression: init on an EXISTING non-versioned table must
+    truncate the whole path.  The session default is dynamic partition
+    overwrite (the merge path's mode), under which a re-init whose rows
+    miss some buckets would leave those buckets serving the previous
+    table's rows."""
+    from pyspark.sql import Row
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["k"], num_buckets=8)
+    kt.init(spark.createDataFrame([Row(k=i, v="old") for i in range(32)]))
+    # one row -> one bucket; every other bucket must still be wiped
+    kt.init(spark.createDataFrame([Row(k=0, v="new")]))
+    rows = kt.read().collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(0, "new")]

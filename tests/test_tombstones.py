@@ -249,3 +249,28 @@ def test_schema_evolution_preserves_tombstones(spark, tmp_path):
         Row(id=1, v="stale", extra="s", Op="U", load_timestamp=TS[1])]))
     rows = {r["id"]: r for r in t.read().collect()}
     assert set(rows) == {2} and rows[2]["extra"] == "e"
+
+
+def test_purge_null_version_tombstone_is_purgeable(spark, tmp_path):
+    """Review regression: NULL versions sort before everything (the
+    version gate's contract), so a NULL-version tombstone is older than
+    ANY cutoff — the probe and the rewrite's keep-filter must agree on
+    that.  With a bare `<` the NULL comparison made the probe skip the
+    row while the rewrite dropped it: purged iff some OTHER row
+    happened to be purgeable."""
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2,
+                    tombstones=True)
+    kt.init(df_of(spark, [Row(id=1, v="a", load_timestamp=TS[0]),
+                          Row(id=2, v="b", load_timestamp=None)]))
+    # delete id=2 with a NULL version (e.g. a source that never stamped)
+    kt.merge_batch(
+        df_of(spark, [Row(id=2, v="x", Op="D", load_timestamp=TS[0])])
+        .withColumn("load_timestamp", F.lit(None).cast("timestamp")),
+        version_col="load_timestamp")
+    assert kt._read_raw().where(F.col(TOMBSTONE_COL)).count() == 1
+    # NULL-version marker alone, cutoff given: purgeable, probe agrees
+    assert kt.purge_tombstones(before_version=TS[1],
+                               version_col="load_timestamp") is True
+    assert kt._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
+    assert {r["id"] for r in kt.read().collect()} == {1}
