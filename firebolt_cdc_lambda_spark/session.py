@@ -15,6 +15,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+# local-mode heap: pyspark's default driver memory is 1g, and in local
+# mode the driver JVM IS every executor thread — local[32] workers
+# sharing a 1g heap is what a real cluster would never look like.  The
+# quadratic exact-baseline query (dedup_ngram_jaccard) at sf0.1 was the
+# first to actually fall over (task OOM -> shuffle-file loss -> JVM
+# exit); 16g on the 128 GiB box gives every thread a sane share while
+# leaving GC behavior reasonable.  Env-overridable like the rest.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def get_spark(
     app_name: str = "firebolt-cdc-lambda-spark",
@@ -29,6 +38,9 @@ def get_spark(
         .appName(app_name)
         # deterministic cross-engine comparisons (DuckDB oracle is tz-naive)
         .config("spark.sql.session.timeZone", "UTC")
+        # must be set before the JVM launches — no-op on getOrCreate of
+        # an already-running session
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         # runtime re-planning: skew joins, coalesced shuffles
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

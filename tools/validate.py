@@ -47,15 +47,27 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--out", default="validation_report.csv")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--gate", action="store_true",
+                    help="run only the driver's 50 gate slots, in "
+                         "priority order (ALL_QUERIES is priority-first)")
+    ap.add_argument("--plain", action="store_true",
+                    help="plain default SparkSession (the driver's "
+                         "condition) instead of the tuned session")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="fcls-validate")
+    if args.plain:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("fcls-validate-plain").getOrCreate())
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    else:
+        spark = get_spark(app_name="fcls-validate")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
-    names = sorted(ALL_QUERIES)
+    names = (list(ALL_QUERIES)[:50] if args.gate else sorted(ALL_QUERIES))
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
