@@ -197,7 +197,10 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     is not a VERDICT §2-cited row).  Validated at sf0.001 + sf0.01 +
 #     sf0.1 and in a plain default session before taking the slot.
 # Post-round arithmetic (if all 50 land green): 164/164 ever-gated;
-# newest-row distribution r6=50, r5=50, r4=37, r3=14; the 14 rows older
+# newest-row distribution r6=50, r5=50, r4=50, r3=14 (CORRECTION,
+# round-6 judge: this note originally said "r4=37", an arithmetic slip
+# — no r4 row was re-gated in round 6, so all 50 r4-newest rows stayed
+# r4; 50+50+50+14=164 checks); the 14 rows older
 # than r4 (one above the judge's <=13 plan ceiling — the +1 is
 # val_pivot_status, displaced by the round's single new query under
 # policy rule 2, the mechanism the round-5 judge ordered for exactly
@@ -222,34 +225,81 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #      queries are FROZEN until the next round's rotation.
 #   Invariant from round 6 on: a round ends with ZERO never-gated
 #   queries.
+# ROUND 6 RESULT (CORRECTNESS_r06.json): 49/50 green; the ONE red row
+# is events_markov_transitions (rows+schema green, hash red) — judge-
+# adjudicated as an ORACLE type bug: the final SELECT exposed
+# `SUM(n_transitions) OVER (PARTITION BY from_type)` uncast, so
+# DuckDB's HUGEINT window sum surfaced through Arrow as
+# decimal128(38,0) against Spark's int64.  The Spark values are
+# bit-correct (judge-verified at sf0.001/0.01/0.1).  Fixed in round 7
+# (analytics.py: CAST ... AS BIGINT, matching the corpus-wide
+# cast-exposed-window-sums convention) alongside the harness-fidelity
+# upgrade (corpus/compare.py: local validation now compares via
+# .arrow() — exposed Arrow schema under a pinned widening map + full-
+# bit float canon — so this failure class can never again pass the
+# local sweep while failing the driver's hash).
+# ROUND 7 (this gate) — executes the round-6 judge's orders #1 and #3:
+#   * slot 1 — events_markov_transitions: the gate's only red row,
+#     re-gated first with the oracle cast fix (judge order #1).
+#   * slots 2-15 — ALL fourteen pre-r4 rows, the ledger's documented
+#     round-7 head, in the round-6 verdict's exact order:
+#     val_duplicate_keys, val_monthly_distribution, val_category_counts,
+#     val_profile_orders, val_pivot_status, text_bigram_fluency,
+#     text_decontamination, text_pii_scrub, text_quality_filter,
+#     text_repetition_filter, window_rank_family,
+#     scalar_functions_showcase, join_enriched_orders,
+#     asof_event_last_order.  After these land, no row is older than r4.
+#   * slots 16-50 — THIRTY-FIVE of the fifty r4-stale rows.  The
+#     fifteen deferred to round 8 are chosen (like round 6's val_*
+#     deferral) so every operator family keeps a fresh member:
+#     dedup_ngram_jaccard (documented-quadratic exact baseline;
+#     minhash/simhash/exact/incremental all refreshed here),
+#     window_moving_frame + window_distribution_family
+#     (window_range_frame/window_topn_per_segment refreshed, and
+#     window_rank_family lands r7 in slot 12), events_lead_lag_gaps
+#     (events_sessionization refreshed; markov re-pins lead()),
+#     text_char_diversity / text_vocab_growth / text_token_topk /
+#     text_fuzzy_event_types (quality_stats/token_count/passage_dedup/
+#     bm25/tfidf/chunk_overlap/lang_id all refreshed),
+#     scalar_datetime_showcase (scalar_functions_showcase slot 13),
+#     sql_surface_unpivot (sql_surface_listagg refreshed;
+#     val_pivot_status slot 6 re-pins the pivot shape),
+#     corpus_weighted_sample (stratified/mixture fresh r6),
+#     dataset_split_assignment (corpus_leakage_safe_split fresh r5),
+#     embedding_outlier_trim (kmeans_step r5 + dedup_embedding_cosine
+#     refreshed), gapfill_monthly_orders (val_monthly_distribution
+#     slot 3), multimodal_audio_features (multimodal_image_neardup
+#     refreshed).
+# Post-round arithmetic (if all 50 land green): newest-row distribution
+# r7=50, r6=49, r5=50, r4=15, r3=0 — zero rows older than TWO rounds
+# (the judge's "zero rows older than r5" is not literally reachable in
+# one 50-slot round: 14 r3 + 50 r4 = 64 > 50; this gate clears ALL 64
+# minus the 15 family-covered deferrals above, which lead round 8).
+# r6=49 because markov's newest row moves from r6-red to slot 1.
 _DRIVER_PRIORITY = [
-    # slots 1-20: the twenty never-gated round-5 continuations ------------
-    "cdc_scd2_pit_join", "corpus_gini_balance", "events_stream_join_full",
-    "events_stream_sliding", "q2_min_cost_supplier", "q11_important_stock",
-    "q16_part_supplier_variety", "q20_promotion_suppliers",
-    "events_stream_static_enrich", "cdc_bloom_lookup",
-    "events_retention_cohorts", "events_markov_transitions",
-    "events_ewma_smoothing", "dedup_graph_triangles",
-    "corpus_dedup_canonical", "val_expectations_report",
-    "ann_hard_negatives", "orders_trend_ols", "corpus_drift_hellinger",
-    "corpus_temperature_mixture",
-    # slots 21-34: r3-stale TPC-H flagships -------------------------------
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q12_shipping_delay_classes",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q21_sole_supplier_multi_line",
-    "q22_idle_rich_customers",
-    # slots 35-40: the six round-5 displacement orphans -------------------
-    "events_json_extract", "embedding_pseudo_label",
-    "embedding_label_centroids", "corpus_stratified_sample",
-    "corpus_sequence_packing", "corpus_mixture_sampling",
-    # slots 41-50: nine r3-stale val_* aggregates + the round's one new
-    # query (corpus_drift_jsd, displacing val_pivot_status — rule 2) ----
-    "val_date_distribution", "val_duplicate_pks", "val_freshness",
-    "val_null_counts",
-    "val_percentiles", "corpus_drift_jsd", "val_price_histogram",
-    "val_rollup_status_priority", "val_sample_rows", "val_topk_orders",
+    # slot 1: the round-6 red row, oracle-cast-fixed ----------------------
+    "events_markov_transitions",
+    # slots 2-15: the fourteen pre-r4 rows (round-6 verdict order) --------
+    "val_duplicate_keys", "val_monthly_distribution",
+    "val_category_counts", "val_profile_orders", "val_pivot_status",
+    "text_bigram_fluency", "text_decontamination", "text_pii_scrub",
+    "text_quality_filter", "text_repetition_filter", "window_rank_family",
+    "scalar_functions_showcase", "join_enriched_orders",
+    "asof_event_last_order",
+    # slots 16-50: thirty-five r4-stale refreshes (flagships first) -------
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q10_returned_items", "cdc_merge_upsert_delete",
+    "cdc_pipeline_snapshot", "events_sessionization",
+    "events_hourly_tumbling", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_lsh_bucket_topk", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_cluster_assign", "dedup_embedding_cosine",
+    "dedup_incremental_filter", "doc_fingerprint", "text_passage_dedup",
+    "text_quality_stats", "text_token_count", "text_lang_id",
+    "text_bm25_search", "text_tfidf_keywords", "text_chunk_overlap",
+    "corpus_domain_cap", "corpus_drift_tv", "multimodal_image_neardup",
+    "range_join_event_pairs", "skew_salted_agg", "sql_surface_listagg",
+    "argmax_order_per_customer", "val_global_summary",
+    "window_range_frame", "window_topn_per_segment",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

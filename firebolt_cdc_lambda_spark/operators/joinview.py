@@ -34,8 +34,14 @@ test): after ANY interleaving of fact and dim deltas,
 rebuild are the same function.
 
 Restrictions (v1, honest): single-column dim key and fk (the bloom
-index is single-column; composite dims want a fused fk), and the fact
-batch must carry the fk column (standard CDC full-row images).
+index is single-column; composite dims want a fused fk), the fact
+batch must carry the fk column (standard CDC full-row images), fact
+columns must not start with ``dim_prefix`` (enforced at rebuild — the
+view schema is how the dim leg tells enrichment columns from fact
+columns), and DIM schema evolution (add/drop/rename of a payload
+column) requires ``rebuild()`` — ``apply_dim_delta`` detects the
+drift against the view's stored schema and raises rather than
+silently leaving stale or missing enrichment columns.
 """
 
 from __future__ import annotations
@@ -83,7 +89,18 @@ class JoinView:
 
     # -- naming ------------------------------------------------------------
     def _enrich_cols(self) -> list[str]:
-        """View-side names of the dim payload columns."""
+        """View-side names of the dim payload columns, derived from the
+        VIEW's stored schema (the ``dim_prefix``-prefixed columns) —
+        not from the current dim schema: after a dim payload column is
+        dropped or renamed, the stale prefixed column must still be
+        dropped-and-refreshed by :meth:`apply_dim_delta`, which the
+        current-dim derivation would miss.  Falls back to the dim
+        schema only before the view's first build (nothing stored
+        yet).  Fact columns may not collide with the prefix —
+        :meth:`rebuild` enforces that."""
+        if self.table.exists():
+            return [c for c in self.table.read().columns
+                    if c.startswith(self.dim_prefix)]
         return [f"{self.dim_prefix}{c}" for c in self.dim.read().columns
                 if c != self.dim_key]
 
@@ -119,6 +136,12 @@ class JoinView:
         base = (self.fact.snapshot_for_rewrite()
                 if self.table.tombstones and self.fact.tombstones
                 else self.fact.read())
+        clash = [c for c in base.columns if c.startswith(self.dim_prefix)]
+        if clash:
+            raise ValueError(
+                f"fact columns {clash} collide with dim_prefix "
+                f"{self.dim_prefix!r}; the view schema could not tell "
+                f"them from enrichment columns — pick another prefix")
         full = self._joined(base, self.dim.read(), broadcast_dim=False)
         if self.table.exists():
             self.table.rewrite(full)
@@ -129,16 +152,19 @@ class JoinView:
     # -- delta legs --------------------------------------------------------
     def apply_fact_delta(self, batch: DataFrame, op_col: str = OP_COL,
                          delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
-                         order=None, version_col: str | None = None) -> int:
+                         order=None, version_col: str | None = None,
+                         insert_deletes: bool = False) -> int:
         """ΔF leg: enrich the batch against only the dim buckets its fk
         values hash into (``dim.lookup`` with the fk column AS the key
         DataFrame — no value collect), then CDC-merge into the view.
         Returns #view buckets rewritten.  Apply the same batch to
         ``fact`` separately — the view is a downstream consumer, not
-        the fact table's writer.  Pass the SAME ``version_col`` the
-        fact merge gates on (the pipeline threads its own): a stale
-        late batch the fact table rejected must be rejected by the
-        view too, or the two desync until a rebuild."""
+        the fact table's writer.  Pass the SAME ``version_col`` AND
+        ``insert_deletes`` the fact merge uses (the pipeline threads
+        its own): a stale late batch the fact table rejected — or an
+        unmatched delete row the fact table's insert_deletes mode
+        INSERTED as a live row — must be treated identically by the
+        view, or the two desync until a rebuild."""
         latest = deduplicate(batch, self.fact.keys, order=order,
                              check_bypass=True)
         probe = (latest.select(F.col(self.fk).alias(self.dim_key))
@@ -147,7 +173,8 @@ class JoinView:
         enriched = self._joined(latest, dim_rows, broadcast_dim=True)
         return self.table.merge_batch(enriched, op_col=op_col,
                                       delete_values=delete_values,
-                                      version_col=version_col)
+                                      version_col=version_col,
+                                      insert_deletes=insert_deletes)
 
     def apply_dim_delta(self, batch: DataFrame, order=None) -> int:
         """ΔD leg: find the view rows referencing the changed dim keys
@@ -173,6 +200,17 @@ class JoinView:
         current = self.dim.lookup(
             latest.select(self.dim_key).where(
                 F.col(self.dim_key).isNotNull()).distinct())
+        stored = set(self._enrich_cols())
+        now = {f"{self.dim_prefix}{c}" for c in current.columns
+               if c != self.dim_key and c not in CDC_META_COLS}
+        if stored != now:
+            # dim schema evolved (add/drop/rename) since the view was
+            # built: a delta can refresh values, not reshape the view —
+            # fail loudly under the documented recovery contract
+            raise ValueError(
+                f"dim schema changed since the view was built "
+                f"(view has {sorted(stored)}, dim now maps to "
+                f"{sorted(now)}); run rebuild() to absorb it")
         refreshed = self._joined(affected.drop(*self._enrich_cols()),
                                  current, broadcast_dim=True)
         # refreshed rows carry no op column: all-upsert merge

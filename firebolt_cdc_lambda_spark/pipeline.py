@@ -173,7 +173,8 @@ class CdcPipeline:
                 continue   # rebuild covered this batch (or a source is
                            # still missing — covered when it bootstraps)
             if leg == "fact":
-                view.apply_fact_delta(batch, version_col=self.version_col)
+                view.apply_fact_delta(batch, version_col=self.version_col,
+                                      insert_deletes=self.insert_deletes)
             else:
                 view.apply_dim_delta(batch)
 

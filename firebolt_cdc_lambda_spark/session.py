@@ -20,9 +20,21 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 # sharing a 1g heap is what a real cluster would never look like.  The
 # quadratic exact-baseline query (dedup_ngram_jaccard) at sf0.1 was the
 # first to actually fall over (task OOM -> shuffle-file loss -> JVM
-# exit); 16g on the 128 GiB box gives every thread a sane share while
-# leaving GC behavior reasonable.  Env-overridable like the rest.
-DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+# exit).  The default is DERIVED from the host's physical memory (1/8,
+# clamped to [2g, 16g]) rather than hard-coding the 128 GiB dev box's
+# 16g (round-6 advisor): a 16 GiB host importing the library gets 2g,
+# this box still gets 16g.  Env-overridable like the rest.
+def _default_driver_memory() -> str:
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE")
+                     * os.sysconf("SC_PHYS_PAGES")) / 2**30
+    except (ValueError, OSError, AttributeError):
+        return "2g"
+    return f"{max(2, min(16, int(total_gib // 8)))}g"
+
+
+DEFAULT_DRIVER_MEMORY = (os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                         or _default_driver_memory())
 
 
 def get_spark(

@@ -140,7 +140,9 @@ class CdcFleet:
 
     def run_maintenance(self, before_version=None,
                         keep_versions: int | None = None,
-                        purge_dead_ratio: float | None = None) -> dict[str, str]:
+                        purge_dead_ratio: float | None = None,
+                        health_reports: dict[str, dict] | None = None,
+                        ) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
         With ``before_version`` (compared on the pipeline's version_col)
@@ -152,8 +154,13 @@ class CdcFleet:
         history fragmentation (health_report's dead_ratio — a pure
         metadata read), so the expensive step runs only for tables that
         NEED it and maintenance cost scales with churn, not fleet size.
-        One table failing must not abort the sweep (same
-        degrade-don't-die posture as run_once)."""
+        An operator that just called :meth:`health` can pass the result
+        as ``health_reports`` so the gate reuses that listing instead of
+        re-listing every table's files (round-6 advisor: at the
+        809-table reference scale the double listing is real money);
+        tables missing from the map fall back to a fresh read.  One
+        table failing must not abort the sweep (same degrade-don't-die
+        posture as run_once)."""
         if purge_dead_ratio is not None and keep_versions is None:
             # the gate modifies the keep_versions GC; alone it would be
             # silently inert — the operator would believe version GC is
@@ -168,7 +175,9 @@ class CdcFleet:
                 if keep_versions is not None:
                     wants_gc = True
                     if purge_dead_ratio is not None:
-                        report = self.pipeline.table_health(table)
+                        report = (health_reports or {}).get(table)
+                        if report is None or "dead_ratio" not in report:
+                            report = self.pipeline.table_health(table)
                         wants_gc = (report is not None and
                                     report["dead_ratio"] >= purge_dead_ratio)
                     if wants_gc:

@@ -1,14 +1,19 @@
-"""Differential harness: every corpus query vs its DuckDB oracle,
-mimicking the driver's compare (row count + schema-width + column-sorted,
-order-insensitive value comparison)."""
-
-import math
+"""Differential harness: every corpus query vs its DuckDB oracle at
+DRIVER fidelity (round-7 upgrade, VERDICT r6 order #2): the oracle side
+is fetched via ``.arrow()`` so exposed types are visible, the exposed
+Arrow schema must match Spark's dtypes under the pinned widening map in
+``corpus.compare``, and values compare TYPE-TAGGED at full float bit
+precision (``float.hex``), not 10 significant digits.  This is the CI
+sweep that would have caught the r6 events_markov_transitions HUGEINT
+leak before the gate did."""
 
 import duckdb
 import pytest
 
 from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES
 from firebolt_cdc_lambda_spark.corpus.base import TABLES
+from firebolt_cdc_lambda_spark.corpus.compare import (
+    canon_rows, schema_mismatches)
 
 from conftest import SF_DIR
 
@@ -22,41 +27,26 @@ def oracle():
     con.close()
 
 
-def normalize(rows, cols):
-    """Column-name-sorted, order-insensitive canonical form."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.10g}"   # tolerate <1e-10 relative fp noise
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
-
-
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(spark, oracle, name):
     q = ALL_QUERIES[name]
     got = q.fn(spark, SF_DIR)
-    got_rows = got.collect()
+    got_rows = [tuple(r) for r in got.collect()]
     got_cols = got.columns
     if q.oracle is None:
         assert len(got_rows) >= 0  # rows-only check, mirroring the driver
         return
-    exp = oracle.sql(q.oracle)
-    exp_rows = exp.fetchall()
-    exp_cols = [d[0] for d in exp.description]
+    exp_tbl = oracle.sql(q.oracle).arrow()
+    exp_cols = exp_tbl.schema.names
+    exp_rows = [tuple(d.values()) for d in exp_tbl.to_pylist()]
     assert sorted(got_cols) == sorted(exp_cols), (
         f"{name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+    bad = schema_mismatches(got.dtypes, exp_tbl.schema)
+    assert not bad, (
+        f"{name}: exposed-type drift (col, spark, arrow): {bad}")
     assert len(got_rows) == len(exp_rows), (
         f"{name}: row count {len(got_rows)} != {len(exp_rows)}")
-    g = normalize([tuple(r) for r in got_rows], got_cols)
-    e = normalize(exp_rows, exp_cols)
+    g = canon_rows(got_rows, got_cols)
+    e = canon_rows(exp_rows, exp_cols)
     mismatches = [(a, b) for a, b in zip(g, e) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

@@ -171,3 +171,38 @@ def test_dead_ratio_gate_requires_keep_versions(spark, tmp_path):
     fleet = CdcFleet(pipe, str(tmp_path / "src"), str(tmp_path / "ckpt"))
     with pytest.raises(ValueError, match="keep_versions"):
         fleet.run_maintenance(purge_dead_ratio=0.5)
+
+
+def test_maintenance_reuses_precomputed_health(spark, tmp_path):
+    """Round-6 advisor (low): an operator that just called fleet.health()
+    can hand the report map to run_maintenance so the dead-ratio gate
+    reuses that listing instead of re-listing every table.  Proof of
+    reuse: a (stale) precomputed report saying dead_ratio=0 must skip
+    GC on a table whose REAL dead_ratio is above the gate."""
+    root = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, name="a", Op="I", load_timestamp=TS)]) \
+        .coalesce(1).write.parquet(f"{root}/fair/users/2024/01/01/a.parquet")
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=2, versioned=True)
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    assert fleet.run_once(spark) == {"users": "drained"}
+    tgt = pipe.target_for("users", ["id"])
+    for i in range(3):
+        tgt.merge_batch(spark.createDataFrame(
+            [Row(id=1, name=f"v{i}", Op="U", load_timestamp=TS)]))
+    real = fleet.health()
+    assert real["users"]["dead_ratio"] > 0.5
+
+    fake = {"users": dict(real["users"], dead_ratio=0.0)}
+    assert fleet.run_maintenance(
+        keep_versions=1, purge_dead_ratio=0.5,
+        health_reports=fake) == {"users": "skipped"}
+    assert fleet.health()["users"]["dead_ratio"] > 0.5   # GC did not run
+
+    # the honest map gates normally; tables missing from the map (or
+    # error rows) fall back to a fresh read
+    assert fleet.run_maintenance(
+        keep_versions=1, purge_dead_ratio=0.5,
+        health_reports={"users": {"error": "boom"}}) == {"users": "purged"}
+    assert fleet.health()["users"]["dead_files"] == 0

@@ -378,3 +378,75 @@ def test_bootstrap_from_load_files_rebuilds_views(spark, tmp_path):
         == "bootstrapped"
     assert_synced(view)
     assert {r["id"] for r in view.read().collect()} == {7}
+
+
+def test_insert_deletes_mode_threaded_to_view(spark, tmp_path):
+    """Round-6 advisor (medium): with CdcPipeline(insert_deletes=True)
+    the fact merge INSERTS unmatched delete rows as live rows
+    (reference-parity mode); the view's fact leg must do the same or
+    the view silently diverges from fact LEFT JOIN dim until a manual
+    rebuild."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    root = str(tmp_path / "src")
+
+    def write(table, name, rows):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            f"{root}/fair/{table}/2024/01/01/{name}")
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "wh"),
+        TableKeys.from_json('{"orders": "id", "custs": "did"}'),
+        num_buckets=4, insert_deletes=True)
+    fact = pipe.target_for("orders", ["id"])
+    dim = pipe.target_for("custs", ["did"])
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    pipe.register_join_view(view, fact_table="orders", dim_table="custs")
+
+    write("custs", "d0.parquet", dim_rows([(10, "ten", "I")], ts(0)))
+    write("orders", "f0.parquet", fact_rows([(1, 10, "a", "I")], ts(0)))
+    pipe.process_file(f"{root}/fair/custs/2024/01/01/d0.parquet")
+    pipe.process_file(f"{root}/fair/orders/2024/01/01/f0.parquet")
+
+    # the UNMATCHED delete: key 2 was never inserted; insert_deletes
+    # mode lands it as a live row — in the fact AND in the view.  The
+    # MATCHED delete (key 1) still deletes on both.
+    write("orders", "f1.parquet", fact_rows(
+        [(2, 10, "ghost", "D"), (1, 10, "a", "D")], ts(1)))
+    assert pipe.process_file(
+        f"{root}/fair/orders/2024/01/01/f1.parquet").status == "completed"
+    assert {r["id"] for r in fact.read().collect()} == {2}
+    assert_synced(view)
+    rows = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert rows == {2: "ten"}
+
+
+def test_dim_schema_evolution_requires_rebuild(spark, tables):
+    """Round-6 advisor (low): _enrich_cols now derives from the VIEW's
+    stored schema; a dim payload column added/renamed after the build
+    makes apply_dim_delta raise (delta legs refresh values, not
+    schemas) instead of silently leaving a stale prefixed column."""
+    fact, dim, view = tables
+    dim.rewrite(dim.read().withColumn("tier", F.lit("gold")))
+    batch = spark.createDataFrame(dim_rows([(10, "TEN!", "U")], ts(1)))
+    with pytest.raises(ValueError, match="rebuild"):
+        view.apply_dim_delta(batch)
+    view.rebuild()                       # absorbs the new column...
+    assert "dim_tier" in view.read().columns
+    view.apply_dim_delta(batch.withColumn("tier", F.lit("gold")))
+    assert_synced(view)                  # ...and the delta leg works again
+
+
+def test_fact_prefix_clash_rejected(spark, tmp_path):
+    """Fact columns may not collide with dim_prefix — the view schema
+    is how the dim leg tells enrichment columns from fact columns."""
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["did"], num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [Row(id=1, cust=10, dim_name="clash", load_timestamp=ts(0))]))
+    dim.init(spark.createDataFrame(
+        [Row(did=10, name="ten", load_timestamp=ts(0))]))
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk="cust")
+    with pytest.raises(ValueError, match="collide"):
+        view.rebuild()

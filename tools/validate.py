@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import csv
-import math
 import os
 import sys
 import time
@@ -24,21 +23,9 @@ import duckdb  # noqa: E402
 
 from firebolt_cdc_lambda_spark.corpus import ALL_QUERIES  # noqa: E402
 from firebolt_cdc_lambda_spark.corpus.base import TABLES  # noqa: E402
+from firebolt_cdc_lambda_spark.corpus.compare import (  # noqa: E402
+    canon_rows, schema_mismatches)
 from firebolt_cdc_lambda_spark.session import get_spark  # noqa: E402
-
-
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = "NaN" if math.isnan(v) else f"{v:.10g}"
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
 
 
 def main() -> int:
@@ -85,14 +72,17 @@ def main() -> int:
                 results.append((name, "ROWS_ONLY", len(got_rows), "", elapsed))
                 print(f"  ~ {name:<34} {len(got_rows):>7} rows   (rows-only) {elapsed:5.1f}s")
                 continue
-            exp = con.sql(q.oracle)
-            exp_rows = exp.fetchall()
-            exp_cols = [d[0] for d in exp.description]
+            exp_tbl = con.sql(q.oracle).arrow()  # driver-fidelity: Arrow
+            exp_cols = exp_tbl.schema.names
+            exp_rows = [tuple(d.values()) for d in exp_tbl.to_pylist()]
+            bad_types = schema_mismatches(df.dtypes, exp_tbl.schema)
             if sorted(got_cols) != sorted(exp_cols):
                 status, detail = "SCHEMA_MISMATCH", f"{sorted(got_cols)} vs {sorted(exp_cols)}"
+            elif bad_types:
+                status, detail = "EXPOSED_TYPE_MISMATCH", str(bad_types)
             elif len(got_rows) != len(exp_rows):
                 status, detail = "COUNT_MISMATCH", f"{len(got_rows)} vs {len(exp_rows)}"
-            elif normalize(got_rows, got_cols) != normalize(exp_rows, exp_cols):
+            elif canon_rows(got_rows, got_cols) != canon_rows(exp_rows, exp_cols):
                 status, detail = "VALUE_MISMATCH", ""
             else:
                 status, detail = "MATCH", ""
