@@ -270,12 +270,28 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     refreshed), gapfill_monthly_orders (val_monthly_distribution
 #     slot 3), multimodal_audio_features (multimodal_image_neardup
 #     refreshed).
-# Post-round arithmetic (if all 50 land green): newest-row distribution
-# r7=50, r6=49, r5=50, r4=15, r3=0 — zero rows older than TWO rounds
-# (the judge's "zero rows older than r5" is not literally reachable in
-# one 50-slot round: 14 r3 + 50 r4 = 64 > 50; this gate clears ALL 64
-# minus the 15 family-covered deferrals above, which lead round 8).
-# r6=49 because markov's newest row moves from r6-red to slot 1.
+#   * slot 47 — cdc_join_view, the round's FIRST new corpus query
+#     (round-6 judge order #6: oracle-gate the JoinView operator —
+#     interleaved fact/dim deltas incl. fk re-points, dim deletes
+#     reverting to NULL enrichment, and late dim inserts back-filling
+#     LEFT edges, hash-matched against the from-scratch LEFT JOIN),
+#     landed under GATE-FREEZE rule 2: it displaces
+#     argmax_order_per_customer, the r4-stale tail re-gate whose
+#     top-1-per-group shape is the most redundantly re-covered by this
+#     gate (window_topn_per_segment slot 50 pins the identical
+#     rank-then-filter family; window_rank_family slot 12 the wider
+#     one) — argmax joins the 15 round-8 deferrals, making 16.
+#     Validated at sf0.001 + sf0.01 + sf0.1 and in a plain default
+#     session before taking the slot.
+# Post-round arithmetic (if all 50 land green): 165 corpus queries,
+# 165/165 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r7=50, r6=49, r5=50, r4=16, r3=0 —
+# zero rows older than TWO rounds (the judge's "zero rows older than
+# r5" is not literally reachable in one 50-slot round: 14 r3 + 50 r4 =
+# 64 > 50; this gate clears all but the 16 family-covered deferrals
+# above — the 15 listed + argmax_order_per_customer displaced by
+# cdc_join_view — which lead round 8).  r6=49 because markov's newest
+# row moves from r6-red to slot 1.
 _DRIVER_PRIORITY = [
     # slot 1: the round-6 red row, oracle-cast-fixed ----------------------
     "events_markov_transitions",
@@ -298,7 +314,7 @@ _DRIVER_PRIORITY = [
     "text_bm25_search", "text_tfidf_keywords", "text_chunk_overlap",
     "corpus_domain_cap", "corpus_drift_tv", "multimodal_image_neardup",
     "range_join_event_pairs", "skew_salted_agg", "sql_surface_listagg",
-    "argmax_order_per_customer", "val_global_summary",
+    "cdc_join_view", "val_global_summary",
     "window_range_frame", "window_topn_per_segment",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

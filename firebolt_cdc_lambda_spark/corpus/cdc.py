@@ -605,6 +605,94 @@ FROM facts f ASOF LEFT JOIN dim d
 """
 
 
+# -- incrementally-maintained materialized join view ----------------------
+# The round-6 JoinView operator (operators/joinview.py) under the value
+# hash: build fact LEFT JOIN dim over KeyedTable snapshots of orders ⋈
+# customer (with LEFT edges — a slice of customers is withheld at
+# build), then interleave BOTH delta legs:
+#   ΔF — price bump (U), deletes (D), and fk RE-POINTS (the row must
+#        re-enrich through dim.lookup's bucket-pruned read);
+#   ΔD — balance update (U, refresh referencing rows via the fk bloom
+#        index), dim deletes (D, referencing rows revert to NULL
+#        enrichment = LEFT semantics), and late dim inserts (I, the
+#        withheld slice back-fills previously-NULL LEFT edges).
+# The oracle restates the FINAL snapshots and joins them from scratch —
+# value-hash equality pins apply ≡ rebuild end-to-end, through the same
+# merge/bloom/lookup code the pipeline's register_join_view path runs.
+# Determinism: key-unique batches (dedup bypass — no ordering cascade),
+# fk/price/balance edits are single exactly-rounded IEEE ops on doubles.
+# Scale: ΔF ∝ batch + touched buckets, ΔD ∝ rows referencing changed
+# dim keys (bloom-pruned); the view is never rescanned.
+def cdc_join_view(spark, sf):
+    import tempfile
+
+    from ..operators.joinview import JoinView
+    from ..operators.merge import KeyedTable
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tmp = tempfile.mkdtemp(prefix="cdc_jv_q_")   # left for OS cleanup
+    # 8 buckets: the fixture writes each table several times (init,
+    # rebuild, two merges); at gate scale the cost is task/file count,
+    # not bytes — 32 buckets tripled the wall time for zero coverage
+    fact = KeyedTable(spark, f"{tmp}/fact", ["o_orderkey"], num_buckets=8)
+    dim = KeyedTable(spark, f"{tmp}/dim", ["c_custkey"], num_buckets=8)
+    fact.init(o)
+    dim.init(c.where("c_custkey % 100 <> 42"))   # withheld -> LEFT edges
+    view = JoinView(spark, f"{tmp}/view", fact, dim, fk="o_custkey")
+    view.rebuild()
+    # ΔF: one key-unique batch — price bump / delete / fk re-point
+    fb = (o.where("o_orderkey % 100 < 13 OR "
+                  "(o_orderkey % 100 >= 90 AND o_orderkey % 100 < 95)")
+          .withColumn("o_totalprice", F.expr(
+              "CASE WHEN o_orderkey % 100 < 10 "
+              "THEN o_totalprice * 1.1 ELSE o_totalprice END"))
+          .withColumn("o_custkey", F.expr(
+              "CASE WHEN o_orderkey % 100 BETWEEN 10 AND 12 "
+              "THEN o_custkey + 1 ELSE o_custkey END"))
+          .withColumn("Op", F.expr(
+              "CASE WHEN o_orderkey % 100 >= 90 THEN 'D' ELSE 'U' END")))
+    fact.merge_batch(fb)
+    view.apply_fact_delta(fb)
+    # ΔD: update + delete + the late insert back-filling the LEFT edges
+    db = (c.withColumn("c_acctbal", F.expr(
+              "CASE WHEN c_custkey % 100 = 3 "
+              "THEN c_acctbal + 100.0 ELSE c_acctbal END"))
+          .withColumn("Op", F.expr(
+              "CASE WHEN c_custkey % 100 = 25 THEN 'D' "
+              "WHEN c_custkey % 100 = 42 THEN 'I' ELSE 'U' END"))
+          .where("c_custkey % 100 IN (3, 25, 42)"))
+    dim.merge_batch(db)
+    view.apply_dim_delta(db)
+    return view.read().select("o_orderkey", "o_custkey", "o_totalprice",
+                              "dim_c_name", "dim_c_acctbal")
+
+
+CDC_JOIN_VIEW_SQL = """
+WITH fact AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 BETWEEN 10 AND 12
+              THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 100 < 10
+              THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 100 >= 90 AND o_orderkey % 100 < 95)
+),
+dim AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 100 = 3
+              THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  WHERE c_custkey % 100 <> 25
+)
+SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
+       d.c_name AS dim_c_name, d.c_acctbal AS dim_c_acctbal
+FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -659,4 +747,11 @@ QUERIES = {
         "both staleness paths (bloom-pruned untouched buckets + merge-"
         "flagged dirty buckets, no refresh) — fail-open correctness "
         "under the value hash"),
+    "cdc_join_view": Query(
+        cdc_join_view, CDC_JOIN_VIEW_SQL,
+        "incrementally-maintained materialized fact-LEFT-JOIN-dim: "
+        "interleaved fact/dim CDC deltas (price bump, deletes, fk "
+        "re-points, dim delete -> NULL revert, late dim insert -> "
+        "back-fill) hash-matched against the from-scratch join — "
+        "apply == rebuild under the driver's value hash"),
 }
