@@ -283,15 +283,30 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     one) — argmax joins the 15 round-8 deferrals, making 16.
 #     Validated at sf0.001 + sf0.01 + sf0.1 and in a plain default
 #     session before taking the slot.
-# Post-round arithmetic (if all 50 land green): 165 corpus queries,
-# 165/165 ever-gated (zero never-gated — the freeze-policy invariant
-# holds); newest-row distribution r7=50, r6=49, r5=50, r4=16, r3=0 —
+#   * slot 48 — cdc_join_view_composite, the round's SECOND new query
+#     (round-6 judge order #7: lift the single-column-key JoinView v1
+#     restriction): composite (ps_partkey, ps_suppkey) dim key via the
+#     fused xxhash64 fk column the view now materializes, with the
+#     exact semi-join collision filter the dim leg needs for
+#     correctness (a collision admitted to the refresh set would
+#     re-enrich to NULL).  Fact is the lineitem slice aggregated to
+#     (l_orderkey, l_partkey, l_suppkey) — the synthetic lineitem has
+#     heavily duplicated (l_orderkey, l_linenumber), found the hard
+#     way.  Displaces val_global_summary (its global multi-agg shape
+#     is the corpus's most re-covered: val_agg_summary r5 is its
+#     direct twin, and the r7 gate re-pins the aggregate family via
+#     val_null_counts/val_freshness/q1) — joins the deferrals,
+#     making 17.  Validated at sf0.001 + sf0.01 + sf0.1 and plain.
+# Post-round arithmetic (if all 50 land green): 166 corpus queries,
+# 166/166 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r7=50, r6=49, r5=50, r4=17, r3=0 —
 # zero rows older than TWO rounds (the judge's "zero rows older than
 # r5" is not literally reachable in one 50-slot round: 14 r3 + 50 r4 =
-# 64 > 50; this gate clears all but the 16 family-covered deferrals
+# 64 > 50; this gate clears all but the 17 family-covered deferrals
 # above — the 15 listed + argmax_order_per_customer displaced by
-# cdc_join_view — which lead round 8).  r6=49 because markov's newest
-# row moves from r6-red to slot 1.
+# cdc_join_view + val_global_summary displaced by
+# cdc_join_view_composite — which lead round 8).  r6=49 because
+# markov's newest row moves from r6-red to slot 1.
 _DRIVER_PRIORITY = [
     # slot 1: the round-6 red row, oracle-cast-fixed ----------------------
     "events_markov_transitions",
@@ -314,7 +329,7 @@ _DRIVER_PRIORITY = [
     "text_bm25_search", "text_tfidf_keywords", "text_chunk_overlap",
     "corpus_domain_cap", "corpus_drift_tv", "multimodal_image_neardup",
     "range_join_event_pairs", "skew_salted_agg", "sql_surface_listagg",
-    "cdc_join_view", "val_global_summary",
+    "cdc_join_view", "cdc_join_view_composite",
     "window_range_frame", "window_topn_per_segment",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -670,6 +670,101 @@ def cdc_join_view(spark, sf):
                               "dim_c_name", "dim_c_acctbal")
 
 
+# -- composite-key join view (fused-fk bloom path) ------------------------
+# The v2 composite path under the value hash: fact = the lineitem slice
+# AGGREGATED to (l_orderkey, l_partkey, l_suppkey) — unique by
+# construction; the synthetic lineitem has heavily duplicated
+# (l_orderkey, l_linenumber), so that natural-looking key is NOT a PK
+# here — with COMPOSITE fk (l_partkey, l_suppkey); dim = the derived
+# partsupp (the same derivation TPC-H q2/q11/q16/q20 use) keyed
+# (ps_partkey, ps_suppkey).  The dim leg must route through the fused
+# xxhash64 fk column + the exact semi-join post-filter (a hash
+# collision admitted to the refresh set would re-enrich to NULL —
+# wrongness, not cost — so this query pins the filter, not just the
+# plumbing).  Deltas: fact count bumps / deletes, dim count updates /
+# deletes (NULL revert) / late inserts (back-fill).  fk RE-POINTS are
+# not expressible here (the fk is part of the fact key, so a re-point
+# is an insert); they stay pinned by cdc_join_view and the composite
+# randomized property test.  Exactness: COUNT/MIN aggregates only —
+# no shuffle-order-dependent double sums.
+def cdc_join_view_composite(spark, sf):
+    import tempfile
+
+    from ..operators.joinview import JoinView
+    from ..operators.merge import KeyedTable
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ps = (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                     F.col("l_suppkey").alias("ps_suppkey"))
+          .agg(F.count(F.lit(1)).alias("ps_n"),
+               F.min("l_quantity").alias("ps_minqty")))
+    f_rows = (li.where("l_orderkey % 10 = 0")
+              .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+              .agg(F.count(F.lit(1)).alias("li_n"),
+                   F.min("l_quantity").alias("li_minqty")))
+    tmp = tempfile.mkdtemp(prefix="cdc_jvc_q_")   # left for OS cleanup
+    fact = KeyedTable(spark, f"{tmp}/fact",
+                      ["l_orderkey", "l_partkey", "l_suppkey"],
+                      num_buckets=8)
+    dim = KeyedTable(spark, f"{tmp}/dim",
+                     ["ps_partkey", "ps_suppkey"], num_buckets=8)
+    fact.init(f_rows)
+    dim.init(ps.where("ps_partkey % 100 <> 42"))   # withheld -> LEFT edges
+    view = JoinView(spark, f"{tmp}/view", fact, dim,
+                    fk=["l_partkey", "l_suppkey"])
+    view.rebuild()
+    fb = (f_rows.where("l_orderkey % 100 = 0 OR l_orderkey % 100 = 50")
+          .withColumn("li_n", F.expr(
+              "CASE WHEN l_orderkey % 100 = 0 THEN li_n + 7 "
+              "ELSE li_n END"))
+          .withColumn("Op", F.expr(
+              "CASE WHEN l_orderkey % 100 = 50 THEN 'D' ELSE 'U' END")))
+    fact.merge_batch(fb)
+    view.apply_fact_delta(fb)
+    db = (ps.withColumn("ps_n", F.expr(
+              "CASE WHEN ps_partkey % 100 = 3 THEN ps_n + 100 "
+              "ELSE ps_n END"))
+          .withColumn("Op", F.expr(
+              "CASE WHEN ps_partkey % 100 = 25 THEN 'D' "
+              "WHEN ps_partkey % 100 = 42 THEN 'I' ELSE 'U' END"))
+          .where("ps_partkey % 100 IN (3, 25, 42)"))
+    dim.merge_batch(db)
+    view.apply_dim_delta(db)
+    return view.read().select(
+        "l_orderkey", "l_partkey", "l_suppkey", "li_n", "li_minqty",
+        "dim_ps_n", "dim_ps_minqty")
+
+
+CDC_JOIN_VIEW_COMPOSITE_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         COUNT(*) AS ps_n, MIN(l_quantity) AS ps_minqty
+  FROM lineitem GROUP BY 1, 2
+),
+dim AS (
+  SELECT ps_partkey, ps_suppkey,
+         CASE WHEN ps_partkey % 100 = 3 THEN ps_n + 100 ELSE ps_n END AS ps_n,
+         ps_minqty
+  FROM ps
+  WHERE ps_partkey % 100 <> 25
+),
+fact AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CASE WHEN l_orderkey % 100 = 0 THEN COUNT(*) + 7
+              ELSE COUNT(*) END AS li_n,
+         MIN(l_quantity) AS li_minqty
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0 AND l_orderkey % 100 <> 50
+  GROUP BY l_orderkey, l_partkey, l_suppkey
+)
+SELECT f.l_orderkey, f.l_partkey, f.l_suppkey, f.li_n, f.li_minqty,
+       d.ps_n AS dim_ps_n, d.ps_minqty AS dim_ps_minqty
+FROM fact f LEFT JOIN dim d
+  ON f.l_partkey = d.ps_partkey AND f.l_suppkey = d.ps_suppkey
+"""
+
+
 CDC_JOIN_VIEW_SQL = """
 WITH fact AS (
   SELECT o_orderkey,
@@ -754,4 +849,10 @@ QUERIES = {
         "re-points, dim delete -> NULL revert, late dim insert -> "
         "back-fill) hash-matched against the from-scratch join — "
         "apply == rebuild under the driver's value hash"),
+    "cdc_join_view_composite": Query(
+        cdc_join_view_composite, CDC_JOIN_VIEW_COMPOSITE_SQL,
+        "composite-key join view (lineitem x derived partsupp): the "
+        "dim leg routes through the fused xxhash64 fk column and the "
+        "exact semi-join collision filter; suppkey re-points change "
+        "half the composite key — apply == rebuild under the hash"),
 }

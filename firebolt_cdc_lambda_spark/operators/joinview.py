@@ -25,6 +25,15 @@ and applies both delta legs incrementally:
   and merge back.  Cost ∝ rows actually referencing the changed dim
   keys, plus bloom false positives.
 
+**Composite keys (v2)**: ``fk`` may be a LIST of fact columns matching
+a composite dim key.  The bloom index is single-column, so the view
+materializes a FUSED column ``_jv_fkh = xxhash64(fk...)`` (hidden from
+``read()``) and the dim leg probes the index with the hashes of the
+changed key tuples.  Hash collisions are made harmless by an EXACT
+post-filter: candidate rows are semi-joined on the real fk tuple
+before re-enrichment, so a collision costs a bucket read, never a
+wrongly-NULLed enrichment.
+
 Ordering within a batch uses the same 5-level CDC cascade as the merge
 path (operators.ordering); across batches the caller applies deltas in
 commit order, exactly like the CDC pipeline replaying its file ledger.
@@ -33,15 +42,14 @@ test): after ANY interleaving of fact and dim deltas,
 ``view.read()`` ≡ the from-scratch ``fact LEFT JOIN dim`` — apply and
 rebuild are the same function.
 
-Restrictions (v1, honest): single-column dim key and fk (the bloom
-index is single-column; composite dims want a fused fk), the fact
-batch must carry the fk column (standard CDC full-row images), fact
-columns must not start with ``dim_prefix`` (enforced at rebuild — the
-view schema is how the dim leg tells enrichment columns from fact
-columns), and DIM schema evolution (add/drop/rename of a payload
-column) requires ``rebuild()`` — ``apply_dim_delta`` detects the
-drift against the view's stored schema and raises rather than
-silently leaving stale or missing enrichment columns.
+Restrictions (honest): the fact batch must carry the fk columns
+(standard CDC full-row images), fact columns must not start with
+``dim_prefix`` (enforced at rebuild — the view schema is how the dim
+leg tells enrichment columns from fact columns), and DIM schema
+evolution (add/drop/rename of a payload column) requires ``rebuild()``
+— ``apply_dim_delta`` detects the drift against the view's stored
+schema and raises rather than silently leaving stale or missing
+enrichment columns.
 """
 
 from __future__ import annotations
@@ -55,6 +63,10 @@ from .dedup import deduplicate
 from .merge import DEFAULT_DELETE_VALUES, KeyedTable
 from .ordering import CDC_META_COLS, OP_COL
 
+#: fused composite-fk hash column materialized in the view (composite
+#: fk only); hidden from read().
+FUSED_FK_COL = "_jv_fkh"
+
 
 class JoinView:
     """Materialized ``fact LEFT JOIN dim`` with incremental maintenance.
@@ -66,17 +78,22 @@ class JoinView:
     """
 
     def __init__(self, spark, path: str, fact: KeyedTable, dim: KeyedTable,
-                 fk: str, dim_prefix: str = "dim_",
+                 fk: str | Sequence[str], dim_prefix: str = "dim_",
                  num_buckets: int | None = None):
-        if len(dim.keys) != 1:
-            raise ValueError("JoinView v1 supports single-column dim keys; "
-                             "fuse composite keys into one fk column first")
+        self.fks = [fk] if isinstance(fk, str) else list(fk)
+        if len(dim.keys) != len(self.fks):
+            raise ValueError(
+                f"fk {self.fks} must match the dim key {list(dim.keys)} "
+                f"column-for-column")
         self.spark = spark
         self.fact = fact
         self.dim = dim
-        self.fk = fk
-        self.dim_key = dim.keys[0]
+        self.dim_keys = list(dim.keys)
+        self.composite = len(self.fks) > 1
         self.dim_prefix = dim_prefix
+        # single-column fk: the bloom index sits on the fk itself;
+        # composite: on the fused hash column the view materializes
+        self._bloom_col = FUSED_FK_COL if self.composite else self.fks[0]
         # the view inherits the fact table's tombstone mode: without
         # markers, a fact key deleted and then referenced by a STALE
         # late batch would be resurrected in the view even though the
@@ -102,25 +119,36 @@ class JoinView:
             return [c for c in self.table.read().columns
                     if c.startswith(self.dim_prefix)]
         return [f"{self.dim_prefix}{c}" for c in self.dim.read().columns
-                if c != self.dim_key]
+                if c not in self.dim_keys]
 
     def _prefixed_dim(self, dim_df: DataFrame) -> DataFrame:
-        """Dim rows shaped for the view join: key kept under its own
-        name (join column, dropped after), payload prefixed."""
-        cols = [F.col(self.dim_key)] + [
+        """Dim rows shaped for the view join: keys kept under their own
+        names (join columns, dropped after), payload prefixed."""
+        cols = [F.col(k) for k in self.dim_keys] + [
             F.col(c).alias(f"{self.dim_prefix}{c}")
             for c in dim_df.columns
-            if c != self.dim_key and c not in CDC_META_COLS]
+            if c not in self.dim_keys and c not in CDC_META_COLS]
         return dim_df.select(*cols)
+
+    def _fused(self, df: DataFrame) -> DataFrame:
+        """Materialize the fused fk-hash column (composite fk only)."""
+        if not self.composite:
+            return df
+        return df.withColumn(FUSED_FK_COL, F.xxhash64(*self.fks))
 
     def _joined(self, fact_df: DataFrame, dim_df: DataFrame,
                 broadcast_dim: bool) -> DataFrame:
         d = self._prefixed_dim(dim_df)
         if broadcast_dim:
             d = F.broadcast(d)
-        return (fact_df.join(
-            d, on=fact_df[self.fk] == d[self.dim_key], how="left")
-            .drop(d[self.dim_key]))
+        cond = None
+        for fk, dk in zip(self.fks, self.dim_keys):
+            c = fact_df[fk] == d[dk]
+            cond = c if cond is None else cond & c
+        out = fact_df.join(d, on=cond, how="left")
+        for dk in self.dim_keys:
+            out = out.drop(d[dk])
+        return self._fused(out)
 
     # -- full rebuild ------------------------------------------------------
     def rebuild(self) -> None:
@@ -147,9 +175,18 @@ class JoinView:
             self.table.rewrite(full)
         else:
             self.table.init(full)
-        BloomIndex(self.table, self.fk).build()
+        BloomIndex(self.table, self._bloom_col).build()
 
     # -- delta legs --------------------------------------------------------
+    def _dim_probe(self, df: DataFrame) -> DataFrame:
+        """fk columns of ``df`` reshaped as a dim-key probe frame
+        (NULL-fk rows dropped — they can never match)."""
+        probe = df.select(*[F.col(fk).alias(dk)
+                            for fk, dk in zip(self.fks, self.dim_keys)])
+        for dk in self.dim_keys:
+            probe = probe.where(F.col(dk).isNotNull())
+        return probe.distinct()
+
     def apply_fact_delta(self, batch: DataFrame, op_col: str = OP_COL,
                          delete_values: Sequence[str] = DEFAULT_DELETE_VALUES,
                          order=None, version_col: str | None = None,
@@ -167,9 +204,7 @@ class JoinView:
         view, or the two desync until a rebuild."""
         latest = deduplicate(batch, self.fact.keys, order=order,
                              check_bypass=True)
-        probe = (latest.select(F.col(self.fk).alias(self.dim_key))
-                 .where(F.col(self.dim_key).isNotNull()).distinct())
-        dim_rows = self.dim.lookup(probe)
+        dim_rows = self.dim.lookup(self._dim_probe(latest))
         enriched = self._joined(latest, dim_rows, broadcast_dim=True)
         return self.table.merge_batch(enriched, op_col=op_col,
                                       delete_values=delete_values,
@@ -189,20 +224,33 @@ class JoinView:
         revert to NULL enrichment, matching LEFT JOIN.  The probe key
         list is collected on the driver — micro-batch-bounded by the
         same contract as the merge path's touched-bucket list."""
-        latest = deduplicate(batch, [self.dim_key], order=order,
+        latest = deduplicate(batch, self.dim_keys, order=order,
                              check_bypass=True)
-        changed = [r[0] for r in
-                   latest.select(self.dim_key).distinct().collect()
-                   if r[0] is not None]
-        if not changed:
+        keys = latest.select(*self.dim_keys).distinct()
+        for dk in self.dim_keys:
+            keys = keys.where(F.col(dk).isNotNull())
+        if self.composite:
+            probe_vals = [r[0] for r in
+                          keys.select(F.xxhash64(*self.dim_keys)).collect()]
+        else:
+            probe_vals = [r[0] for r in keys.collect()]
+        if not probe_vals:
             return 0
-        affected = BloomIndex(self.table, self.fk).lookup(changed)
-        current = self.dim.lookup(
-            latest.select(self.dim_key).where(
-                F.col(self.dim_key).isNotNull()).distinct())
+        affected = BloomIndex(self.table, self._bloom_col).lookup(probe_vals)
+        if self.composite:
+            # the fused-hash filter admits collision rows; the EXACT
+            # semi-join on the real fk tuple removes them (a wrongly
+            # admitted row would re-join against `current`, miss, and
+            # be refreshed to NULL — a wrong answer, not just a cost)
+            changed_fk = keys.select(*[
+                F.col(dk).alias(fk)
+                for fk, dk in zip(self.fks, self.dim_keys)])
+            affected = affected.join(F.broadcast(changed_fk),
+                                     on=self.fks, how="left_semi")
+        current = self.dim.lookup(keys)
         stored = set(self._enrich_cols())
         now = {f"{self.dim_prefix}{c}" for c in current.columns
-               if c != self.dim_key and c not in CDC_META_COLS}
+               if c not in self.dim_keys and c not in CDC_META_COLS}
         if stored != now:
             # dim schema evolved (add/drop/rename) since the view was
             # built: a delta can refresh values, not reshape the view —
@@ -211,16 +259,17 @@ class JoinView:
                 f"dim schema changed since the view was built "
                 f"(view has {sorted(stored)}, dim now maps to "
                 f"{sorted(now)}); run rebuild() to absorb it")
-        refreshed = self._joined(affected.drop(*self._enrich_cols()),
-                                 current, broadcast_dim=True)
+        refreshed = self._joined(
+            affected.drop(*self._enrich_cols()), current, broadcast_dim=True)
         # refreshed rows carry no op column: all-upsert merge
         return self.table.merge_batch(refreshed)
 
     # -- serving / maintenance --------------------------------------------
     def read(self) -> DataFrame:
-        return self.table.read()
+        df = self.table.read()
+        return df.drop(FUSED_FK_COL) if self.composite else df
 
     def refresh_index(self) -> list[int]:
         """Pay down the merge-flagged dirty buckets of the fk bloom
         index (cost ∝ churn); run on the fleet maintenance cadence."""
-        return BloomIndex(self.table, self.fk).refresh()
+        return BloomIndex(self.table, self._bloom_col).refresh()

@@ -192,10 +192,10 @@ def test_property_random_interleaving(spark, tmp_path):
         assert_synced(view)
 
 
-def test_composite_dim_key_rejected(spark, tmp_path):
+def test_mismatched_fk_arity_rejected(spark, tmp_path):
     dim = KeyedTable(spark, str(tmp_path / "d"), ["a", "b"])
     fact = KeyedTable(spark, str(tmp_path / "f"), ["id"])
-    with pytest.raises(ValueError, match="single-column dim key"):
+    with pytest.raises(ValueError, match="column-for-column"):
         JoinView(spark, str(tmp_path / "v"), fact, dim, fk="x")
 
 
@@ -450,3 +450,74 @@ def test_fact_prefix_clash_rejected(spark, tmp_path):
     view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk="cust")
     with pytest.raises(ValueError, match="collide"):
         view.rebuild()
+
+
+def test_property_random_interleaving_composite(spark, tmp_path):
+    """Composite (2-column) dim key via the fused-fk-hash bloom column:
+    the same randomized apply ≡ rebuild contract, plus the exact
+    semi-join post-filter that keeps hash collisions cost-only."""
+    rng = random.Random(20260815)
+    pairs = [(1, 1), (1, 2), (2, 1), (9, 9)]   # (9,9) never in dim -> LEFT
+
+    def frows(spec, t):
+        return [Row(id=i, ka=a, kb=b, val=v, Op=op, load_timestamp=t)
+                for i, a, b, v, op in spec]
+
+    def drows(spec, t):
+        return [Row(da=a, db=b, name=n, Op=op, load_timestamp=t)
+                for a, b, n, op in spec]
+
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=4)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["da", "db"], num_buckets=4)
+    fact.init(spark.createDataFrame(frows(
+        [(i, *rng.choice(pairs), f"v{i}", "I") for i in range(20)],
+        ts(0))).drop("Op"))
+    dim.init(spark.createDataFrame(drows(
+        [(1, 1, "a", "I"), (1, 2, "b", "I"), (2, 1, "c", "I")],
+        ts(0))).drop("Op"))
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk=["ka", "kb"])
+    view.rebuild()
+    assert "_jv_fkh" not in view.read().columns   # fused col hidden
+
+    def synced():
+        got = sorted(map(tuple, view.read().select(
+            "id", "ka", "kb", "val", "dim_name").collect()))
+        exp = sorted(map(tuple, view._joined(
+            view.fact.read(), view.dim.read(), broadcast_dim=False)
+            .select("id", "ka", "kb", "val", "dim_name").collect()))
+        assert got == exp
+
+    synced()
+    next_id = 20
+    for step in range(1, 7):
+        if rng.random() < 0.55:
+            spec = []
+            for _ in range(rng.randint(1, 4)):
+                r = rng.random()
+                if r < 0.5:
+                    spec.append((rng.randrange(next_id),
+                                 *rng.choice(pairs), f"u{step}", "U"))
+                elif r < 0.8:
+                    spec.append((next_id, *rng.choice(pairs),
+                                 f"i{step}", "I"))
+                    next_id += 1
+                else:
+                    spec.append((rng.randrange(next_id), 1, 1, "x", "D"))
+            batch = spark.createDataFrame(frows(spec, ts(step)))
+            fact.merge_raw_batch(batch)
+            view.apply_fact_delta(batch)
+        else:
+            spec = []
+            for _ in range(rng.randint(1, 2)):
+                r = rng.random()
+                if r < 0.5:
+                    spec.append((*rng.choice([(1, 1), (1, 2), (2, 1)]),
+                                 f"n{step}", "U"))
+                elif r < 0.8:   # late back-fill of the LEFT-edge pair
+                    spec.append((9, 9, f"late{step}", "I"))
+                else:
+                    spec.append((*rng.choice([(1, 2), (2, 1)]), "x", "D"))
+            batch = spark.createDataFrame(drows(spec, ts(step)))
+            dim.merge_raw_batch(batch)
+            view.apply_dim_delta(batch)
+        synced()
