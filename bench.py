@@ -371,6 +371,55 @@ def bench_bloom_lookup(spark, sf_dir) -> list[float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_joinview(spark, sf_dir) -> tuple[list[float], list[float]]:
+    """Incremental materialized-join maintenance (PLANS §7n/7p on the
+    bench cadence; build untimed): fact leg = a 40-key CDC batch
+    enriched via the key-hash-pruned dim lookup then bucket-pruned
+    merged into the view (tracks the small-batch merge cost); dim leg =
+    5 changed dim keys routed through the fk bloom index + broadcast
+    re-enrichment of the referencing rows.  Re-applying the same upsert
+    batch is idempotent, so reps time the steady-state maintenance
+    cost."""
+    from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tmp = tempfile.mkdtemp(prefix="bench_jv_")
+    try:
+        fact = KeyedTable(spark, f"{tmp}/fact", ["o_orderkey"],
+                          num_buckets=64)
+        dim = KeyedTable(spark, f"{tmp}/dim", ["c_custkey"],
+                         num_buckets=64)
+        fact.init(orders)
+        dim.init(cust)
+        view = JoinView(spark, f"{tmp}/view", fact, dim, fk="o_custkey")
+        view.rebuild()
+        fb = (orders.orderBy("o_orderkey").limit(40)
+              .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+              .withColumn("Op", F.lit("U")))
+        db = (cust.orderBy("c_custkey").limit(5)
+              .withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+              .withColumn("Op", F.lit("U")))
+        view.apply_fact_delta(fb)              # warm
+        fact_s = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            view.apply_fact_delta(fb)
+            fact_s.append(time.time() - t0)
+        dim.merge_batch(db)
+        view.apply_dim_delta(db)               # warm
+        dim_s = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            view.apply_dim_delta(db)
+            dim_s.append(time.time() - t0)
+        return fact_s, dim_s
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_lsh_probe(spark, sf_dir) -> float:
     """Amortized incremental near-dup: one-time LshIndex build over the
     documents corpus (untimed), then probe a shifted-copy batch — the
@@ -475,6 +524,16 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"fleet bench failed: {exc}", file=sys.stderr)
         fleet_fps = 0.0
+    # round 7 — shielded, reported outside `queries`
+    try:
+        jv_fact_s, jv_dim_s = bench_joinview(spark, sf_dir)
+        jv_fact = round(min(jv_fact_s), 3)
+        jv_dim = round(min(jv_dim_s), 3)
+        dispersion["joinview_fact_leg"] = summarize(jv_fact_s)
+        dispersion["joinview_dim_leg"] = summarize(jv_dim_s)
+    except Exception as exc:  # noqa: BLE001
+        print(f"joinview bench failed: {exc}", file=sys.stderr)
+        jv_fact = jv_dim = 0.0
     try:
         neardup_samples = [bench_neardup_stream(spark, sf_dir)
                            for _ in range(N_STREAM)]
@@ -497,6 +556,8 @@ def main() -> None:
         "ann_pq_probe_amortized": pq_probe,
         "cdc_point_lookup": point_lookup,
         "cdc_bloom_lookup": bloom_lookup,
+        "joinview_fact_leg": jv_fact,
+        "joinview_dim_leg": jv_dim,
         "dispersion": dispersion,
         "sf": sf,
     }))
