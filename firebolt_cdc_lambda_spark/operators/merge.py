@@ -1098,6 +1098,16 @@ class KeyedTable:
                 report["live_bytes"] / len(bucket_bytes))
             report["bucket_bytes_skew"] = (
                 report["max_bucket_bytes"] / report["mean_bucket_bytes"])
+        # the actionable half of the two rebucket signals above: the
+        # power-of-two count that puts mean live bucket size at
+        # target_bucket_bytes (256 MiB — executor-task-sized at cluster
+        # scale), clamped to [1, 2^20].  Purely derived from the same
+        # listing; acting on it is the operator's call — rebucket is a
+        # full rewrite and voids bloom indexes (fail-open), so
+        # maintenance never auto-runs it.
+        target = 256 * 1024 * 1024
+        want = max(1, round(report["live_bytes"] / target))
+        report["recommended_buckets"] = min(1 << 20, 1 << (want - 1).bit_length())
         return report
 
     def rebucket(self, new_num_buckets: int) -> None:
