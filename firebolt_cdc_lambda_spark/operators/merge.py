@@ -303,22 +303,29 @@ class KeyedTable:
 
     EPOCH_COL = "_epoch"
 
+    #: delete-vector sidecar version column (stores the delete's version
+    #: so later stale writes stay gated, exactly like a tombstone's)
+    DV_VERSION_COL = "_dv_version"
+
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  num_buckets: int = 64, tombstones: bool = False,
-                 versioned: bool = False):
+                 versioned: bool = False, delete_vectors: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.num_buckets = num_buckets
         self.tombstones = tombstones
         self.versioned = versioned
-        # The stored table's own bucket count (and tombstone/versioned
-        # mode) always wins over the constructor arguments: a merger
-        # configured with a stale count would prune against wrong bucket
-        # ids and silently lose keys; a merger unaware of tombstone mode
-        # would physically delete rows another writer relies on for
-        # version gating; a merger unaware of versioned mode would
-        # dynamic-overwrite epoch history away.
+        self.delete_vectors = delete_vectors
+        # The stored table's own bucket count (and tombstone/versioned/
+        # delete-vector mode) always wins over the constructor arguments:
+        # a merger configured with a stale count would prune against
+        # wrong bucket ids and silently lose keys; a merger unaware of
+        # tombstone mode would physically delete rows another writer
+        # relies on for version gating; a merger unaware of versioned
+        # mode would dynamic-overwrite epoch history away; a merger
+        # unaware of delete-vector mode would physically rewrite buckets
+        # for deletes another reader hides through the sidecar.
         self.table_version = 0
         self.bloom_columns: list[str] = []
         meta = self._load_meta()
@@ -326,8 +333,18 @@ class KeyedTable:
             self.num_buckets = int(meta["num_buckets"])
             self.tombstones = bool(meta.get("tombstones", False))
             self.versioned = bool(meta.get("versioned", False))
+            self.delete_vectors = bool(meta.get("delete_vectors", False))
             self.table_version = int(meta.get("table_version", 0))
             self.bloom_columns = list(meta.get("bloom_columns", []))
+        if self.delete_vectors and (self.tombstones or self.versioned):
+            raise ValueError(
+                "delete_vectors replaces tombstones (the sidecar carries "
+                "the delete's version for the same out-of-order gate) and "
+                "is not yet supported on versioned tables (v1)")
+        # SIBLING dataset like the bloom sidecars: an in-dir child would
+        # be swept into the table's own scans, and an underscore-prefixed
+        # root is unreadable by Spark's file index
+        self._dv_path = f"{path}__dv"
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -385,6 +402,7 @@ class KeyedTable:
         self._write_sidecar("_meta.json", json.dumps(
             {"num_buckets": self.num_buckets, "keys": self.keys,
              "tombstones": self.tombstones, "versioned": self.versioned,
+             "delete_vectors": self.delete_vectors,
              "table_version": self.table_version,
              "bloom_columns": self.bloom_columns}))
 
@@ -648,6 +666,7 @@ class KeyedTable:
         if self.tombstones and TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
         self._drop_bloom_artifacts()
+        self._write_dv(None)         # init is the reset point of history
         self._bump_table_version()   # voids any bloom sidecar (fail-open)
         # AFTER the bump (which merges the old meta's registrations):
         # a recreated table must not inherit a prior table's index list
@@ -730,10 +749,59 @@ class KeyedTable:
                 raise
             return self.spark.createDataFrame([], schema)
 
+    # -- delete-vector sidecar (merge-on-read deletes) ---------------------
+    def _read_dv(self) -> DataFrame | None:
+        """The delete-vector entries (keys + DV_VERSION_COL), or None
+        when the sidecar is absent.  Read whole and broadcast at every
+        use site: entries are bounded by keys deleted-but-not-yet-folded
+        (micro-batch-accumulated, reclaimed by fold_delete_vectors), and
+        a global read keeps the sidecar's bucket partitioning advisory —
+        a rebucket can change key->bucket mapping without ever making a
+        stale-partitioned entry invisible."""
+        try:
+            return self.spark.read.parquet(self._dv_path)
+        except AnalysisException as exc:
+            if exc.getErrorClass() in ("PATH_NOT_FOUND",
+                                       "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
+
+    def _anti_dv(self, df: DataFrame) -> DataFrame:
+        """``df`` minus rows whose key has a delete-vector entry
+        (null-safe on every key column, matching the merge's <=> joins)."""
+        dv = self._read_dv()
+        if dv is None:
+            return df
+        d = F.broadcast(dv.select(*self.keys).alias("__dv"))
+        s = df.alias("__t")
+        cond = F.expr(" AND ".join(
+            f"__t.{_q(k)} <=> __dv.{_q(k)}" for k in self.keys))
+        return s.join(d, cond, "left_anti")
+
+    def _write_dv(self, dv: DataFrame | None) -> None:
+        """Replace the sidecar with ``dv`` (None/empty -> remove it).
+        The new content is pinned with an eager localCheckpoint first —
+        it is derived from the old sidecar's files, and Spark cannot
+        overwrite a path a live plan still reads from."""
+        fs, _, jvm = self._fs_and_path(self.path)
+        p = jvm.org.apache.hadoop.fs.Path(self._dv_path)
+        if dv is None:
+            if fs.exists(p):
+                fs.delete(p, True)
+            return
+        pinned = dv.localCheckpoint(eager=True)
+        if pinned.limit(1).isEmpty():
+            if fs.exists(p):
+                fs.delete(p, True)
+            return
+        pinned.coalesce(1).write.mode("overwrite").parquet(self._dv_path)
+
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
+        if self.delete_vectors:
+            df = self._anti_dv(df)
         return df
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -934,8 +1002,17 @@ class KeyedTable:
         ``read()`` hides tombstones, so rewriting from ``read()`` would
         physically drop the delete markers AND the marker column,
         silently disarming the out-of-order gate (and erroring the next
-        tombstone-mode merge)."""
-        return self._read_raw().drop(self.BUCKET_COL)
+        tombstone-mode merge).
+
+        Delete-vector mode: the DV'd rows are EXCLUDED (a wholesale
+        rewrite is the natural fold point — carrying hidden rows into
+        the new layout buys nothing) while the sidecar ENTRIES are
+        kept, so the out-of-order gate survives the rewrite exactly as
+        tombstone markers do."""
+        snap = self._read_raw().drop(self.BUCKET_COL)
+        if self.delete_vectors:
+            snap = self._anti_dv(snap)
+        return snap
 
     def rewrite(self, df: DataFrame,
                 sort_within: Sequence[str | Column] = ()) -> None:
@@ -1108,6 +1185,17 @@ class KeyedTable:
         target = 256 * 1024 * 1024
         want = max(1, round(report["live_bytes"] / target))
         report["recommended_buckets"] = min(1 << 20, 1 << (want - 1).bit_length())
+        if self.delete_vectors:
+            # sidecar growth is the fold signal (the DV analogue of
+            # dead_ratio): entries accumulate until fold_delete_vectors
+            report["dv_files"] = 0
+            report["dv_bytes"] = 0
+            fs, p, _ = self._fs_and_path(self._dv_path)
+            if fs.exists(p):
+                for st in fs.listStatus(p):
+                    if st.getPath().getName().endswith(".parquet"):
+                        report["dv_files"] += 1
+                        report["dv_bytes"] += int(st.getLen())
         return report
 
     def rebucket(self, new_num_buckets: int) -> None:
@@ -1218,6 +1306,10 @@ class KeyedTable:
                 n_rows = int(agg_row["uniq"])
             if self.tombstones:
                 merge_kwargs.setdefault("tombstones", True)
+            if self.delete_vectors:
+                n_b = self._merge_dv(stg, merge_kwargs,
+                                     has_del=bool(agg_row["has_del"]))
+                return n_b, n_rows, did_dedup
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
             # Tombstone mode NEVER empties a bucket (deletes become marker
@@ -1231,6 +1323,222 @@ class KeyedTable:
         finally:
             stamped.unpersist()
             _aqe_restore(self.spark)
+
+    def _merge_dv(self, stg: DataFrame, merge_kwargs: dict,
+                  has_del: bool = True) -> int:
+        """Merge-on-read delete path (``delete_vectors=True``): the
+        batch's DELETE rows never rewrite a bucket — they append
+        (keys, version) entries to the ``__dv`` sidecar that readers
+        anti-join out — while UPSERT rows ride the ordinary
+        touched-bucket merge.  The out-of-order contract is the
+        tombstone contract, relocated to the sidecar:
+
+        * a stale delete (older than the stored row's version) is gated
+          by a column-pruned READ of the touched buckets — read-only,
+          still no rewrite;
+        * a stale upsert for a deleted key is gated against the DV
+          entry's version (the sidecar carries the delete's version
+          exactly as a tombstone row would);
+        * a FRESH upsert revives the key: the entry is removed and the
+          row merges normally (invariant: while an entry exists, the
+          stored row's version <= the entry's version, so the DV gate
+          subsumes the row gate for those keys).
+
+        Returns #buckets rewritten (0 for a delete-only batch — the
+        point of the mode).  Crash contract: the sidecar commits before
+        the bucket merge, so a crash between the two leaves the normal
+        partial-batch state (deletes applied, upserts pending) and the
+        ledger replay converges — both legs are idempotent."""
+        from .ordering import OP_COL
+        op_col = merge_kwargs.get("op_col", OP_COL)
+        delete_values = list(merge_kwargs.get(
+            "delete_values", DEFAULT_DELETE_VALUES))
+        version_col = merge_kwargs.get("version_col")
+        # merge_cdc's gate contract verbatim: versions compare only when
+        # the column exists on BOTH sides — staging AND the stored table
+        # (a version the table doesn't carry can't gate anything there,
+        # so the sidecar must not gate either, or DV mode would diverge
+        # from the tombstone contract it mirrors)
+        schema = self._load_schema()
+        t_cols = set(schema.names) if schema is not None else set()
+        vc = (version_col if version_col is not None
+              and version_col in stg.columns
+              and version_col in t_cols else None)
+        if has_del and op_col in stg.columns:
+            vals = ", ".join(
+                "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+                for v in delete_values)
+            is_del = F.expr(f"COALESCE({_q(op_col)} IN ({vals}), FALSE)")
+            dels = stg.where(is_del)
+            ups = stg.where(~is_del)
+        else:
+            # delete-free batch (the common CDC case): the fused agg
+            # already proved there is nothing for the sidecar legs to do
+            dels = None
+            ups = stg
+        dv = self._read_dv()
+        kcond = lambda a, b: F.expr(" AND ".join(  # noqa: E731
+            f"{a}.{_q(k)} <=> {b}.{_q(k)}" for k in self.keys))
+
+        def take_new(new_v, old_v):
+            # merge_cdc's NULL contract verbatim: NULL sorts before any
+            # version; ties -> the new write wins
+            return F.coalesce((new_v >= old_v) | old_v.isNull(),
+                              F.lit(False))
+
+        # -- upsert leg: gate vs DV entries, revive what survives ---------
+        revived = None
+        if dv is not None:
+            d = F.broadcast(dv.withColumn("__dv_present", F.lit(True))
+                            .alias("__dv"))
+            j = ups.alias("__u").join(d, kcond("__u", "__dv"), "left_outer")
+            present = F.col("__dv_present").isNotNull()
+            if vc:
+                keep = (~present) | take_new(
+                    F.expr(f"__u.{_q(vc)}"),
+                    F.expr(f"__dv.{_q(self.DV_VERSION_COL)}"))
+            else:
+                keep = F.lit(True)          # no versioning: last write wins
+            kept = j.where(keep)
+            ups = kept.select("__u.*")
+            revived = (kept.where(present)
+                       .selectExpr(*[f"__u.{_q(k)} AS {_q(k)}"
+                                     for k in self.keys]).distinct())
+            # the revive probe below decides whether the sidecar must be
+            # rewritten at all; it is micro-batch-sized (broadcast join)
+            if revived is not None and revived.limit(1).isEmpty():
+                revived = None
+        if dv is not None and (has_del or revived is not None):
+            # pin the upsert leg BEFORE the sidecar overwrite below
+            # deletes the files its plan reads (micro-batch-sized)
+            ups = ups.localCheckpoint(eager=True)
+
+        # -- delete leg: gate vs stored row versions (read-only) ----------
+        if dels is not None and vc:
+            del_buckets = [int(r[0]) for r in
+                           dels.select(self.BUCKET_COL).distinct().collect()]
+            if del_buckets:
+                stored = (self._read_raw(buckets=del_buckets)
+                          .select(*self.keys, F.col(vc).alias("__t_v")))
+                # bound every broadcast by the micro-batch (same shape as
+                # merge_cdc's insert path): stored rows for the staged
+                # keys first (<= |dels|), then gate dels against them
+                sv = stored.alias("__t").join(
+                    F.broadcast(dels.select(*self.keys).alias("__d")),
+                    kcond("__t", "__d"), "left_semi")
+                jd = (dels.alias("__d2").join(
+                    F.broadcast(sv.withColumn("__t_present", F.lit(True))
+                                .alias("__t2")),
+                    kcond("__d2", "__t2"), "left_outer"))
+                dels = (jd.where(F.col("__t_present").isNull()
+                                 | take_new(F.expr(f"__d2.{_q(vc)}"),
+                                            F.col("__t_v")))
+                        .select("__d2.*"))
+        # entry version: on a re-delete the WINNER's version survives
+        entries = None
+        if dels is not None:
+            if vc:
+                ver_type = schema[vc].dataType.simpleString()
+                new_ver = F.col(vc).cast(ver_type)
+            else:
+                new_ver = F.lit(None).cast("string")
+            entries = dels.select(*self.keys,
+                                  new_ver.alias(self.DV_VERSION_COL))
+        if entries is not None and dv is not None and vc:
+            e = entries.alias("__e").join(
+                F.broadcast(dv.withColumn("__dv_present", F.lit(True))
+                            .alias("__dv2")),
+                kcond("__e", "__dv2"), "left_outer")
+            win = F.when(
+                F.col("__dv_present").isNotNull()
+                & ~take_new(F.expr(f"__e.{_q(self.DV_VERSION_COL)}"),
+                            F.expr(f"__dv2.{_q(self.DV_VERSION_COL)}")),
+                F.expr(f"__dv2.{_q(self.DV_VERSION_COL)}")
+            ).otherwise(F.expr(f"__e.{_q(self.DV_VERSION_COL)}"))
+            entries = e.select(
+                *[F.expr(f"__e.{_q(k)}").alias(k) for k in self.keys],
+                win.alias(self.DV_VERSION_COL))
+
+        # -- commit: sidecar first, then the ordinary upsert merge --------
+        if entries is not None or revived is not None:
+            if dv is None:
+                new_dv = entries
+            else:
+                gone = (entries.select(*self.keys) if entries is not None
+                        else self.spark.createDataFrame(
+                            [], dv.select(*self.keys).schema))
+                if revived is not None:
+                    gone = gone.unionByName(revived)
+                old_kept = dv.alias("__o").join(
+                    F.broadcast(gone.alias("__g")), kcond("__o", "__g"),
+                    "left_anti")
+                new_dv = (old_kept.unionByName(entries)
+                          if entries is not None else old_kept)
+            self._write_dv(new_dv)
+
+        up_buckets = [int(r[0]) for r in
+                      ups.select(self.BUCKET_COL).distinct().collect()]
+        if not up_buckets:
+            return 0
+        current = self._read_raw(buckets=up_buckets).drop(self.BUCKET_COL)
+        merged = merge_cdc(current, ups.drop(self.BUCKET_COL), self.keys,
+                           **merge_kwargs)
+        out = self._with_bucket(merged)
+        self._commit_merge(out, up_buckets, has_deletes=False)
+        return len(up_buckets)
+
+    def fold_delete_vectors(self, before_version=None) -> int:
+        """Maintenance: physically apply delete-vector entries — all of
+        them, or (with ``before_version``) only entries older than it,
+        keeping recent ones to gate still-plausible late arrivals (the
+        exact ``purge_tombstones`` contract, including NULL versions
+        sorting before every cutoff).  Rewrites ONLY the buckets the
+        folded keys hash into (dynamic overwrite; cost ∝ folded keys'
+        buckets, never table-sized) and drops the folded entries.
+        Returns #buckets rewritten."""
+        if not self.delete_vectors:
+            raise ValueError("fold_delete_vectors requires "
+                             "KeyedTable(delete_vectors=True)")
+        dv = self._read_dv()
+        if dv is None:
+            return 0
+        vcol = F.col(self.DV_VERSION_COL)
+        foldc = (F.lit(True) if before_version is None
+                 else vcol.isNull() | (vcol < F.lit(before_version)))
+        fold = dv.where(foldc).localCheckpoint(eager=True)
+        if fold.limit(1).isEmpty():
+            return 0
+        keep = dv.where(~foldc)
+        bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                      F.lit(self.num_buckets))
+        buckets = sorted(int(r[0]) for r in
+                         fold.select(bcol.alias("b")).distinct().collect())
+        raw = self._read_raw(buckets=buckets).alias("__t")
+        cond = F.expr(" AND ".join(
+            f"__t.{_q(k)} <=> __f.{_q(k)}" for k in self.keys))
+        kept_rows = raw.join(
+            F.broadcast(fold.select(*self.keys).alias("__f")), cond,
+            "left_anti").localCheckpoint(eager=True)   # self-overwrite pin
+        kept_b = {int(r[0]) for r in
+                  kept_rows.select(self.BUCKET_COL).distinct().collect()}
+        (kept_rows.repartition(self.BUCKET_COL)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(self.BUCKET_COL)
+         .parquet(self.path))
+        emptied = [b for b in buckets if b not in kept_b]
+        if emptied:
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            for b in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{self.BUCKET_COL}={b}")
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
+        self._mark_bloom_dirty(buckets)
+        self._write_dv(keep)
+        return len(buckets)
 
     def _commit_merge(self, out: DataFrame, buckets: Sequence[int],
                       has_deletes: bool) -> None:

@@ -62,6 +62,7 @@ class CdcPipeline:
                  version_col: str | None = None,
                  tombstones: bool | None = None,
                  versioned: bool = False,
+                 delete_vectors: bool = False,
                  alert_hook=None,
                  expectations=None):
         self.spark = spark
@@ -92,8 +93,16 @@ class CdcPipeline:
         # via purge_tombstones / CdcFleet.run_maintenance on the same
         # cadence as ledger GC.
         if tombstones is None:
-            tombstones = not insert_deletes
+            # delete_vectors carries the same out-of-order protection in
+            # the sidecar, so the marker-row default yields to it
+            tombstones = not insert_deletes and not delete_vectors
         self.tombstones = tombstones
+        # delete_vectors=True: merge-on-read deletes (KeyedTable DV
+        # mode) — a delete-only CDC file appends (keys, version) sidecar
+        # entries instead of rewriting buckets; readers anti-join them
+        # out.  Fold accumulated entries via fold_delete_vectors on the
+        # maintenance cadence.  Existing tables: stored meta wins.
+        self.delete_vectors = delete_vectors
         # versioned=True turns every target into a time-travelable
         # snapshot table (KeyedTable versioned mode: epoch dirs + a
         # manifest sidecar; read(as_of=...) / history() /
@@ -117,7 +126,8 @@ class CdcPipeline:
         return KeyedTable(self.spark, f"{self.table_root}/{table}", keys,
                           num_buckets=self.num_buckets,
                           tombstones=self.tombstones,
-                          versioned=self.versioned)
+                          versioned=self.versioned,
+                          delete_vectors=self.delete_vectors)
 
     # -- continuous aggregates maintained per batch -----------------------
     def register_rollup(self, table: str, rollup, project) -> None:
@@ -378,6 +388,21 @@ class CdcPipeline:
             return False
         return target.purge_tombstones(before_version=before_version,
                                        version_col=self.version_col)
+
+    def fold_delete_vectors(self, table: str, before_version=None) -> int:
+        """Physically apply ``table``'s delete-vector entries — all, or
+        only those older than ``before_version``, keeping recent ones to
+        gate still-plausible late arrivals (the DV analogue of
+        purge_tombstones, same cadence).  Returns #buckets rewritten
+        (0: table unconfigured / absent / not DV-mode / nothing to
+        fold)."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return 0
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.delete_vectors:
+            return 0
+        return target.fold_delete_vectors(before_version=before_version)
 
     def refresh_bloom_indexes(self, table: str) -> list[str]:
         """Recompute the dirty buckets of every bloom secondary index

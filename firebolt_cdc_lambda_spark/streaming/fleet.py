@@ -172,6 +172,11 @@ class CdcFleet:
             try:
                 did = self.pipeline.purge_tombstones(
                     table, before_version=before_version)
+                # DV-mode tables: fold sidecar entries on the same
+                # cadence and version cutoff (the tombstone-purge
+                # analogue; 0 for non-DV tables, no probe cost)
+                did = bool(self.pipeline.fold_delete_vectors(
+                    table, before_version=before_version)) or did
                 if keep_versions is not None:
                     wants_gc = True
                     if purge_dead_ratio is not None:
