@@ -297,16 +297,28 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     direct twin, and the r7 gate re-pins the aggregate family via
 #     val_null_counts/val_freshness/q1) — joins the deferrals,
 #     making 17.  Validated at sf0.001 + sf0.01 + sf0.1 and plain.
-# Post-round arithmetic (if all 50 land green): 166 corpus queries,
-# 166/166 ever-gated (zero never-gated — the freeze-policy invariant
-# holds); newest-row distribution r7=50, r6=49, r5=50, r4=17, r3=0 —
+#   * slot 40 — cdc_delete_vectors, the round's THIRD new query (its
+#     merge-on-read delete-vector mode, operators/merge.py: delete-only
+#     batches land as __dv sidecar entries with ZERO buckets rewritten
+#     — asserted inside the query — stale updates gated BY the entries
+#     while un-entried siblings land, fresh updates revive, and a fold
+#     physically applies entries without changing the visible state,
+#     all under the value hash).  Displaces text_chunk_overlap (the
+#     text family keeps SIX other refreshed members in this gate —
+#     passage_dedup / quality_stats / token_count / lang_id / bm25 /
+#     tfidf — and corpus_sequence_packing r6 re-pins the sliding-chunk
+#     shape) — joins the deferrals, making 18.  Validated at sf0.001 +
+#     sf0.01 + sf0.1 and in a plain default session.
+# Post-round arithmetic (if all 50 land green): 167 corpus queries,
+# 167/167 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r7=50, r6=49, r5=50, r4=18, r3=0 —
 # zero rows older than TWO rounds (the judge's "zero rows older than
 # r5" is not literally reachable in one 50-slot round: 14 r3 + 50 r4 =
-# 64 > 50; this gate clears all but the 17 family-covered deferrals
+# 64 > 50; this gate clears all but the 18 family-covered deferrals
 # above — the 15 listed + argmax_order_per_customer displaced by
-# cdc_join_view + val_global_summary displaced by
-# cdc_join_view_composite — which lead round 8).  r6=49 because
-# markov's newest row moves from r6-red to slot 1.
+# cdc_join_view, val_global_summary by cdc_join_view_composite, and
+# text_chunk_overlap by cdc_delete_vectors — which lead round 8).
+# r6=49 because markov's newest row moves from r6-red to slot 1.
 _DRIVER_PRIORITY = [
     # slot 1: the round-6 red row, oracle-cast-fixed ----------------------
     "events_markov_transitions",
@@ -326,7 +338,7 @@ _DRIVER_PRIORITY = [
     "dedup_simhash", "dedup_cluster_assign", "dedup_embedding_cosine",
     "dedup_incremental_filter", "doc_fingerprint", "text_passage_dedup",
     "text_quality_stats", "text_token_count", "text_lang_id",
-    "text_bm25_search", "text_tfidf_keywords", "text_chunk_overlap",
+    "text_bm25_search", "text_tfidf_keywords", "cdc_delete_vectors",
     "corpus_domain_cap", "corpus_drift_tv", "multimodal_image_neardup",
     "range_join_event_pairs", "skew_salted_agg", "sql_surface_listagg",
     "cdc_join_view", "cdc_join_view_composite",

@@ -605,6 +605,71 @@ FROM facts f ASOF LEFT JOIN dim d
 """
 
 
+# -- merge-on-read delete vectors under the oracle ------------------------
+# KeyedTable(delete_vectors=True): the round-7 sidecar-delete mode
+# end-to-end — (1) a delete-only batch lands as __dv entries (zero
+# buckets rewritten — asserted, not just claimed: a nonzero return
+# raises), (2) a STALE update file arrives late: keys whose delete is
+# newer are gated BY THE SIDECAR ENTRY's version while sibling keys
+# with no entry land normally (mixed fate in one batch), (3) a fresh
+# update REVIVES two deleted keys (entries cleaned), then (4)
+# fold_delete_vectors physically applies the remaining entries — the
+# final read must be identical before and after the fold, and the
+# oracle restates the net effect relationally.  Wrong gating, a lost
+# revival, or a fold dropping the wrong rows all hash-mismatch.
+def cdc_delete_vectors(spark, sf):
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    orders = (load_table(spark, sf, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice")
+              .withColumn("load_timestamp",
+                          F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    tmp = tempfile.mkdtemp(prefix="cdc_dv_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                    num_buckets=16, delete_vectors=True)
+    kt.init(orders)
+    # (1) delete-only batch at t2: zero buckets may be rewritten
+    dels = (orders.where("o_orderkey % 100 < 5")
+            .withColumn("load_timestamp",
+                        F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+            .withColumn("Op", F.lit("D")))
+    if kt.merge_batch(dels, version_col="load_timestamp") != 0:
+        raise AssertionError("delete-only DV batch rewrote a bucket")
+    # (2) stale update file (t1 < t2): %100<5 gated by the DV entries,
+    # %100 in 5..9 has no entry and lands
+    stale = (orders.where("o_orderkey % 100 < 10")
+             .withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+             .withColumn("load_timestamp",
+                         F.to_timestamp(F.lit("2024-01-01 12:00:00")))
+             .withColumn("Op", F.lit("U")))
+    kt.merge_batch(stale, version_col="load_timestamp")
+    # (3) fresh update (t3) revives keys %100 in (2, 3)
+    fresh = (orders.where("o_orderkey % 100 IN (2, 3)")
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+             .withColumn("load_timestamp",
+                         F.to_timestamp(F.lit("2024-01-03 00:00:00")))
+             .withColumn("Op", F.lit("U")))
+    kt.merge_batch(fresh, version_col="load_timestamp")
+    # (4) fold the remaining entries (0, 1, 4): visible state unchanged
+    import datetime as _dt
+    kt.fold_delete_vectors(before_version=_dt.datetime(2024, 1, 3))
+    return kt.read().select("o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_totalprice")
+
+
+CDC_DELETE_VECTORS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 100 IN (2, 3) THEN o_totalprice * 2.0
+            WHEN o_orderkey % 100 BETWEEN 5 AND 9 THEN o_totalprice * 1.5
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 100 NOT IN (0, 1, 4)
+"""
+
+
 # -- incrementally-maintained materialized join view ----------------------
 # The round-6 JoinView operator (operators/joinview.py) under the value
 # hash: build fact LEFT JOIN dim over KeyedTable snapshots of orders ⋈
@@ -855,4 +920,11 @@ QUERIES = {
         "dim leg routes through the fused xxhash64 fk column and the "
         "exact semi-join collision filter; suppkey re-points change "
         "half the composite key — apply == rebuild under the hash"),
+    "cdc_delete_vectors": Query(
+        cdc_delete_vectors, CDC_DELETE_VECTORS_SQL,
+        "merge-on-read delete vectors: delete-only batch lands as "
+        "sidecar entries (zero buckets rewritten, asserted), stale "
+        "updates gated BY the entries while un-entried siblings land, "
+        "fresh updates revive, fold applies physically — final read "
+        "hash-matched against the relational restatement"),
 }
