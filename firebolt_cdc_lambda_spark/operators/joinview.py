@@ -133,11 +133,29 @@ class JoinView:
             if c not in self.dim_keys and c not in CDC_META_COLS]
         return dim_df.select(*cols)
 
+    def _fk_types(self) -> dict:
+        """The FACT table's stored fk column types — the canonical types
+        every fused hash must be computed under.  xxhash64 is
+        TYPE-sensitive (xxhash64(5 AS INT) != xxhash64(5 AS BIGINT)), so
+        a batch arriving with drifted numeric widths would otherwise
+        produce hashes that never match the stored ``_jv_fkh``
+        (review finding, round 7).  Empty before the fact's first
+        write."""
+        schema = self.fact._load_schema()
+        if schema is None:
+            return {}
+        return {fk: schema[fk].dataType
+                for fk in self.fks if fk in schema.names}
+
     def _fused(self, df: DataFrame) -> DataFrame:
-        """Materialize the fused fk-hash column (composite fk only)."""
+        """Materialize the fused fk-hash column (composite fk only),
+        hashing under the fact table's canonical fk types."""
         if not self.composite:
             return df
-        return df.withColumn(FUSED_FK_COL, F.xxhash64(*self.fks))
+        tys = self._fk_types()
+        cols = [F.col(fk).cast(tys[fk]) if fk in tys else F.col(fk)
+                for fk in self.fks]
+        return df.withColumn(FUSED_FK_COL, F.xxhash64(*cols))
 
     def _joined(self, fact_df: DataFrame, dim_df: DataFrame,
                 broadcast_dim: bool) -> DataFrame:
@@ -173,6 +191,28 @@ class JoinView:
                 f"fact columns {clash} collide with dim_prefix "
                 f"{self.dim_prefix!r}; the view schema could not tell "
                 f"them from enrichment columns — pick another prefix")
+        if self.composite:
+            if FUSED_FK_COL in base.columns:
+                raise ValueError(
+                    f"fact column {FUSED_FK_COL!r} collides with the "
+                    f"view's fused fk-hash column — rename it")
+            # xxhash64 is type-sensitive: the composite dim leg probes
+            # the stored hash with values typed from the DIM side, so a
+            # fact-fk / dim-key dtype mismatch would make every probe
+            # miss SILENTLY (lookup's exact .isin on the hash is not
+            # fail-open against this) — reject it here
+            dim_schema = {f.name: f.dataType
+                          for f in self.dim.read().schema.fields}
+            bad = [(fk, dk) for fk, dk in zip(self.fks, self.dim_keys)
+                   if fk in base.columns and dk in dim_schema
+                   and dict(zip(base.schema.names,
+                                [f.dataType for f in base.schema.fields])
+                            )[fk] != dim_schema[dk]]
+            if bad:
+                raise ValueError(
+                    f"composite fk/dim-key dtype mismatch {bad}: the "
+                    f"fused xxhash64 probe is type-sensitive — cast the "
+                    f"columns to matching types before building the view")
         full = self._joined(base, self.dim.read(), broadcast_dim=False)
         if self.table.exists():
             self.table.rewrite(full)
@@ -244,8 +284,14 @@ class JoinView:
         for dk in self.dim_keys:
             keys = keys.where(F.col(dk).isNotNull())
         if self.composite:
+            # hash the probe under the FACT's canonical fk types — a dim
+            # delta arriving with drifted numeric widths must still hit
+            # the stored (fact-typed) _jv_fkh values
+            tys = self._fk_types()
+            pcols = [F.col(dk).cast(tys[fk]) if fk in tys else F.col(dk)
+                     for fk, dk in zip(self.fks, self.dim_keys)]
             probe_vals = [r[0] for r in
-                          keys.select(F.xxhash64(*self.dim_keys)).collect()]
+                          keys.select(F.xxhash64(*pcols)).collect()]
         else:
             probe_vals = [r[0] for r in keys.collect()]
         if not probe_vals:
@@ -274,7 +320,7 @@ class JoinView:
                 f"(view has {sorted(stored)}, dim now maps to "
                 f"{sorted(now)}); run rebuild() to absorb it")
         refreshed = self._joined(
-            affected.drop(*self._enrich_cols()), current, broadcast_dim=True)
+            affected.drop(*stored), current, broadcast_dim=True)
         # refreshed rows carry no op column: all-upsert merge
         return self.table.merge_batch(refreshed)
 

@@ -115,6 +115,18 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _is_delete_sql(op_col: str, delete_values: Sequence[str]) -> str:
+    """The CDC delete predicate as SQL, shared by merge_cdc and the
+    delete-vector merge path — ONE definition so the two delete gates
+    can never classify a row differently (review finding, round 7).
+    NULL-safe (a NULL Op is an upsert); delete_values are strings by
+    contract with quote/backslash escaping for Spark's parser."""
+    vals = ", ".join(
+        "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+        for v in delete_values)
+    return f"COALESCE({_q(op_col)} IN ({vals}), FALSE)"
+
+
 def _key_cond(keys: Sequence[str], left: str, right: str) -> Column:
     return functools.reduce(
         operator.and_,
@@ -183,14 +195,9 @@ def merge_cdc(
         # delete_values are STRINGS by contract (the reference's
         # CDC_DELETE_VALUES env is a comma-split string list,
         # lambda/handler.py:921-928); non-strings are stringified and rely
-        # on Spark's implicit literal coercion.  Backslashes must be
-        # escaped too: Spark's default parser treats \ in a string literal
-        # as an escape, so a value like "D\\x" would otherwise change
-        # meaning (or break the statement).
-        vals = ", ".join(
-            "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
-            for v in delete_values)
-        is_delete_sql = f"COALESCE({_q(op_col)} IN ({vals}), FALSE)"
+        # on Spark's implicit literal coercion.  _is_delete_sql holds the
+        # one shared (escaped) definition of the predicate.
+        is_delete_sql = _is_delete_sql(op_col, delete_values)
     else:
         is_delete_sql = "FALSE"
     # __s_present marks join hits below (never NULL on a staging row, so a
@@ -346,7 +353,27 @@ class KeyedTable:
         # root is unreadable by Spark's file index
         self._dv_path = f"{path}__dv"
 
+    def _align_key_types(self, df: DataFrame) -> DataFrame:
+        """Cast key columns to the STORED schema's types before any
+        key-hash computation.  xxhash64 is type-sensitive (hash(5 AS
+        INT) != hash(5 AS BIGINT)), so a batch or probe arriving with
+        drifted numeric widths would otherwise bucket/prune against
+        the wrong ids — a silently mis-bucketed merge row or an empty
+        lookup, not an error (review finding, round 7).  No-op before
+        the first write (the first write defines the types) and when
+        the types already match."""
+        schema = self._load_schema()
+        if schema is None:
+            return df
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for k in self.keys:
+            if k in schema.names and k in have \
+                    and have[k] != schema[k].dataType:
+                df = df.withColumn(k, F.col(k).cast(schema[k].dataType))
+        return df
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
+        df = self._align_key_types(df)
         return df.withColumn(
             self.BUCKET_COL,
             F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets)),
@@ -779,10 +806,14 @@ class KeyedTable:
         return s.join(d, cond, "left_anti")
 
     def _write_dv(self, dv: DataFrame | None) -> None:
-        """Replace the sidecar with ``dv`` (None/empty -> remove it).
-        The new content is pinned with an eager localCheckpoint first —
-        it is derived from the old sidecar's files, and Spark cannot
-        overwrite a path a live plan still reads from."""
+        """Replace the sidecar with ``dv`` (None/empty -> remove it) via
+        write-then-SWAP (the ``rewrite`` convention): a plain overwrite
+        clears the destination before the job commits, so a crash
+        mid-write would silently destroy every accumulated entry — and
+        a lost sidecar reads as "no deletes", resurrecting every
+        deleted row (review finding, round 7).  The new content is
+        pinned with an eager localCheckpoint first — it is derived from
+        the old sidecar's files, and the swap deletes them."""
         fs, _, jvm = self._fs_and_path(self.path)
         p = jvm.org.apache.hadoop.fs.Path(self._dv_path)
         if dv is None:
@@ -794,7 +825,12 @@ class KeyedTable:
             if fs.exists(p):
                 fs.delete(p, True)
             return
-        pinned.coalesce(1).write.mode("overwrite").parquet(self._dv_path)
+        tmp = f"{self._dv_path}__tmp"
+        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(p):
+            fs.delete(p, True)
+        fs.rename(p_tmp, p)
 
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
@@ -834,7 +870,7 @@ class KeyedTable:
             from pyspark.sql import types as T
             ktypes = T.StructType([schema[k] for k in self.keys])
             keys = self.spark.createDataFrame(rows, ktypes)
-        kdf = keys.select(*self.keys).distinct()
+        kdf = self._align_key_types(keys.select(*self.keys)).distinct()
         nb = self.num_buckets
         if self.versioned and as_of is not None:
             # rebucket may have changed the count since that version;
@@ -1365,10 +1401,7 @@ class KeyedTable:
               and version_col in stg.columns
               and version_col in t_cols else None)
         if has_del and op_col in stg.columns:
-            vals = ", ".join(
-                "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
-                for v in delete_values)
-            is_del = F.expr(f"COALESCE({_q(op_col)} IN ({vals}), FALSE)")
+            is_del = F.expr(_is_delete_sql(op_col, delete_values))
             dels = stg.where(is_del)
             ups = stg.where(~is_del)
         else:
@@ -1509,10 +1542,9 @@ class KeyedTable:
         if fold.limit(1).isEmpty():
             return 0
         keep = dv.where(~foldc)
-        bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
-                      F.lit(self.num_buckets))
         buckets = sorted(int(r[0]) for r in
-                         fold.select(bcol.alias("b")).distinct().collect())
+                         self._with_bucket(fold).select(self.BUCKET_COL)
+                         .distinct().collect())
         raw = self._read_raw(buckets=buckets).alias("__t")
         cond = F.expr(" AND ".join(
             f"__t.{_q(k)} <=> __f.{_q(k)}" for k in self.keys))

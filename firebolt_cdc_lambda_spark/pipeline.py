@@ -92,6 +92,16 @@ class CdcPipeline:
         # always wins over the constructor.  Purge accumulated markers
         # via purge_tombstones / CdcFleet.run_maintenance on the same
         # cadence as ledger GC.
+        if insert_deletes and delete_vectors:
+            # _merge_dv diverts every delete row to the sidecar BEFORE
+            # merge_cdc could insert unmatched deletes as live rows, so
+            # the combination would silently break insert_deletes'
+            # reference-parity semantics — reject loudly (the repo
+            # convention for silently-inert flag combos)
+            raise ValueError("insert_deletes and delete_vectors are "
+                             "mutually exclusive: DV mode records "
+                             "deletes in the sidecar, so unmatched "
+                             "deletes can never land as live rows")
         if tombstones is None:
             # delete_vectors carries the same out-of-order protection in
             # the sidecar, so the marker-row default yields to it

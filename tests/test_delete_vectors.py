@@ -257,3 +257,34 @@ def test_pipeline_end_to_end_with_fleet_fold(spark, tmp_path):
     assert tgt._read_dv() is None
     assert {r["k"] for r in tgt._read_raw().collect()} == set(range(8)) - {2, 5}
     assert fleet.run_maintenance() == {"users": "skipped"}   # now a no-op
+
+
+def test_write_dv_swaps_and_tolerates_stale_tmp(spark, dv_table):
+    """Review regression: the sidecar commit is write-then-SWAP (a plain
+    overwrite clears the destination before the job commits — a crash
+    there would silently resurrect every deleted row).  A stale
+    __dv__tmp left by a crashed writer must not break the next
+    commit."""
+    import os
+    tmp_dir = dv_table._dv_path + "__tmp"
+    os.makedirs(tmp_dir, exist_ok=True)            # crashed-writer residue
+    open(f"{tmp_dir}/garbage", "w").write("x")
+    dv_table.merge_batch(spark.createDataFrame(
+        rows([(3, "x", "D"), (7, "x", "D")], ts(1))),
+        version_col="load_timestamp")
+    assert not os.path.exists(tmp_dir)             # swapped, not left over
+    assert dv_table._read_dv().count() == 2
+    assert {r["k"] for r in dv_table.read().collect()} == (
+        set(range(10)) - {3, 7})
+
+
+def test_insert_deletes_with_dv_rejected(spark, tmp_path):
+    """Review regression: DV mode diverts deletes to the sidecar before
+    merge_cdc could insert unmatched deletes as live rows, so the combo
+    would silently break insert_deletes' reference parity."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CdcPipeline(spark, str(tmp_path / "wh"),
+                    TableKeys.from_json('{"t": "k"}'),
+                    insert_deletes=True, delete_vectors=True)

@@ -579,3 +579,61 @@ def test_dv_mode_fact_gates_view_like_the_fact_table(spark, tmp_path):
     view.rebuild()
     assert_synced(view)
     assert {r["id"] for r in view.read().collect()} == {1, 2}
+
+
+def test_composite_probe_survives_batch_dtype_drift(spark, tmp_path):
+    """Review regression: xxhash64 is TYPE-sensitive, so a dim delta
+    arriving with narrower integer types than the dim table must still
+    hit the stored (fact-typed) fused hashes — the probe casts to the
+    fact's canonical fk types."""
+    from pyspark.sql import types as T
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["da", "db"], num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [Row(id=1, ka=7, kb=8, val="x", load_timestamp=ts(0))]))
+    dim.init(spark.createDataFrame(
+        [Row(da=7, db=8, name="old", load_timestamp=ts(0))]))
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk=["ka", "kb"])
+    view.rebuild()
+    # the delta batch arrives INT-typed (the table keys are BIGINT)
+    batch = spark.createDataFrame(
+        [(7, 8, "NEW", "U", ts(1))],
+        T.StructType([T.StructField("da", T.IntegerType()),
+                      T.StructField("db", T.IntegerType()),
+                      T.StructField("name", T.StringType()),
+                      T.StructField("Op", T.StringType()),
+                      T.StructField("load_timestamp", T.TimestampType())]))
+    dim.merge_batch(batch)
+    view.apply_dim_delta(batch)
+    assert [r["dim_name"] for r in view.read().collect()] == ["NEW"]
+
+
+def test_fused_col_clash_rejected(spark, tmp_path):
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["da", "db"], num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [Row(id=1, ka=7, kb=8, _jv_fkh=1, load_timestamp=ts(0))]))
+    dim.init(spark.createDataFrame(
+        [Row(da=7, db=8, name="n", load_timestamp=ts(0))]))
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk=["ka", "kb"])
+    with pytest.raises(ValueError, match="_jv_fkh"):
+        view.rebuild()
+
+
+def test_composite_fk_dim_dtype_mismatch_rejected(spark, tmp_path):
+    """A fact-fk / dim-key dtype mismatch would make every dim-leg
+    probe silently miss — rebuild rejects it."""
+    from pyspark.sql import types as T
+    fact = KeyedTable(spark, str(tmp_path / "f"), ["id"], num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "d"), ["da", "db"], num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [(1, 7, 8, "x")],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("ka", T.IntegerType()),   # INT fk
+                      T.StructField("kb", T.IntegerType()),
+                      T.StructField("val", T.StringType())])))
+    dim.init(spark.createDataFrame(
+        [Row(da=7, db=8, name="n", load_timestamp=ts(0))]))   # BIGINT keys
+    view = JoinView(spark, str(tmp_path / "v"), fact, dim, fk=["ka", "kb"])
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        view.rebuild()

@@ -388,3 +388,28 @@ def test_reinit_truncates_all_buckets(spark, tmp_path):
     kt.init(spark.createDataFrame([Row(k=0, v="new")]))
     rows = kt.read().collect()
     assert [(r["k"], r["v"]) for r in rows] == [(0, "new")]
+
+
+def test_type_drifted_batch_buckets_correctly(spark, tmp_path):
+    """Review regression (round 7): xxhash64 is type-sensitive, so a
+    batch whose key column arrives NARROWER than the stored schema
+    (int vs bigint) used to hash into the WRONG bucket — the merge
+    inserted a duplicate key instead of updating, silently.  Key types
+    are now aligned to the stored schema before any bucket hash."""
+    from pyspark.sql import types as T
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["k"], num_buckets=8)
+    kt.init(spark.createDataFrame([Row(k=5, v="old")]))     # k: bigint
+    batch = spark.createDataFrame(
+        [(5, "new", "U")],
+        T.StructType([T.StructField("k", T.IntegerType()),  # drifted: int
+                      T.StructField("v", T.StringType()),
+                      T.StructField("Op", T.StringType())]))
+    kt.merge_batch(batch)
+    got = kt.read().collect()
+    assert len(got) == 1 and got[0]["v"] == "new"           # update, not dup
+    # lookup with a drifted probe frame prunes to the RIGHT bucket too
+    probe = spark.createDataFrame(
+        [(5,)], T.StructType([T.StructField("k", T.IntegerType())]))
+    assert [r["v"] for r in kt.lookup(probe).collect()] == ["new"]
