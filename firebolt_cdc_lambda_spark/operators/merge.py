@@ -353,6 +353,34 @@ class KeyedTable:
         # root is unreadable by Spark's file index
         self._dv_path = f"{path}__dv"
 
+    @staticmethod
+    def _lossless_key_cast(src, dst) -> bool:
+        """True iff every value of ``src`` survives a cast to ``dst``
+        bit-exactly.  Only such casts may be applied silently: a plain
+        (non-ANSI) NARROWING cast turns an overflowing key into NULL,
+        and the row then merges under the NULL-key group — one silent
+        mis-bucketing traded for another (advice finding, round 7)."""
+        from pyspark.sql import types as T
+        int_rank = {T.ByteType: 1, T.ShortType: 2,
+                    T.IntegerType: 3, T.LongType: 4}
+        int_digits = {T.ByteType: 3, T.ShortType: 5,
+                      T.IntegerType: 10, T.LongType: 19}
+        s, d = type(src), type(dst)
+        if s in int_rank and d in int_rank:
+            return int_rank[s] <= int_rank[d]
+        if s is T.FloatType and d is T.DoubleType:
+            return True
+        # doubles hold integers exactly up to 2^53 (~16 digits)
+        if s in int_digits and d is T.DoubleType:
+            return int_digits[s] <= 15
+        if s in int_digits and d is T.DecimalType:
+            return dst.precision - dst.scale >= int_digits[s]
+        if s is T.DecimalType and d is T.DecimalType:
+            return (dst.precision - dst.scale
+                    >= src.precision - src.scale
+                    and dst.scale >= src.scale)
+        return False
+
     def _align_key_types(self, df: DataFrame) -> DataFrame:
         """Cast key columns to the STORED schema's types before any
         key-hash computation.  xxhash64 is type-sensitive (hash(5 AS
@@ -361,7 +389,11 @@ class KeyedTable:
         the wrong ids — a silently mis-bucketed merge row or an empty
         lookup, not an error (review finding, round 7).  No-op before
         the first write (the first write defines the types) and when
-        the types already match."""
+        the types already match.  Only LOSSLESS widenings are cast
+        silently; a narrowing or cross-family drift (bigint batch key
+        into an int stored key, string into numeric) raises instead of
+        letting overflow alias to a NULL key (advice finding,
+        round 7)."""
         schema = self._load_schema()
         if schema is None:
             return df
@@ -369,6 +401,14 @@ class KeyedTable:
         for k in self.keys:
             if k in schema.names and k in have \
                     and have[k] != schema[k].dataType:
+                if not self._lossless_key_cast(have[k],
+                                               schema[k].dataType):
+                    raise ValueError(
+                        f"key column {k!r} arrived as {have[k]} but the "
+                        f"stored table carries {schema[k].dataType}: "
+                        "casting would be lossy (overflow becomes a "
+                        "NULL key under non-ANSI semantics) — fix the "
+                        "batch's key type or evolve the stored schema")
                 df = df.withColumn(k, F.col(k).cast(schema[k].dataType))
         return df
 
@@ -784,14 +824,25 @@ class KeyedTable:
         (micro-batch-accumulated, reclaimed by fold_delete_vectors), and
         a global read keeps the sidecar's bucket partitioning advisory —
         a rebucket can change key->bucket mapping without ever making a
-        stale-partitioned entry invisible."""
-        try:
-            return self.spark.read.parquet(self._dv_path)
-        except AnalysisException as exc:
-            if exc.getErrorClass() in ("PATH_NOT_FOUND",
-                                       "UNABLE_TO_INFER_SCHEMA"):
-                return None
-            raise
+        stale-partitioned entry invisible.
+
+        Falls back to the ``__dv__old`` backup when the primary is
+        absent: _write_dv's swap renames the previous sidecar aside
+        before renaming the new one in, so the only states are
+        (primary), (primary+backup: crash before backup cleanup —
+        primary wins) and (backup only: crash between the two renames —
+        the backup IS the committed previous state).  A missing sidecar
+        reading as "no deletes" would silently resurrect every deleted
+        row (advice finding, round 7)."""
+        for p in (self._dv_path, f"{self._dv_path}__old"):
+            try:
+                return self.spark.read.parquet(p)
+            except AnalysisException as exc:
+                if exc.getErrorClass() in ("PATH_NOT_FOUND",
+                                           "UNABLE_TO_INFER_SCHEMA"):
+                    continue
+                raise
+        return None
 
     def _anti_dv(self, df: DataFrame) -> DataFrame:
         """``df`` minus rows whose key has a delete-vector entry
@@ -813,24 +864,43 @@ class KeyedTable:
         a lost sidecar reads as "no deletes", resurrecting every
         deleted row (review finding, round 7).  The new content is
         pinned with an eager localCheckpoint first — it is derived from
-        the old sidecar's files, and the swap deletes them."""
+        the old sidecar's files, and the swap deletes them.
+
+        The swap itself renames the OLD sidecar aside (``__dv__old``)
+        before renaming the new one in, deleting the backup only after
+        the rename commits — a delete-then-rename swap still had a
+        crash window in which the sidecar is simply GONE (advice
+        finding, round 7).  _read_dv falls back to the backup, so every
+        crash point leaves a readable committed state.  The remove path
+        (None/empty) deletes the backup too: a stale backup surviving a
+        reset would resurrect cleared DELETE entries and hide live
+        rows."""
         fs, _, jvm = self._fs_and_path(self.path)
         p = jvm.org.apache.hadoop.fs.Path(self._dv_path)
+        p_bak = jvm.org.apache.hadoop.fs.Path(f"{self._dv_path}__old")
         if dv is None:
             if fs.exists(p):
                 fs.delete(p, True)
+            if fs.exists(p_bak):
+                fs.delete(p_bak, True)
             return
         pinned = dv.localCheckpoint(eager=True)
         if pinned.limit(1).isEmpty():
             if fs.exists(p):
                 fs.delete(p, True)
+            if fs.exists(p_bak):
+                fs.delete(p_bak, True)
             return
         tmp = f"{self._dv_path}__tmp"
         pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(p_bak):      # leftover from a crashed prior swap
+            fs.delete(p_bak, True)
         if fs.exists(p):
-            fs.delete(p, True)
+            fs.rename(p, p_bak)   # old state stays readable throughout
         fs.rename(p_tmp, p)
+        if fs.exists(p_bak):
+            fs.delete(p_bak, True)
 
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
@@ -1386,6 +1456,18 @@ class KeyedTable:
         partial-batch state (deletes applied, upserts pending) and the
         ledger replay converges — both legs are idempotent."""
         from .ordering import OP_COL
+        if merge_kwargs.get("insert_deletes"):
+            # CdcPipeline rejects this combo at construction; direct
+            # operator callers must hit the same wall — _merge_dv
+            # diverts every delete row to the sidecar BEFORE merge_cdc
+            # could insert unmatched deletes as live rows, so the flag
+            # would be silently inert (advice finding, round 7; the
+            # repo convention is to reject silently-inert flag combos).
+            raise ValueError(
+                "insert_deletes=True is incompatible with "
+                "delete_vectors mode: DV diverts delete rows to the "
+                "sidecar, so unmatched deletes can never land as live "
+                "rows")
         op_col = merge_kwargs.get("op_col", OP_COL)
         delete_values = list(merge_kwargs.get(
             "delete_values", DEFAULT_DELETE_VALUES))

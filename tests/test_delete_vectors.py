@@ -288,3 +288,52 @@ def test_insert_deletes_with_dv_rejected(spark, tmp_path):
         CdcPipeline(spark, str(tmp_path / "wh"),
                     TableKeys.from_json('{"t": "k"}'),
                     insert_deletes=True, delete_vectors=True)
+
+
+def test_dv_backup_swap_crash_states_all_readable(spark, dv_table):
+    """Advice regression (round 7): the old delete-then-rename swap had
+    a window (after delete(primary), before rename(tmp)) in which the
+    sidecar was GONE — and a lost sidecar reads as "no deletes",
+    resurrecting every deleted row.  The swap now renames the old
+    sidecar aside first; _read_dv falls back to the backup, so every
+    crash point leaves a readable committed state."""
+    import os
+    import shutil
+    dv_table.merge_batch(spark.createDataFrame(
+        rows([(3, "x", "D"), (7, "x", "D")], ts(1))),
+        version_col="load_timestamp")
+    primary, bak = dv_table._dv_path, dv_table._dv_path + "__old"
+    # crash state A: between the two renames — only the backup exists
+    shutil.move(primary, bak)
+    assert dv_table._read_dv().count() == 2        # fallback reads it
+    assert {r["k"] for r in dv_table.read().collect()} == (
+        set(range(10)) - {3, 7})                   # deletes still hidden
+    # the next commit swaps cleanly over the residue and cleans it up
+    dv_table.merge_batch(spark.createDataFrame(
+        rows([(5, "x", "D")], ts(2))), version_col="load_timestamp")
+    assert os.path.exists(primary) and not os.path.exists(bak)
+    assert dv_table._read_dv().count() == 3
+    # crash state B: after rename(tmp->primary), before backup cleanup —
+    # both exist; the PRIMARY (newer) must win
+    shutil.copytree(primary, bak)
+    dv_table.merge_batch(spark.createDataFrame(
+        rows([(9, "x", "D")], ts(3))), version_col="load_timestamp")
+    assert dv_table._read_dv().count() == 4
+    assert not os.path.exists(bak)
+    # reset clears BOTH: a stale backup surviving a reset would hide
+    # live rows in the re-initialized table
+    shutil.copytree(primary, bak)
+    dv_table.init(spark.createDataFrame(
+        rows([(i, f"n{i}", "I") for i in range(10)], ts(9))).drop("Op"))
+    assert not os.path.exists(bak) and dv_table._read_dv() is None
+    assert len(dv_table.read().collect()) == 10
+
+
+def test_merge_dv_rejects_insert_deletes_direct(spark, dv_table):
+    """Advice regression (round 7): CdcPipeline rejects the combo at
+    construction, but a DIRECT operator call used to be silently inert
+    (_merge_dv diverts delete rows to the sidecar before merge_cdc
+    could insert them as live rows)."""
+    with pytest.raises(ValueError, match="insert_deletes"):
+        dv_table.merge_batch(spark.createDataFrame(
+            rows([(3, "x", "D")], ts(1))), insert_deletes=True)

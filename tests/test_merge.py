@@ -413,3 +413,36 @@ def test_type_drifted_batch_buckets_correctly(spark, tmp_path):
     probe = spark.createDataFrame(
         [(5,)], T.StructType([T.StructField("k", T.IntegerType())]))
     assert [r["v"] for r in kt.lookup(probe).collect()] == ["new"]
+
+
+def test_narrowing_key_drift_raises(spark, tmp_path):
+    """Advice regression (round 7): a batch key WIDER than the stored
+    key used to be plain-cast down, so an overflowing value became a
+    NULL key under non-ANSI semantics and merged under the NULL-key
+    group — one silent mis-bucketing traded for another.  Narrowing
+    (and cross-family) drifts now raise; lossless widenings still cast
+    silently (test_type_drifted_batch_buckets_correctly)."""
+    from pyspark.sql import types as T
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["k"], num_buckets=8)
+    kt.init(spark.createDataFrame(
+        [(5, "old")],
+        T.StructType([T.StructField("k", T.IntegerType()),   # stored: int
+                      T.StructField("v", T.StringType())])))
+    wide = spark.createDataFrame(
+        [(2**40, "new", "U")],
+        T.StructType([T.StructField("k", T.LongType()),      # drifted up
+                      T.StructField("v", T.StringType()),
+                      T.StructField("Op", T.StringType())]))
+    with pytest.raises(ValueError, match="lossy"):
+        kt.merge_batch(wide)
+    # cross-family drift (string key into numeric) raises too
+    txt = spark.createDataFrame([("5", "new", "U")], ["k", "v", "Op"])
+    with pytest.raises(ValueError, match="lossy"):
+        kt.merge_batch(txt)
+    # and a lookup probe gets the same wall, not an empty result
+    probe = spark.createDataFrame(
+        [(2**40,)], T.StructType([T.StructField("k", T.LongType())]))
+    with pytest.raises(ValueError, match="lossy"):
+        kt.lookup(probe).collect()
