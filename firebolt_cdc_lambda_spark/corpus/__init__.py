@@ -319,30 +319,99 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # cdc_join_view, val_global_summary by cdc_join_view_composite, and
 # text_chunk_overlap by cdc_delete_vectors — which lead round 8).
 # r6=49 because markov's newest row moves from r6-red to slot 1.
+# ROUND 7 RESULT (CORRECTNESS_r07.json): 50/50 FULLY GREEN — rows,
+# schema, and value hash on every slot, including markov's re-gate and
+# the three new rule-2 queries.  Newest-row distribution after r7:
+# r7=50, r6=49, r5=50, r4=18 (the documented family-covered deferrals).
+# ROUND 8 (this gate):
+#   * slots 1-18 — ALL eighteen r4-stale rows (the ledger's documented
+#     round-8 head: the fifteen family-covered deferrals + the three
+#     rule-2 displacements argmax_order_per_customer /
+#     val_global_summary / text_chunk_overlap).  After these land,
+#     no row is older than r5.
+#   * slots 19-50 — THIRTY-TWO of the fifty r5-stale rows.  The
+#     eighteen deferred to round 9 are chosen so every operator family
+#     keeps a fresh member in this gate (or r6/r7):
+#     events_stream_watermark / events_stream_dedup /
+#     events_stream_join_outer (stream family: sessions + join +
+#     changelog refresh here; full/sliding/static_enrich fresh r6),
+#     cube_status_priority (grouping_sets refreshes the twin shape),
+#     val_row_counts + val_approx_distinct (count family re-pinned by
+#     val_agg_summary here and the sketch audits;
+#     events_distinct_sketch_audit refreshes approx-distinct),
+#     join_semi_active_customers + set_ops_summary (join_anti here
+#     pins the anti/semi pair; q16/q21/q22 r6 pin EXISTS shapes),
+#     cdc_scd2_history (scd2_incremental here; pit_join r6),
+#     ann_pq_topk (ann_ivfpq_rerank_topk here supersets the PQ path),
+#     dedup_minhash_containment (dedup_minhash_lsh r7),
+#     events_hll_register_audit (the other two sketch audits gate here),
+#     corpus_drift_chisq (tv r7, hellinger/jsd r6),
+#     asof_event_next_order (asof_event_last_order r7),
+#     skew_salted_join (skew_salted_agg r7),
+#     multimodal_png_neardup (image_neardup r7, audio_features slot 15,
+#     video_scenes slot 39),
+#     cdc_dedup_bypass_stats (last_writer + cascade gate here),
+#     events_funnel_steps (retention_cohorts r6 + sessionization r7
+#     pin the event-sequence family).
+#   * slot 50 — cdc_stats_prune, the round's FIRST new corpus query
+#     (zone-map data skipping: StatsIndex min/max sidecar over non-key
+#     columns; range scan reads ONLY overlapping buckets — the
+#     file-listing prune is asserted inside the query), landed under
+#     GATE-FREEZE rule 2: it displaces cdc_stream_changelog, the
+#     r5-stale re-gate whose streaming-changelog shape is the most
+#     redundantly covered here (events_stream_sessions slot 48 +
+#     events_stream_join slot 49 pin the same readStream harness, and
+#     the r6 trio full/sliding/static_enrich stays fresh) —
+#     changelog joins the round-9 deferrals, making 19.  Validated at
+#     sf0.001 + sf0.01 + sf0.1 and in a plain default session before
+#     taking the slot.
+#   * slot 49 — dedup_semantic_cluster, the round's SECOND new query
+#     (SemDeDup-style semantic dedup, arXiv:2303.09540: k-means cell
+#     assignment via the K-row centroid LUT, within-cell cosine pairs
+#     over int-scaled embeddings, the paper's keep-closest-to-centroid
+#     survivorship on exact-integer distances — cell-bounded, never
+#     O(n²)), landed under rule 2: it displaces events_stream_join
+#     (sessions slot 48 keeps the readStream harness fresh this
+#     round) — joins the round-9 deferrals, making 20.  Validated at
+#     sf0.001 + sf0.01 + sf0.1 and plain.
+#   * slot 47 — corpus_dsir_importance, the round's THIRD new query
+#     (DSIR data selection, arXiv:2302.03169: per-document log2
+#     importance weights under hashed-unigram target/raw LMs — the
+#     explicit 31-poly token hash + pinned affine perm, add-1
+#     smoothing, the JSD family's transcendental-free _pinned_log2,
+#     per-token contributions floored onto the 1e12 grid so per-doc
+#     sums are exact BIGINTs), landed under rule 2: it displaces
+#     corpus_leakage_safe_split, whose split-assignment shape is
+#     re-pinned this round by dataset_split_assignment (slot 12) —
+#     joins the round-9 deferrals, making 21.  Validated at sf0.001 +
+#     sf0.01 + sf0.1 and plain.
 _DRIVER_PRIORITY = [
-    # slot 1: the round-6 red row, oracle-cast-fixed ----------------------
-    "events_markov_transitions",
-    # slots 2-15: the fourteen pre-r4 rows (round-6 verdict order) --------
-    "val_duplicate_keys", "val_monthly_distribution",
-    "val_category_counts", "val_profile_orders", "val_pivot_status",
-    "text_bigram_fluency", "text_decontamination", "text_pii_scrub",
-    "text_quality_filter", "text_repetition_filter", "window_rank_family",
-    "scalar_functions_showcase", "join_enriched_orders",
-    "asof_event_last_order",
-    # slots 16-50: thirty-five r4-stale refreshes (flagships first) -------
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "q10_returned_items", "cdc_merge_upsert_delete",
-    "cdc_pipeline_snapshot", "events_sessionization",
-    "events_hourly_tumbling", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_lsh_bucket_topk", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cluster_assign", "dedup_embedding_cosine",
-    "dedup_incremental_filter", "doc_fingerprint", "text_passage_dedup",
-    "text_quality_stats", "text_token_count", "text_lang_id",
-    "text_bm25_search", "text_tfidf_keywords", "cdc_delete_vectors",
-    "corpus_domain_cap", "corpus_drift_tv", "multimodal_image_neardup",
-    "range_join_event_pairs", "skew_salted_agg", "sql_surface_listagg",
-    "cdc_join_view", "cdc_join_view_composite",
-    "window_range_frame", "window_topn_per_segment",
+    # slots 1-18: the eighteen r4-stale rows (deferral-ledger order) ------
+    "dedup_ngram_jaccard", "window_moving_frame",
+    "window_distribution_family", "events_lead_lag_gaps",
+    "text_char_diversity", "text_vocab_growth", "text_token_topk",
+    "text_fuzzy_event_types", "scalar_datetime_showcase",
+    "sql_surface_unpivot", "corpus_weighted_sample",
+    "dataset_split_assignment", "embedding_outlier_trim",
+    "gapfill_monthly_orders", "multimodal_audio_features",
+    "argmax_order_per_customer", "val_global_summary",
+    "text_chunk_overlap",
+    # slots 19-50: thirty-two r5-stale refreshes (CDC flagships first) ----
+    "cdc_out_of_order_replay", "cdc_time_travel", "cdc_table_changes",
+    "cdc_rollup_refresh", "cdc_scd2_incremental",
+    "cdc_dedup_last_writer", "cdc_dedup_cascade",
+    "val_ingestion_seq", "val_agg_summary", "val_checksum",
+    "val_quantile_sketch_audit", "sql_surface_in_subquery",
+    "grouping_sets_status_priority", "join_anti_customers_no_orders",
+    "join_full_outer_compare", "join_correlated_nation_counts",
+    "join_bloom_filter_audit", "embedding_int8_quant",
+    "ann_ivfpq_rerank_topk", "embedding_kmeans_step",
+    "multimodal_video_scenes", "text_bpe_pair_merge",
+    "text_ngram_novelty", "text_cms_heavy_hitters",
+    "text_pmi_collocations", "dedup_substring_runs",
+    "events_distinct_sketch_audit", "corpus_prep_pipeline",
+    "corpus_dsir_importance", "events_stream_sessions",
+    "dedup_semantic_cluster", "cdc_stats_prune",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

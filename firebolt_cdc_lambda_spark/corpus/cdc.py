@@ -853,6 +853,89 @@ FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
 """
 
 
+# -- zone-map (per-file min/max) pruned range scan -------------------------
+# The range-predicate twin of cdc_bloom_lookup (operators/stats.py):
+# build an orders snapshot keyed by o_orderkey, range-cluster each
+# bucket on o_orderdate into ~4 tight-range files
+# (cluster_by(max_records_per_file=...)), index the NON-key date
+# column, merge a CDC batch (two price updates + one insert dated
+# beyond the built domain), and scan two ranges:
+#   * BEFORE refresh, the 2005+ scan must find the inserted row via
+#     the merge-flagged dirty buckets (fail-open path, asserted);
+#   * AFTER refresh, the 1996 scan must read a strict SUBSET of the
+#     data files (the prune is asserted inside the query — the whole
+#     point of the index), and both scans' rows are value-hashed
+#     against the relational restatement.
+_STATS_UPD_KEYS = (7, 11)
+_STATS_NEW_KEY = 900_000_007
+
+
+def cdc_stats_prune(spark, sf):
+    import datetime as dt
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+    from ..operators.stats import StatsIndex
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]
+    orders = load_table(spark, sf, "orders").select(*cols)
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="cdc_stats_q_")   # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                    num_buckets=16)
+    kt.init(orders)
+    # ~4 files per bucket, each covering a tight contiguous date range
+    kt.cluster_by(["o_orderdate"], max_records_per_file=max(1, n // 64))
+    ix = StatsIndex(kt, "o_orderdate")
+    ix.build()
+    upd = (orders.where(F.col("o_orderkey").isin(list(_STATS_UPD_KEYS)))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+           .withColumn("Op", F.lit("U")))
+    ins = spark.createDataFrame(
+        [(_STATS_NEW_KEY, 1, "O", 123.45,
+          dt.datetime(2005, 6, 15), "U")], upd.schema)
+    kt.merge_batch(upd.unionByName(ins))            # index NOT refreshed
+    # fail-open: the out-of-domain insert is visible through the dirty
+    # buckets even though no built file's range covers 2005
+    assert ix.scan(lo=dt.datetime(2005, 1, 1)).count() == 1, \
+        "dirty fail-open lost the fresh insert"
+    ix.refresh()
+    total = sum(kt.file_stats().values())
+    cands = ix.candidate_files(lo=dt.datetime(1996, 1, 1),
+                               hi=dt.datetime(1996, 12, 31, 23, 59, 59))
+    assert cands is not None and 0 < len(cands) < total, \
+        f"zone map did not prune: {None if cands is None else len(cands)}/{total}"
+    y96 = (ix.scan(lo=dt.datetime(1996, 1, 1),
+                   hi=dt.datetime(1996, 12, 31, 23, 59, 59))
+           .select(F.lit("y1996").alias("range_tag"), *cols))
+    fut = (ix.scan(lo=dt.datetime(2005, 1, 1))
+           .select(F.lit("future").alias("range_tag"), *cols))
+    return y96.unionByName(fut)
+
+
+CDC_STATS_PRUNE_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey IN ({_STATS_UPD_KEYS[0]},
+                                  {_STATS_UPD_KEYS[1]})
+              THEN o_totalprice + 50.0 ELSE o_totalprice
+         END AS o_totalprice,
+         o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT {_STATS_NEW_KEY}, 1, 'O', 123.45,
+         TIMESTAMP '2005-06-15 00:00:00'
+)
+SELECT 'y1996' AS range_tag, * FROM merged
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1996-12-31 23:59:59'
+UNION ALL
+SELECT 'future' AS range_tag, * FROM merged
+WHERE o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -927,4 +1010,11 @@ QUERIES = {
         "updates gated BY the entries while un-entried siblings land, "
         "fresh updates revive, fold applies physically — final read "
         "hash-matched against the relational restatement"),
+    "cdc_stats_prune": Query(
+        cdc_stats_prune, CDC_STATS_PRUNE_SQL,
+        "zone-map (per-file min/max) pruned range scan on a NON-key "
+        "date column over a range-clustered layout: dirty fail-open "
+        "finds a beyond-domain insert pre-refresh, the post-refresh "
+        "1996 scan reads a strict subset of files (prune asserted "
+        "inside the query) — both ranges under the value hash"),
 }

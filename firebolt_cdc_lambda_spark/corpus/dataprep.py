@@ -552,6 +552,112 @@ FROM p, g
 """
 
 
+# -- DSIR importance weights (data selection for LM pretraining) ----------
+# The published data-selection shape (DSIR — Data Selection with
+# Importance Resampling, Xie et al. 2023, arXiv:2302.03169): estimate
+# per-document importance weights w(x) = p_target(x)/p_raw(x) under
+# hashed bag-of-ngrams language models, then resample by weight.  This
+# query is the weight-estimation stage over the documents fixture:
+# target = the English slice, raw = the full corpus, features = token
+# unigrams hashed into B buckets (the paper's hashed feature space,
+# via the corpus's explicit 31-polynomial token hash + pinned affine
+# perm — never an engine-native hash), add-1-smoothed counts,
+#   log2 w(x) = sum_tokens [ log2((c_t(f)+1)/(T+B))
+#                          - log2((c_r(f)+1)/(R+B)) ].
+# Determinism: every log2 argument is a BIGINT, evaluated with the
+# corpus's transcendental-free _pinned_log2 (exact bit-length range
+# reduction + pinned atanh series — bit-identical cross-engine); each
+# per-token contribution is floored onto a 1e12 grid as BIGINT so the
+# per-document SUM is exact-integer (the JSD floor-grid dodge, dodging
+# the shuffle-order-dependent double sum).  |contrib| < ~2.6e13 and
+# docs are < 10k tokens, so the per-doc sum stays far under 2^63.
+# Plan shape: one explode (map-only projection), ONE exchange to build
+# the B-row lambda table (conditional sums fuse target+raw counts into
+# a single aggregation), lambda broadcast back onto the token stream,
+# ONE exchange for the per-doc sum, left join to keep token-less docs
+# at weight 0.  At 100 TB the lambda table is B rows regardless of
+# corpus size — the only state that crosses the wire twice.
+_DSIR_B = 1024
+_DSIR_A, _DSIR_C, _DSIR_P = 123457, 886731, 1_000_003
+_DSIR_GRID = "1e12"
+
+
+def _dsir_bucket(dialect: str) -> str:
+    from .textops import _TOKHASH_DUCK, _TOKHASH_SPARK
+    th = _TOKHASH_SPARK if dialect == "spark" else _TOKHASH_DUCK
+    return f"(({_DSIR_A} * ({th}) + {_DSIR_C}) % {_DSIR_P}) % {_DSIR_B}"
+
+
+def corpus_dsir_importance(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = (d.selectExpr("doc_id", "lang",
+                         f"explode({_TOKENS_SPARK}) AS tok")
+            .selectExpr("doc_id", "lang",
+                        f"{_dsir_bucket('spark')} AS f"))
+    counts = (toks.groupBy("f")
+              .agg(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                   .alias("ct"),
+                   F.count(F.lit(1)).alias("cr")))
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    l_ct = _pinned_log2("(ct + 1)", "spark")
+    l_cr = _pinned_log2("(cr + 1)", "spark")
+    l_tt = _pinned_log2(f"(tt + {_DSIR_B})", "spark")
+    l_tr = _pinned_log2(f"(tr + {_DSIR_B})", "spark")
+    lam = (counts.crossJoin(F.broadcast(totals))
+           .selectExpr("f",
+                       f"CAST(floor(((({l_ct}) - ({l_cr}))"
+                       f" + (({l_tr}) - ({l_tt}))) * {_DSIR_GRID})"
+                       " AS BIGINT) AS lam_g"))
+    per_doc = (toks.join(F.broadcast(lam), "f")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lam_g").alias("logw_g")))
+    return (d.select("doc_id", "lang").join(per_doc, "doc_id", "left_outer")
+            .selectExpr("doc_id", "lang",
+                        "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens",
+                        "CAST(coalesce(logw_g, 0) AS BIGINT) AS logw_grid",
+                        f"CAST(coalesce(logw_g, 0) AS DOUBLE) / {_DSIR_GRID}"
+                        " AS log2_weight"))
+
+
+def _dsir_sql() -> str:
+    l_ct = _pinned_log2("(ct + 1)", "duckdb")
+    l_cr = _pinned_log2("(cr + 1)", "duckdb")
+    l_tt = _pinned_log2(f"(tt + {_DSIR_B})", "duckdb")
+    l_tr = _pinned_log2(f"(tr + {_DSIR_B})", "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_dsir_bucket('duckdb')} AS f
+  FROM (SELECT doc_id, lang, unnest({_TOKENS_DUCK}) AS tok
+        FROM documents)
+),
+counts AS (
+  SELECT f, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cr
+  FROM toks GROUP BY f
+),
+totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+lam AS (
+  SELECT f, CAST(floor(((({l_ct}) - ({l_cr})) + (({l_tr}) - ({l_tt})))
+                 * {_DSIR_GRID}) AS BIGINT) AS lam_g
+  FROM counts, totals
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lam_g) AS logw_g
+  FROM toks JOIN lam USING (f) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.logw_g, 0) AS BIGINT) AS logw_grid,
+       CAST(coalesce(p.logw_g, 0) AS DOUBLE) / {_DSIR_GRID}
+       AS log2_weight
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+CORPUS_DSIR_IMPORTANCE_SQL = _dsir_sql()
+
+
 QUERIES = {
     "corpus_drift_tv": Query(
         corpus_drift_tv, CORPUS_DRIFT_TV_SQL,
@@ -601,4 +707,11 @@ QUERIES = {
         "exact bit-length range reduction + pinned atanh series "
         "(bit-identical cross-engine), floor-grid-summed",
         ("dataprep", "drift")),
+    "corpus_dsir_importance": Query(
+        corpus_dsir_importance, CORPUS_DSIR_IMPORTANCE_SQL,
+        "DSIR data selection: per-document log2 importance weights "
+        "under hashed-unigram target/raw LMs (explicit poly hash, "
+        "add-1 smoothing, pinned transcendental-free log2, floor-grid "
+        "exact per-doc sums) — the B-row lambda table is the only "
+        "broadcast state", ("dataprep", "selection")),
 }

@@ -1502,6 +1502,92 @@ SELECT query_id, CAST(query_label AS INTEGER) AS query_label, vec_id,
 """
 
 
+# -- SemDeDup-style semantic dedup (cluster, then prune within cell) ------
+# The published semantic-dedup shape (SemDeDup, Abbas et al. 2023,
+# arXiv:2303.09540): k-means partitions the corpus into cells, pairwise
+# cosine runs ONLY within each cell (cell-bounded — never O(n²) on the
+# corpus), and of each over-threshold pair the member FARTHER from its
+# cell centroid is removed (the paper's keep-closest-to-centroid rule;
+# vec_id breaks exact ties).  Everything is exact-integer except the
+# final cosine: quantized int components, BIGINT dots, integer squared
+# L2 to the centroid — so the keep/remove decision is bit-deterministic
+# cross-engine.  Plan shape: K-row driver LUT for assignment (map-only,
+# the kmeans_step contract), ONE exchange on cent_id for the self-join;
+# at 100 TB the cell width bounds the quadratic term exactly as IVF's
+# nprobe bounds the scan.
+def dedup_semantic_cluster(spark, sf):
+    corpus = _cos_corpus(spark, sf)
+    q = corpus.selectExpr("vec_id", f"{_QUANT_SPARK} AS qv")
+    dot_self = _DOT_SPARK.format(a="qv", b="qv")
+    qv = q.selectExpr("vec_id", "qv", f"{dot_self} AS norm2")
+    cents = (qv.where(F.col("vec_id") < _KM_K)
+             .orderBy("vec_id").collect())        # K rows: driver LUT
+    arms = []
+    for c in cents:
+        lit = "array(" + ",".join(f"{int(x)}L" for x in c["qv"]) + ")"
+        dot = _DOT_SPARK.format(a="qv", b=lit)
+        arms.append(f"struct(norm2 - 2 * ({dot}) + {int(c['norm2'])}L AS d, "
+                    f"{int(c['vec_id'])} AS cent_id)")
+    best = f"array_min(array({', '.join(arms)}))"
+    assigned = (qv.selectExpr("vec_id", "qv", "norm2", f"{best} AS best")
+                .selectExpr("vec_id", "qv", "norm2",
+                            "best.cent_id AS cent_id", "best.d AS d_cent")
+                .cache())
+    a = assigned.selectExpr("cent_id AS ca", "vec_id AS id1", "qv AS qa",
+                            "norm2 AS na", "d_cent AS da")
+    b = assigned.selectExpr("cent_id AS cb", "vec_id AS id2", "qv AS qb",
+                            "norm2 AS nb", "d_cent AS db")
+    dot = _DOT_SPARK.format(a="qa", b="qb")
+    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("id1") < F.col("id2")))
+             .where(F.expr(
+                 f"CAST({dot} AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * "
+                 f"CAST(nb AS DOUBLE)) >= {_COS_DUP_THRESHOLD}"))
+             # the pair's loser: farther from the centroid (exact
+             # integer d), vec_id tie-break (id1 < id2 by construction)
+             .selectExpr("CASE WHEN da <= db THEN id2 ELSE id1 END"
+                         " AS vec_id"))
+    removed = pairs.distinct().withColumn("is_removed", F.lit(True))
+    return (assigned.join(removed, "vec_id", "left_outer")
+            .selectExpr("CAST(cent_id AS INTEGER) AS cent_id", "vec_id",
+                        "CAST(d_cent AS BIGINT) AS dist_to_centroid",
+                        "coalesce(is_removed, false) AS is_removed"))
+
+
+DEDUP_SEMANTIC_CLUSTER_SQL = f"""
+WITH embeddings_nd AS ({_COS_CORPUS_SQL}),
+q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings_nd),
+n AS (SELECT vec_id, qv,
+             CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+             AS norm2 FROM q),
+c AS (SELECT vec_id AS cent_id, qv AS cv, norm2 AS cn
+      FROM n WHERE vec_id < {_KM_K}),
+d AS (SELECT n.vec_id, n.qv, n.norm2, c.cent_id,
+             n.norm2 - 2 * CAST(list_dot_product(n.qv::DOUBLE[],
+                                                 c.cv::DOUBLE[]) AS BIGINT)
+             + c.cn AS dist
+      FROM n, c),
+assigned AS (SELECT vec_id, qv, norm2, cent_id, dist AS d_cent FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cent_id) AS rn
+        FROM d) t WHERE rn = 1),
+pairs AS (
+  SELECT CASE WHEN a.d_cent <= b.d_cent THEN b.vec_id
+              ELSE a.vec_id END AS vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+        / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE))
+        >= {_COS_DUP_THRESHOLD}
+),
+removed AS (SELECT DISTINCT vec_id FROM pairs)
+SELECT CAST(s.cent_id AS INTEGER) AS cent_id, s.vec_id,
+       CAST(s.d_cent AS BIGINT) AS dist_to_centroid,
+       r.vec_id IS NOT NULL AS is_removed
+FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+"""
+
+
 QUERIES = {
     "embedding_outlier_trim": Query(
         embedding_outlier_trim, EMBEDDING_OUTLIER_SQL,
@@ -1585,4 +1671,11 @@ QUERIES = {
         "similar vectors with a DIFFERENT label (the pairs that teach "
         "an embedding model the most) — broadcast queries, map-side "
         "top-k, exact integer dot products"),
+    "dedup_semantic_cluster": Query(
+        dedup_semantic_cluster, DEDUP_SEMANTIC_CLUSTER_SQL,
+        "SemDeDup-style semantic dedup: k-means cell assignment "
+        "(K-row LUT, map-only), within-cell pairwise cosine, and the "
+        "paper's keep-closest-to-centroid survivorship — exact-integer "
+        "distances make removal bit-deterministic; cell width bounds "
+        "the quadratic term"),
 }

@@ -335,6 +335,7 @@ class KeyedTable:
         # for deletes another reader hides through the sidecar.
         self.table_version = 0
         self.bloom_columns: list[str] = []
+        self.stats_columns: list[str] = []
         meta = self._load_meta()
         if meta is not None:
             self.num_buckets = int(meta["num_buckets"])
@@ -343,6 +344,7 @@ class KeyedTable:
             self.delete_vectors = bool(meta.get("delete_vectors", False))
             self.table_version = int(meta.get("table_version", 0))
             self.bloom_columns = list(meta.get("bloom_columns", []))
+            self.stats_columns = list(meta.get("stats_columns", []))
         if self.delete_vectors and (self.tombstones or self.versioned):
             raise ValueError(
                 "delete_vectors replaces tombstones (the sidecar carries "
@@ -471,7 +473,8 @@ class KeyedTable:
              "tombstones": self.tombstones, "versioned": self.versioned,
              "delete_vectors": self.delete_vectors,
              "table_version": self.table_version,
-             "bloom_columns": self.bloom_columns}))
+             "bloom_columns": self.bloom_columns,
+             "stats_columns": self.stats_columns}))
 
     def _bump_table_version(self) -> None:
         """Advance table_version for a wholesale rewrite, against the
@@ -499,27 +502,39 @@ class KeyedTable:
             meta.get("table_version", self.table_version)) + 1
         self.bloom_columns = sorted(
             set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
+        self.stats_columns = sorted(
+            set(self.stats_columns) | set(meta.get("stats_columns", [])))
 
-    def _register_bloom_column(self, column: str) -> None:
-        """Register a bloom index column in the meta WITHOUT disturbing
-        the stored table_version (registration is not a rewrite): both
-        fields are re-read from the stored meta first, so a stale
-        handle's registration can neither regress another writer's
-        version bump nor unregister another process' index (the same
-        hazard class _bump_table_version closes for rewrites)."""
+    def _register_index_column(self, attr: str, column: str) -> None:
+        """Register a secondary-index column (``bloom_columns`` or
+        ``stats_columns``) in the meta WITHOUT disturbing the stored
+        table_version (registration is not a rewrite): the fields are
+        re-read from the stored meta first, so a stale handle's
+        registration can neither regress another writer's version bump
+        nor unregister another process' index (the same hazard class
+        _bump_table_version closes for rewrites)."""
         meta = self._load_meta() or {}
         self.table_version = int(
             meta.get("table_version", self.table_version))
-        self.bloom_columns = sorted(
-            set(self.bloom_columns) | set(meta.get("bloom_columns", []))
-            | {column})
+        for a in ("bloom_columns", "stats_columns"):
+            merged = set(getattr(self, a)) | set(meta.get(a, []))
+            if a == attr:
+                merged |= {column}
+            setattr(self, a, sorted(merged))
         self._save_meta()
+
+    def _register_bloom_column(self, column: str) -> None:
+        self._register_index_column("bloom_columns", column)
+
+    def _register_stats_column(self, column: str) -> None:
+        self._register_index_column("stats_columns", column)
 
     def _mark_bloom_dirty(self, buckets: Sequence[int]) -> None:
         """Secondary-index maintenance riding the merge commit: flag the
-        touched buckets dirty in every bloom sidecar (operators/bloom.py)
-        so lookups treat them as always-candidates (fail-open) until
-        ``BloomIndex.refresh`` recomputes exactly those buckets.  The
+        touched buckets dirty in every bloom AND zone-map stats sidecar
+        (operators/bloom.py, operators/stats.py) so lookups treat them
+        as always-candidates (fail-open) until the index's ``refresh``
+        recomputes exactly those buckets.  The
         column list is re-read from the CURRENT meta sidecar (mtime-
         cached — one getFileStatus when no index exists) so an index
         built by another process after this merger was constructed is
@@ -530,10 +545,13 @@ class KeyedTable:
 
         from .. import fsio
         meta = self._load_meta()
-        cols = (meta or {}).get("bloom_columns", [])
-        for col in cols:
-            # sibling path (survives the rewrite swap; see bloom.py)
-            p = f"{self.path}__bloom_{col}.json"
+        sidecars = (
+            [f"{self.path}__bloom_{c}.json"
+             for c in (meta or {}).get("bloom_columns", [])]
+            + [f"{self.path}__stats_{c}.json"
+               for c in (meta or {}).get("stats_columns", [])])
+        for p in sidecars:
+            # sibling paths (survive the rewrite swap; see bloom.py)
             text = fsio.read_text(self.spark, p)
             if text is None:
                 continue
@@ -654,7 +672,8 @@ class KeyedTable:
             fs.delete(st.getPath(), True)
 
     def _write_epoch(self, bucketed: DataFrame, epoch: int,
-                     sort_within: Sequence[str] = ()) -> None:
+                     sort_within: Sequence[str] = (),
+                     max_records_per_file: int | None = None) -> None:
         """Append ``bucketed`` (already carrying _bucket) as epoch
         ``epoch``.  Append-only: prior epochs are immutable, so readers
         of any older version are never disturbed mid-write."""
@@ -664,9 +683,12 @@ class KeyedTable:
         if sort_within:
             shaped = shaped.sortWithinPartitions(
                 self.BUCKET_COL, self.EPOCH_COL, *sort_within)
-        (shaped.write.mode("append")
-         .partitionBy(self.BUCKET_COL, self.EPOCH_COL)
-         .parquet(self.path))
+        writer = (shaped.write.mode("append")
+                  .partitionBy(self.BUCKET_COL, self.EPOCH_COL))
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_records_per_file))
+        writer.parquet(self.path)
 
     def _read_versioned(self, buckets: Sequence[int] | None,
                         as_of: int | None) -> DataFrame:
@@ -716,16 +738,18 @@ class KeyedTable:
         return p.getFileSystem(hconf).exists(p)
 
     def _drop_bloom_artifacts(self) -> None:
-        """Delete SIBLING bloom artifacts (`<path>__bloom_*` json +
-        words datasets) left by a PRIOR table at this path.  init is
-        the reset point of history, and a recreated table restarts
-        table_version at 1 — an orphaned sidecar recorded at the old
-        table's version 1 would otherwise match and serve the OLD
-        table's filter words as live (false negatives, not fail-open)."""
+        """Delete SIBLING secondary-index artifacts (`<path>__bloom_*`
+        and `<path>__stats_*` json + datasets) left by a PRIOR table at
+        this path.  init is the reset point of history, and a recreated
+        table restarts table_version at 1 — an orphaned sidecar
+        recorded at the old table's version 1 would otherwise match and
+        serve the OLD table's filter words / min-max ranges as live
+        (false negatives, not fail-open)."""
         fs, _, jvm = self._fs_and_path(self.path)
-        glob = jvm.org.apache.hadoop.fs.Path(f"{self.path}__bloom_*")
-        for st in fs.globStatus(glob) or []:
-            fs.delete(st.getPath(), True)
+        for pat in (f"{self.path}__bloom_*", f"{self.path}__stats_*"):
+            glob = jvm.org.apache.hadoop.fs.Path(pat)
+            for st in fs.globStatus(glob) or []:
+                fs.delete(st.getPath(), True)
 
     def init(self, df: DataFrame) -> None:
         """Bootstrap the snapshot (full-load path; reference handles these
@@ -738,6 +762,7 @@ class KeyedTable:
         # AFTER the bump (which merges the old meta's registrations):
         # a recreated table must not inherit a prior table's index list
         self.bloom_columns = []
+        self.stats_columns = []
         bucketed = self._with_bucket(df)
         if self.versioned:
             # wipe any prior content: init IS the reset point of history
@@ -1121,7 +1146,8 @@ class KeyedTable:
         return snap
 
     def rewrite(self, df: DataFrame,
-                sort_within: Sequence[str | Column] = ()) -> None:
+                sort_within: Sequence[str | Column] = (),
+                max_records_per_file: int | None = None) -> None:
         """Full rewrite that is safe when ``df`` reads from this table's own
         path (e.g. schema evolution): write to a temp dir, then swap.
         Spark cannot overwrite a path it is concurrently reading from.
@@ -1140,7 +1166,8 @@ class KeyedTable:
             # source scan's file list was pinned at plan time to the OLD
             # epochs' leaf dirs, and the append only creates new ones.
             epoch = self.latest_epoch() + 1
-            self._write_epoch(bucketed, epoch, sort_within=sort_within)
+            self._write_epoch(bucketed, epoch, sort_within=sort_within,
+                              max_records_per_file=max_records_per_file)
             self._save_schema(bucketed)
             self._save_meta()
             entries = self._load_manifest()
@@ -1157,10 +1184,13 @@ class KeyedTable:
             # sorted by partition cols and would otherwise insert its own
             # (unstable) sort on _bucket, destroying the in-bucket order.
             shaped = shaped.sortWithinPartitions(self.BUCKET_COL, *sort_within)
-        (shaped
-         .write.mode("overwrite")
-         .partitionBy(self.BUCKET_COL)
-         .parquet(tmp))
+        writer = shaped.write.mode("overwrite").partitionBy(self.BUCKET_COL)
+        if max_records_per_file:
+            # the writer cuts files IN SORT ORDER, so each file covers a
+            # contiguous range of sort_within — the zone-map layout
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_records_per_file))
+        writer.parquet(tmp)
         fs, p_old, jvm = self._fs_and_path(self.path)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
         if fs.exists(p_old):
@@ -1317,15 +1347,26 @@ class KeyedTable:
         self.num_buckets = int(new_num_buckets)
         self.rewrite(df)
 
-    def cluster_by(self, cols: Sequence[str]) -> None:
+    def cluster_by(self, cols: Sequence[str],
+                   max_records_per_file: int | None = None) -> None:
         """Sort rows within each bucket by ``cols`` and rewrite.  Parquet
         stores per-row-group min/max for the sort columns, so subsequent
         range predicates on them skip whole row groups inside every
         bucket.  Layout-only: bucket assignment and row content are
         unchanged.  NOTE a lexicographic sort prunes well only on the
         LEADING column — for balanced pruning across several filter
-        columns use ``zorder_by``."""
-        self.rewrite(self.snapshot_for_rewrite(), sort_within=cols)
+        columns use ``zorder_by``.
+
+        ``max_records_per_file`` splits each sorted bucket into several
+        files, each covering a TIGHT contiguous range of the sort key —
+        the layout a zone-map index (operators/stats.py) needs for
+        file-level skipping: a range scan then reads ~1/k of every
+        bucket's files instead of relying on row-group skipping alone
+        (which still pays the file open + footer read per bucket).  At
+        a 100 TB / 500 MB-bucket scale, ~128 MB files (k≈4) is the
+        Delta/Iceberg-shaped sweet spot."""
+        self.rewrite(self.snapshot_for_rewrite(), sort_within=cols,
+                     max_records_per_file=max_records_per_file)
 
     def zorder_by(self, cols: Sequence[str], bits: int = 16) -> None:
         """Sort rows within each bucket along the Z-curve (Morton order)

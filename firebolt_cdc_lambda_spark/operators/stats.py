@@ -1,0 +1,230 @@
+"""Zone-map (per-FILE min/max) secondary index: file skipping for RANGE
+predicates on non-key columns.
+
+``BloomIndex`` (operators/bloom.py) prunes buckets for EQUALITY probes;
+a range predicate (``o_orderdate BETWEEN x AND y``, ``price >= p``)
+gets nothing from a bloom filter.  ``StatsIndex`` closes that gap the
+way lakehouse formats do (Delta/Iceberg per-file min-max stats, the
+classic zone map): per-file min/max for the indexed column, consulted
+at scan time to read only the files whose [min, max] interval overlaps
+the predicate's range.
+
+Granularity is the FILE, not the bucket, deliberately: buckets are
+assigned by the KEY hash, which spreads every value range of every
+other column uniformly across buckets — a bucket-level [min, max] on a
+hash layout spans the full domain and prunes nothing.  File-level
+stats bind when the in-bucket LAYOUT is range-clustered:
+``cluster_by(col, max_records_per_file=n)`` sorts each bucket by the
+column and cuts it into files covering tight contiguous ranges, so a
+narrow range probe reads ~1/k of every bucket's files.  On an
+unclustered table (one full-range file per bucket) the index honestly
+degrades to a full scan — correct, never fast-but-wrong; the corpus
+row (cdc_stats_prune) and tests pin both sides.
+
+Design (100 TB first):
+
+* **Storage** — one row per data file ``(b, f, lo, hi, n_rows,
+  n_notnull)`` in the column's NATIVE type, at the SIBLING parquet
+  dataset ``<table>__stats_<col>/`` partitioned by bucket (same layout
+  and rationale as the bloom words dataset: a refresh
+  dynamic-overwrites only refreshed buckets; a sibling because an
+  underscore-prefixed root is unreadable and a non-underscored child
+  dir would be swept into the table's own scans).  At 16k buckets x 4
+  files this is 64k rows — metadata-sized.  The tiny JSON sidecar
+  ``_stats_<col>.json`` holds {column, table_version, built, dirty}.
+* **Probing** — read the stats dataset (a metadata-sized job), keep
+  files whose [lo, hi] overlaps the probe range, collect the (bucket,
+  file) ids (bounded by the file count, exactly like health_report's
+  listing), resolve them against the CURRENT layout listing, add every
+  file of a dirty bucket (fail-open), and read the surviving paths as
+  one concrete-path scan under the table's basePath.
+* **Staleness (fail-open, never wrong)** — identical contract to
+  BloomIndex, riding the SAME merge-commit hook: merges flag rewritten
+  buckets dirty (``KeyedTable._mark_bloom_dirty`` walks both index
+  families); dirty buckets' files are always candidates until
+  ``refresh()`` recomputes exactly those buckets (cost ∝ churn).
+  Wholesale rewrites bump ``table_version``, voiding the index.  A
+  stats row referencing a file the current listing no longer has (a
+  state the single-writer contract excludes) falls back to a FULL
+  scan rather than guessing.  Every failure direction over-scans,
+  never misses.
+
+v1 exclusions: versioned (epoch-manifest) tables — their scan
+granularity is the epoch resolution, not a flat file list; use
+``cluster_by`` row-group skipping there.  NULLs: ``lo``/``hi`` ignore
+NULLs (Spark min/max semantics) and a range predicate can never match
+NULL, so an all-NULL file is NOT a candidate.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from .merge import KeyedTable
+
+
+class StatsIndex:
+    def __init__(self, table: KeyedTable, column: str):
+        if table.versioned:
+            raise ValueError(
+                "StatsIndex v1 does not support versioned tables (scan "
+                "granularity there is the epoch resolution, not a flat "
+                "file list); use cluster_by row-group skipping")
+        self.table = table
+        self.column = column
+        self.spark = table.spark
+        self.stats_path = f"{table.path}__stats_{column}"
+        self.sidecar_path = f"{table.path}__stats_{column}.json"
+
+    # -- shared aggregation (build AND refresh use this verbatim) ----------
+    def _stats_for(self, buckets: list[int] | None) -> DataFrame:
+        """Per-file (b, f, lo, hi, n_rows, n_notnull) for the given
+        buckets (None = every bucket on disk), via the table's pruned
+        scan + the file-source ``_metadata`` column.  One
+        partial-aggregated exchange of #files rows."""
+        t = self.table
+        df = t._read_raw(buckets=buckets)
+        c = F.col(self.column)
+        fname = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1)
+        return (df.groupBy(F.col(t.BUCKET_COL).cast("int").alias("b"),
+                           fname.alias("f"))
+                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.count(c).alias("n_notnull")))
+
+    def _load_side(self) -> dict | None:
+        from .. import fsio
+        text = fsio.read_text(self.spark, self.sidecar_path)
+        return None if text is None else json.loads(text)
+
+    def _save_side(self, side: dict) -> None:
+        from .. import fsio
+        fsio.write_text(self.spark, self.sidecar_path, json.dumps(side))
+
+    def _current_tv(self) -> int:
+        meta = self.table._load_meta()
+        return int((meta or {}).get("table_version", 0))
+
+    def _listing(self) -> dict[tuple[int, str], str]:
+        """{(bucket, filename): full path} for every current data file
+        — the same one-filesystem-walk health_report uses."""
+        return {(b, st.getPath().getName()): str(st.getPath())
+                for b, st, _ in self.table._walk_data_files()}
+
+    # -- build / refresh -----------------------------------------------------
+    def build(self) -> int:
+        """Full (re)build over every bucket on disk; registers the
+        column in the table meta so merges start flagging dirty
+        buckets.  Returns the number of files indexed."""
+        stats = self._stats_for(None).localCheckpoint(eager=True)
+        (stats.repartition("b").write.mode("overwrite")
+         .partitionBy("b").parquet(self.stats_path))
+        n_files = stats.count()
+        built = sorted(self.table.file_stats())
+        self._save_side({"column": self.column,
+                         "table_version": self._current_tv(),
+                         "built": built, "dirty": []})
+        self.table._register_stats_column(self.column)
+        return int(n_files)
+
+    def refresh(self) -> list[int]:
+        """Recompute ONLY the merge-flagged dirty buckets (reading only
+        them) — maintenance cost ∝ churn, like the merge itself.  On a
+        table_version mismatch (some wholesale rewrite happened) falls
+        back to a full ``build``.  Returns the buckets recomputed.
+
+        A dirty bucket that came back EMPTY (every row deleted) gets
+        its stats partition deleted outright — an empty group vanishes
+        from the aggregation, so dynamic overwrite alone would leave
+        stale rows referencing dead files, and the probe's
+        missing-file check would then degrade every scan to full."""
+        side = self._load_side()
+        if side is None or side["table_version"] != self._current_tv():
+            self.build()
+            return sorted(self.table.file_stats())
+        dirty = sorted(int(b) for b in side.get("dirty", []))
+        if not dirty:
+            return []
+        stats = self._stats_for(dirty).localCheckpoint(eager=True)
+        (stats.repartition("b").write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("b").parquet(self.stats_path))
+        refreshed = {int(r[0]) for r in
+                     stats.select("b").distinct().collect()}
+        fs, _, jvm = self.table._fs_and_path(self.table.path)
+        for b in set(dirty) - refreshed:     # emptied buckets
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.stats_path}/b={b}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        side["built"] = sorted(set(side["built"]) | set(dirty))
+        side["dirty"] = []
+        self._save_side(side)
+        return dirty
+
+    # -- probe ----------------------------------------------------------------
+    def candidate_files(self, lo=None, hi=None) -> list[str] | None:
+        """Full paths of the data files that might hold rows with
+        ``column`` in [lo, hi] (either bound may be None = unbounded):
+        overlap-matched built files plus EVERY file of a dirty bucket
+        (fail-open).  Returns None when the index is absent, voided by
+        a wholesale rewrite, or inconsistent with the current listing
+        (caller must full-scan)."""
+        if lo is None and hi is None:
+            raise ValueError("unbounded probe: pass lo and/or hi")
+        side = self._load_side()
+        if side is None or side["table_version"] != self._current_tv():
+            return None
+        try:
+            stats = self.spark.read.parquet(self.stats_path)
+        except Exception:
+            return None       # stats dataset missing/unreadable: fail open
+        schema = self.table._load_schema()
+        vtype = schema[self.column].dataType
+        cond = F.col("lo").isNotNull()        # all-NULL file: no match
+        if hi is not None:
+            cond = cond & (F.col("lo") <= F.lit(hi).cast(vtype))
+        if lo is not None:
+            cond = cond & (F.col("hi") >= F.lit(lo).cast(vtype))
+        matched = [(int(r[0]), str(r[1])) for r in
+                   stats.where(cond).select("b", "f").collect()]
+        dirty = {int(b) for b in side.get("dirty", [])}
+        listing = self._listing()
+        paths = {p for (b, f), p in listing.items() if b in dirty}
+        for b, f in matched:
+            if b in dirty:
+                continue                       # whole bucket already in
+            p = listing.get((b, f))
+            if p is None:
+                # a built, non-dirty stats row references a vanished
+                # file: out-of-contract state — refuse to guess
+                return None
+            paths.add(p)
+        return sorted(paths)
+
+    def scan(self, lo=None, hi=None) -> DataFrame:
+        """The table's live rows where ``column`` is within [lo, hi]
+        (inclusive; either bound may be None), reading only the
+        candidate files as one concrete-path scan under the table's
+        basePath.  Falls back to a full scan — never a wrong answer —
+        when the index is absent, voided, or inconsistent."""
+        t = self.table
+        files = self.candidate_files(lo=lo, hi=hi)
+        if files is None:
+            base = t.read()
+        elif not files:
+            schema = t._load_schema()
+            base = t._hide_tombstones(
+                self.spark.createDataFrame([], schema)).drop(t.BUCKET_COL)
+        else:
+            raw = (self.spark.read.option("basePath", t.path)
+                   .parquet(*files))
+            base = t._hide_tombstones(raw).drop(t.BUCKET_COL)
+        c = F.col(self.column)
+        if lo is not None:
+            base = base.where(c >= F.lit(lo))
+        if hi is not None:
+            base = base.where(c <= F.lit(hi))
+        return base

@@ -434,6 +434,25 @@ class CdcPipeline:
                 refreshed.append(col)
         return refreshed
 
+    def refresh_stats_indexes(self, table: str) -> list[str]:
+        """Zone-map twin of ``refresh_bloom_indexes``: recompute the
+        dirty buckets of every min/max stats index registered on
+        ``table`` (operators/stats.py).  Returns the refreshed columns
+        (empty: table unconfigured / absent / no indexes / nothing
+        dirty)."""
+        from .operators.stats import StatsIndex
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return []
+        target = self.target_for(table, keys)
+        if not target.exists():
+            return []
+        refreshed = []
+        for col in list(target.stats_columns):
+            if StatsIndex(target, col).refresh():
+                refreshed.append(col)
+        return refreshed
+
     def purge_versions(self, table: str, keep_last: int = 1) -> bool:
         """Version GC for a versioned target: retain the newest
         ``keep_last`` snapshots, delete unreachable epoch dirs, collapse

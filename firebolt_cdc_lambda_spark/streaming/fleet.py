@@ -188,9 +188,11 @@ class CdcFleet:
                     if wants_gc:
                         did = self.pipeline.purge_versions(
                             table, keep_last=keep_versions) or did
-                # bloom secondary indexes: pay down the merge-flagged
-                # dirty buckets on the same cadence (cost ∝ churn)
+                # bloom + zone-map secondary indexes: pay down the
+                # merge-flagged dirty buckets on the same cadence
+                # (cost ∝ churn)
                 did = bool(self.pipeline.refresh_bloom_indexes(table)) or did
+                did = bool(self.pipeline.refresh_stats_indexes(table)) or did
                 status[table] = "purged" if did else "skipped"
             except Exception as exc:  # noqa: BLE001
                 status[table] = f"failed: {exc}"

@@ -1,0 +1,240 @@
+"""StatsIndex: per-file zone-map (min/max) skipping for range
+predicates, fail-open staleness.
+
+Invariants pinned here (the BloomIndex invariant family, for ranges):
+  * NO FALSE NEGATIVES, ever: scan == full-scan filter, in every
+    staleness state (fresh, post-merge dirty, post-rebuild voided).
+  * pruning actually prunes — ON A RANGE-CLUSTERED LAYOUT
+    (cluster_by(col, max_records_per_file=...)); on an unclustered
+    hash layout the index honestly degrades toward a full read.
+  * merges flag exactly their touched buckets dirty; refresh
+    recomputes only those and restores pruning.
+  * wholesale rewrites (rebucket) void the index (candidate_files ->
+    None) and scan falls back to a correct full read.
+  * a stats row referencing a vanished file (out-of-contract state)
+    degrades to a full scan, never a miss.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
+
+
+def _rows(spark, ids, ts=lambda i: i * 10):
+    return spark.createDataFrame([
+        Row(id=i, ts=ts(i), payload=f"p{i}",
+            Op="U", load_timestamp=dt.datetime(2024, 1, 2)) for i in ids])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """400 rows, 4 buckets, range-clustered on ts into ~25-row files
+    (4-5 files per bucket, each a tight contiguous ts range)."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    return kt
+
+
+def _expect(table, lo, hi):
+    return sorted(
+        r["id"] for r in
+        table.read().where(F.col("ts").between(lo, hi)).collect())
+
+
+def test_scan_equals_filter_and_prunes(table):
+    ix = StatsIndex(table, "ts")
+    n_files = ix.build()
+    total = sum(table.file_stats().values())
+    assert n_files == total >= 16          # multi-file buckets
+    got = sorted(r["id"] for r in ix.scan(lo=100, hi=300).collect())
+    assert got == _expect(table, 100, 300) and got
+    # a ~5% range reads a strict subset of files on the clustered layout
+    cands = ix.candidate_files(lo=100, hi=300)
+    assert cands is not None and 0 < len(cands) < total
+    # out-of-domain probe: zero candidates, empty result, right schema
+    assert ix.candidate_files(lo=10**9, hi=2 * 10**9) == []
+    empty = ix.scan(lo=10**9, hi=2 * 10**9)
+    assert empty.count() == 0 and "ts" in empty.columns
+    # half-open probes prune too
+    lo_only = ix.candidate_files(lo=3500)
+    assert lo_only is not None and 0 < len(lo_only) < total
+    assert (sorted(r["id"] for r in ix.scan(lo=3500).collect())
+            == sorted(range(350, 400)))
+
+
+def test_unclustered_layout_honest_negative(spark, tmp_path):
+    """On a plain hash layout (one full-range file per bucket) the
+    zone map cannot exclude anything for an in-domain range — the
+    index degrades to reading every file, correctly."""
+    kt = KeyedTable(spark, str(tmp_path / "u"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+    ix = StatsIndex(kt, "ts")
+    total = ix.build()
+    cands = ix.candidate_files(lo=100, hi=300)
+    assert len(cands) == total            # nothing pruned — honestly
+    got = sorted(r["id"] for r in ix.scan(lo=100, hi=300).collect())
+    assert got == _expect(kt, 100, 300)
+
+
+def test_merge_marks_dirty_and_stays_correct_before_refresh(spark, table):
+    ix = StatsIndex(table, "ts")
+    ix.build()
+    # merge moves one row far outside its file's built range and adds
+    # a brand-new row beyond the built domain
+    table.merge_batch(_rows(spark, [7, 400], ts=lambda i: 99_000 + i))
+    side = ix._load_side()
+    assert side["dirty"], "merge must flag its touched buckets"
+    got = sorted(r["id"] for r in ix.scan(lo=98_000, hi=100_000).collect())
+    assert got == [7, 400]                # both found via dirty fail-open
+    # id 7's OLD position (ts=70) must no longer match
+    assert 7 not in {r["id"] for r in ix.scan(lo=60, hi=80).collect()}
+    # refresh recomputes exactly the dirty buckets and restores pruning
+    dirty = sorted(int(b) for b in side["dirty"])
+    assert ix.refresh() == dirty
+    assert ix._load_side()["dirty"] == []
+    assert sorted(r["id"] for r in
+                  ix.scan(lo=98_000, hi=100_000).collect()) == [7, 400]
+    total = sum(table.file_stats().values())
+    cands = ix.candidate_files(lo=98_000, hi=100_000)
+    assert cands is not None and 0 < len(cands) < total
+
+
+def test_wholesale_rewrite_voids_index_fail_open(spark, table):
+    ix = StatsIndex(table, "ts")
+    ix.build()
+    table.rebucket(8)
+    assert ix.candidate_files(lo=0, hi=50) is None
+    got = sorted(r["id"] for r in ix.scan(lo=0, hi=50).collect())
+    assert got == _expect(table, 0, 50) == list(range(6))
+    # refresh after a void does a full rebuild and pruning returns
+    ix.refresh()
+    cands = ix.candidate_files(lo=0, hi=50)
+    assert cands is not None
+
+
+def test_vanished_file_degrades_to_full_scan(spark, table):
+    """A built, non-dirty stats row referencing a file the listing no
+    longer has is out-of-contract — the probe must refuse to guess
+    (full scan), never silently skip the data that replaced it."""
+    ix = StatsIndex(table, "ts")
+    ix.build()
+    # simulate an out-of-band rewrite of one bucket dir (no dirty flag,
+    # no version bump — exactly the broken state)
+    import glob
+    import os
+    f = glob.glob(f"{table.path}/_bucket=1/part-*.parquet")[0]
+    os.rename(f, f + ".gone")
+    assert ix.candidate_files(lo=0, hi=10**6) is None
+    os.rename(f + ".gone", f)             # restore for the teardown
+
+
+def test_nulls_never_match_and_all_null_file_excluded(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "n"), ["id"], num_buckets=2)
+    rows = ([Row(id=i, ts=i * 10, payload=f"p{i}") for i in range(50)]
+            + [Row(id=i, ts=None, payload="null-ts")
+               for i in range(50, 80)])
+    kt.init(spark.createDataFrame(rows))
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    got = sorted(r["id"] for r in ix.scan(lo=0, hi=10**6).collect())
+    assert got == list(range(50))         # NULL ts rows never match
+    side_stats = spark.read.parquet(ix.stats_path)
+    # per-file null bookkeeping is recorded for health tooling
+    tot = side_stats.agg(F.sum("n_rows"), F.sum("n_notnull")).collect()[0]
+    assert (int(tot[0]), int(tot[1])) == (80, 50)
+
+
+def test_reinit_drops_orphan_stats_index(spark, tmp_path):
+    import os
+    path = str(tmp_path / "t")
+    kt = KeyedTable(spark, path, ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(50)).drop("Op", "load_timestamp"))
+    StatsIndex(kt, "ts").build()
+    import shutil
+    shutil.rmtree(path)
+    assert os.path.exists(path + "__stats_ts.json")
+    kt2 = KeyedTable(spark, path, ["id"], num_buckets=4)
+    kt2.init(_rows(spark, range(30), ts=lambda i: -i)
+             .drop("Op", "load_timestamp"))
+    assert not os.path.exists(path + "__stats_ts.json")
+    assert kt2.stats_columns == []
+    ix = StatsIndex(kt2, "ts")
+    assert ix.candidate_files(lo=-10, hi=0) is None   # no orphan match
+    assert ix.scan(lo=-10, hi=0).count() == 11        # full-scan fallback
+
+
+def test_versioned_table_rejected(spark, tmp_path):
+    kt = KeyedTable(spark, str(tmp_path / "v"), ["id"], num_buckets=2,
+                    versioned=True)
+    with pytest.raises(ValueError, match="versioned"):
+        StatsIndex(kt, "ts")
+
+
+def test_delete_vectors_scan_hides_dv_rows(spark, tmp_path):
+    """DV-mode interplay: scan rides _hide_tombstones, so sidecar
+    deletes are invisible through the pruned path too."""
+    kt = KeyedTable(spark, str(tmp_path / "dv"), ["id"], num_buckets=4,
+                    delete_vectors=True)
+    kt.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=10)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    kt.merge_batch(_rows(spark, [12, 13]).withColumn("Op", F.lit("D")),
+                   version_col="load_timestamp")
+    got = sorted(r["id"] for r in ix.scan(lo=100, hi=200).collect())
+    assert got == [10, 11, 14, 15, 16, 17, 18, 19, 20]
+
+
+def test_pipeline_maintenance_refreshes_stats(spark, tmp_path):
+    """CdcPipeline.refresh_stats_indexes (the run_maintenance cadence
+    hook) pays the dirty-bucket debt down for zone maps on the same
+    cadence as bloom indexes."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"t": "id"}'), num_buckets=8)
+    target = pipe.target_for("t", ["id"])
+    target.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    ix = StatsIndex(target, "ts")
+    ix.build()
+    assert pipe.refresh_stats_indexes("t") == []           # nothing dirty
+    t2 = pipe.target_for("t", ["id"])                      # fresh handle
+    t2.merge_batch(_rows(spark, [3, 4]))
+    assert pipe.refresh_stats_indexes("t") == ["ts"]
+    assert StatsIndex(t2, "ts")._load_side()["dirty"] == []
+    assert pipe.refresh_stats_indexes("nope") == []        # unconfigured
+
+
+def test_randomized_scans_no_false_negatives(spark, tmp_path):
+    """Randomized property: arbitrary merge/refresh interleavings and
+    random range probes — scan must equal the full-scan filter every
+    time, in every staleness state."""
+    import random
+    rng = random.Random(8)
+    kt = KeyedTable(spark, str(tmp_path / "r"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(200)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=20)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    next_id = 200
+    for step in range(6):
+        action = rng.choice(["merge", "merge", "refresh"])
+        if action == "merge":
+            ids = rng.sample(range(next_id), k=3) + [next_id]
+            next_id += 1
+            kt.merge_batch(_rows(
+                spark, ids, ts=lambda i, s=step: i * 10 + s * 7))
+        else:
+            ix.refresh()
+        lo = rng.randrange(-100, 2200)
+        hi = lo + rng.randrange(0, 900)
+        got = sorted(r["id"] for r in ix.scan(lo=lo, hi=hi).collect())
+        exp = sorted(r["id"] for r in kt.read()
+                     .where(F.col("ts").between(lo, hi)).collect())
+        assert got == exp, f"step {step}: [{lo},{hi}] {got} != {exp}"
