@@ -403,6 +403,43 @@ def bench_dv_delete(spark, sf_dir) -> list[float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_stats_scan(spark, sf_dir) -> list[float]:
+    """Zone-map pruned range scan (PLANS §7r on the bench cadence):
+    a 3-month date probe over a range-clustered orders snapshot
+    (cluster_by(o_orderdate, ~4 files/bucket), StatsIndex built,
+    untimed).  Candidates bind at the structural floor (~1 file per
+    bucket); locally the ~0.7 s probe floor dominates — the tracked
+    number is the floor, the payoff is the ~1/k bytes at real file
+    sizes."""
+    import datetime as dt
+
+    from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="bench_stats_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                        num_buckets=64)
+        kt.init(orders)
+        kt.cluster_by(["o_orderdate"],
+                      max_records_per_file=max(1, n // 256))
+        ix = StatsIndex(kt, "o_orderdate")
+        ix.build()
+        lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 31)
+        ix.scan(lo=lo, hi=hi).write.format("noop").mode(
+            "overwrite").save()                              # warm
+        samples = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            ix.scan(lo=lo, hi=hi).write.format("noop").mode(
+                "overwrite").save()
+            samples.append(time.time() - t0)
+        return samples
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_joinview(spark, sf_dir) -> tuple[list[float], list[float]]:
     """Incremental materialized-join maintenance (PLANS §7n/7p on the
     bench cadence; build untimed): fact leg = a 40-key CDC batch
@@ -564,6 +601,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"dv bench failed: {exc}", file=sys.stderr)
         dv_delete = 0.0
+    # round 8 — shielded, reported outside `queries`
+    try:
+        st_samples = bench_stats_scan(spark, sf_dir)
+        stats_scan = round(min(st_samples), 3)
+        dispersion["cdc_stats_scan"] = summarize(st_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"stats-scan bench failed: {exc}", file=sys.stderr)
+        stats_scan = 0.0
     try:
         jv_fact_s, jv_dim_s = bench_joinview(spark, sf_dir)
         jv_fact = round(min(jv_fact_s), 3)
@@ -598,6 +643,7 @@ def main() -> None:
         "joinview_fact_leg": jv_fact,
         "joinview_dim_leg": jv_dim,
         "cdc_dv_delete_batch": dv_delete,
+        "cdc_stats_scan": stats_scan,
         "dispersion": dispersion,
         "sf": sf,
     }))

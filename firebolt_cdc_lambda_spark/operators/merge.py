@@ -1332,6 +1332,31 @@ class KeyedTable:
                     if st.getPath().getName().endswith(".parquet"):
                         report["dv_files"] += 1
                         report["dv_bytes"] += int(st.getLen())
+        if self.bloom_columns or self.stats_columns:
+            # secondary-index footprint + staleness (the refresh
+            # signal): dirty buckets accumulate until the maintenance
+            # cadence pays them down, exactly like dv_bytes/dead_ratio
+            import json as _json
+
+            from .. import fsio
+            report["index_columns"] = (
+                [f"bloom:{c}" for c in self.bloom_columns]
+                + [f"stats:{c}" for c in self.stats_columns])
+            report["index_bytes"] = 0
+            report["index_dirty_buckets"] = 0
+            fs, _, jvm = self._fs_and_path(self.path)
+            for kind, col in ([("bloom", c) for c in self.bloom_columns]
+                              + [("stats", c) for c in self.stats_columns]):
+                root = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}__{kind}_{col}")
+                if fs.exists(root):
+                    report["index_bytes"] += int(
+                        fs.getContentSummary(root).getLength())
+                text = fsio.read_text(
+                    self.spark, f"{self.path}__{kind}_{col}.json")
+                if text is not None:
+                    report["index_dirty_buckets"] += len(
+                        _json.loads(text).get("dirty", []))
         return report
 
     def rebucket(self, new_num_buckets: int) -> None:

@@ -165,13 +165,24 @@ class StatsIndex:
         return dirty
 
     # -- probe ----------------------------------------------------------------
-    def candidate_files(self, lo=None, hi=None) -> list[str] | None:
+    def candidate_files(self, lo=None, hi=None,
+                        buckets=None) -> list[str] | None:
         """Full paths of the data files that might hold rows with
         ``column`` in [lo, hi] (either bound may be None = unbounded):
         overlap-matched built files plus EVERY file of a dirty bucket
         (fail-open).  Returns None when the index is absent, voided by
         a wholesale rewrite, or inconsistent with the current listing
-        (caller must full-scan)."""
+        (caller must full-scan).
+
+        ``buckets`` restricts candidates to the given bucket ids — the
+        MIXED-predicate composition hook: pass a BloomIndex's
+        ``candidate_buckets(values)`` to intersect an equality prune
+        with this range prune (a row matching both predicates can only
+        live in a file that overlaps the range AND sits in a bucket
+        the bloom admits; each index's fail-open set is already inside
+        its own candidates, so the intersection stays safe).  A None
+        from the bloom side means "no information" — pass buckets=None
+        then, not []."""
         if lo is None and hi is None:
             raise ValueError("unbounded probe: pass lo and/or hi")
         side = self._load_side()
@@ -191,9 +202,13 @@ class StatsIndex:
         matched = [(int(r[0]), str(r[1])) for r in
                    stats.where(cond).select("b", "f").collect()]
         dirty = {int(b) for b in side.get("dirty", [])}
+        want = None if buckets is None else {int(b) for b in buckets}
         listing = self._listing()
-        paths = {p for (b, f), p in listing.items() if b in dirty}
+        paths = {p for (b, f), p in listing.items()
+                 if b in dirty and (want is None or b in want)}
         for b, f in matched:
+            if want is not None and b not in want:
+                continue                       # excluded by the caller
             if b in dirty:
                 continue                       # whole bucket already in
             p = listing.get((b, f))
@@ -204,14 +219,16 @@ class StatsIndex:
             paths.add(p)
         return sorted(paths)
 
-    def scan(self, lo=None, hi=None) -> DataFrame:
+    def scan(self, lo=None, hi=None, buckets=None) -> DataFrame:
         """The table's live rows where ``column`` is within [lo, hi]
         (inclusive; either bound may be None), reading only the
         candidate files as one concrete-path scan under the table's
         basePath.  Falls back to a full scan — never a wrong answer —
-        when the index is absent, voided, or inconsistent."""
+        when the index is absent, voided, or inconsistent.  ``buckets``
+        composes with an equality index (see candidate_files); the
+        caller still applies its own equality filter on the result."""
         t = self.table
-        files = self.candidate_files(lo=lo, hi=hi)
+        files = self.candidate_files(lo=lo, hi=hi, buckets=buckets)
         if files is None:
             base = t.read()
         elif not files:

@@ -238,3 +238,60 @@ def test_randomized_scans_no_false_negatives(spark, tmp_path):
         exp = sorted(r["id"] for r in kt.read()
                      .where(F.col("ts").between(lo, hi)).collect())
         assert got == exp, f"step {step}: [{lo},{hi}] {got} != {exp}"
+
+
+def test_health_report_tracks_index_footprint(spark, tmp_path):
+    """health_report surfaces secondary-index bytes + accumulated
+    dirty buckets (the refresh signal, like dv_bytes for folds)."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    kt = KeyedTable(spark, str(tmp_path / "h"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    rep0 = kt.health_report()
+    assert "index_columns" not in rep0             # no indexes yet
+    StatsIndex(kt, "ts").build()
+    BloomIndex(kt, "payload").build()
+    kt2 = KeyedTable(spark, str(tmp_path / "h"), ["id"])  # fresh handle
+    rep = kt2.health_report()
+    assert sorted(rep["index_columns"]) == ["bloom:payload", "stats:ts"]
+    assert rep["index_bytes"] > 0
+    assert rep["index_dirty_buckets"] == 0
+    kt2.merge_batch(_rows(spark, [1, 2]))
+    rep2 = kt2.health_report()
+    assert rep2["index_dirty_buckets"] > 0         # both sidecars flagged
+
+
+def test_mixed_predicate_bloom_intersection(spark, tmp_path):
+    """Composing the equality index with the range index: candidate
+    files for (category = X AND ts in [lo, hi]) are the range
+    candidates RESTRICTED to the bloom's candidate buckets — strictly
+    fewer than either prune alone on this layout, with the combined
+    filter still exact."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    kt = KeyedTable(spark, str(tmp_path / "m"), ["id"], num_buckets=8)
+    df = spark.createDataFrame([
+        Row(id=i, ts=i * 10, category=f"cat_{i % 797}", payload=f"p{i}")
+        for i in range(800)])
+    kt.init(df)
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    six = StatsIndex(kt, "ts")
+    six.build()
+    bix = BloomIndex(kt, "category", m_bits=65536)
+    bix.build()
+    total = sum(kt.file_stats().values())
+    rng = six.candidate_files(lo=1000, hi=3000)
+    bks = bix.candidate_buckets(["cat_150"])
+    both = six.candidate_files(lo=1000, hi=3000, buckets=bks)
+    assert bks is not None and rng is not None and both is not None
+    assert len(both) <= min(len(rng), total)
+    assert len(both) < len(rng)            # the intersection binds here
+    got = sorted(r["id"] for r in
+                 six.scan(lo=1000, hi=3000, buckets=bks)
+                 .where(F.col("category") == "cat_150").collect())
+    exp = sorted(r["id"] for r in
+                 kt.read().where((F.col("category") == "cat_150")
+                                 & F.col("ts").between(1000, 3000))
+                 .collect())
+    assert got == exp and got
+    # bloom voided (None = no information) must widen, never narrow
+    wide = six.candidate_files(lo=1000, hi=3000, buckets=None)
+    assert set(rng) == set(wide)
