@@ -1393,17 +1393,26 @@ class KeyedTable:
         self.rewrite(self.snapshot_for_rewrite(), sort_within=cols,
                      max_records_per_file=max_records_per_file)
 
-    def zorder_by(self, cols: Sequence[str], bits: int = 16) -> None:
+    def zorder_by(self, cols: Sequence[str], bits: int = 16,
+                  max_records_per_file: int | None = None) -> None:
         """Sort rows within each bucket along the Z-curve (Morton order)
         over ``cols`` and rewrite — balanced multi-column row-group
         skipping (see operators/zorder.py for the layout argument).
         Cost: one metadata-sized min/max aggregate + the same single
         rewrite job ``cluster_by`` pays; the z-value is a pure codegen
-        expression, computed on the fly and never stored."""
+        expression, computed on the fly and never stored.
+
+        ``max_records_per_file`` cuts each bucket into files along the
+        Z-curve, so EVERY z-ordered column's per-file [min, max] is
+        tight — a StatsIndex per column then file-prunes on any of
+        them (and a box predicate intersects the candidate sets),
+        where a lexicographic ``cluster_by`` gives file-level
+        selectivity only on its leading column."""
         from .zorder import minmax, zorder_column
         snap = self.snapshot_for_rewrite()
         stats = minmax(snap, cols)
-        self.rewrite(snap, sort_within=[zorder_column(stats, bits)])
+        self.rewrite(snap, sort_within=[zorder_column(stats, bits)],
+                     max_records_per_file=max_records_per_file)
 
     def merge_batch(self, staging: DataFrame, return_stats: bool = False,
                     **merge_kwargs) -> int | tuple[int, int]:

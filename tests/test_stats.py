@@ -295,3 +295,57 @@ def test_mixed_predicate_bloom_intersection(spark, tmp_path):
     # bloom voided (None = no information) must widen, never narrow
     wide = six.candidate_files(lo=1000, hi=3000, buckets=None)
     assert set(rng) == set(wide)
+
+
+def test_zorder_multifile_prunes_both_dims_at_file_level(spark, tmp_path):
+    """Z-order + max_records_per_file: per-file zone maps are tight on
+    BOTH z-ordered columns, so a box predicate file-prunes on each
+    dimension and their candidate-set INTERSECTION prunes harder than
+    either alone.  Under lexicographic cluster_by only the leading
+    column's file stats are selective (the trailing column spans the
+    full domain in every file) — the file-level mirror of
+    test_zorder's row-group result."""
+    from pyspark.sql import Row as R
+    rows = [R(id=i, x=i % 64, y=(i * 37) % 64) for i in range(4096)]
+
+    def build(path, layout):
+        kt = KeyedTable(spark, path, ["id"], num_buckets=2)
+        kt.init(spark.createDataFrame(rows))
+        if layout == "z":
+            kt.zorder_by(["x", "y"], max_records_per_file=128)
+        else:
+            kt.cluster_by(["x", "y"], max_records_per_file=128)
+        sx, sy = StatsIndex(kt, "x"), StatsIndex(kt, "y")
+        sx.build(), sy.build()
+        return kt, sx, sy
+
+    for layout in ("z", "lex"):
+        kt, sx, sy = build(str(tmp_path / layout), layout)
+        total = sum(kt.file_stats().values())
+        cx = sx.candidate_files(lo=8, hi=15)       # 1/8 of x domain
+        cy = sy.candidate_files(lo=8, hi=15)       # 1/8 of y domain
+        both = sorted(set(cx) & set(cy))
+        got = sorted(r["id"] for r in
+                     (spark.read.option("basePath", kt.path).parquet(*both)
+                      .where(F.col("x").between(8, 15)
+                             & F.col("y").between(8, 15))).collect())
+        exp = sorted(r["id"] for r in
+                     kt.read().where(F.col("x").between(8, 15)
+                                     & F.col("y").between(8, 15)).collect())
+        assert got == exp and got, layout           # never a false negative
+        if layout == "z":
+            # both dims selective, intersection strictly harder
+            assert len(cx) < total and len(cy) <= total // 2
+            assert len(both) < min(len(cx), len(cy))
+            z_cy = len(cy)
+        else:
+            # lexicographic: the trailing column y spans (nearly) the
+            # full domain in every file — its prune is close to
+            # powerless (a few boundary files excepted), so the
+            # intersection adds almost nothing over the x-prune alone
+            assert len(cy) > 3 * total // 4
+            assert len(both) >= len(cx) - 3
+            lex_cy = len(cy)
+    # the Z-curve's whole point at file level: the TRAILING dimension
+    # prunes under z-order where lexicographic leaves it powerless
+    assert z_cy < lex_cy // 2
