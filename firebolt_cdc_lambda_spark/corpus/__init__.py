@@ -385,6 +385,13 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     re-pinned this round by dataset_split_assignment (slot 12) —
 #     joins the round-9 deferrals, making 21.  Validated at sf0.001 +
 #     sf0.01 + sf0.1 and plain.
+# Post-round arithmetic (if all 50 land green): 170 corpus queries,
+# 170/170 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r8=50, r7=50, r6=49, r5=21, r4=0
+# (50+50+49+21=170 checks; the 21 r5 rows = the 18 family-covered
+# deferrals + the 3 rule-2 displacements above — they lead round 9).
+# Pre-gate dry run: all 50 slots validated green in ONE plain session
+# at sf0.01, full corpus 170/170 strict-green at sf0.001 AND sf0.01.
 _DRIVER_PRIORITY = [
     # slots 1-18: the eighteen r4-stale rows (deferral-ledger order) ------
     "dedup_ngram_jaccard", "window_moving_frame",
