@@ -50,33 +50,32 @@ probes are rejected — ``isin`` semantics can never match NULL anyway.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
 from .merge import KeyedTable
+from .sidecar_index import SidecarIndex
 
 _WORD_BITS = 32
 
 
-class BloomIndex:
+class BloomIndex(SidecarIndex):
+    kind = "bloom"
+
     def __init__(self, table: KeyedTable, column: str,
                  m_bits: int = 4096, k: int = 3):
         if k < 1 or m_bits < _WORD_BITS:
             raise ValueError("need k >= 1 and m_bits >= 32")
-        self.table = table
-        self.column = column
+        super().__init__(table, column)
         self.m = int(m_bits)
         self.k = int(k)
-        self.spark = table.spark
-        self.words_path = f"{table.path}__bloom_{column}"
-        # SIBLING path, like the words dataset: the unversioned rewrite
-        # swap DELETES the whole table dir, so a sidecar inside it would
+        # SIBLING paths, per SidecarIndex: the unversioned rewrite swap
+        # DELETES the whole table dir, so a sidecar inside it would
         # vanish on every rebucket/zorder — losing the stored m/k (and
         # the index registration's paper trail) instead of just being
         # voided by the table_version bump
-        self.sidecar_path = f"{table.path}__bloom_{column}.json"
+        self.words_path = self.data_path     # historical alias
 
     # -- shared hash expression (build AND probe use this verbatim) -------
     def _positions(self, col: str) -> F.Column:
@@ -98,19 +97,6 @@ class BloomIndex:
                     f"shiftleft(CAST(1 AS BIGINT), "
                     f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits")))
 
-    def _load_side(self) -> dict | None:
-        from .. import fsio
-        text = fsio.read_text(self.spark, self.sidecar_path)
-        return None if text is None else json.loads(text)
-
-    def _save_side(self, side: dict) -> None:
-        from .. import fsio
-        fsio.write_text(self.spark, self.sidecar_path, json.dumps(side))
-
-    def _current_tv(self) -> int:
-        meta = self.table._load_meta()
-        return int((meta or {}).get("table_version", 0))
-
     # -- build / refresh ---------------------------------------------------
     def build(self) -> int:
         """Full (re)build over every bucket on disk; registers the column
@@ -128,37 +114,21 @@ class BloomIndex:
         self.table._register_bloom_column(self.column)
         return len(built)
 
-    def refresh(self) -> list[int]:
-        """Recompute ONLY the merge-flagged dirty buckets (reading only
-        them).  On a table_version mismatch — some wholesale rewrite
-        happened — falls back to a full ``build``.  The STORED index's
-        m/k are adopted (they define the on-disk word format): a
-        maintenance caller constructing with default parameters must
-        never silently rebuild a differently-sized index.  Returns the
-        buckets recomputed."""
-        side = self._load_side()
-        if side is not None:
-            # adopt the stored sizing FIRST — including on the voided
-            # branch below, where build() would otherwise silently
-            # rebuild a custom-sized index at the constructor defaults
-            self.m, self.k = int(side["m"]), int(side["k"])
-        if side is None or side["table_version"] != self._current_tv():
-            self.build()
-            return sorted(self.table.file_stats())
-        dirty = [int(b) for b in side.get("dirty", [])]
-        if not dirty:
-            return []
-        words = self._words_for(dirty)
+    def _adopt_side(self, side: dict) -> None:
+        # adopt the stored sizing FIRST — including on refresh's voided
+        # branch, where build() would otherwise silently rebuild a
+        # custom-sized index at the constructor defaults (the m/k
+        # define the on-disk word format)
+        self.m, self.k = int(side["m"]), int(side["k"])
+
+    def _recompute_dirty(self, dirty: list[int]) -> None:
         # dynamic overwrite: replace exactly the dirty buckets' words.
         # A bucket emptied since build keeps its old words — harmless,
         # false-positive-only (see module docstring).
+        words = self._words_for(dirty)
         (words.repartition("b").write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("b").parquet(self.words_path))
-        side["built"] = sorted(set(side["built"]) | set(dirty))
-        side["dirty"] = []
-        self._save_side(side)
-        return sorted(dirty)
 
     # -- probe -------------------------------------------------------------
     def candidate_buckets(self, values: Sequence) -> list[int] | None:

@@ -903,23 +903,33 @@ class KeyedTable:
         fs, _, jvm = self._fs_and_path(self.path)
         p = jvm.org.apache.hadoop.fs.Path(self._dv_path)
         p_bak = jvm.org.apache.hadoop.fs.Path(f"{self._dv_path}__old")
+        # remove paths delete the BACKUP first: the reverse order has a
+        # crash window with only the stale backup left, and _read_dv
+        # would fall back to it — resurrecting cleared DELETE entries
         if dv is None:
-            if fs.exists(p):
-                fs.delete(p, True)
             if fs.exists(p_bak):
                 fs.delete(p_bak, True)
+            if fs.exists(p):
+                fs.delete(p, True)
             return
         pinned = dv.localCheckpoint(eager=True)
         if pinned.limit(1).isEmpty():
-            if fs.exists(p):
-                fs.delete(p, True)
             if fs.exists(p_bak):
                 fs.delete(p_bak, True)
+            if fs.exists(p):
+                fs.delete(p, True)
             return
         tmp = f"{self._dv_path}__tmp"
         pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(p_bak):      # leftover from a crashed prior swap
+        if not fs.exists(p) and fs.exists(p_bak):
+            # backup-only recovery state (crash between a prior swap's
+            # two renames): PROMOTE the backup — it is the committed
+            # state — before the normal swap; deleting it as a mere
+            # leftover here would open a no-sidecar-at-all crash window
+            # (review finding, round 8)
+            fs.rename(p_bak, p)
+        if fs.exists(p_bak):      # true leftover (primary exists: it wins)
             fs.delete(p_bak, True)
         if fs.exists(p):
             fs.rename(p, p_bak)   # old state stays readable throughout
@@ -1332,7 +1342,15 @@ class KeyedTable:
                     if st.getPath().getName().endswith(".parquet"):
                         report["dv_files"] += 1
                         report["dv_bytes"] += int(st.getLen())
-        if self.bloom_columns or self.stats_columns:
+        # secondary-index columns from the CURRENT meta, not this
+        # handle's copy — an index registered by another process after
+        # construction must still be reported (the same cross-process
+        # staleness reason _mark_bloom_dirty re-reads; review finding,
+        # round 8)
+        meta = self._load_meta() or {}
+        bloom_cols = list(meta.get("bloom_columns", []))
+        stats_cols = list(meta.get("stats_columns", []))
+        if bloom_cols or stats_cols:
             # secondary-index footprint + staleness (the refresh
             # signal): dirty buckets accumulate until the maintenance
             # cadence pays them down, exactly like dv_bytes/dead_ratio
@@ -1340,13 +1358,13 @@ class KeyedTable:
 
             from .. import fsio
             report["index_columns"] = (
-                [f"bloom:{c}" for c in self.bloom_columns]
-                + [f"stats:{c}" for c in self.stats_columns])
+                [f"bloom:{c}" for c in bloom_cols]
+                + [f"stats:{c}" for c in stats_cols])
             report["index_bytes"] = 0
             report["index_dirty_buckets"] = 0
             fs, _, jvm = self._fs_and_path(self.path)
-            for kind, col in ([("bloom", c) for c in self.bloom_columns]
-                              + [("stats", c) for c in self.stats_columns]):
+            for kind, col in ([("bloom", c) for c in bloom_cols]
+                              + [("stats", c) for c in stats_cols]):
                 root = jvm.org.apache.hadoop.fs.Path(
                     f"{self.path}__{kind}_{col}")
                 if fs.exists(root):

@@ -58,25 +58,23 @@ NULL, so an all-NULL file is NOT a candidate.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, functions as F
 
 from .merge import KeyedTable
+from .sidecar_index import SidecarIndex
 
 
-class StatsIndex:
+class StatsIndex(SidecarIndex):
+    kind = "stats"
+
     def __init__(self, table: KeyedTable, column: str):
         if table.versioned:
             raise ValueError(
                 "StatsIndex v1 does not support versioned tables (scan "
                 "granularity there is the epoch resolution, not a flat "
                 "file list); use cluster_by row-group skipping")
-        self.table = table
-        self.column = column
-        self.spark = table.spark
-        self.stats_path = f"{table.path}__stats_{column}"
-        self.sidecar_path = f"{table.path}__stats_{column}.json"
+        super().__init__(table, column)
+        self.stats_path = self.data_path     # historical alias
 
     # -- shared aggregation (build AND refresh use this verbatim) ----------
     def _stats_for(self, buckets: list[int] | None) -> DataFrame:
@@ -94,19 +92,6 @@ class StatsIndex:
                 .agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
                      F.count(F.lit(1)).alias("n_rows"),
                      F.count(c).alias("n_notnull")))
-
-    def _load_side(self) -> dict | None:
-        from .. import fsio
-        text = fsio.read_text(self.spark, self.sidecar_path)
-        return None if text is None else json.loads(text)
-
-    def _save_side(self, side: dict) -> None:
-        from .. import fsio
-        fsio.write_text(self.spark, self.sidecar_path, json.dumps(side))
-
-    def _current_tv(self) -> int:
-        meta = self.table._load_meta()
-        return int((meta or {}).get("table_version", 0))
 
     def _listing(self) -> dict[tuple[int, str], str]:
         """{(bucket, filename): full path} for every current data file
@@ -130,24 +115,13 @@ class StatsIndex:
         self.table._register_stats_column(self.column)
         return int(n_files)
 
-    def refresh(self) -> list[int]:
-        """Recompute ONLY the merge-flagged dirty buckets (reading only
-        them) — maintenance cost ∝ churn, like the merge itself.  On a
-        table_version mismatch (some wholesale rewrite happened) falls
-        back to a full ``build``.  Returns the buckets recomputed.
-
-        A dirty bucket that came back EMPTY (every row deleted) gets
-        its stats partition deleted outright — an empty group vanishes
-        from the aggregation, so dynamic overwrite alone would leave
-        stale rows referencing dead files, and the probe's
-        missing-file check would then degrade every scan to full."""
-        side = self._load_side()
-        if side is None or side["table_version"] != self._current_tv():
-            self.build()
-            return sorted(self.table.file_stats())
-        dirty = sorted(int(b) for b in side.get("dirty", []))
-        if not dirty:
-            return []
+    def _recompute_dirty(self, dirty: list[int]) -> None:
+        """SidecarIndex refresh hook.  A dirty bucket that came back
+        EMPTY (every row deleted) gets its stats partition deleted
+        outright — an empty group vanishes from the aggregation, so
+        dynamic overwrite alone would leave stale rows referencing
+        dead files, and the probe's missing-file check would then
+        degrade every scan to full."""
         stats = self._stats_for(dirty).localCheckpoint(eager=True)
         (stats.repartition("b").write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -159,10 +133,6 @@ class StatsIndex:
             p = jvm.org.apache.hadoop.fs.Path(f"{self.stats_path}/b={b}")
             if fs.exists(p):
                 fs.delete(p, True)
-        side["built"] = sorted(set(side["built"]) | set(dirty))
-        side["dirty"] = []
-        self._save_side(side)
-        return dirty
 
     # -- probe ----------------------------------------------------------------
     def candidate_files(self, lo=None, hi=None,
@@ -192,13 +162,18 @@ class StatsIndex:
             stats = self.spark.read.parquet(self.stats_path)
         except Exception:
             return None       # stats dataset missing/unreadable: fail open
-        schema = self.table._load_schema()
-        vtype = schema[self.column].dataType
+        # NO cast of the probe bounds to the column type: a plain cast
+        # turns an out-of-range bound (e.g. 2^31 against an int column)
+        # into NULL, which would return ZERO candidates — a silent
+        # false negative, the one failure direction this module bans.
+        # Spark's comparison coercion widens both sides instead, which
+        # is exactly what scan()'s residual filter does — the probe and
+        # the filter cannot diverge (review finding, round 8).
         cond = F.col("lo").isNotNull()        # all-NULL file: no match
         if hi is not None:
-            cond = cond & (F.col("lo") <= F.lit(hi).cast(vtype))
+            cond = cond & (F.col("lo") <= F.lit(hi))
         if lo is not None:
-            cond = cond & (F.col("hi") >= F.lit(lo).cast(vtype))
+            cond = cond & (F.col("hi") >= F.lit(lo))
         matched = [(int(r[0]), str(r[1])) for r in
                    stats.where(cond).select("b", "f").collect()]
         dirty = {int(b) for b in side.get("dirty", [])}

@@ -422,17 +422,7 @@ class CdcPipeline:
         refreshed columns (empty: table unconfigured / absent / no
         indexes / nothing dirty)."""
         from .operators.bloom import BloomIndex
-        keys = self.table_keys.resolve(table)
-        if keys is None:
-            return []
-        target = self.target_for(table, keys)
-        if not target.exists():
-            return []
-        refreshed = []
-        for col in list(target.bloom_columns):
-            if BloomIndex(target, col).refresh():
-                refreshed.append(col)
-        return refreshed
+        return self._refresh_indexes(table, BloomIndex, "bloom_columns")
 
     def refresh_stats_indexes(self, table: str) -> list[str]:
         """Zone-map twin of ``refresh_bloom_indexes``: recompute the
@@ -441,6 +431,13 @@ class CdcPipeline:
         (empty: table unconfigured / absent / no indexes / nothing
         dirty)."""
         from .operators.stats import StatsIndex
+        return self._refresh_indexes(table, StatsIndex, "stats_columns")
+
+    def _refresh_indexes(self, table: str, index_cls,
+                         columns_attr: str) -> list[str]:
+        """Shared maintenance scaffold for both secondary-index
+        families — one copy of the resolve/exists/loop contract so the
+        two cadence hooks cannot diverge (review finding, round 8)."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return []
@@ -448,8 +445,8 @@ class CdcPipeline:
         if not target.exists():
             return []
         refreshed = []
-        for col in list(target.stats_columns):
-            if StatsIndex(target, col).refresh():
+        for col in list(getattr(target, columns_attr)):
+            if index_cls(target, col).refresh():
                 refreshed.append(col)
         return refreshed
 

@@ -349,3 +349,24 @@ def test_zorder_multifile_prunes_both_dims_at_file_level(spark, tmp_path):
     # the Z-curve's whole point at file level: the TRAILING dimension
     # prunes under z-order where lexicographic leaves it powerless
     assert z_cy < lex_cy // 2
+
+
+def test_out_of_range_probe_bound_is_not_a_false_negative(spark, tmp_path):
+    """Review regression (round 8): the probe used to cast bounds to
+    the column type — an out-of-range bound (2^31 against an int
+    column) became NULL under non-ANSI semantics and returned ZERO
+    candidates: a silently EMPTY result where the residual filter
+    would match every row.  Bounds now ride Spark's comparison
+    coercion, identical to scan's residual filter."""
+    from pyspark.sql import types as T
+    kt = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=2)
+    kt.init(spark.createDataFrame(
+        [(i, i * 10) for i in range(50)],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("ts", T.IntegerType())])))
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    cands = ix.candidate_files(lo=0, hi=2**31)     # past INT_MAX
+    assert cands                                    # non-empty candidates
+    got = sorted(r["id"] for r in ix.scan(lo=0, hi=2**31).collect())
+    assert got == list(range(50))                   # every row found
