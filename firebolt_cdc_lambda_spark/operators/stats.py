@@ -49,11 +49,16 @@ Design (100 TB first):
   scan rather than guessing.  Every failure direction over-scans,
   never misses.
 
-v1 exclusions: versioned (epoch-manifest) tables — their scan
-granularity is the epoch resolution, not a flat file list; use
-``cluster_by`` row-group skipping there.  NULLs: ``lo``/``hi`` ignore
-NULLs (Spark min/max semantics) and a range predicate can never match
-NULL, so an all-NULL file is NOT a candidate.
+Versioned (epoch-manifest) tables are supported as of round 8: the
+index describes the LATEST snapshot — builds and refreshes read
+through the table's own epoch resolution, the listing resolves to
+each bucket's live current-epoch leaves, and a versioned merge's new
+epoch rides the same dirty flag.  Time travel (``read(as_of=)``)
+keeps its own resolution path and never consults the index;
+``purge_versions`` removes only dead epochs, which the index never
+references.  NULLs: ``lo``/``hi`` ignore NULLs (Spark min/max
+semantics) and a range predicate can never match NULL, so an all-NULL
+file is NOT a candidate.
 """
 
 from __future__ import annotations
@@ -68,11 +73,6 @@ class StatsIndex(SidecarIndex):
     kind = "stats"
 
     def __init__(self, table: KeyedTable, column: str):
-        if table.versioned:
-            raise ValueError(
-                "StatsIndex v1 does not support versioned tables (scan "
-                "granularity there is the epoch resolution, not a flat "
-                "file list); use cluster_by row-group skipping")
         super().__init__(table, column)
         self.stats_path = self.data_path     # historical alias
 
@@ -94,10 +94,18 @@ class StatsIndex(SidecarIndex):
                      F.count(c).alias("n_notnull")))
 
     def _listing(self) -> dict[tuple[int, str], str]:
-        """{(bucket, filename): full path} for every current data file
-        — the same one-filesystem-walk health_report uses."""
+        """{(bucket, filename): full path} for every LIVE data file —
+        the same one-filesystem-walk health_report uses.  On a
+        versioned table "live" = each bucket's resolved current-epoch
+        leaves (dead-epoch history is exactly what the stats describe
+        nothing about: the index serves the LATEST snapshot; time
+        travel keeps its own resolution path)."""
+        assign = None
+        if self.table.versioned:
+            assign, _ = self.table._resolve_epochs(None)
         return {(b, st.getPath().getName()): str(st.getPath())
-                for b, st, _ in self.table._walk_data_files()}
+                for b, st, epoch in self.table._walk_data_files()
+                if assign is None or assign.get(b) == epoch}
 
     # -- build / refresh -----------------------------------------------------
     def build(self) -> int:
@@ -213,7 +221,9 @@ class StatsIndex(SidecarIndex):
         else:
             raw = (self.spark.read.option("basePath", t.path)
                    .parquet(*files))
-            base = t._hide_tombstones(raw).drop(t.BUCKET_COL)
+            # versioned layout adds the epoch partition column; drop is
+            # lenient when it is absent (plain layout)
+            base = t._hide_tombstones(raw).drop(t.BUCKET_COL, t.EPOCH_COL)
         c = F.col(self.column)
         if lo is not None:
             base = base.where(c >= F.lit(lo))

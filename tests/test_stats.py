@@ -168,11 +168,41 @@ def test_reinit_drops_orphan_stats_index(spark, tmp_path):
     assert ix.scan(lo=-10, hi=0).count() == 11        # full-scan fallback
 
 
-def test_versioned_table_rejected(spark, tmp_path):
-    kt = KeyedTable(spark, str(tmp_path / "v"), ["id"], num_buckets=2,
+def test_versioned_table_scan_refresh_and_time_travel(spark, tmp_path):
+    """Versioned support (v1 exclusion lifted, round 8): the index
+    describes the LATEST snapshot — it reads through the epoch
+    resolution at build, a versioned merge's new epoch rides the same
+    dirty flag, refresh re-resolves the live leaves, purge_versions
+    (dead epochs only) leaves it intact, and time travel is untouched
+    by (and never consults) the index."""
+    kt = KeyedTable(spark, str(tmp_path / "v"), ["id"], num_buckets=4,
                     versioned=True)
-    with pytest.raises(ValueError, match="versioned"):
-        StatsIndex(kt, "ts")
+    kt.init(_rows(spark, range(200)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=20)     # epoch 1, multi-file
+    ix = StatsIndex(kt, "ts")
+    total = ix.build()
+    assert total > 4                                   # multi-file epochs
+    cands = ix.candidate_files(lo=100, hi=400)
+    assert cands is not None and 0 < len(cands) < total
+    assert (sorted(r["id"] for r in ix.scan(lo=100, hi=400).collect())
+            == _expect(kt, 100, 400))
+    # versioned merge: new epoch for the touched buckets, dirty-flagged
+    kt.merge_batch(_rows(spark, [3, 500], ts=lambda i: 77_000 + i))
+    assert ix._load_side()["dirty"]
+    got = sorted(r["id"] for r in ix.scan(lo=77_000, hi=78_000).collect())
+    assert got == [3, 500]                             # dirty fail-open
+    assert 3 not in {r["id"] for r in ix.scan(lo=20, hi=40).collect()}
+    ix.refresh()
+    assert ix._load_side()["dirty"] == []
+    assert sorted(r["id"] for r in
+                  ix.scan(lo=77_000, hi=78_000).collect()) == [3, 500]
+    # history stays readable and is NOT affected by the index
+    assert 3 in {r["id"] for r in kt.read(as_of=1)
+                 .where(F.col("ts").between(20, 40)).collect()}
+    # purge removes dead epochs only; the index still serves correctly
+    kt.purge_versions(keep_last=1)
+    assert (sorted(r["id"] for r in ix.scan(lo=100, hi=400).collect())
+            == _expect(kt, 100, 400))
 
 
 def test_delete_vectors_scan_hides_dv_rows(spark, tmp_path):
