@@ -400,3 +400,38 @@ def test_out_of_range_probe_bound_is_not_a_false_negative(spark, tmp_path):
     assert cands                                    # non-empty candidates
     got = sorted(r["id"] for r in ix.scan(lo=0, hi=2**31).collect())
     assert got == list(range(50))                   # every row found
+
+
+def test_cdc_pipeline_merge_flags_stats_dirty(spark, tmp_path):
+    """Interplay: a CDC file processed through the full pipeline
+    (process_file -> merge_batch) flags the zone-map sidecar dirty,
+    and the pruned scan stays correct through the pipeline's merge
+    (dirty fail-open) and after the maintenance refresh."""
+    import datetime as dtm
+
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    root = str(tmp_path / "cdc")
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4)
+    target = pipe.target_for("users", ["id"])
+    target.init(spark.createDataFrame(
+        [Row(id=i, ts=i * 10, name=f"u{i}") for i in range(100)]))
+    target.cluster_by(["ts"], max_records_per_file=10)
+    ix = StatsIndex(target, "ts")
+    ix.build()
+    y, m, d = "2024", "01", "05"
+    path = f"{root}/fair/users/{y}/{m}/{d}/b1.parquet"
+    spark.createDataFrame(
+        [Row(id=7, ts=55_555, name="moved", Op="U",
+             load_timestamp=dtm.datetime(2024, 1, 5))]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    assert pipe.process_file(path).status == "completed"
+    assert ix._load_side()["dirty"]                  # flagged by the merge
+    got = {r["id"] for r in ix.scan(lo=50_000, hi=60_000).collect()}
+    assert got == {7}                                # found via fail-open
+    assert pipe.refresh_stats_indexes("users") == ["ts"]
+    assert {r["id"] for r in
+            ix.scan(lo=50_000, hi=60_000).collect()} == {7}
