@@ -435,3 +435,36 @@ def test_cdc_pipeline_merge_flags_stats_dirty(spark, tmp_path):
     assert pipe.refresh_stats_indexes("users") == ["ts"]
     assert {r["id"] for r in
             ix.scan(lo=50_000, hi=60_000).collect()} == {7}
+
+
+def test_fleet_run_maintenance_refreshes_stats_index(spark, tmp_path):
+    """End-to-end wiring pin: CdcFleet.run_maintenance pays down the
+    zone-map dirty debt (alongside bloom/fold/purge) for every
+    discovered table."""
+    import datetime as dtm
+
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+    root = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(id=i, ts=i * 10, name=f"u{i}", Op="I",
+             load_timestamp=dtm.datetime(2024, 1, 1)) for i in range(40)]
+    ).coalesce(1).write.parquet(f"{root}/fair/users/2024/01/01/a.parquet")
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=2)
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    assert fleet.run_once(spark) == {"users": "drained"}
+    target = pipe.target_for("users", ["id"])
+    ix = StatsIndex(target, "ts")
+    ix.build()
+    target.merge_batch(spark.createDataFrame(
+        [Row(id=3, ts=9_999, name="m", Op="U",
+             load_timestamp=dtm.datetime(2024, 1, 2))]))
+    assert ix._load_side()["dirty"]
+    status = fleet.run_maintenance()
+    assert status == {"users": "purged"}             # stats refresh counted
+    assert ix._load_side()["dirty"] == []
+    assert {r["id"] for r in ix.scan(lo=9_000, hi=10_000).collect()} == {3}
