@@ -94,18 +94,35 @@ class StatsIndex(SidecarIndex):
                      F.count(c).alias("n_notnull")))
 
     def _listing(self) -> dict[tuple[int, str], str]:
-        """{(bucket, filename): full path} for every LIVE data file —
-        the same one-filesystem-walk health_report uses.  On a
-        versioned table "live" = each bucket's resolved current-epoch
-        leaves (dead-epoch history is exactly what the stats describe
-        nothing about: the index serves the LATEST snapshot; time
-        travel keeps its own resolution path)."""
-        assign = None
-        if self.table.versioned:
-            assign, _ = self.table._resolve_epochs(None)
-        return {(b, st.getPath().getName()): str(st.getPath())
-                for b, st, epoch in self.table._walk_data_files()
-                if assign is None or assign.get(b) == epoch}
+        """{(bucket, filename): full path} for every LIVE data file.
+        On a versioned table "live" = each bucket's resolved
+        current-epoch leaves, listed by one globStatus per DISTINCT
+        live epoch over a bucket brace-alternation (the _read_versioned
+        pattern) — never a walk of the full epoch tree: history
+        accumulates one epoch per merge until the purge cadence, and a
+        query-time probe must not pay O(dead leaves) list calls for
+        files it then discards (review finding, round 8)."""
+        t = self.table
+        if not t.versioned:
+            return {(b, st.getPath().getName()): str(st.getPath())
+                    for b, st, _ in t._walk_data_files()}
+        assign, _ = t._resolve_epochs(None)
+        groups: dict[int, list[int]] = {}
+        for b, e in assign.items():
+            groups.setdefault(e, []).append(b)
+        fs, _, jvm = t._fs_and_path(t.path)
+        out: dict[tuple[int, str], str] = {}
+        bprefix = f"{t.BUCKET_COL}="
+        for e, bs in groups.items():
+            alt = ",".join(str(b) for b in sorted(bs))
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{t.path}/{bprefix}{{{alt}}}/{t.EPOCH_COL}={e}/*.parquet")
+            for st in fs.globStatus(glob) or []:
+                p = st.getPath()
+                bucket = int(p.getParent().getParent()
+                             .getName()[len(bprefix):])
+                out[(bucket, p.getName())] = str(p)
+        return out
 
     # -- build / refresh -----------------------------------------------------
     def build(self) -> int:
@@ -221,9 +238,14 @@ class StatsIndex(SidecarIndex):
         else:
             raw = (self.spark.read.option("basePath", t.path)
                    .parquet(*files))
-            # versioned layout adds the epoch partition column; drop is
-            # lenient when it is absent (plain layout)
-            base = t._hide_tombstones(raw).drop(t.BUCKET_COL, t.EPOCH_COL)
+            # the versioned layout adds the epoch partition column —
+            # drop it ONLY there: on a plain table "_epoch" is a legal
+            # USER column name, and an unconditional drop would
+            # silently delete it in exactly (and only) the pruned
+            # branch (review finding, round 8)
+            drop = ([t.BUCKET_COL, t.EPOCH_COL] if t.versioned
+                    else [t.BUCKET_COL])
+            base = t._hide_tombstones(raw).drop(*drop)
         c = F.col(self.column)
         if lo is not None:
             base = base.where(c >= F.lit(lo))

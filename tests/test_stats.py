@@ -407,8 +407,6 @@ def test_cdc_pipeline_merge_flags_stats_dirty(spark, tmp_path):
     (process_file -> merge_batch) flags the zone-map sidecar dirty,
     and the pruned scan stays correct through the pipeline's merge
     (dirty fail-open) and after the maintenance refresh."""
-    import datetime as dtm
-
     from firebolt_cdc_lambda_spark.config import TableKeys
     from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
 
@@ -426,7 +424,7 @@ def test_cdc_pipeline_merge_flags_stats_dirty(spark, tmp_path):
     path = f"{root}/fair/users/{y}/{m}/{d}/b1.parquet"
     spark.createDataFrame(
         [Row(id=7, ts=55_555, name="moved", Op="U",
-             load_timestamp=dtm.datetime(2024, 1, 5))]
+             load_timestamp=dt.datetime(2024, 1, 5))]
     ).coalesce(1).write.mode("overwrite").parquet(path)
     assert pipe.process_file(path).status == "completed"
     assert ix._load_side()["dirty"]                  # flagged by the merge
@@ -441,8 +439,6 @@ def test_fleet_run_maintenance_refreshes_stats_index(spark, tmp_path):
     """End-to-end wiring pin: CdcFleet.run_maintenance pays down the
     zone-map dirty debt (alongside bloom/fold/purge) for every
     discovered table."""
-    import datetime as dtm
-
     from firebolt_cdc_lambda_spark.config import TableKeys
     from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
     from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
@@ -450,7 +446,7 @@ def test_fleet_run_maintenance_refreshes_stats_index(spark, tmp_path):
     root = str(tmp_path / "src")
     spark.createDataFrame(
         [Row(id=i, ts=i * 10, name=f"u{i}", Op="I",
-             load_timestamp=dtm.datetime(2024, 1, 1)) for i in range(40)]
+             load_timestamp=dt.datetime(2024, 1, 1)) for i in range(40)]
     ).coalesce(1).write.parquet(f"{root}/fair/users/2024/01/01/a.parquet")
     pipe = CdcPipeline(spark, str(tmp_path / "wh"),
                        TableKeys.from_json('{"users": "id"}'),
@@ -462,9 +458,26 @@ def test_fleet_run_maintenance_refreshes_stats_index(spark, tmp_path):
     ix.build()
     target.merge_batch(spark.createDataFrame(
         [Row(id=3, ts=9_999, name="m", Op="U",
-             load_timestamp=dtm.datetime(2024, 1, 2))]))
+             load_timestamp=dt.datetime(2024, 1, 2))]))
     assert ix._load_side()["dirty"]
     status = fleet.run_maintenance()
     assert status == {"users": "purged"}             # stats refresh counted
     assert ix._load_side()["dirty"] == []
     assert {r["id"] for r in ix.scan(lo=9_000, hi=10_000).collect()} == {3}
+
+
+def test_plain_table_user_epoch_column_survives_pruned_scan(spark, tmp_path):
+    """Review regression (round 8): the pruned scan used to drop the
+    epoch partition column unconditionally — on a PLAIN table
+    "_epoch" is a legal user column, and it vanished in exactly (and
+    only) the pruned branch while full-scan fallbacks kept it."""
+    kt = KeyedTable(spark, str(tmp_path / "e"), ["id"], num_buckets=2)
+    kt.init(spark.createDataFrame(
+        [Row(id=i, ts=i * 10, _epoch=f"era{i % 3}") for i in range(40)]))
+    kt.cluster_by(["ts"], max_records_per_file=10)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    got = ix.scan(lo=100, hi=200)
+    assert "_epoch" in got.columns                  # pruned branch keeps it
+    assert sorted((r["id"], r["_epoch"]) for r in got.collect()) == [
+        (i, f"era{i % 3}") for i in range(10, 21)]
