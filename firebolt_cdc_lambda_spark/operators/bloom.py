@@ -30,7 +30,7 @@ Design (100 TB first):
   bits are set.  Cost: two metadata-sized jobs, then the same
   brace-glob pruned scan ``lookup`` uses.
 * **Staleness (fail-open, never wrong)** — merges flag the buckets they
-  rewrote as DIRTY in the sidecar (``KeyedTable._mark_bloom_dirty``,
+  rewrote as DIRTY in the sidecar (``KeyedTable._mark_index_dirty``,
   riding the commit); dirty buckets are ALWAYS candidates until
   ``refresh()`` recomputes exactly those buckets (reading only them —
   incremental maintenance, cost ∝ churn like the merge itself).

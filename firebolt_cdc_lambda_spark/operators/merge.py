@@ -529,18 +529,26 @@ class KeyedTable:
     def _register_stats_column(self, column: str) -> None:
         self._register_index_column("stats_columns", column)
 
-    def _mark_bloom_dirty(self, buckets: Sequence[int]) -> None:
+    def _mark_index_dirty(self, buckets: Sequence[int]) -> None:
         """Secondary-index maintenance riding the merge commit: flag the
         touched buckets dirty in every bloom AND zone-map stats sidecar
         (operators/bloom.py, operators/stats.py) so lookups treat them
         as always-candidates (fail-open) until the index's ``refresh``
-        recomputes exactly those buckets.  The
-        column list is re-read from the CURRENT meta sidecar (mtime-
-        cached — one getFileStatus when no index exists) so an index
-        built by another process after this merger was constructed is
-        still maintained.  Wholesale rewrites (init/rewrite/rebucket/
-        cluster_by/zorder_by/evolution) instead bump ``table_version``,
-        which voids every bloom sidecar at probe time."""
+        recomputes exactly those buckets.  Callers flag BEFORE the data
+        write commits: a crash between flag and write leaves a spurious
+        dirty bucket (one over-scan, healed by the next refresh), while
+        the old flag-after-commit order left a crash window where a
+        built, unflagged BLOOM index kept its stale bucket-granular
+        words over rewritten data — a false-negative hazard, the one
+        failure direction the contract bans (advice finding, round 8;
+        StatsIndex self-heals either way via the vanished-file ->
+        full-scan degrade).  The column list is re-read from the
+        CURRENT meta sidecar (mtime-cached — one getFileStatus when no
+        index exists) so an index built by another process after this
+        merger was constructed is still maintained.  Wholesale rewrites
+        (init/rewrite/rebucket/cluster_by/zorder_by/evolution) instead
+        bump ``table_version``, which voids every sidecar at probe
+        time."""
         import json
 
         from .. import fsio
@@ -560,6 +568,10 @@ class KeyedTable:
             dirty.update(int(b) for b in buckets)
             side["dirty"] = sorted(dirty)
             fsio.write_text(self.spark, p, json.dumps(side))
+
+    # thin alias: the hook predates the stats family and external code
+    # may still call it by the old bloom-only name (advice, round 8)
+    _mark_bloom_dirty = _mark_index_dirty
 
     def _load_meta(self):
         import json
@@ -1345,7 +1357,7 @@ class KeyedTable:
         # secondary-index columns from the CURRENT meta, not this
         # handle's copy — an index registered by another process after
         # construction must still be reported (the same cross-process
-        # staleness reason _mark_bloom_dirty re-reads; review finding,
+        # staleness reason _mark_index_dirty re-reads; review finding,
         # round 8)
         meta = self._load_meta() or {}
         bloom_cols = list(meta.get("bloom_columns", []))
@@ -1728,6 +1740,8 @@ class KeyedTable:
             "left_anti").localCheckpoint(eager=True)   # self-overwrite pin
         kept_b = {int(r[0]) for r in
                   kept_rows.select(self.BUCKET_COL).distinct().collect()}
+        # flag BEFORE the rewrite commits (see _mark_index_dirty)
+        self._mark_index_dirty(buckets)
         (kept_rows.repartition(self.BUCKET_COL)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -1743,7 +1757,6 @@ class KeyedTable:
                 fs = p.getFileSystem(hconf)
                 if fs.exists(p):
                     fs.delete(p, True)
-        self._mark_bloom_dirty(buckets)
         self._write_dv(keep)
         return len(buckets)
 
@@ -1774,6 +1787,11 @@ class KeyedTable:
                 # upserts; the manifest's kept set is just the touched
                 # list, no extra job (measured ~0.3 s/merge saved)
                 kept = set(buckets)
+            # flag BEFORE the data commit (see _mark_index_dirty): a
+            # crash after the flag costs one over-scan; a crash after
+            # the write but before a trailing flag would leave stale
+            # unflagged bloom words over rewritten buckets
+            self._mark_index_dirty(buckets)
             if self.versioned:
                 epoch = self.latest_epoch() + 1
                 self._write_epoch(out, epoch)
@@ -1785,7 +1803,6 @@ class KeyedTable:
                                       if b not in kept),
                     "num_buckets": self.num_buckets})
                 self._save_manifest(entries)
-                self._mark_bloom_dirty(buckets)
                 return
             # dynamic partition overwrite: only the buckets present in
             # `out` (== the touched buckets) are replaced on disk.
@@ -1811,7 +1828,6 @@ class KeyedTable:
                         fs = p.getFileSystem(hconf)
                         if fs.exists(p):
                             fs.delete(p, True)
-            self._mark_bloom_dirty(buckets)
         finally:
             if has_deletes:
                 out.unpersist()

@@ -7,7 +7,7 @@
   ``<table>__<kind>_<col>/`` plus a tiny JSON sidecar
   ``<table>__<kind>_<col>.json`` holding {table_version, built, dirty};
 * merges flag touched buckets DIRTY through
-  ``KeyedTable._mark_bloom_dirty`` (fail-open: dirty buckets are
+  ``KeyedTable._mark_index_dirty`` (fail-open: dirty buckets are
   always candidates);
 * ``refresh()`` recomputes exactly the dirty buckets (cost ∝ churn)
   and falls back to a full ``build()`` when a wholesale rewrite bumped

@@ -40,7 +40,7 @@ Design (100 TB first):
   one concrete-path scan under the table's basePath.
 * **Staleness (fail-open, never wrong)** — identical contract to
   BloomIndex, riding the SAME merge-commit hook: merges flag rewritten
-  buckets dirty (``KeyedTable._mark_bloom_dirty`` walks both index
+  buckets dirty (``KeyedTable._mark_index_dirty`` walks both index
   families); dirty buckets' files are always candidates until
   ``refresh()`` recomputes exactly those buckets (cost ∝ churn).
   Wholesale rewrites bump ``table_version``, voiding the index.  A
@@ -63,6 +63,7 @@ file is NOT a candidate.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from .merge import KeyedTable
@@ -185,8 +186,19 @@ class StatsIndex(SidecarIndex):
             return None
         try:
             stats = self.spark.read.parquet(self.stats_path)
-        except Exception:
-            return None       # stats dataset missing/unreadable: fail open
+        except AnalysisException as exc:
+            # ONLY verifiably-absent states degrade to a full scan
+            # (registered column whose dataset was never built, or an
+            # aborted first build leaving an empty dir).  Everything
+            # else re-raises: a bare `except: return None` would turn
+            # any persistent fault (corrupted footer, permissions) into
+            # a PERMANENT silent full scan with no signal — the same
+            # whitelist contract as _read_raw / _read_dv (advice
+            # finding, round 8).
+            if exc.getErrorClass() in ("PATH_NOT_FOUND",
+                                       "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
         # NO cast of the probe bounds to the column type: a plain cast
         # turns an out-of-range bound (e.g. 2^31 against an int column)
         # into NULL, which would return ZERO candidates — a silent

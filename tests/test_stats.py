@@ -481,3 +481,48 @@ def test_plain_table_user_epoch_column_survives_pruned_scan(spark, tmp_path):
     assert "_epoch" in got.columns                  # pruned branch keeps it
     assert sorted((r["id"], r["_epoch"]) for r in got.collect()) == [
         (i, f"era{i % 3}") for i in range(10, 21)]
+
+
+def test_unreadable_stats_dataset_raises_not_silent_fullscan(table):
+    """Advice regression (round 8): candidate_files used to wrap the
+    stats-dataset read in a bare `except Exception: return None`, so a
+    PERSISTENT fault (corrupted footer, permissions) silently degraded
+    every probe to a full scan forever with no signal.  Only the two
+    verifiably-absent AnalysisException classes may fail open now;
+    everything else must surface."""
+    ix = StatsIndex(table, "ts")
+    ix.build()
+    assert ix.candidate_files(lo=100, hi=300)       # healthy first
+    # corrupt every stats part file: unreadable, but NOT absent
+    import pathlib
+    root = pathlib.Path(ix.stats_path)
+    parts = list(root.rglob("*.parquet"))
+    assert parts
+    for p in parts:
+        p.write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception):
+        ix.candidate_files(lo=100, hi=300)
+
+
+def test_dirty_flag_written_before_data_commit(spark, table, monkeypatch):
+    """Advice regression (round 8): the dirty flags must commit BEFORE
+    the bucket data write — a crash between the two then leaves only a
+    spurious dirty bucket (an over-scan), never a built, unflagged
+    bloom/stats sidecar over rewritten data (a false-negative hazard).
+    Simulated by making the flag hook raise: the merge must abort with
+    the target data unchanged."""
+    ix = StatsIndex(table, "ts")
+    ix.build()
+    before = sorted(r["id"] for r in table.read().collect())
+
+    def boom(buckets):
+        raise RuntimeError("crash between flag and data write")
+
+    monkeypatch.setattr(table, "_mark_index_dirty", boom)
+    with pytest.raises(RuntimeError, match="crash between"):
+        table.merge_batch(_rows(spark, [7], ts=lambda i: 99_000 + i))
+    monkeypatch.undo()
+    after = sorted(r["id"] for r in table.read().collect())
+    assert after == before                      # data commit never ran
+    assert 7 not in {r["id"]
+                     for r in ix.scan(lo=98_000, hi=100_000).collect()}
