@@ -134,6 +134,50 @@ def _key_cond(keys: Sequence[str], left: str, right: str) -> Column:
     )
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``F.hash``/HashPartitioning hash of one INT value —
+    Murmur3_x86_32.hashInt with Spark's seed 42 (a public, stable
+    algorithm; pinned against ``F.hash`` and ``spark_partition_id`` in
+    test_compact).  Used by ``KeyedTable.compact`` to choose group
+    labels that land in DISTINCT shuffle partitions, so one
+    ``repartition(n, label)`` writes exactly one file per bin-pack
+    group without relying on sampling-based range partitioning."""
+    m = 0xFFFFFFFF
+    x &= m
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4                                   # fmix: length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _distinct_partition_labels(n: int) -> list[int]:
+    """``n`` small non-negative ints whose Spark shuffle partition ids
+    under ``repartition(n, int_col)`` are pairwise distinct (a
+    bijection onto partitions 0..n-1).  Expected O(n log n) probes."""
+    labels: list[int] = []
+    seen: set[int] = set()
+    c = 0
+    limit = 1000 + 64 * n * (n.bit_length() + 1)
+    while len(labels) < n:
+        pid = _murmur3_int32(c) % n          # == pmod(hash, n)
+        if pid not in seen:
+            seen.add(pid)
+            labels.append(c)
+        c += 1
+        if c > limit:                         # pragma: no cover
+            raise RuntimeError(f"no label cover for n={n}")
+    return labels
+
+
 TOMBSTONE_COL = "__tombstone"
 
 
@@ -462,6 +506,13 @@ class KeyedTable:
         out.close()
         self._sidecar_cache[full] = (
             fs.getFileStatus(path).getModificationTime(), text)
+
+    def _delete_sidecar(self, name: str) -> None:
+        full = f"{self.path}/{name}"
+        fs, path, _ = self._fs_and_path(full)
+        if fs.exists(path):
+            fs.delete(path, False)
+        self._sidecar_cache.pop(full, None)
 
     def _save_schema(self, df: DataFrame) -> None:
         self._write_sidecar("_schema.json", df.schema.json())
@@ -818,6 +869,7 @@ class KeyedTable:
 
         ``as_of`` selects a historical version on a versioned table
         (None = latest); unversioned tables reject it."""
+        self._recover_compact()   # never serve a half-swapped compact
         if self.versioned:
             return self._read_versioned(buckets, as_of)
         if as_of is not None:
@@ -1245,6 +1297,7 @@ class KeyedTable:
         for the versioned layout, None for a plain bucket file.  Note
         an absent bucket yields nothing — callers see only buckets
         that hold at least one data file."""
+        self._recover_compact()   # never list a half-swapped compact
         fs, root, jvm = self._fs_and_path(self.path)
         if not fs.exists(root):
             return
@@ -1388,6 +1441,189 @@ class KeyedTable:
                     report["index_dirty_buckets"] += len(
                         _json.loads(text).get("dirty", []))
         return report
+
+    # -- small-file compaction (bin-pack OPTIMIZE) --------------------------
+    #
+    # The reference operates a scheduled cleanup job for exactly this
+    # class of maintenance at its own scale (AUTOMATIC_CLEANUP.md:10-87,
+    # S3_LIFECYCLE_PLAN.md:32, FIX_STAGING_CLEANUP_AND_ENGINE_RESTART.md:
+    # 43-76); at 100 TB a CDC fleet cannot run without a remedy whose
+    # cost is ∝ small files, not table size.  In THIS engine merges
+    # rewrite whole touched buckets (one file per bucket), so small live
+    # files arise from multi-file layouts — cluster_by/zorder_by
+    # (max_records_per_file=) cuts sized for a bigger table, or churn
+    # that shrank the data under a fixed cut — and from bootstrap/
+    # external writers.  The existing remedies (rewrite/rebucket/
+    # cluster_by) are O(table) and void every secondary index.
+    COMPACT_SIDECAR = "_compact.json"
+
+    def _recover_compact(self) -> None:
+        """Roll FORWARD a crashed ``compact()`` swap.  The intent
+        sidecar is written only after the packed files are fully
+        staged, so completion is always possible and idempotent:
+        rename each staged file in unless already renamed, drop each
+        replaced small file, then clear intent + staging.  Called at
+        the head of every read/listing chokepoint (_read_raw,
+        _walk_data_files) — one mtime-cached sidecar probe when idle —
+        so no KeyedTable API can ever serve a half-swapped state."""
+        text = self._read_sidecar(self.COMPACT_SIDECAR)
+        if text is None:
+            return
+        import json
+        intent = json.loads(text)
+        fs, _, jvm = self._fs_and_path(self.path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        for a in intent["add"]:
+            src, dst = hpath(a["src"]), hpath(a["dst"])
+            if fs.exists(src) and not fs.exists(dst):
+                fs.rename(src, dst)
+        for r in intent["remove"]:
+            p = hpath(r)
+            if fs.exists(p):
+                fs.delete(p, False)
+        stg = hpath(intent["staging"])
+        if fs.exists(stg):
+            fs.delete(stg, True)
+        self._delete_sidecar(self.COMPACT_SIDECAR)
+
+    def compact(self, target_bytes: int = 128 * 1024 * 1024,
+                small_bytes: int = 32 * 1024 * 1024) -> dict:
+        """Bin-pack each bucket's SMALL live data files into ~``target_
+        bytes`` files — the lakehouse OPTIMIZE primitive (Delta OPTIMIZE
+        / Iceberg rewrite_data_files), grouping-only by construction:
+
+        * **Content-preserving.**  Files are read raw (tombstone marker
+          rows, delete-vector-hidden rows, every physical row travels
+          as-is) and rows keep their file/row order — only the grouping
+          into files changes.  The visible snapshot is bit-identical;
+          on a versioned table EVERY ``as_of`` snapshot is, since live
+          leaves are swapped in place and the manifest never changes.
+        * **Cost ∝ small files.**  Only live files under ``small_bytes``
+          are read or written; big files are never touched, there is no
+          sort, and the plan/swap work is a driver-side listing — the
+          same metadata class as ``health_report`` (whose
+          ``small_live_files`` is the cadence gate for this op).
+        * **No index void.**  ``table_version`` is untouched: bloom
+          words are bucket-granular and stay valid; per-file zone maps
+          ride the ordinary merge-dirty contract (flagged BEFORE the
+          swap, refreshed ∝ compacted buckets).  Cluster/z-order runs
+          are preserved: only files ADJACENT in filename order — the
+          writer's cut order — pack together, and rows are re-emitted
+          in (file, row_index) order, so each packed file still covers
+          a contiguous range of the layout's sort key.
+        * **Crash-safe.**  Stage packed files at an invisible sibling,
+          commit an intent sidecar, then swap (rename in, delete old).
+          Every crash point either predates the intent (visible state
+          untouched; staging is overwritten by the next compact) or is
+          rolled forward by ``_recover_compact`` before the next read.
+          Concurrent writers (and reads concurrent with an IN-FLIGHT
+          compact) are out of contract, exactly as for merges —
+          single-writer per table.
+
+        One Spark job regardless of group count: each bin-pack group
+        gets a label chosen via ``_distinct_partition_labels`` so
+        ``repartition(n_groups, label)`` maps groups onto distinct
+        shuffle partitions — exactly one output file per group, no
+        sampling, no maxRecordsPerFile heuristics.
+
+        Returns ``{"groups", "files_removed", "files_added",
+        "buckets"}`` (all zero/empty when nothing qualifies)."""
+        self._recover_compact()
+        assign: dict[int, int] | None = None
+        if self.versioned:
+            assign, _ = self._resolve_epochs(None)
+        # -- plan: adjacent-run greedy packing per (bucket, epoch) ------
+        by_leaf: dict[tuple[int, int | None], list] = {}
+        for b, st, e in self._walk_data_files():
+            if assign is not None and assign.get(b) != e:
+                continue                      # dead epoch: purge's job
+            by_leaf.setdefault((b, e), []).append(st)
+        groups: list[list] = []               # of [(bucket, epoch, FileStatus)]
+        for (b, e), sts in sorted(by_leaf.items(),
+                                  key=lambda kv: (kv[0][0], kv[0][1] or 0)):
+            sts.sort(key=lambda st: st.getPath().getName())
+            run: list = []
+            run_bytes = 0
+            for st in sts:
+                size = int(st.getLen())
+                if size >= small_bytes:       # big file breaks the run
+                    if len(run) >= 2:
+                        groups.append([(b, e, s) for s in run])
+                    run, run_bytes = [], 0
+                    continue
+                if run and run_bytes + size > target_bytes:
+                    if len(run) >= 2:
+                        groups.append([(b, e, s) for s in run])
+                    run, run_bytes = [], 0
+                run.append(st)
+                run_bytes += size
+            if len(run) >= 2:
+                groups.append([(b, e, s) for s in run])
+        if not groups:
+            return {"groups": 0, "files_removed": 0, "files_added": 0,
+                    "buckets": []}
+        # -- one job: read group files, relabel, one file per group -----
+        def _rel(b, e, name):
+            leaf = f"{self.BUCKET_COL}={b}"
+            if e is not None:
+                leaf += f"/{self.EPOCH_COL}={e}"
+            return f"{leaf}/{name}"
+
+        labels = _distinct_partition_labels(len(groups))
+        mapping = [(_rel(b, e, st.getPath().getName()), labels[g])
+                   for g, grp in enumerate(groups) for b, e, st in grp]
+        all_paths = [str(st.getPath())
+                     for grp in groups for _, _, st in grp]
+        map_df = self.spark.createDataFrame(
+            mapping, "__rel string, __gid int")
+        depth = 3 if self.versioned else 2    # _bucket[/_epoch]/file
+        src = (self.spark.read.option("basePath", self.path)
+               .parquet(*all_paths)
+               .withColumn("__fp", F.col("_metadata.file_path"))
+               .withColumn("__ridx", F.col("_metadata.row_index"))
+               .withColumn("__rel", F.concat_ws(
+                   "/", F.slice(F.split(F.col("__fp"), "/"),
+                                -depth, depth))))
+        packed = (src.join(F.broadcast(map_df), "__rel")
+                  .repartition(len(groups), "__gid")
+                  # rows re-emitted in (cut-order file, row) order: the
+                  # packed file's zone-map range stays one contiguous run
+                  .sortWithinPartitions("__rel", "__ridx")
+                  .drop("__fp", "__ridx", "__rel", "__gid"))
+        staging = f"{self.path}__compact_staging"
+        pcols = ([self.BUCKET_COL, self.EPOCH_COL] if self.versioned
+                 else [self.BUCKET_COL])
+        (packed.write.mode("overwrite")
+         .partitionBy(*pcols).parquet(staging))
+        # -- intent, then swap (every state below is recoverable) -------
+        fs, _, jvm = self._fs_and_path(self.path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        adds = []
+        eprefix = f"{self.EPOCH_COL}="
+        bprefix = f"{self.BUCKET_COL}="
+        for st in fs.globStatus(hpath(
+                f"{staging}/{bprefix}*" + ("/" + eprefix + "*" if
+                                           self.versioned else "")
+                + "/*.parquet")) or []:
+            p = st.getPath()
+            leaf_parts = []
+            q = p.getParent()
+            for _ in range(depth - 1):
+                leaf_parts.append(q.getName())
+                q = q.getParent()
+            dst = "/".join([self.path] + leaf_parts[::-1] + [p.getName()])
+            adds.append({"src": str(p), "dst": dst})
+        removes = [str(st.getPath()) for grp in groups for _, _, st in grp]
+        import json
+        buckets = sorted({b for grp in groups for b, _, _ in grp})
+        # zone maps reference files by name: flag BEFORE any visible
+        # change (the _mark_index_dirty ordering contract)
+        self._mark_index_dirty(buckets)
+        self._write_sidecar(self.COMPACT_SIDECAR, json.dumps(
+            {"staging": staging, "add": adds, "remove": removes}))
+        self._recover_compact()               # the swap IS the recovery
+        return {"groups": len(groups), "files_removed": len(removes),
+                "files_added": len(adds), "buckets": buckets}
 
     def rebucket(self, new_num_buckets: int) -> None:
         """Re-hash the table into a different bucket count (scale-out op:

@@ -466,6 +466,24 @@ class CdcPipeline:
         target.purge_versions(keep_last=keep_last)
         return True
 
+    def compact_table(self, table: str,
+                      target_bytes: int = 128 * 1024 * 1024,
+                      small_bytes: int = 32 * 1024 * 1024) -> dict | None:
+        """Bin-pack ``table``'s small live files toward ``target_bytes``
+        (KeyedTable.compact — grouping-only, content-preserving, cost ∝
+        small files).  The cadence slot next to purge/fold/refresh;
+        CdcFleet.run_maintenance gates it on health_report's
+        ``small_live_files`` exactly as dead_ratio gates version GC.
+        None: table unconfigured or absent."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return None
+        target = self.target_for(table, keys)
+        if not target.exists():
+            return None
+        return target.compact(target_bytes=target_bytes,
+                              small_bytes=small_bytes)
+
     def table_health(self, table: str,
                      small_file_bytes: int = 32 * 1024 * 1024) -> dict | None:
         """Small-file / history health metrics for one target (pure

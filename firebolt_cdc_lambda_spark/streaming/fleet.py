@@ -142,6 +142,8 @@ class CdcFleet:
                         keep_versions: int | None = None,
                         purge_dead_ratio: float | None = None,
                         health_reports: dict[str, dict] | None = None,
+                        compact_small_files: int | None = None,
+                        compact_target_bytes: int = 128 * 1024 * 1024,
                         ) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
@@ -158,9 +160,13 @@ class CdcFleet:
         as ``health_reports`` so the gate reuses that listing instead of
         re-listing every table's files (round-6 advisor: at the
         809-table reference scale the double listing is real money);
-        tables missing from the map fall back to a fresh read.  One
-        table failing must not abort the sweep (same degrade-don't-die
-        posture as run_once)."""
+        tables missing from the map fall back to a fresh read.  With
+        ``compact_small_files`` set, tables whose measured
+        ``small_live_files`` reaches it get their small live files
+        bin-packed toward ``compact_target_bytes``
+        (CdcPipeline.compact_table — grouping-only, cost ∝ small
+        files).  One table failing must not abort the sweep (same
+        degrade-don't-die posture as run_once)."""
         if purge_dead_ratio is not None and keep_versions is None:
             # the gate modifies the keep_versions GC; alone it would be
             # silently inert — the operator would believe version GC is
@@ -188,6 +194,21 @@ class CdcFleet:
                     if wants_gc:
                         did = self.pipeline.purge_versions(
                             table, keep_last=keep_versions) or did
+                if compact_small_files is not None:
+                    # small-file bin-packing, gated on the MEASURED
+                    # small-live-file count exactly as dead_ratio gates
+                    # version GC — a healthy fleet sweep costs one
+                    # listing per table, never a data job.  Runs BEFORE
+                    # the index refreshes below so the buckets compact
+                    # flags dirty are paid down in the same sweep.
+                    report = (health_reports or {}).get(table)
+                    if report is None or "small_live_files" not in report:
+                        report = self.pipeline.table_health(table)
+                    if (report is not None and report["small_live_files"]
+                            >= compact_small_files):
+                        res = self.pipeline.compact_table(
+                            table, target_bytes=compact_target_bytes)
+                        did = bool(res and res["groups"]) or did
                 # bloom + zone-map secondary indexes: pay down the
                 # merge-flagged dirty buckets on the same cadence
                 # (cost ∝ churn)
