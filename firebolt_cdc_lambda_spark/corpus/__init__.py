@@ -392,33 +392,121 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # deferrals + the 3 rule-2 displacements above — they lead round 9).
 # Pre-gate dry run: all 50 slots validated green in ONE plain session
 # at sf0.01, full corpus 170/170 strict-green at sf0.001 AND sf0.01.
+# ROUND 8 RESULT (CORRECTNESS_r08.json): 50/50 FULLY GREEN — rows,
+# schema, and value hash on every slot, including the three rule-2
+# queries.  Newest-row distribution after r8: r8=50, r7=50, r6=49,
+# r5=21 (the documented deferrals) — judge-verified digit for digit.
+# ROUND 9 (this gate) — executes the round-8 judge's order #1:
+#   * slots 1-21 — ALL twenty-one r5-stale rows (the ledger's
+#     documented round-9 head): the three rule-2 displacements first
+#     (cdc_stream_changelog / events_stream_join /
+#     corpus_leakage_safe_split — displaced in r8, never re-gated
+#     since), then the rest of the stream family
+#     (events_stream_watermark / dedup / join_outer), then the
+#     family-covered tail (val_row_counts, val_approx_distinct,
+#     cube_status_priority, set_ops_summary,
+#     join_semi_active_customers, cdc_scd2_history, ann_pq_topk,
+#     dedup_minhash_containment, events_hll_register_audit,
+#     corpus_drift_chisq, asof_event_next_order, skew_salted_join,
+#     multimodal_png_neardup, cdc_dedup_bypass_stats,
+#     events_funnel_steps).  After these land, no row is older than r6.
+#   * slots 22-47 — TWENTY-SIX of the forty-nine r6-stale rows:
+#     cdc_bloom_lookup FIRST (its code moved into the shared
+#     SidecarIndex base in r8 and the dirty-flag ordering changed in
+#     r9 while its newest driver row stayed r6), then the sole-oracle
+#     rows cdc_scd2_pit_join (PIT join) and val_expectations_report
+#     (the Expectations gate), corpus_drift_jsd (the pinned-log2
+#     flagship DSIR rides), the r6 streaming trio
+#     (events_stream_join_full / events_stream_sliding /
+#     events_stream_static_enrich), orders_trend_ols (sole OLS row),
+#     and ALL EIGHTEEN r6-stale TPC-H flagships (q2 q4 q6 q7 q8 q9
+#     q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22).
+#     The TWENTY-THREE r6 rows deferred to round 10 are chosen so
+#     every operator family keeps a fresh member in this gate or
+#     r7/r8 — twenty family-covered: ann_hard_negatives (ann_pq_topk
+#     slot 13 + ann_ivfpq_rerank_topk r8), corpus_dedup_canonical
+#     (dedup_semantic_cluster r8 pins the same keep-closest
+#     survivorship; minhash_containment slot 14),
+#     corpus_drift_hellinger (chisq slot 16 + jsd slot 25 + tv r7),
+#     corpus_gini_balance (val_quantile_sketch_audit r8 pins the
+#     order-statistic family), corpus_sequence_packing
+#     (text_chunk_overlap r8), corpus_stratified_sample
+#     (corpus_weighted_sample + dataset_split_assignment r8),
+#     corpus_temperature_mixture (corpus_dsir_importance r8 pins the
+#     reweighting family), dedup_graph_triangles
+#     (corpus_leakage_safe_split slot 3 rides the same CC oracle),
+#     embedding_label_centroids (embedding_kmeans_step r8, the
+#     centroid-LUT twin), events_ewma_smoothing (window_moving_frame
+#     r8 pins the frame-fold family), events_json_extract
+#     (scalar_datetime_showcase + sql_surface_unpivot r8),
+#     events_retention_cohorts (events_funnel_steps slot 21 +
+#     events_sessionization r7), val_date_distribution
+#     (gapfill_monthly_orders r8), val_duplicate_pks
+#     (val_duplicate_keys r7, the direct twin), val_freshness +
+#     val_null_counts (val_agg_summary/val_checksum r8; q12/q14 here
+#     re-pin conditional aggs), val_percentiles + val_price_histogram
+#     (val_quantile_sketch_audit r8 pins grid histograms + order
+#     statistics), val_rollup_status_priority
+#     (grouping_sets_status_priority r8 + cube_status_priority
+#     slot 9), val_topk_orders (text_token_topk r8 + q15/q18 here) —
+#     plus the three rule-2 displacements below.
+#   * slot 50 — cdc_compact_small_files, the round's FIRST new corpus
+#     query (judge order #2: per-bucket bin-pack compaction of small
+#     live files — file count strictly drops and the visible snapshot
+#     hash-matches pre-compaction, both asserted in-query), landed
+#     under GATE-FREEZE rule 2: it displaces val_sample_rows, the r6
+#     tail re-gate whose ORDER-BY/LIMIT shape is the most redundantly
+#     re-covered (text_token_topk r8, q15/q18 in this gate).
+#   * slot 49 — cdc_zorder_box_prune, the round's SECOND new query
+#     (judge order #3: the 2-D box predicate through two StatsIndexes'
+#     intersected candidate_files over a
+#     zorder_by(max_records_per_file=) layout, the both-dimensions
+#     file prune asserted in-query), under rule 2: displaces
+#     embedding_pseudo_label (embedding_kmeans_step r8 is its
+#     centroid-LUT twin; label_centroids already defers family-covered).
+#   * slot 48 — text_bpe_train_loop, the round's THIRD new query
+#     (judge order #4: the driver-iterated BPE training loop — N
+#     successive pair merges to a target vocab, state = the merges
+#     table; oracle = DuckDB replay of the same N merges), under
+#     rule 2: displaces corpus_mixture_sampling
+#     (corpus_weighted_sample r8 + corpus_temperature_mixture's
+#     deferral cover pin the sampling family).
+# Post-round arithmetic (if all 50 land green): 173 corpus queries,
+# 173/173 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r9=50, r8=50, r7=50, r6=23, r5=0
+# (50+50+50+23=173 checks; the 23 r6 rows = the 20 family-covered
+# deferrals + the 3 rule-2 displacements above — they lead round 10).
 _DRIVER_PRIORITY = [
-    # slots 1-18: the eighteen r4-stale rows (deferral-ledger order) ------
-    "dedup_ngram_jaccard", "window_moving_frame",
-    "window_distribution_family", "events_lead_lag_gaps",
-    "text_char_diversity", "text_vocab_growth", "text_token_topk",
-    "text_fuzzy_event_types", "scalar_datetime_showcase",
-    "sql_surface_unpivot", "corpus_weighted_sample",
-    "dataset_split_assignment", "embedding_outlier_trim",
-    "gapfill_monthly_orders", "multimodal_audio_features",
-    "argmax_order_per_customer", "val_global_summary",
-    "text_chunk_overlap",
-    # slots 19-50: thirty-two r5-stale refreshes (CDC flagships first) ----
-    "cdc_out_of_order_replay", "cdc_time_travel", "cdc_table_changes",
-    "cdc_rollup_refresh", "cdc_scd2_incremental",
-    "cdc_dedup_last_writer", "cdc_dedup_cascade",
-    "val_ingestion_seq", "val_agg_summary", "val_checksum",
-    "val_quantile_sketch_audit", "sql_surface_in_subquery",
-    "grouping_sets_status_priority", "join_anti_customers_no_orders",
-    "join_full_outer_compare", "join_correlated_nation_counts",
-    "join_bloom_filter_audit", "embedding_int8_quant",
-    "ann_ivfpq_rerank_topk", "embedding_kmeans_step",
-    "multimodal_video_scenes", "text_bpe_pair_merge",
-    "text_ngram_novelty", "text_cms_heavy_hitters",
-    "text_pmi_collocations", "dedup_substring_runs",
-    "events_distinct_sketch_audit", "corpus_prep_pipeline",
-    "corpus_dsir_importance", "events_stream_sessions",
-    "dedup_semantic_cluster", "cdc_stats_prune",
+    # slots 1-21: ALL twenty-one r5-stale rows (deferral-ledger order) ----
+    "cdc_stream_changelog", "events_stream_join",
+    "corpus_leakage_safe_split", "events_stream_watermark",
+    "events_stream_dedup", "events_stream_join_outer",
+    "val_row_counts", "val_approx_distinct", "cube_status_priority",
+    "set_ops_summary", "join_semi_active_customers",
+    "cdc_scd2_history", "ann_pq_topk", "dedup_minhash_containment",
+    "events_hll_register_audit", "corpus_drift_chisq",
+    "asof_event_next_order", "skew_salted_join",
+    "multimodal_png_neardup", "cdc_dedup_bypass_stats",
+    "events_funnel_steps",
+    # slots 22-47: twenty-six r6-stale refreshes (code-touched + sole-
+    # oracle rows first, then the eighteen TPC-H flagships) --------------
+    "cdc_bloom_lookup", "cdc_scd2_pit_join", "val_expectations_report",
+    "corpus_drift_jsd", "events_stream_join_full",
+    "events_stream_sliding", "events_stream_static_enrich",
+    "orders_trend_ols",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_shipping_delay_classes",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_promotion_suppliers",
+    "q21_sole_supplier_multi_line", "q22_idle_rich_customers",
+    # slots 48-50: the round's rule-2 queries (displacements above);
+    # each slot holds its displaced re-gate until the new row lands ------
+    "corpus_mixture_sampling",      # -> text_bpe_train_loop
+    "embedding_pseudo_label",       # -> cdc_zorder_box_prune
+    "cdc_compact_small_files",      # rule 2: displaced val_sample_rows
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

