@@ -440,6 +440,34 @@ def bench_stats_scan(spark, sf_dir) -> list[float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_compact(spark, sf_dir) -> list[float]:
+    """Small-file bin-pack compaction (round-9 feature): pack a
+    cluster-cut orders layout (64 buckets x ~4 small files) back to one
+    file per bucket.  Each rep re-cuts the layout untimed and times
+    ONLY compact() — plan listing + one grouped read/write job + the
+    intent swap.  The tracked number is the maintenance cost of packing
+    ~256 small files; at 100 TB the cost scales with the small files
+    packed, never the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="bench_compact_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                        num_buckets=64)
+        kt.init(orders)
+        samples = []
+        for _ in range(N_REPS):
+            kt.cluster_by(["o_orderdate"],              # untimed re-cut
+                          max_records_per_file=max(1, n // 256))
+            t0 = time.time()
+            res = kt.compact()
+            samples.append(time.time() - t0)
+            assert res["groups"], "bench layout produced no packable runs"
+        return samples
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_joinview(spark, sf_dir) -> tuple[list[float], list[float]]:
     """Incremental materialized-join maintenance (PLANS §7n/7p on the
     bench cadence; build untimed): fact leg = a 40-key CDC batch
@@ -609,6 +637,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"stats-scan bench failed: {exc}", file=sys.stderr)
         stats_scan = 0.0
+    # round 9 — shielded, reported outside `queries`
+    try:
+        cp_samples = bench_compact(spark, sf_dir)
+        compact_run = round(min(cp_samples), 3)
+        dispersion["cdc_compact_small_files"] = summarize(cp_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"compact bench failed: {exc}", file=sys.stderr)
+        compact_run = 0.0
     try:
         jv_fact_s, jv_dim_s = bench_joinview(spark, sf_dir)
         jv_fact = round(min(jv_fact_s), 3)
@@ -628,7 +664,7 @@ def main() -> None:
         neardup_dps = 0.0
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "corpus_runtime",
         "value": total,
         "unit": "sec",
@@ -644,9 +680,29 @@ def main() -> None:
         "joinview_dim_leg": jv_dim,
         "cdc_dv_delete_batch": dv_delete,
         "cdc_stats_scan": stats_scan,
+        "cdc_compact_small_files": compact_run,
         "dispersion": dispersion,
         "sf": sf,
-    }))
+    })
+    print(payload)
+    # Truncation-proof artifact (round-8 judge order #5): the driver
+    # records only the stdout TAIL, which drops the per-query TPC-H
+    # flagship timings from BENCH_rN.json.  Persist the FULL record to
+    # the repo root as one compact line, named for the round the driver
+    # will stamp next (max existing BENCH_rN + 1; override with
+    # SPARK_GRAFT_ROUND).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            taken = [int(m.group(1)) for f in os.listdir(here)
+                     if (m := re.match(r"BENCH_r(\d+)\.json$", f))]
+            rnd = str(max(taken, default=0) + 1)
+        with open(os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json"),
+                  "w") as fh:
+            fh.write(payload + "\n")
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench artifact write failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
