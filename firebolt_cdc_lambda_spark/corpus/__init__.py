@@ -505,7 +505,7 @@ _DRIVER_PRIORITY = [
     # slots 48-50: the round's rule-2 queries (displacements above);
     # each slot holds its displaced re-gate until the new row lands ------
     "corpus_mixture_sampling",      # -> text_bpe_train_loop
-    "embedding_pseudo_label",       # -> cdc_zorder_box_prune
+    "cdc_zorder_box_prune",         # rule 2: displaced embedding_pseudo_label
     "cdc_compact_small_files",      # rule 2: displaced val_sample_rows
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -1004,6 +1004,80 @@ WHERE o_orderkey NOT IN ({_CMP_DEL_KEYS[0]}, {_CMP_DEL_KEYS[1]})
 """
 
 
+# -- z-order box predicate through intersected zone maps (round-9 judge
+# order #3 — the test_stats zorder case restated as an oracle row).
+# Two integer dimensions derived from orders (days since 1995-01-01 and
+# custkey mod 1024 — the modulus keeps the y-domain scale-free), laid
+# out with zorder_by(max_records_per_file=) so EVERY z-ordered column's
+# per-file [min, max] is tight, one StatsIndex per dimension.  The box
+# probe intersects the two candidate_files sets; asserted inside the
+# query: each dimension's prune binds alone (< total files) AND the
+# intersection is STRICTLY harder than either side — the file-level
+# property lexicographic cluster_by cannot give the trailing column.
+# The surviving files + the residual box filter are value-hashed
+# against the relational restatement.
+_ZBOX_DAYS = (365, 664)        # ~1/8 of the ~2400-day date domain
+_ZBOX_CK = (128, 255)          # 1/8 of the mod-1024 custkey grid
+
+
+def cdc_zorder_box_prune(spark, sf):
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+    from ..operators.stats import StatsIndex
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    derived = (orders
+               .withColumn("o_date_days", F.datediff(
+                   F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+                   .cast("int"))
+               .withColumn("o_ck_mod",
+                           (F.col("o_custkey") % 1024).cast("int")))
+    n = derived.count()
+    tmp = tempfile.mkdtemp(prefix="cdc_zbox_q_")    # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"], num_buckets=4)
+    kt.init(derived)
+    kt.zorder_by(["o_date_days", "o_ck_mod"],
+                 max_records_per_file=max(1, n // 128))
+    sx = StatsIndex(kt, "o_date_days")
+    sy = StatsIndex(kt, "o_ck_mod")
+    sx.build()
+    sy.build()
+    total = sum(kt.file_stats().values())
+    cx = sx.candidate_files(lo=_ZBOX_DAYS[0], hi=_ZBOX_DAYS[1])
+    cy = sy.candidate_files(lo=_ZBOX_CK[0], hi=_ZBOX_CK[1])
+    assert cx is not None and cy is not None, "index voided unexpectedly"
+    assert len(cx) < total and len(cy) < total, \
+        f"a z-ordered dimension failed to prune: x {len(cx)}/{total}, " \
+        f"y {len(cy)}/{total}"
+    both = sorted(set(cx) & set(cy))
+    assert both and len(both) < min(len(cx), len(cy)), \
+        f"box intersection not strictly harder: {len(both)} vs " \
+        f"x {len(cx)} / y {len(cy)}"
+    boxed = (spark.read.option("basePath", kt.path).parquet(*both)
+             .drop(kt.BUCKET_COL)
+             .where(F.col("o_date_days").between(*_ZBOX_DAYS)
+                    & F.col("o_ck_mod").between(*_ZBOX_CK)))
+    return boxed.select("o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderdate", "o_date_days", "o_ck_mod")
+
+
+CDC_ZORDER_BOX_PRUNE_SQL = f"""
+SELECT *
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+         CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS INTEGER)
+             AS o_date_days,
+         CAST(o_custkey % 1024 AS INTEGER) AS o_ck_mod
+  FROM orders
+)
+WHERE o_date_days BETWEEN {_ZBOX_DAYS[0]} AND {_ZBOX_DAYS[1]}
+  AND o_ck_mod BETWEEN {_ZBOX_CK[0]} AND {_ZBOX_CK[1]}
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -1091,4 +1165,11 @@ QUERIES = {
         "after a real CDC batch: the live file count strictly drops "
         "AND the visible snapshot checksum is unchanged (both asserted "
         "inside the query) — merged state under the value hash"),
+    "cdc_zorder_box_prune": Query(
+        cdc_zorder_box_prune, CDC_ZORDER_BOX_PRUNE_SQL,
+        "2-D box predicate through two zone maps over a z-ordered "
+        "multi-file layout: each dimension file-prunes alone and their "
+        "candidate-set intersection is strictly harder than either "
+        "(all asserted inside the query) — box rows under the value "
+        "hash"),
 }
