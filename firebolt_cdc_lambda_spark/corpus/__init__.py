@@ -504,7 +504,7 @@ _DRIVER_PRIORITY = [
     "q21_sole_supplier_multi_line", "q22_idle_rich_customers",
     # slots 48-50: the round's rule-2 queries (displacements above);
     # each slot holds its displaced re-gate until the new row lands ------
-    "corpus_mixture_sampling",      # -> text_bpe_train_loop
+    "text_bpe_train_loop",          # rule 2: displaced corpus_mixture_sampling
     "cdc_zorder_box_prune",         # rule 2: displaced embedding_pseudo_label
     "cdc_compact_small_files",      # rule 2: displaced val_sample_rows
 ]

@@ -1298,6 +1298,97 @@ WHERE p.n12 >= {_PMI_MIN_SUP}
 """
 
 
+# -- BPE TRAINING LOOP (round-9 judge order #4) ----------------------------
+# The driver-iterated merges-to-vocab loop completing text_bpe_pair_merge
+# (one decision) into the actual tokenizer-training shape: N successive
+# argmax-pair merges via operators/bpe.BpeTrainer — state is the word-
+# TYPE table (bounded by the type vocabulary, never the corpus; the one
+# corpus-sized job is the initial word count), each merge is a pure
+# Catalyst fold, each decision a 1-row TakeOrdered.
+#
+# The oracle re-derives the SAME training run fully independently in
+# DuckDB: words are carried as chr(31)-delimited symbol strings
+# ("\x1f\x1f" between symbols, wrapped both ends) so the greedy
+# left-to-right non-overlapping merge is EXACTLY one REPLACE of
+# "\x1f a \x1f\x1f b \x1f" with "\x1f ab \x1f" (left-to-right REPLACE
+# semantics == the fold's), and each step's argmax is re-counted from
+# the re-split strings.  Tokens are [a-z0-9]+ so the delimiter can
+# never occur inside a symbol; ties break (count DESC, a, b) — byte
+# order on ASCII, identical cross-engine.  Output: the N merge
+# decisions (with winning counts) + the final top-20 subword
+# vocabulary, union-tagged.
+_BPE_N_MERGES = 6
+
+
+def text_bpe_train_loop(spark, sf):
+    from ..operators.bpe import BpeTrainer
+
+    d = load_table(spark, sf, "documents")
+    words = (d.selectExpr(f"explode({_TOKENS_SPARK}) AS w")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    tr = BpeTrainer()
+    merges = tr.train(words, _BPE_N_MERGES)
+    # the loop must reach the vocab target (no early stop) for the
+    # merge table below to be the full training run
+    assert len(merges) == _BPE_N_MERGES, \
+        f"early stop after {len(merges)} merges"
+    merge_rows = spark.createDataFrame(
+        [("merge", i + 1, a + b, n)
+         for i, (a, b, n) in enumerate(tr.merge_stats)],
+        "part string, step int, symbol string, n long")
+    vocab = (tr.vocab()
+             .orderBy(F.desc("n"), F.asc("symbol")).limit(20)
+             .select(F.lit("vocab").alias("part"), F.lit(0).alias("step"),
+                     "symbol", "n"))
+    return merge_rows.unionByName(vocab)
+
+
+def _bpe_train_loop_sql(n_merges: int) -> str:
+    dd = "(chr(31) || chr(31))"          # inter-symbol delimiter
+    syms = ("list_filter(string_split(rep, chr(31) || chr(31)), "
+            "s -> s <> '')")
+    pair_cte = (
+        "SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS n "
+        "FROM (SELECT {syms} AS sy, wc FROM {src}), "
+        "unnest(list_transform(range(1, len(sy)), "
+        "j -> struct_pack(a := sy[CAST(j AS INTEGER)], "
+        "b := sy[CAST(j AS INTEGER) + 1]))) AS t(p) "
+        "GROUP BY 1, 2")
+    parts = [
+        f"w0 AS (SELECT {dd} || array_to_string("
+        "list_transform(range(1, length(w) + 1), "
+        f"j -> substr(w, CAST(j AS INTEGER), 1)), {dd}) || {dd} AS rep, "
+        "wc FROM (SELECT token AS w, COUNT(*) AS wc FROM "
+        f"(SELECT unnest({_TOKENS_DUCK}) AS token FROM documents) "
+        "GROUP BY 1))"]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS ({pair_cte.format(syms=syms, src=f'w{i - 1}')})")
+        parts.append(
+            f"m{i} AS (SELECT a, b, n FROM p{i} "
+            "ORDER BY n DESC, a, b LIMIT 1)")
+        parts.append(
+            f"w{i} AS (SELECT replace(rep, "
+            f"chr(31) || m.a || {dd} || m.b || chr(31), "
+            "chr(31) || m.a || m.b || chr(31)) AS rep, wc "
+            f"FROM w{i - 1}, m{i} AS m)")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT 'merge' AS part, {i} AS step, a || b AS symbol, n "
+        f"FROM m{i}" for i in range(1, n_merges + 1))
+    return (
+        "WITH " + ",\n".join(parts) + ",\n"
+        f"vocab AS (SELECT s AS symbol, CAST(SUM(wc) AS BIGINT) AS n "
+        f"FROM (SELECT unnest({syms}) AS s, wc FROM w{n_merges}) "
+        "GROUP BY 1 ORDER BY n DESC, symbol LIMIT 20)\n"
+        f"SELECT part, CAST(step AS INTEGER) AS step, symbol, n FROM "
+        f"({merge_rows}) \n"
+        "UNION ALL\n"
+        "SELECT 'vocab' AS part, 0 AS step, symbol, n FROM vocab")
+
+
+TEXT_BPE_TRAIN_LOOP_SQL = _bpe_train_loop_sql(_BPE_N_MERGES)
+
+
 QUERIES = {
     "text_passage_dedup": Query(text_passage_dedup, TEXT_PASSAGE_DEDUP_SQL,
                                 "cross-doc 20-token span dedup profile"),
@@ -1365,4 +1456,10 @@ QUERIES = {
         "collocation mining: document-level co-occurrence lift "
         "(exp-PMI) with an exact-integer significance gate — "
         "division-only, no logs, no float membership decisions"),
+    "text_bpe_train_loop": Query(
+        text_bpe_train_loop, TEXT_BPE_TRAIN_LOOP_SQL,
+        "the BPE TRAINING loop: six driver-iterated argmax-pair merges "
+        "over the word-type table (BpeTrainer) — merge decisions with "
+        "winning counts + the final top-20 subword vocabulary, against "
+        "an independent DuckDB replay (delimited-string REPLACE folds)"),
 }

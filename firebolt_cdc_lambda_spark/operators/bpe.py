@@ -69,6 +69,9 @@ class BpeTrainer:
     def __init__(self, min_pair_count: int = 2):
         self.min_pair_count = min_pair_count
         self.merges: list[tuple[str, str]] = []
+        #: (a, b, pair_count) per merge — the count that won each
+        #: decision, kept for auditing/oracling the training loop
+        self.merge_stats: list[tuple[str, str, int]] = []
 
     def train(self, words: DataFrame, num_merges: int,
               word_col: str = "w", count_col: str = "wc") -> list[tuple[str, str]]:
@@ -79,6 +82,7 @@ class BpeTrainer:
                               F.col(count_col).cast("long").alias("wc"))
                  .localCheckpoint(eager=True))
         self.merges = []
+        self.merge_stats = []
         for _ in range(num_merges):
             # size(sym) >= 2 guard is load-bearing: Spark's
             # sequence(1, 0) is the DESCENDING [1, 0] (same trap as
@@ -98,6 +102,7 @@ class BpeTrainer:
                 break
             a, b = pairs[0]["a"], pairs[0]["b"]
             self.merges.append((a, b))
+            self.merge_stats.append((a, b, int(pairs[0]["n"])))
             # checkpoint truncates the growing fold-chain lineage: each
             # iteration's plan stays one fold deep, not i folds deep
             state = (state.selectExpr(f"{_merge_expr('sym', a, b)} AS sym",
