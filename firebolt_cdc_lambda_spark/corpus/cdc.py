@@ -1040,10 +1040,10 @@ def cdc_zorder_box_prune(spark, sf):
     kt.init(derived)
     kt.zorder_by(["o_date_days", "o_ck_mod"],
                  max_records_per_file=max(1, n // 128))
-    sx = StatsIndex(kt, "o_date_days")
-    sy = StatsIndex(kt, "o_ck_mod")
-    sx.build()
-    sy.build()
+    # both zone maps from ONE table scan (StatsIndex.build_many — k
+    # separate builds would pay k full reads at 100 TB)
+    ixs = StatsIndex.build_many(kt, ["o_date_days", "o_ck_mod"])
+    sx, sy = ixs["o_date_days"], ixs["o_ck_mod"]
     total = sum(kt.file_stats().values())
     cx = sx.candidate_files(lo=_ZBOX_DAYS[0], hi=_ZBOX_DAYS[1])
     cy = sy.candidate_files(lo=_ZBOX_CK[0], hi=_ZBOX_CK[1])

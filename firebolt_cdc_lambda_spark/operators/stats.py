@@ -141,6 +141,53 @@ class StatsIndex(SidecarIndex):
         self.table._register_stats_column(self.column)
         return int(n_files)
 
+    @classmethod
+    def build_many(cls, table: KeyedTable,
+                   columns: list[str]) -> dict[str, "StatsIndex"]:
+        """Build zone maps for ALL ``columns`` from ONE table scan —
+        k separate ``build()`` calls each pay a full-table read, which
+        at 100 TB makes indexing k columns k× more expensive than it
+        needs to be (round-8 verdict, optional item).  One grouped
+        aggregation computes every column's per-file (lo, hi,
+        n_notnull) alongside the shared n_rows; the k sidecar-dataset
+        writes then run off the checkpointed (file-count-sized)
+        aggregate, never the data.  Each resulting index is
+        byte-for-byte the one ``build()`` would have produced (pinned
+        in test_stats).  Returns ``{column: StatsIndex}``."""
+        if not columns:
+            return {}
+        t = table
+        df = t._read_raw()
+        fname = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i, c in enumerate(columns):
+            col = F.col(c)
+            aggs += [F.min(col).alias(f"__lo_{i}"),
+                     F.max(col).alias(f"__hi_{i}"),
+                     F.count(col).alias(f"__nn_{i}")]
+        stats = (df.groupBy(F.col(t.BUCKET_COL).cast("int").alias("b"),
+                            fname.alias("f"))
+                 .agg(*aggs).localCheckpoint(eager=True))
+        built = sorted(t.file_stats())
+        out: dict[str, StatsIndex] = {}
+        for i, c in enumerate(columns):
+            ix = cls(t, c)
+            one = stats.select(
+                "b", "f",
+                F.col(f"__lo_{i}").alias("lo"),
+                F.col(f"__hi_{i}").alias("hi"),
+                "n_rows",
+                F.col(f"__nn_{i}").alias("n_notnull"))
+            (one.repartition("b").write.mode("overwrite")
+             .partitionBy("b").parquet(ix.stats_path))
+            ix._save_side({"column": c,
+                           "table_version": ix._current_tv(),
+                           "built": built, "dirty": []})
+            t._register_stats_column(c)
+            out[c] = ix
+        return out
+
     def _recompute_dirty(self, dirty: list[int]) -> None:
         """SidecarIndex refresh hook.  A dirty bucket that came back
         EMPTY (every row deleted) gets its stats partition deleted

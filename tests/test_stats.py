@@ -526,3 +526,51 @@ def test_dirty_flag_written_before_data_commit(spark, table, monkeypatch):
     assert after == before                      # data commit never ran
     assert 7 not in {r["id"]
                      for r in ix.scan(lo=98_000, hi=100_000).collect()}
+
+
+def test_build_many_one_scan_equals_separate_builds(spark, tmp_path):
+    """build_many(k columns) must produce byte-equivalent indexes to k
+    separate build() calls (same rows, same sidecars, same probes) —
+    from ONE table scan instead of k."""
+    kt_a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=4)
+    kt_b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=4)
+    rows = spark.createDataFrame(
+        [Row(id=i, ts=i * 10, price=(i * 37) % 1000,
+             note=None if i % 7 == 0 else f"n{i}") for i in range(400)])
+    for kt in (kt_a, kt_b):
+        kt.init(rows)
+        kt.cluster_by(["ts"], max_records_per_file=25)
+    many = StatsIndex.build_many(kt_a, ["ts", "price", "note"])
+    singles = {c: StatsIndex(kt_b, c) for c in ("ts", "price", "note")}
+    for ix in singles.values():
+        ix.build()
+    assert set(many) == set(singles)
+    assert sorted(kt_a.stats_columns) == ["note", "price", "ts"]
+    # same (b, lo, hi, n_rows, n_notnull) per file — the file-NAME
+    # column differs only by the two layouts' distinct part uuids
+    cols = ["b", "lo", "hi", "n_rows", "n_notnull"]
+    for c in many:
+        rows_a = sorted(map(tuple, spark.read.parquet(
+            many[c].stats_path).select(*cols).collect()))
+        rows_b = sorted(map(tuple, spark.read.parquet(
+            singles[c].stats_path).select(*cols).collect()))
+        assert rows_a == rows_b, c
+        side_a, side_b = many[c]._load_side(), singles[c]._load_side()
+        assert side_a["built"] == side_b["built"]
+        assert side_a["dirty"] == side_b["dirty"] == []
+    # probes bind identically: price is scrambled vs the ts layout (no
+    # prune, honestly — equal candidate counts), ts prunes on both
+    ca = many["price"].candidate_files(lo=100, hi=200)
+    cb = singles["price"].candidate_files(lo=100, hi=200)
+    total = sum(kt_a.file_stats().values())
+    assert len(ca) == len(cb) == total
+    assert len(many["ts"].candidate_files(lo=100, hi=300)) == \
+        len(singles["ts"].candidate_files(lo=100, hi=300)) < total
+    got = sorted(r["id"] for r in many["ts"].scan(lo=100, hi=300).collect())
+    assert got == list(range(10, 31))
+    # merges flag ALL build_many columns dirty (registration landed)
+    kt_a.merge_batch(spark.createDataFrame(
+        [Row(id=7, ts=99_000, price=5, note="x",
+             Op="U", load_timestamp=dt.datetime(2024, 1, 2))]))
+    for c in many:
+        assert StatsIndex(kt_a, c)._load_side()["dirty"], c
