@@ -33,3 +33,34 @@ def test_register_warehouse_views(spark, tmp_path):
     rows = spark.sql("SELECT * FROM wh_users").collect()
     assert len(rows) == 1 and rows[0]["name"] == "a"
     assert "_bucket" not in spark.table("wh_users").columns
+
+
+def test_register_range_view_hits_stats_index(spark, tmp_path):
+    """SQL users reach the zone-map-pruned scan through a temp view:
+    results equal the plain filtered read, the scan actually pruned
+    (strict candidate subset), and further SQL composes on top."""
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+    from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
+
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    kt.init(spark.createDataFrame(
+        [Row(id=i, ts=i * 10, v=i % 7) for i in range(400)]))
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    cands = ix.candidate_files(lo=100, hi=300)
+    assert 0 < len(cands) < sum(kt.file_stats().values())
+    sqlapi.register_range_view(spark, kt, "ts", "t_mid", lo=100, hi=300)
+    got = spark.sql(
+        "SELECT v, COUNT(*) AS n FROM t_mid GROUP BY v ORDER BY v"
+    ).collect()
+    exp = (kt.read().where(F.col("ts").between(100, 300))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy("v").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp] and got
+    # absent index on another column: view degrades to a correct full scan
+    sqlapi.register_range_view(spark, kt, "v", "t_v", lo=2, hi=3)
+    n = spark.sql("SELECT COUNT(*) AS n FROM t_v").first()["n"]
+    assert n == kt.read().where("v BETWEEN 2 AND 3").count()
