@@ -580,7 +580,9 @@ class KeyedTable:
     def _register_stats_column(self, column: str) -> None:
         self._register_index_column("stats_columns", column)
 
-    def _mark_index_dirty(self, buckets: Sequence[int]) -> None:
+    def _mark_index_dirty(self, buckets: Sequence[int],
+                          kinds: Sequence[str] = ("bloom", "stats"),
+                          ) -> None:
         """Secondary-index maintenance riding the merge commit: flag the
         touched buckets dirty in every bloom AND zone-map stats sidecar
         (operators/bloom.py, operators/stats.py) so lookups treat them
@@ -599,16 +601,25 @@ class KeyedTable:
         merger was constructed is still maintained.  Wholesale rewrites
         (init/rewrite/rebucket/cluster_by/zorder_by/evolution) instead
         bump ``table_version``, which voids every sidecar at probe
-        time."""
+        time.
+
+        ``kinds`` restricts the flag to one index family: compaction
+        passes ("stats",) because its grouping-only rewrite provably
+        preserves every bucket's CONTENT — bloom words stay valid, and
+        flagging them would bolt a data-sized word recompute onto an op
+        whose cost contract is ∝ small files (review finding, round 9);
+        zone maps reference files by NAME, so they must go dirty."""
         import json
 
         from .. import fsio
         meta = self._load_meta()
         sidecars = (
-            [f"{self.path}__bloom_{c}.json"
-             for c in (meta or {}).get("bloom_columns", [])]
-            + [f"{self.path}__stats_{c}.json"
-               for c in (meta or {}).get("stats_columns", [])])
+            ([f"{self.path}__bloom_{c}.json"
+              for c in (meta or {}).get("bloom_columns", [])]
+             if "bloom" in kinds else [])
+            + ([f"{self.path}__stats_{c}.json"
+                for c in (meta or {}).get("stats_columns", [])]
+               if "stats" in kinds else []))
         for p in sidecars:
             # sibling paths (survive the rewrite swap; see bloom.py)
             text = fsio.read_text(self.spark, p)
@@ -1486,6 +1497,15 @@ class KeyedTable:
             fs.delete(stg, True)
         self._delete_sidecar(self.COMPACT_SIDECAR)
 
+    def _compact_rel(self, b: int, e: int | None, name: str) -> str:
+        """A data file's expected path RELATIVE to the table root —
+        the join key between compact's driver-side plan and the
+        ``_metadata.file_path`` suffix of the grouped read."""
+        leaf = f"{self.BUCKET_COL}={b}"
+        if e is not None:
+            leaf += f"/{self.EPOCH_COL}={e}"
+        return f"{leaf}/{name}"
+
     def compact(self, target_bytes: int = 128 * 1024 * 1024,
                 small_bytes: int = 32 * 1024 * 1024) -> dict:
         """Bin-pack each bucket's SMALL live data files into ~``target_
@@ -1537,6 +1557,16 @@ class KeyedTable:
         for b, st, e in self._walk_data_files():
             if assign is not None and assign.get(b) != e:
                 continue                      # dead epoch: purge's job
+            # only files sitting EXACTLY at the expected leaf are
+            # packable: _walk_data_files also yields plain-table files
+            # nested one dir deeper (external/bootstrap writers), whose
+            # __rel suffix below would not match the planned rel — the
+            # join would drop their rows from staging while the swap
+            # deleted the source, silently losing them (review finding,
+            # round 9).  Out-of-layout files are left untouched.
+            if not str(st.getPath()).endswith(
+                    "/" + self._compact_rel(b, e, st.getPath().getName())):
+                continue
             by_leaf.setdefault((b, e), []).append(st)
         groups: list[list] = []               # of [(bucket, epoch, FileStatus)]
         for (b, e), sts in sorted(by_leaf.items(),
@@ -1563,14 +1593,9 @@ class KeyedTable:
             return {"groups": 0, "files_removed": 0, "files_added": 0,
                     "buckets": []}
         # -- one job: read group files, relabel, one file per group -----
-        def _rel(b, e, name):
-            leaf = f"{self.BUCKET_COL}={b}"
-            if e is not None:
-                leaf += f"/{self.EPOCH_COL}={e}"
-            return f"{leaf}/{name}"
-
         labels = _distinct_partition_labels(len(groups))
-        mapping = [(_rel(b, e, st.getPath().getName()), labels[g])
+        mapping = [(self._compact_rel(b, e, st.getPath().getName()),
+                    labels[g])
                    for g, grp in enumerate(groups) for b, e, st in grp]
         all_paths = [str(st.getPath())
                      for grp in groups for _, _, st in grp]
@@ -1584,15 +1609,20 @@ class KeyedTable:
                .withColumn("__rel", F.concat_ws(
                    "/", F.slice(F.split(F.col("__fp"), "/"),
                                 -depth, depth))))
+        pcols = ([self.BUCKET_COL, self.EPOCH_COL] if self.versioned
+                 else [self.BUCKET_COL])
         packed = (src.join(F.broadcast(map_df), "__rel")
                   .repartition(len(groups), "__gid")
                   # rows re-emitted in (cut-order file, row) order: the
-                  # packed file's zone-map range stays one contiguous run
-                  .sortWithinPartitions("__rel", "__ridx")
+                  # packed file's zone-map range stays one contiguous
+                  # run.  Lead with the PARTITION columns: the writer
+                  # requires rows sorted by them and would otherwise
+                  # insert its own (unstable) sort, destroying exactly
+                  # the order this clause exists to preserve — the same
+                  # guard rewrite() carries (review finding, round 9)
+                  .sortWithinPartitions(*pcols, "__rel", "__ridx")
                   .drop("__fp", "__ridx", "__rel", "__gid"))
         staging = f"{self.path}__compact_staging"
-        pcols = ([self.BUCKET_COL, self.EPOCH_COL] if self.versioned
-                 else [self.BUCKET_COL])
         (packed.write.mode("overwrite")
          .partitionBy(*pcols).parquet(staging))
         # -- intent, then swap (every state below is recoverable) -------
@@ -1617,8 +1647,11 @@ class KeyedTable:
         import json
         buckets = sorted({b for grp in groups for b, _, _ in grp})
         # zone maps reference files by name: flag BEFORE any visible
-        # change (the _mark_index_dirty ordering contract)
-        self._mark_index_dirty(buckets)
+        # change (the _mark_index_dirty ordering contract).  STATS only:
+        # bucket contents are provably unchanged, so bloom words stay
+        # valid — flagging them would cost a data-sized word recompute
+        # on the next refresh for nothing (review finding, round 9)
+        self._mark_index_dirty(buckets, kinds=("stats",))
         self._write_sidecar(self.COMPACT_SIDECAR, json.dumps(
             {"staging": staging, "add": adds, "remove": removes}))
         self._recover_compact()               # the swap IS the recovery

@@ -77,22 +77,47 @@ class StatsIndex(SidecarIndex):
         super().__init__(table, column)
         self.stats_path = self.data_path     # historical alias
 
-    # -- shared aggregation (build AND refresh use this verbatim) ----------
-    def _stats_for(self, buckets: list[int] | None) -> DataFrame:
-        """Per-file (b, f, lo, hi, n_rows, n_notnull) for the given
+    # -- shared aggregation (build, refresh AND build_many use this) -------
+    @staticmethod
+    def _stats_frame(table: KeyedTable, buckets: list[int] | None,
+                     columns: list[str]) -> DataFrame:
+        """ONE per-file aggregation computing every column's (__lo_i,
+        __hi_i, __nn_i) beside the shared n_rows, over the given
         buckets (None = every bucket on disk), via the table's pruned
-        scan + the file-source ``_metadata`` column.  One
-        partial-aggregated exchange of #files rows."""
-        t = self.table
-        df = t._read_raw(buckets=buckets)
-        c = F.col(self.column)
+        scan + the file-source ``_metadata`` column.  One partial-
+        aggregated exchange of #files rows.  The single definition all
+        build paths share — a change to the row shape or the fname
+        derivation cannot diverge build() from build_many() (review
+        finding, round 9)."""
+        df = table._read_raw(buckets=buckets)
         fname = F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1)
-        return (df.groupBy(F.col(t.BUCKET_COL).cast("int").alias("b"),
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i, c in enumerate(columns):
+            col = F.col(c)
+            aggs += [F.min(col).alias(f"__lo_{i}"),
+                     F.max(col).alias(f"__hi_{i}"),
+                     F.count(col).alias(f"__nn_{i}")]
+        return (df.groupBy(F.col(table.BUCKET_COL).cast("int").alias("b"),
                            fname.alias("f"))
-                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
-                     F.count(F.lit(1)).alias("n_rows"),
-                     F.count(c).alias("n_notnull")))
+                .agg(*aggs))
+
+    @staticmethod
+    def _one_column(stats: DataFrame, i: int) -> DataFrame:
+        """Project the i-th column's (b, f, lo, hi, n_rows, n_notnull)
+        sidecar-dataset shape out of a ``_stats_frame`` result."""
+        return stats.select(
+            "b", "f",
+            F.col(f"__lo_{i}").alias("lo"),
+            F.col(f"__hi_{i}").alias("hi"),
+            "n_rows",
+            F.col(f"__nn_{i}").alias("n_notnull"))
+
+    def _stats_for(self, buckets: list[int] | None) -> DataFrame:
+        """Per-file (b, f, lo, hi, n_rows, n_notnull) for this index's
+        column over the given buckets."""
+        return self._one_column(
+            self._stats_frame(self.table, buckets, [self.column]), 0)
 
     def _listing(self) -> dict[tuple[int, str], str]:
         """{(bucket, filename): full path} for every LIVE data file.
@@ -104,6 +129,13 @@ class StatsIndex(SidecarIndex):
         query-time probe must not pay O(dead leaves) list calls for
         files it then discards (review finding, round 8)."""
         t = self.table
+        # the versioned branch below lists leaves directly (not through
+        # _walk_data_files), so it must run compact-swap recovery itself
+        # or a crashed compact's half-swapped leaf could serve duplicate
+        # rows through the dirty-bucket fail-open (review finding,
+        # round 9; the unversioned branch inherits this from
+        # _walk_data_files)
+        t._recover_compact()
         if not t.versioned:
             return {(b, st.getPath().getName()): str(st.getPath())
                     for b, st, _ in t._walk_data_files()}
@@ -157,28 +189,13 @@ class StatsIndex(SidecarIndex):
         if not columns:
             return {}
         t = table
-        df = t._read_raw()
-        fname = F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for i, c in enumerate(columns):
-            col = F.col(c)
-            aggs += [F.min(col).alias(f"__lo_{i}"),
-                     F.max(col).alias(f"__hi_{i}"),
-                     F.count(col).alias(f"__nn_{i}")]
-        stats = (df.groupBy(F.col(t.BUCKET_COL).cast("int").alias("b"),
-                            fname.alias("f"))
-                 .agg(*aggs).localCheckpoint(eager=True))
+        stats = (cls._stats_frame(t, None, columns)
+                 .localCheckpoint(eager=True))
         built = sorted(t.file_stats())
         out: dict[str, StatsIndex] = {}
         for i, c in enumerate(columns):
             ix = cls(t, c)
-            one = stats.select(
-                "b", "f",
-                F.col(f"__lo_{i}").alias("lo"),
-                F.col(f"__hi_{i}").alias("hi"),
-                "n_rows",
-                F.col(f"__nn_{i}").alias("n_notnull"))
+            one = cls._one_column(stats, i)
             (one.repartition("b").write.mode("overwrite")
              .partitionBy("b").parquet(ix.stats_path))
             ix._save_side({"column": c,

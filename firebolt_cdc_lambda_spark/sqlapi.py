@@ -56,7 +56,13 @@ def register_range_view(spark: SparkSession, table, column: str,
     StatsIndex.scan's guarantees carry over — fail-open on dirty
     buckets, full-scan degrade when the index is absent or voided,
     and the residual range filter applied on top, so the view is
-    never wrong, only sometimes unpruned."""
+    never wrong, only sometimes unpruned.  A RANGE view needs a range:
+    at least one bound is required (for the unfiltered table, register
+    ``table.read()`` directly)."""
+    if lo is None and hi is None:
+        raise ValueError(
+            "register_range_view is a RANGE view: pass lo and/or hi "
+            "(for the unfiltered table, register table.read() directly)")
     from .operators.stats import StatsIndex
     StatsIndex(table, column).scan(lo=lo, hi=hi).createOrReplaceTempView(name)
     return name

@@ -338,3 +338,93 @@ def test_randomized_interleaved_merges_and_compacts_mirror(spark, tmp_path):
         if step % 2 == 0:
             a.compact(target_bytes=1 << 20, small_bytes=1 << 19)
         assert _snapshot(a) == _snapshot(b), step
+
+
+def test_bloom_words_not_flagged_by_compact(spark, tmp_path):
+    """Review regression (round 9): compaction preserves bucket CONTENT,
+    so bloom words stay valid — only the file-referencing zone maps go
+    dirty.  Flagging bloom would bolt a data-sized word recompute onto
+    an op whose cost contract is ∝ small files."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(400)))
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    bx = BloomIndex(kt, "payload")
+    bx.build()
+    sx = StatsIndex(kt, "ts")
+    sx.build()
+    res = kt.compact(target_bytes=1 << 20, small_bytes=1 << 19)
+    assert res["groups"]
+    assert sorted(sx._load_side()["dirty"]) == res["buckets"]  # stats dirty
+    assert bx._load_side()["dirty"] == []                      # bloom clean
+    # and the un-refreshed bloom still answers correctly post-compact:
+    # the probe's candidate buckets (no dirty widening) still contain
+    # the key, because compaction never moved rows between buckets
+    got = {r["id"] for r in bx.lookup(["p7"]).collect()}
+    assert got == {7}
+
+
+def test_out_of_layout_nested_file_left_untouched(spark, tmp_path):
+    """Review regression (round 9): a plain-table data file nested one
+    dir BELOW the bucket leaf (external/bootstrap writers — a layout
+    _walk_data_files explicitly tolerates) must never be packed: its
+    __rel join key cannot match, so packing it would delete the file
+    while dropping its rows from staging — silent row loss."""
+    import pathlib
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    kt.init(_rows(spark, range(200)))
+    kt.cluster_by(["ts"], max_records_per_file=20)
+    # plant two nested small files inside bucket 0 (a ≥2 run if counted)
+    nest = pathlib.Path(kt.path) / "_bucket=0" / "ext"
+    nest.mkdir()
+    extra = _rows(spark, [9001]).withColumn(
+        "ts", F.lit(777_001)).withColumn("payload", F.lit("x9001"))
+    extra2 = _rows(spark, [9002]).withColumn(
+        "ts", F.lit(777_002)).withColumn("payload", F.lit("x9002"))
+    extra.coalesce(1).write.parquet(str(nest / "a.parquet"))
+    extra2.coalesce(1).write.parquet(str(nest / "b.parquet"))
+    before = _snapshot(kt)
+    assert (9001, 777_001, "x9001") in before      # nested rows visible
+    nested_before = sorted(p.name for p in nest.rglob("*.parquet"))
+    res = kt.compact(target_bytes=1 << 20, small_bytes=1 << 19)
+    assert res["groups"]                           # leaf files packed
+    assert _snapshot(kt) == before                 # nothing lost
+    assert sorted(p.name for p in nest.rglob("*.parquet")) == nested_before
+
+
+def test_versioned_stats_listing_heals_crashed_compact(spark, tmp_path,
+                                                       monkeypatch):
+    """Review regression (round 9): the versioned StatsIndex listing
+    resolves leaves directly (not via _walk_data_files), so it must run
+    compact-swap recovery itself — a crashed swap's duplicate state
+    must not reach scan() through the dirty-bucket fail-open."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2,
+                    versioned=True)
+    kt.init(_rows(spark, range(200)))
+    kt.cluster_by(["ts"], max_records_per_file=20)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    expect = sorted(r["id"] for r in ix.scan(lo=100, hi=900).collect())
+    orig = KeyedTable._recover_compact
+
+    def crash_at_swap(self):
+        if self._read_sidecar(self.COMPACT_SIDECAR) is not None:
+            raise RuntimeError("boom")
+        return orig(self)
+
+    monkeypatch.setattr(KeyedTable, "_recover_compact", crash_at_swap)
+    with pytest.raises(RuntimeError):
+        kt.compact(target_bytes=1 << 20, small_bytes=1 << 19)
+    monkeypatch.undo()
+    # half-apply the swap by hand: one packed file renamed in, its
+    # sources NOT yet deleted — the duplicate-visible crash state
+    import json
+    import pathlib
+    intent = json.loads(kt._read_sidecar(kt.COMPACT_SIDECAR))
+    local = lambda p: pathlib.Path(p.removeprefix("file:"))  # noqa: E731
+    a = intent["add"][0]
+    local(a["src"]).rename(local(a["dst"]))
+    # scan must heal first: same rows, no duplicates, intent cleared
+    got = sorted(r["id"] for r in ix.scan(lo=100, hi=900).collect())
+    assert got == expect
+    assert kt._read_sidecar(kt.COMPACT_SIDECAR) is None

@@ -64,3 +64,16 @@ def test_register_range_view_hits_stats_index(spark, tmp_path):
     sqlapi.register_range_view(spark, kt, "v", "t_v", lo=2, hi=3)
     n = spark.sql("SELECT COUNT(*) AS n FROM t_v").first()["n"]
     assert n == kt.read().where("v BETWEEN 2 AND 3").count()
+
+
+def test_register_range_view_requires_a_bound(spark, tmp_path):
+    """Review regression (round 9): an unbounded 'range view' used to
+    surface as a ValueError from deep inside candidate_files; the API
+    boundary now rejects it with a clear message."""
+    import pytest
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    kt.init(spark.createDataFrame([Row(id=1, ts=10)]))
+    with pytest.raises(ValueError, match="pass lo and/or hi"):
+        sqlapi.register_range_view(spark, kt, "ts", "t_all")
