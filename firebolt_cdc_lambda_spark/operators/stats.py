@@ -90,6 +90,25 @@ class StatsIndex(SidecarIndex):
         derivation cannot diverge build() from build_many() (review
         finding, round 9)."""
         df = table._read_raw(buckets=buckets)
+        if not df.inputFiles():
+            # every requested bucket dir is gone (e.g. a refresh whose
+            # dirty buckets were ALL emptied by deletes): _read_raw
+            # falls back to an in-memory empty relation, which has no
+            # ``_metadata`` column — referencing it would crash the
+            # refresh (latent since round 8, surfaced by the
+            # refresh_many equivalence test).  Return an empty frame
+            # of the right shape; the dirty-partition writer then
+            # correctly DROPS those buckets' stats partitions.
+            from pyspark.sql import types as T
+            fields = [T.StructField("b", T.IntegerType()),
+                      T.StructField("f", T.StringType()),
+                      T.StructField("n_rows", T.LongType())]
+            for i, c in enumerate(columns):
+                dt = df.schema[c].dataType
+                fields += [T.StructField(f"__lo_{i}", dt),
+                           T.StructField(f"__hi_{i}", dt),
+                           T.StructField(f"__nn_{i}", T.LongType())]
+            return table.spark.createDataFrame([], T.StructType(fields))
         fname = F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1)
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -213,16 +232,77 @@ class StatsIndex(SidecarIndex):
         dead files, and the probe's missing-file check would then
         degrade every scan to full."""
         stats = self._stats_for(dirty).localCheckpoint(eager=True)
-        (stats.repartition("b").write.mode("overwrite")
+        self._write_dirty_partitions(stats, dirty)
+
+    def _write_dirty_partitions(self, one: DataFrame,
+                                dirty: list[int]) -> None:
+        """Dynamic-overwrite exactly ``dirty``'s stats partitions from a
+        single-column stats frame, deleting partitions whose bucket
+        came back empty (shared by refresh and refresh_many)."""
+        (one.repartition("b").write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("b").parquet(self.stats_path))
         refreshed = {int(r[0]) for r in
-                     stats.select("b").distinct().collect()}
+                     one.select("b").distinct().collect()}
         fs, _, jvm = self.table._fs_and_path(self.table.path)
         for b in set(dirty) - refreshed:     # emptied buckets
             p = jvm.org.apache.hadoop.fs.Path(f"{self.stats_path}/b={b}")
             if fs.exists(p):
                 fs.delete(p, True)
+
+    @classmethod
+    def refresh_many(cls, table: KeyedTable,
+                     columns: list[str]) -> dict[str, list[int]]:
+        """Pay down the dirty debt of k stats indexes with shared
+        scans — the refresh-side twin of ``build_many``: the per-column
+        cadence re-read every dirty bucket once PER column even though
+        merges flag all registered columns together.  Voided indexes
+        (table_version mismatch) rebuild together through
+        ``build_many`` (one full scan); live indexes recompute over
+        the UNION of their dirty buckets in one pruned scan, each
+        column dynamic-overwriting only ITS OWN dirty partitions (a
+        bucket dirty for A but clean for B must not churn B's
+        partition).  Per-index results are identical to k ``refresh()``
+        calls (pinned in test_stats).  Returns ``{column: buckets
+        recomputed}`` — ``refresh()``'s contract per column."""
+        out: dict[str, list[int]] = {c: [] for c in columns}
+        voided: list[str] = []
+        dirty_by_col: dict[str, list[int]] = {}
+        sides: dict[str, dict] = {}
+        ixs = {c: cls(table, c) for c in columns}
+        for c, ix in ixs.items():
+            side = ix._load_side()
+            if side is not None:
+                ix._adopt_side(side)
+            if side is None or side["table_version"] != ix._current_tv():
+                voided.append(c)
+                continue
+            d = sorted(int(b) for b in side.get("dirty", []))
+            sides[c] = side
+            if d:
+                dirty_by_col[c] = d
+        if voided:
+            cls.build_many(table, voided)
+            full = sorted(table.file_stats())
+            for c in voided:
+                out[c] = full
+        if dirty_by_col:
+            cols = list(dirty_by_col)
+            union = sorted({b for d in dirty_by_col.values() for b in d})
+            stats = (cls._stats_frame(table, union, cols)
+                     .localCheckpoint(eager=True))
+            for i, c in enumerate(cols):
+                dirty = dirty_by_col[c]
+                one = cls._one_column(stats, i)
+                if dirty != union:
+                    one = one.where(F.col("b").isin(dirty))
+                ixs[c]._write_dirty_partitions(one, dirty)
+                side = sides[c]
+                side["built"] = sorted(set(side["built"]) | set(dirty))
+                side["dirty"] = []
+                ixs[c]._save_side(side)
+                out[c] = dirty
+        return out
 
     # -- probe ----------------------------------------------------------------
     def candidate_files(self, lo=None, hi=None,

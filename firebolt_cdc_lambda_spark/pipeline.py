@@ -429,9 +429,19 @@ class CdcPipeline:
         dirty buckets of every min/max stats index registered on
         ``table`` (operators/stats.py).  Returns the refreshed columns
         (empty: table unconfigured / absent / no indexes / nothing
-        dirty)."""
+        dirty).  Multi-index tables refresh through
+        ``StatsIndex.refresh_many`` — merges flag every registered
+        column together, so the per-column cadence was re-reading the
+        same dirty buckets k times."""
         from .operators.stats import StatsIndex
-        return self._refresh_indexes(table, StatsIndex, "stats_columns")
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return []
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.stats_columns:
+            return []
+        res = StatsIndex.refresh_many(target, list(target.stats_columns))
+        return [c for c, buckets in res.items() if buckets]
 
     def _refresh_indexes(self, table: str, index_cls,
                          columns_attr: str) -> list[str]:

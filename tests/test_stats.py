@@ -574,3 +574,104 @@ def test_build_many_one_scan_equals_separate_builds(spark, tmp_path):
              Op="U", load_timestamp=dt.datetime(2024, 1, 2))]))
     for c in many:
         assert StatsIndex(kt_a, c)._load_side()["dirty"], c
+
+
+def test_refresh_many_equals_per_index_refresh(spark, tmp_path):
+    """refresh_many(k columns) must land each index in exactly the
+    state k refresh() calls would — voided indexes rebuilt, live ones
+    recomputed over THEIR OWN dirty buckets only (a bucket dirty for A
+    but clean for B must not churn B's partition), emptied buckets'
+    partitions dropped — while sharing scans."""
+    import pathlib
+    tables = {}
+    for nm in ("a", "b"):
+        kt = KeyedTable(spark, str(tmp_path / nm), ["id"], num_buckets=4,
+                        delete_vectors=False)
+        kt.init(_rows(spark, range(400)))
+        kt.cluster_by(["ts"], max_records_per_file=25)
+        StatsIndex.build_many(kt, ["ts", "id"])
+        # divergent dirty sets: a merge flags both, then ts gets a
+        # refresh on ONE table-half so the two columns' debt differs
+        kt.merge_batch(_rows(spark, [7, 395], ts=lambda i: 99_000 + i))
+        # delete EVERY row of one touched bucket so a dirty bucket
+        # comes back empty (the partition-drop path)
+        bucket_of_7 = int(kt._with_bucket(
+            _rows(spark, [7])).select(kt.BUCKET_COL).first()[0])
+        victims = [r["id"] for r in kt.read().withColumn(
+            "_b", F.pmod(F.xxhash64("id"), F.lit(4)))
+            .where(F.col("_b") == bucket_of_7).select("id").collect()]
+        kt.merge_batch(
+            spark.createDataFrame([Row(id=i, ts=0, payload="x", Op="D")
+                                   for i in victims]))
+        tables[nm] = kt
+    # manufacture divergent dirty sets identically on both tables:
+    # drop one bucket from ts's dirty list (as if partially refreshed)
+    for kt in tables.values():
+        ix = StatsIndex(kt, "ts")
+        side = ix._load_side()
+        side["dirty"] = side["dirty"][:-1]
+        ix._save_side(side)
+    # and void id's index on both via a wholesale rewrite? No — void
+    # ts vs id asymmetrically would change code paths; instead leave
+    # both live and also exercise the voided path with a THIRD column
+    # registered then table-rewritten below.
+    a, b = tables["a"], tables["b"]
+    ra = {c: StatsIndex(a, c).refresh() for c in ("ts", "id")}
+    rb = StatsIndex.refresh_many(b, ["ts", "id"])
+    assert ra == rb
+    cols = ["b", "lo", "hi", "n_rows", "n_notnull"]
+    for c in ("ts", "id"):
+        rows_a = sorted(map(tuple, spark.read.parquet(
+            StatsIndex(a, c).stats_path).select(*cols).collect()))
+        rows_b = sorted(map(tuple, spark.read.parquet(
+            StatsIndex(b, c).stats_path).select(*cols).collect()))
+        assert rows_a == rows_b, c
+        sa, sb = StatsIndex(a, c)._load_side(), StatsIndex(b, c)._load_side()
+        assert sa["built"] == sb["built"] and sa["dirty"] == sb["dirty"] == []
+        # probes agree and stay correct
+        pa = StatsIndex(a, c).candidate_files(lo=99_000, hi=100_000)
+        pb = StatsIndex(b, c).candidate_files(lo=99_000, hi=100_000)
+        assert (pa is None) == (pb is None)
+        if pa is not None:
+            assert len(pa) == len(pb)
+    got = sorted(r["id"] for r in
+                 StatsIndex(b, "ts").scan(lo=99_000, hi=100_000).collect())
+    assert got == sorted(r["id"] for r in b.read()
+                         .where(F.col("ts").between(99_000, 100_000))
+                         .collect())
+    # voided path: wholesale rewrite voids both, refresh_many rebuilds
+    # both through ONE build_many scan with full-bucket results
+    b.cluster_by(["ts"], max_records_per_file=25)
+    res = StatsIndex.refresh_many(b, ["ts", "id"])
+    assert res["ts"] == res["id"] == sorted(b.file_stats())
+    assert StatsIndex(b, "ts")._load_side()["dirty"] == []
+    # stale-dirty cleanup sanity: staging dir never leaks
+    assert not pathlib.Path(f"{b.path}__compact_staging").exists()
+
+
+def test_refresh_with_every_dirty_bucket_emptied(spark, tmp_path):
+    """Latent-bug regression (found by the refresh_many equivalence
+    test, round 9): when ALL of a refresh's dirty buckets were emptied
+    by deletes, the pruned read falls back to an in-memory empty
+    relation with no _metadata column — the old aggregation crashed on
+    it.  The refresh must instead DROP those buckets' stats partitions
+    and leave the probe correct."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    kt.init(_rows(spark, range(100)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=10)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    # delete EVERY row of one bucket (and only that bucket)
+    b0 = int(kt._with_bucket(
+        spark.createDataFrame([Row(id=0)])).select(kt.BUCKET_COL).first()[0])
+    victims = [r["id"] for r in kt.read().withColumn(
+        "_b", F.pmod(F.xxhash64("id"), F.lit(4)))
+        .where(F.col("_b") == b0).select("id").collect()]
+    kt.merge_batch(spark.createDataFrame(
+        [Row(id=i, ts=0, payload="x", Op="D") for i in victims]))
+    assert sorted(ix._load_side()["dirty"]) == [b0]
+    assert ix.refresh() == [b0]                  # no crash, debt paid
+    import pathlib
+    assert not (pathlib.Path(ix.stats_path) / f"b={b0}").exists()
+    got = sorted(r["id"] for r in ix.scan(lo=0, hi=10**6).collect())
+    assert got == sorted(set(range(100)) - set(victims))
