@@ -282,8 +282,11 @@ class StatsIndex(SidecarIndex):
             if d:
                 dirty_by_col[c] = d
         if voided:
-            cls.build_many(table, voided)
-            full = sorted(table.file_stats())
+            rebuilt = cls.build_many(table, voided)
+            # build_many already walked the layout for its "built"
+            # list — read it back (mtime-cached) instead of paying a
+            # second full listing (review finding, round 9)
+            full = rebuilt[voided[0]]._load_side()["built"]
             for c in voided:
                 out[c] = full
         if dirty_by_col:

@@ -434,25 +434,29 @@ class CdcPipeline:
         column together, so the per-column cadence was re-reading the
         same dirty buckets k times."""
         from .operators.stats import StatsIndex
-        keys = self.table_keys.resolve(table)
-        if keys is None:
-            return []
-        target = self.target_for(table, keys)
-        if not target.exists() or not target.stats_columns:
+        target = self._resolve_target(table)
+        if target is None or not target.stats_columns:
             return []
         res = StatsIndex.refresh_many(target, list(target.stats_columns))
         return [c for c, buckets in res.items() if buckets]
 
-    def _refresh_indexes(self, table: str, index_cls,
-                         columns_attr: str) -> list[str]:
-        """Shared maintenance scaffold for both secondary-index
-        families — one copy of the resolve/exists/loop contract so the
-        two cadence hooks cannot diverge (review finding, round 8)."""
+    def _resolve_target(self, table: str):
+        """Resolve-keys + exists prologue every maintenance hook
+        shares (None: table unconfigured or absent) — one copy so the
+        cadence hooks cannot diverge (review findings, rounds 8+9)."""
         keys = self.table_keys.resolve(table)
         if keys is None:
-            return []
+            return None
         target = self.target_for(table, keys)
-        if not target.exists():
+        return target if target.exists() else None
+
+    def _refresh_indexes(self, table: str, index_cls,
+                         columns_attr: str) -> list[str]:
+        """Per-column maintenance scaffold (bloom family; the stats
+        family batches through refresh_many above — both share the
+        ``_resolve_target`` prologue)."""
+        target = self._resolve_target(table)
+        if target is None:
             return []
         refreshed = []
         for col in list(getattr(target, columns_attr)):
