@@ -114,6 +114,55 @@ class BloomIndex(SidecarIndex):
         self.table._register_bloom_column(self.column)
         return len(built)
 
+    @classmethod
+    def build_many(cls, table: KeyedTable, columns: Sequence[str],
+                   m_bits: int = 4096, k: int = 3,
+                   ) -> dict[str, "BloomIndex"]:
+        """Build bloom filters for ALL ``columns`` from ONE table scan
+        — the equality-family twin of ``StatsIndex.build_many``: k
+        separate ``build()`` calls each pay a full-table read.  Every
+        column's k hash positions are computed in the same projection,
+        tagged, and exploded once; a single (tag, b, word) exchange
+        then produces every index's words.  Shuffle volume is the sum
+        of the k single builds' (unavoidable — the words differ), but
+        the 100 TB-dominant data scan happens once.  Each index is
+        equivalent to the one ``build()`` would produce (pinned in
+        test_bloom).  Returns ``{column: BloomIndex}``."""
+        cols = list(columns)
+        if not cols:
+            return {}
+        ixs = {c: cls(table, c, m_bits=m_bits, k=k) for c in cols}
+        t = table
+        df = t._read_raw()
+        tagged = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("t"),
+                     F.when(F.col(c).isNotNull(),
+                            ixs[c]._positions(c)).alias("ps"))
+            for c in cols])).alias("e")
+        pos = (df.select(F.col(t.BUCKET_COL).cast("int").alias("b"),
+                         tagged)
+               .where(F.col("e.ps").isNotNull())
+               .select("b", F.col("e.t").alias("t"),
+                       F.explode("e.ps").alias("p")))
+        words = (pos.groupBy("t", "b",
+                             F.expr(f"CAST(p DIV {_WORD_BITS} AS INT)")
+                             .alias("w"))
+                 .agg(F.bit_or(F.expr(
+                     f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits"))
+                 .localCheckpoint(eager=True))
+        built = sorted(t.file_stats())
+        for c in cols:
+            ix = ixs[c]
+            (words.where(F.col("t") == c).drop("t")
+             .repartition("b").write.mode("overwrite")
+             .partitionBy("b").parquet(ix.words_path))
+            ix._save_side({"column": c, "m": ix.m, "k": ix.k,
+                           "table_version": ix._current_tv(),
+                           "built": built, "dirty": []})
+            t._register_bloom_column(c)
+        return ixs
+
     def _adopt_side(self, side: dict) -> None:
         # adopt the stored sizing FIRST — including on refresh's voided
         # branch, where build() would otherwise silently rebuild a

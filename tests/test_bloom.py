@@ -310,3 +310,45 @@ def test_null_probe_rejected_even_when_index_absent(spark, table):
     ix = BloomIndex(table, "category")     # never built
     with pytest.raises(ValueError, match="NULL probe"):
         ix.candidate_buckets(["cat_1", None])
+
+
+def test_build_many_one_scan_equals_separate_builds(spark, tmp_path):
+    """build_many(k columns) must produce indexes equivalent to k
+    separate build() calls (same word partitions, same sidecars, same
+    probes — incl. a NULL-bearing column) from ONE table scan."""
+    rows = spark.createDataFrame([
+        Row(id=i, category=f"cat_{i % 7}",
+            payload=None if i % 11 == 0 else f"p{i}") for i in range(400)])
+    kt_a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=16)
+    kt_b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=16)
+    kt_a.init(rows)
+    kt_b.init(rows)
+    many = BloomIndex.build_many(kt_a, ["category", "payload"],
+                                 m_bits=2048, k=2)
+    singles = {c: BloomIndex(kt_b, c, m_bits=2048, k=2)
+               for c in ("category", "payload")}
+    for ix in singles.values():
+        ix.build()
+    assert sorted(kt_a.bloom_columns) == ["category", "payload"]
+    for c in many:
+        wa = sorted(map(tuple, spark.read.parquet(
+            many[c].words_path).select("b", "w", "bits").collect()))
+        wb = sorted(map(tuple, spark.read.parquet(
+            singles[c].words_path).select("b", "w", "bits").collect()))
+        assert wa == wb, c
+        sa, sb = many[c]._load_side(), singles[c]._load_side()
+        assert (sa["built"], sa["m"], sa["k"], sa["dirty"]) == \
+            (sb["built"], sb["m"], sb["k"], sb["dirty"])
+        # probes agree, prune, and lookups match the full scan
+        probe = "cat_3" if c == "category" else "p42"
+        ca = many[c].candidate_buckets([probe])
+        cb = singles[c].candidate_buckets([probe])
+        assert ca == cb and ca is not None and len(ca) < 16
+        got = sorted(r["id"] for r in many[c].lookup([probe]).collect())
+        exp = sorted(r["id"] for r in kt_a.read()
+                     .where(F.col(c) == probe).collect())
+        assert got == exp and got
+    # merges flag BOTH build_many columns dirty (registration landed)
+    kt_a.merge_batch(_rows(spark, [7]))
+    for c in many:
+        assert BloomIndex(kt_a, c)._load_side()["dirty"], c
