@@ -1363,7 +1363,8 @@ class KeyedTable:
         report = {
             "num_buckets": self.num_buckets, "versioned": self.versioned,
             "manifest_entries": 0, "live_files": 0, "live_bytes": 0,
-            "small_live_files": 0, "dead_files": 0, "dead_bytes": 0,
+            "small_live_files": 0, "compactable_files": 0,
+            "dead_files": 0, "dead_bytes": 0,
             "dead_ratio": 0.0, "max_bucket_bytes": 0,
             "mean_bucket_bytes": 0.0, "bucket_bytes_skew": 1.0,
         }
@@ -1375,6 +1376,7 @@ class KeyedTable:
             except ValueError:
                 report["manifest_unreadable"] = True
         bucket_bytes: dict[int, int] = {}
+        small_by_leaf: dict[tuple[int, int | None], int] = {}
         for bucket, status, epoch in self._walk_data_files():
             live = (epoch is None or assign is None
                     or assign.get(bucket) == epoch)
@@ -1385,9 +1387,18 @@ class KeyedTable:
                 bucket_bytes[bucket] = bucket_bytes.get(bucket, 0) + size
                 if size < small_file_bytes:
                     report["small_live_files"] += 1
+                    k = (bucket, epoch)
+                    small_by_leaf[k] = small_by_leaf.get(k, 0) + 1
             else:
                 report["dead_files"] += 1
                 report["dead_bytes"] += size
+        # the sharper compaction signal: small files only COUNT toward
+        # packing when >= 2 share a leaf (compact() packs within a
+        # bucket's live leaf) — 500 small files in 500 one-file buckets
+        # are a rebucket problem, not a compact one, and gating on the
+        # raw small count there would trigger a no-op compact per sweep
+        report["compactable_files"] = sum(
+            n for n in small_by_leaf.values() if n >= 2)
         total = report["live_bytes"] + report["dead_bytes"]
         if total:
             report["dead_ratio"] = report["dead_bytes"] / total

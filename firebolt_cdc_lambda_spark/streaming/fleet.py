@@ -196,16 +196,24 @@ class CdcFleet:
                             table, keep_last=keep_versions) or did
                 if compact_small_files is not None:
                     # small-file bin-packing, gated on the MEASURED
-                    # small-live-file count exactly as dead_ratio gates
-                    # version GC — a healthy fleet sweep costs one
-                    # listing per table, never a data job.  Runs BEFORE
-                    # the index refreshes below so the buckets compact
-                    # flags dirty are paid down in the same sweep.
+                    # count exactly as dead_ratio gates version GC — a
+                    # healthy fleet sweep costs one listing per table,
+                    # never a data job.  Prefers ``compactable_files``
+                    # (small files sharing a leaf with another — the
+                    # ones compact() can actually pack; a one-small-
+                    # file-per-bucket table is a rebucket problem and
+                    # must not trigger a no-op compact every sweep),
+                    # falling back to small_live_files for reports from
+                    # older callers.  Runs BEFORE the index refreshes
+                    # below so the buckets compact flags dirty are paid
+                    # down in the same sweep.
                     report = (health_reports or {}).get(table)
                     if report is None or "small_live_files" not in report:
                         report = self.pipeline.table_health(table)
-                    if (report is not None and report["small_live_files"]
-                            >= compact_small_files):
+                    gate = (report or {}).get(
+                        "compactable_files",
+                        (report or {}).get("small_live_files"))
+                    if report is not None and gate >= compact_small_files:
                         res = self.pipeline.compact_table(
                             table, target_bytes=compact_target_bytes)
                         did = bool(res and res["groups"]) or did

@@ -428,3 +428,22 @@ def test_versioned_stats_listing_heals_crashed_compact(spark, tmp_path,
     got = sorted(r["id"] for r in ix.scan(lo=100, hi=900).collect())
     assert got == expect
     assert kt._read_sidecar(kt.COMPACT_SIDECAR) is None
+
+
+def test_compactable_files_health_signal(spark, tmp_path):
+    """compactable_files counts only small files sharing a leaf with
+    another — the ones compact() can pack.  A one-small-file-per-bucket
+    table (the rebucket shape) reports 0 and must not trigger a no-op
+    compact from the fleet gate."""
+    # shape A: multi-file leaves -> compactable == small count
+    a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=2)
+    a.init(_rows(spark, range(200)))
+    a.cluster_by(["ts"], max_records_per_file=20)
+    ra = a.health_report()
+    assert ra["compactable_files"] == ra["small_live_files"] >= 8
+    # shape B: one small file per bucket -> nothing compactable
+    b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=8)
+    b.init(_rows(spark, range(200)))
+    rb = b.health_report()
+    assert rb["small_live_files"] == 8 and rb["compactable_files"] == 0
+    assert b.compact()["groups"] == 0          # the signal is truthful
