@@ -1492,17 +1492,32 @@ class KeyedTable:
         if text is None:
             return
         import json
+        from concurrent.futures import ThreadPoolExecutor
         intent = json.loads(text)
         fs, _, jvm = self._fs_and_path(self.path)
         hpath = jvm.org.apache.hadoop.fs.Path
-        for a in intent["add"]:
+
+        def _add(a):
             src, dst = hpath(a["src"]), hpath(a["dst"])
             if fs.exists(src) and not fs.exists(dst):
                 fs.rename(src, dst)
-        for r in intent["remove"]:
+
+        def _remove(r):
             p = hpath(r)
             if fs.exists(p):
                 fs.delete(p, False)
+
+        # each phase's ops are independent and idempotent, so they run
+        # on a thread pool: the swap is metadata-latency-bound (2-3
+        # py4j/FS round trips per file), and a serial loop made a
+        # 4k-file compaction ~75% swap time (measured, PLANS §7s) —
+        # at S3 latencies a large compaction would be minutes of
+        # driver-serial HTTP.  Hadoop FileSystem instances are
+        # thread-safe; adds complete before any remove starts, so the
+        # visible-state ordering argument is unchanged.
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_add, intent["add"]))
+            list(pool.map(_remove, intent["remove"]))
         stg = hpath(intent["staging"])
         if fs.exists(stg):
             fs.delete(stg, True)
