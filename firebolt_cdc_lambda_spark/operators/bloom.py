@@ -104,6 +104,14 @@ class BloomIndex(SidecarIndex):
         Returns the number of buckets indexed."""
         words = self._words_for(None)
         (words.repartition("b").write.mode("overwrite")
+         # STATIC overwrite, explicitly: under the session's dynamic
+         # default a full rebuild after a DOWNWARD rebucket would only
+         # replace the new bucket ids' partitions, leaving the old ids'
+         # stale rows in the dataset — phantom fail-open candidates for
+         # bloom, and for stats a vanished-file probe degrade to a
+         # PERMANENT full scan (latent since round 5/8; caught by the
+         # bloom refresh_many equivalence test, round 9)
+         .option("partitionOverwriteMode", "static")
          .partitionBy("b").parquet(self.words_path))
         built = sorted(self.table.file_stats())
         self._save_side({"column": self.column, "m": self.m, "k": self.k,
@@ -114,54 +122,129 @@ class BloomIndex(SidecarIndex):
         self.table._register_bloom_column(self.column)
         return len(built)
 
+    @staticmethod
+    def _words_frame(table: KeyedTable, ixs: dict[str, "BloomIndex"],
+                     buckets: Sequence[int] | None):
+        """ONE tagged (t, b, w, bits) words frame for every index in
+        ``ixs`` (each with its OWN m/k — ``_positions`` reads the
+        instance sizing), over the given buckets (None = all).  The
+        shared aggregation build_many and refresh_many both use: every
+        column's hash positions are computed in the same projection,
+        tagged, and exploded once, so the data scan happens once; the
+        (tag, b, word) exchange carries the sum of the k single
+        builds' shuffle volume (unavoidable — the words differ)."""
+        t = table
+        df = t._read_raw(buckets=list(buckets) if buckets else None)
+        tagged = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("t"),
+                     F.when(F.col(c).isNotNull(),
+                            ix._positions(c)).alias("ps"))
+            for c, ix in ixs.items()])).alias("e")
+        pos = (df.select(F.col(t.BUCKET_COL).cast("int").alias("b"),
+                         tagged)
+               .where(F.col("e.ps").isNotNull())
+               .select("b", F.col("e.t").alias("t"),
+                       F.explode("e.ps").alias("p")))
+        return (pos.groupBy("t", "b",
+                            F.expr(f"CAST(p DIV {_WORD_BITS} AS INT)")
+                            .alias("w"))
+                .agg(F.bit_or(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits")))
+
+    @classmethod
+    def _build_shared(cls, table: KeyedTable,
+                      ixs: dict[str, "BloomIndex"]) -> None:
+        """Full rebuild of every index in ``ixs`` (each keeping its own
+        m/k) from one scan + one exchange."""
+        words = cls._words_frame(table, ixs, None) \
+            .localCheckpoint(eager=True)
+        built = sorted(table.file_stats())
+        for c, ix in ixs.items():
+            (words.where(F.col("t") == c).drop("t")
+             .repartition("b").write.mode("overwrite")
+             # STATIC, like build(): see the single-build comment
+             .option("partitionOverwriteMode", "static")
+             .partitionBy("b").parquet(ix.words_path))
+            ix._save_side({"column": c, "m": ix.m, "k": ix.k,
+                           "table_version": ix._current_tv(),
+                           "built": built, "dirty": []})
+            table._register_bloom_column(c)
+
     @classmethod
     def build_many(cls, table: KeyedTable, columns: Sequence[str],
                    m_bits: int = 4096, k: int = 3,
                    ) -> dict[str, "BloomIndex"]:
         """Build bloom filters for ALL ``columns`` from ONE table scan
         — the equality-family twin of ``StatsIndex.build_many``: k
-        separate ``build()`` calls each pay a full-table read.  Every
-        column's k hash positions are computed in the same projection,
-        tagged, and exploded once; a single (tag, b, word) exchange
-        then produces every index's words.  Shuffle volume is the sum
-        of the k single builds' (unavoidable — the words differ), but
-        the 100 TB-dominant data scan happens once.  Each index is
-        equivalent to the one ``build()`` would produce (pinned in
-        test_bloom).  Returns ``{column: BloomIndex}``."""
+        separate ``build()`` calls each pay a full-table read.  Each
+        index is equivalent to the one ``build()`` would produce
+        (pinned in test_bloom).  Returns ``{column: BloomIndex}``."""
         cols = list(columns)
         if not cols:
             return {}
         ixs = {c: cls(table, c, m_bits=m_bits, k=k) for c in cols}
-        t = table
-        df = t._read_raw()
-        tagged = F.explode(F.array(*[
-            F.struct(F.lit(c).alias("t"),
-                     F.when(F.col(c).isNotNull(),
-                            ixs[c]._positions(c)).alias("ps"))
-            for c in cols])).alias("e")
-        pos = (df.select(F.col(t.BUCKET_COL).cast("int").alias("b"),
-                         tagged)
-               .where(F.col("e.ps").isNotNull())
-               .select("b", F.col("e.t").alias("t"),
-                       F.explode("e.ps").alias("p")))
-        words = (pos.groupBy("t", "b",
-                             F.expr(f"CAST(p DIV {_WORD_BITS} AS INT)")
-                             .alias("w"))
-                 .agg(F.bit_or(F.expr(
-                     f"shiftleft(CAST(1 AS BIGINT), "
-                     f"CAST(p % {_WORD_BITS} AS INT))")).alias("bits"))
-                 .localCheckpoint(eager=True))
-        built = sorted(t.file_stats())
-        for c in cols:
-            ix = ixs[c]
-            (words.where(F.col("t") == c).drop("t")
-             .repartition("b").write.mode("overwrite")
-             .partitionBy("b").parquet(ix.words_path))
-            ix._save_side({"column": c, "m": ix.m, "k": ix.k,
-                           "table_version": ix._current_tv(),
-                           "built": built, "dirty": []})
-            t._register_bloom_column(c)
+        cls._build_shared(table, ixs)
         return ixs
+
+    @classmethod
+    def refresh_many(cls, table: KeyedTable,
+                     columns: Sequence[str]) -> dict[str, list[int]]:
+        """Pay down k bloom indexes' dirty debt with shared scans —
+        the bloom twin of ``StatsIndex.refresh_many`` (the maintenance
+        cadence previously paid k full scans after a wholesale rewrite
+        voided k sidecars, and k pruned scans for the same merge-
+        flagged dirty buckets).  Voided indexes rebuild together
+        through one scan, each ADOPTING its stored m/k first (the
+        ``_adopt_side`` contract — a default-parameter maintenance
+        handle must never silently resize an index); live indexes
+        recompute over the UNION of their dirty buckets in one pruned
+        scan, each column dynamic-overwriting only ITS OWN dirty
+        partitions.  Per-index results match k ``refresh()`` calls
+        (pinned in test_bloom).  Returns ``{column: buckets
+        recomputed}``."""
+        out: dict[str, list[int]] = {c: [] for c in columns}
+        voided: dict[str, BloomIndex] = {}
+        dirty_by_col: dict[str, list[int]] = {}
+        sides: dict[str, dict] = {}
+        ixs = {c: cls(table, c) for c in columns}
+        for c, ix in ixs.items():
+            side = ix._load_side()
+            if side is not None:
+                ix._adopt_side(side)
+            if side is None or side["table_version"] != ix._current_tv():
+                voided[c] = ix
+                continue
+            d = sorted(int(b) for b in side.get("dirty", []))
+            sides[c] = side
+            if d:
+                dirty_by_col[c] = d
+        if voided:
+            cls._build_shared(table, voided)
+            full = next(iter(voided.values()))._load_side()["built"]
+            for c in voided:
+                out[c] = full
+        if dirty_by_col:
+            union = sorted({b for d in dirty_by_col.values() for b in d})
+            live = {c: ixs[c] for c in dirty_by_col}
+            words = cls._words_frame(table, live, union) \
+                .localCheckpoint(eager=True)
+            for c, dirty in dirty_by_col.items():
+                one = words.where(F.col("t") == c).drop("t")
+                if dirty != union:
+                    one = one.where(F.col("b").isin(dirty))
+                # dynamic overwrite exactly the dirty buckets' words;
+                # an emptied bucket keeps its old words — harmless,
+                # false-positive-only (refresh()'s own contract)
+                (one.repartition("b").write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("b").parquet(ixs[c].words_path))
+                side = sides[c]
+                side["built"] = sorted(set(side["built"]) | set(dirty))
+                side["dirty"] = []
+                ixs[c]._save_side(side)
+                out[c] = dirty
+        return out
 
     def _adopt_side(self, side: dict) -> None:
         # adopt the stored sizing FIRST — including on refresh's voided

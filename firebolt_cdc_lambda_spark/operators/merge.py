@@ -1376,7 +1376,7 @@ class KeyedTable:
             except ValueError:
                 report["manifest_unreadable"] = True
         bucket_bytes: dict[int, int] = {}
-        small_by_leaf: dict[tuple[int, int | None], int] = {}
+        leaf_files: dict[tuple[int, int | None], list] = {}
         for bucket, status, epoch in self._walk_data_files():
             live = (epoch is None or assign is None
                     or assign.get(bucket) == epoch)
@@ -1387,18 +1387,35 @@ class KeyedTable:
                 bucket_bytes[bucket] = bucket_bytes.get(bucket, 0) + size
                 if size < small_file_bytes:
                     report["small_live_files"] += 1
-                    k = (bucket, epoch)
-                    small_by_leaf[k] = small_by_leaf.get(k, 0) + 1
+                leaf_files.setdefault((bucket, epoch), []).append(
+                    (status.getPath().getName(), size))
             else:
                 report["dead_files"] += 1
                 report["dead_bytes"] += size
-        # the sharper compaction signal: small files only COUNT toward
-        # packing when >= 2 share a leaf (compact() packs within a
-        # bucket's live leaf) — 500 small files in 500 one-file buckets
-        # are a rebucket problem, not a compact one, and gating on the
-        # raw small count there would trigger a no-op compact per sweep
-        report["compactable_files"] = sum(
-            n for n in small_by_leaf.values() if n >= 2)
+        # the sharper compaction signal: count small files the way
+        # compact() actually packs them — name-ordered runs WITHIN a
+        # leaf, broken by big files, runs of >= 2 only.  500 small
+        # files in 500 one-file buckets are a rebucket problem, and a
+        # small-big-small leaf has nothing adjacent to pack; gating on
+        # the raw small count in either shape would trigger a no-op
+        # compact every sweep (review findings, round 9).  Exact for
+        # compact()'s defaults (2 x 32 MiB smalls always fit the
+        # 128 MiB target); a caller probing with a LARGER
+        # small_file_bytes than compact's small_bytes measures its own
+        # threshold, as small_live_files always has.
+        compactable = 0
+        for files in leaf_files.values():
+            run = 0
+            for name, size in sorted(files):
+                if size < small_file_bytes:
+                    run += 1
+                    continue
+                if run >= 2:
+                    compactable += run
+                run = 0
+            if run >= 2:
+                compactable += run
+        report["compactable_files"] = compactable
         total = report["live_bytes"] + report["dead_bytes"]
         if total:
             report["dead_ratio"] = report["dead_bytes"] / total

@@ -183,6 +183,14 @@ class StatsIndex(SidecarIndex):
         buckets.  Returns the number of files indexed."""
         stats = self._stats_for(None).localCheckpoint(eager=True)
         (stats.repartition("b").write.mode("overwrite")
+         # STATIC overwrite, explicitly: under the session's dynamic
+         # default a full rebuild after a DOWNWARD rebucket would only
+         # replace the new bucket ids' partitions, leaving the old ids'
+         # stale rows in the dataset — phantom fail-open candidates for
+         # bloom, and for stats a vanished-file probe degrade to a
+         # PERMANENT full scan (latent since round 5/8; caught by the
+         # bloom refresh_many equivalence test, round 9)
+         .option("partitionOverwriteMode", "static")
          .partitionBy("b").parquet(self.stats_path))
         n_files = stats.count()
         built = sorted(self.table.file_stats())
@@ -216,6 +224,8 @@ class StatsIndex(SidecarIndex):
             ix = cls(t, c)
             one = cls._one_column(stats, i)
             (one.repartition("b").write.mode("overwrite")
+             # STATIC, like build(): see the single-build comment
+             .option("partitionOverwriteMode", "static")
              .partitionBy("b").parquet(ix.stats_path))
             ix._save_side({"column": c,
                            "table_version": ix._current_tv(),
@@ -284,8 +294,8 @@ class StatsIndex(SidecarIndex):
         if voided:
             rebuilt = cls.build_many(table, voided)
             # build_many already walked the layout for its "built"
-            # list — read it back (mtime-cached) instead of paying a
-            # second full listing (review finding, round 9)
+            # list — read it back (two FS round trips) instead of
+            # paying a second full listing (review finding, round 9)
             full = rebuilt[voided[0]]._load_side()["built"]
             for c in voided:
                 out[c] = full

@@ -420,9 +420,16 @@ class CdcPipeline:
         buckets they rewrite; this is the cadence slot that pays that
         debt down, cost ∝ churn since the last refresh).  Returns the
         refreshed columns (empty: table unconfigured / absent / no
-        indexes / nothing dirty)."""
+        indexes / nothing dirty).  Multi-index tables batch through
+        ``BloomIndex.refresh_many`` (one scan for the shared dirty
+        debt; one rebuild scan after a wholesale-rewrite void), the
+        same shape as the stats cadence below."""
         from .operators.bloom import BloomIndex
-        return self._refresh_indexes(table, BloomIndex, "bloom_columns")
+        target = self._resolve_target(table)
+        if target is None or not target.bloom_columns:
+            return []
+        res = BloomIndex.refresh_many(target, list(target.bloom_columns))
+        return [c for c, buckets in res.items() if buckets]
 
     def refresh_stats_indexes(self, table: str) -> list[str]:
         """Zone-map twin of ``refresh_bloom_indexes``: recompute the
@@ -450,20 +457,6 @@ class CdcPipeline:
         target = self.target_for(table, keys)
         return target if target.exists() else None
 
-    def _refresh_indexes(self, table: str, index_cls,
-                         columns_attr: str) -> list[str]:
-        """Per-column maintenance scaffold (bloom family; the stats
-        family batches through refresh_many above — both share the
-        ``_resolve_target`` prologue)."""
-        target = self._resolve_target(table)
-        if target is None:
-            return []
-        refreshed = []
-        for col in list(getattr(target, columns_attr)):
-            if index_cls(target, col).refresh():
-                refreshed.append(col)
-        return refreshed
-
     def purge_versions(self, table: str, keep_last: int = 1) -> bool:
         """Version GC for a versioned target: retain the newest
         ``keep_last`` snapshots, delete unreachable epoch dirs, collapse
@@ -487,8 +480,9 @@ class CdcPipeline:
         (KeyedTable.compact — grouping-only, content-preserving, cost ∝
         small files).  The cadence slot next to purge/fold/refresh;
         CdcFleet.run_maintenance gates it on health_report's
-        ``small_live_files`` exactly as dead_ratio gates version GC.
-        None: table unconfigured or absent."""
+        ``compactable_files`` (the packable-run count) exactly as
+        dead_ratio gates version GC.  None: table unconfigured or
+        absent."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return None

@@ -162,8 +162,10 @@ class CdcFleet:
         809-table reference scale the double listing is real money);
         tables missing from the map fall back to a fresh read.  With
         ``compact_small_files`` set, tables whose measured
-        ``small_live_files`` reaches it get their small live files
-        bin-packed toward ``compact_target_bytes``
+        ``compactable_files`` (small files compact() can actually
+        pack — adjacent-in-a-leaf runs of >= 2; falls back to
+        ``small_live_files`` for reports from older callers) reaches
+        it get bin-packed toward ``compact_target_bytes``
         (CdcPipeline.compact_table — grouping-only, cost ∝ small
         files).  One table failing must not abort the sweep (same
         degrade-don't-die posture as run_once)."""

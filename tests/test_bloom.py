@@ -352,3 +352,77 @@ def test_build_many_one_scan_equals_separate_builds(spark, tmp_path):
     kt_a.merge_batch(_rows(spark, [7]))
     for c in many:
         assert BloomIndex(kt_a, c)._load_side()["dirty"], c
+
+
+def test_refresh_many_equals_per_index_refresh(spark, tmp_path):
+    """refresh_many(k columns) must land each index in exactly the
+    state k refresh() calls would — divergent dirty sets recomputed
+    per column, stored m/k adopted (NEVER resized by a default-
+    parameter maintenance handle), voided indexes rebuilt with their
+    own sizing through one shared scan."""
+    tables = {}
+    for nm in ("a", "b"):
+        kt = KeyedTable(spark, str(tmp_path / nm), ["id"], num_buckets=16)
+        kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+        BloomIndex(kt, "category", m_bits=2048, k=2).build()  # custom
+        BloomIndex(kt, "payload").build()                     # defaults
+        kt.merge_batch(_rows(spark, [7, 395]))
+        ix = BloomIndex(kt, "category")
+        side = ix._load_side()
+        side["dirty"] = side["dirty"][:-1]    # divergent dirty sets
+        ix._save_side(side)
+        tables[nm] = kt
+    a, b = tables["a"], tables["b"]
+    ra = {c: BloomIndex(a, c).refresh() for c in ("category", "payload")}
+    rb = BloomIndex.refresh_many(b, ["category", "payload"])
+    assert ra == rb
+    for c in ("category", "payload"):
+        wa = sorted(map(tuple, spark.read.parquet(
+            BloomIndex(a, c).words_path).select("b", "w", "bits").collect()))
+        wb = sorted(map(tuple, spark.read.parquet(
+            BloomIndex(b, c).words_path).select("b", "w", "bits").collect()))
+        assert wa == wb, c
+        sa = BloomIndex(a, c)._load_side()
+        sb = BloomIndex(b, c)._load_side()
+        assert (sa["m"], sa["k"], sa["built"], sa["dirty"]) == \
+            (sb["m"], sb["k"], sb["built"], sb["dirty"])
+    assert BloomIndex(b, "category")._load_side()["m"] == 2048  # kept
+    got = sorted(r["id"] for r in
+                 BloomIndex(b, "category").lookup(["cat_3"]).collect())
+    assert got == sorted(r["id"] for r in b.read()
+                         .where(F.col("category") == "cat_3").collect())
+    # voided path: a wholesale rewrite voids both; refresh_many must
+    # rebuild through ONE shared scan, each index keeping its sizing
+    b.rebucket(8)
+    res = BloomIndex.refresh_many(b, ["category", "payload"])
+    assert res["category"] == res["payload"] == sorted(b.file_stats())
+    side = BloomIndex(b, "category")._load_side()
+    assert (side["m"], side["k"], side["dirty"]) == (2048, 2, [])
+    # the rebuilt datasets carry only the NEW bucket ids, and the
+    # near-unique payload column prunes again (7-value category is
+    # honestly data-limited at 8 buckets)
+    cands = BloomIndex(b, "category").candidate_buckets(["cat_3"])
+    assert cands is not None and max(cands) < 8
+    pc = BloomIndex(b, "payload").candidate_buckets(["p123"])
+    assert pc is not None and 0 < len(pc) < 8
+    assert {r["id"] for r in
+            BloomIndex(b, "payload").lookup(["p123"]).collect()} == {123}
+
+
+def test_downward_rebucket_rebuild_clears_stale_partitions(spark, tmp_path):
+    """Latent-bug regression (found by the refresh_many equivalence
+    test, round 9): full rebuilds wrote with the session's DYNAMIC
+    partition-overwrite default, so a rebuild after a DOWNWARD rebucket
+    left the old bucket ids' rows in the words dataset — phantom
+    fail-open candidates forever.  The rebuild must truncate."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=16)
+    kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+    ix = BloomIndex(kt, "category")
+    ix.build()
+    kt.rebucket(4)
+    ix.refresh()                                  # void -> full rebuild
+    words_b = {int(r["b"]) for r in
+               spark.read.parquet(ix.words_path).select("b").collect()}
+    assert words_b <= set(range(4)), words_b      # no stale ids
+    cands = ix.candidate_buckets(["cat_3"])
+    assert cands is not None and max(cands) < 4

@@ -447,3 +447,39 @@ def test_compactable_files_health_signal(spark, tmp_path):
     rb = b.health_report()
     assert rb["small_live_files"] == 8 and rb["compactable_files"] == 0
     assert b.compact()["groups"] == 0          # the signal is truthful
+
+
+def test_compactable_counts_adjacent_runs_only(spark, tmp_path):
+    """Third-pass review regression (round 9): a small-BIG-small leaf
+    has nothing adjacent to pack — compactable_files must count runs
+    the way compact() packs them (name order, big files break runs),
+    or the fleet gate loops a guaranteed no-op compact forever."""
+    import pathlib
+    import shutil
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=1)
+    kt.init(_rows(spark, range(10)))
+    bdir = pathlib.Path(kt.path) / "_bucket=0"
+    orig = next(bdir.glob("part-*.parquet"))
+
+    def plant(name, ids):
+        tmp = tmp_path / f"tmp_{name}"
+        (_rows(spark, ids).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp)))
+        shutil.move(str(next(tmp.glob("part-*.parquet"))),
+                    str(bdir / name))
+    orig.rename(bdir / "b_mid.parquet")            # becomes the BIG one
+    plant("a_small.parquet", range(100, 102))
+    plant("c_small.parquet", range(200, 202))
+    thr = (bdir / "b_mid.parquet").stat().st_size  # smalls < thr <= big
+    assert (bdir / "a_small.parquet").stat().st_size < thr
+    rep = kt.health_report(small_file_bytes=thr)
+    assert rep["small_live_files"] == 2            # a + c are small
+    assert rep["compactable_files"] == 0           # but NOT adjacent
+    assert kt.compact(small_bytes=thr)["groups"] == 0   # signal truthful
+    # make them adjacent: one more small next to c -> a 2-run appears
+    plant("d_small.parquet", range(300, 302))
+    rep2 = kt.health_report(small_file_bytes=thr)
+    assert rep2["small_live_files"] == 3 and rep2["compactable_files"] == 2
+    before = _snapshot(kt)
+    assert kt.compact(small_bytes=thr)["groups"] == 1
+    assert _snapshot(kt) == before

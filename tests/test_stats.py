@@ -671,3 +671,26 @@ def test_refresh_with_every_dirty_bucket_emptied(spark, tmp_path):
     assert not (pathlib.Path(ix.stats_path) / f"b={b0}").exists()
     got = sorted(r["id"] for r in ix.scan(lo=0, hi=10**6).collect())
     assert got == sorted(set(range(100)) - set(victims))
+
+
+def test_downward_rebucket_rebuild_clears_stale_partitions(spark, tmp_path):
+    """Stats twin of the bloom regression (round 9): stale old-bucket
+    stats rows after a downward rebucket referenced vanished files,
+    degrading EVERY probe to a permanent full scan.  The rebuild must
+    truncate the dataset, and pruning must work again."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=16)
+    kt.init(_rows(spark, range(400)).drop("Op", "load_timestamp"))
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    ix = StatsIndex(kt, "ts")
+    ix.build()
+    kt.rebucket(4)
+    kt.cluster_by(["ts"], max_records_per_file=25)
+    ix.refresh()                                  # void -> full rebuild
+    stats_b = {int(r["b"]) for r in
+               spark.read.parquet(ix.stats_path).select("b").collect()}
+    assert stats_b <= set(range(4)), stats_b      # no stale ids
+    total = sum(kt.file_stats().values())
+    cands = ix.candidate_files(lo=100, hi=300)
+    assert cands is not None and 0 < len(cands) < total  # prunes again
+    got = sorted(r["id"] for r in ix.scan(lo=100, hi=300).collect())
+    assert got == list(range(10, 31))
