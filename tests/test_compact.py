@@ -483,3 +483,44 @@ def test_compactable_counts_adjacent_runs_only(spark, tmp_path):
     before = _snapshot(kt)
     assert kt.compact(small_bytes=thr)["groups"] == 1
     assert _snapshot(kt) == before
+
+
+def test_compact_interplay_with_joinview(spark, tmp_path):
+    """Compacting the FACT table (and the view's own store) is
+    invisible to JoinView maintenance: deltas applied across a compact
+    still hash-match the from-scratch join."""
+    from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+    fact = KeyedTable(spark, str(tmp_path / "fact"), ["id"], num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "dim"), ["did"], num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [Row(id=i, cust=10 + i % 3, val=f"v{i}") for i in range(120)]))
+    dim.init(spark.createDataFrame(
+        [Row(did=d, name=f"d{d}") for d in (10, 11, 12)]))
+    fact.cluster_by(["id"], max_records_per_file=10)
+    view = JoinView(spark, str(tmp_path / "view"), fact, dim, fk="cust")
+    view.rebuild()
+    assert fact.compact(target_bytes=1 << 20, small_bytes=1 << 19)["groups"]
+    # view's own store is a KeyedTable too — compact it as well
+    view.table.cluster_by(["id"], max_records_per_file=10)
+    assert view.table.compact(target_bytes=1 << 20,
+                              small_bytes=1 << 19)["groups"]
+    fb = spark.createDataFrame(
+        [Row(id=7, cust=12, val="moved", Op="U",
+             load_timestamp=dt.datetime(2024, 1, 2)),
+         Row(id=200, cust=11, val="new", Op="U",
+             load_timestamp=dt.datetime(2024, 1, 2))])
+    fact.merge_batch(fb)
+    view.apply_fact_delta(fb)
+    db = spark.createDataFrame(
+        [Row(did=11, name="renamed", Op="U",
+             load_timestamp=dt.datetime(2024, 1, 2))])
+    dim.merge_batch(db)
+    view.apply_dim_delta(db)
+    got = sorted(map(tuple, view.read().select(
+        "id", "cust", "val", "dim_name").collect()))
+    exp = sorted(map(tuple, view._joined(
+        view.fact.read(), view.dim.read(), broadcast_dim=False)
+        .select("id", "cust", "val", "dim_name").collect()))
+    assert got == exp and ((7, 12, "moved", "d12") in got) \
+        and ((200, 11, "new", "renamed") in got)
+
