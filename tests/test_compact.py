@@ -524,3 +524,68 @@ def test_compact_interplay_with_joinview(spark, tmp_path):
     assert got == exp and ((7, 12, "moved", "d12") in got) \
         and ((200, 11, "new", "renamed") in got)
 
+
+
+@pytest.mark.parametrize("versioned", [False, True])
+def test_every_swap_crash_point_self_heals(spark, tmp_path, monkeypatch,
+                                           versioned):
+    """Exhaustive crash-point property: for EVERY prefix of the swap's
+    operation sequence (intent committed; then each add rename; then
+    each remove delete), the next read through the API returns exactly
+    the pre-compaction rows — no loss, no duplicates — and finalizes
+    the swap."""
+    import json
+    import pathlib
+    import shutil
+
+    base = tmp_path / "base"
+    kt0 = KeyedTable(spark, str(base), ["id"], num_buckets=2,
+                     versioned=versioned)
+    kt0.init(_rows(spark, range(120)))
+    kt0.cluster_by(["ts"], max_records_per_file=20)
+    expected = _snapshot(kt0)
+    orig = KeyedTable._recover_compact
+
+    def crash_at_swap(self):
+        if self._read_sidecar(self.COMPACT_SIDECAR) is not None:
+            raise RuntimeError("boom")
+        return orig(self)
+
+    monkeypatch.setattr(KeyedTable, "_recover_compact", crash_at_swap)
+    with pytest.raises(RuntimeError):
+        kt0.compact(target_bytes=1 << 20, small_bytes=1 << 19)
+    monkeypatch.undo()
+    KeyedTable._sidecar_cache.clear()
+    intent = json.loads(kt0._read_sidecar(kt0.COMPACT_SIDECAR))
+    ops = ([("add", a) for a in intent["add"]]
+           + [("rm", r) for r in intent["remove"]])
+    local = lambda p: pathlib.Path(p.removeprefix("file:"))  # noqa: E731
+    frozen = tmp_path / "frozen"            # crashed state, incl. siblings
+    shutil.copytree(tmp_path, frozen, dirs_exist_ok=False,
+                    ignore=shutil.ignore_patterns("frozen"))
+    for k in range(len(ops) + 1):
+        work = tmp_path / f"w{k}"
+        shutil.copytree(frozen, work)
+        # re-root the intent's absolute paths at this copy
+        kt = KeyedTable(spark, str(work / "base"), ["id"], num_buckets=2)
+        raw = kt._read_sidecar(kt.COMPACT_SIDECAR).replace(
+            str(frozen), str(work)).replace(
+            "file:" + str(tmp_path), "file:" + str(work)).replace(
+            str(tmp_path), str(work))
+        kt._write_sidecar(kt.COMPACT_SIDECAR, raw)
+        rooted = json.loads(raw)
+        rops = ([("add", a) for a in rooted["add"]]
+                + [("rm", r) for r in rooted["remove"]])
+        for op, arg in rops[:k]:            # replay the first k ops
+            if op == "add":
+                src = local(arg["src"])
+                if src.exists():
+                    src.rename(local(arg["dst"]))
+            else:
+                p = local(arg)
+                if p.exists():
+                    p.unlink()
+        got = _snapshot(kt)                 # read() self-heals first
+        assert got == expected, f"crash point {k}/{len(ops)}"
+        assert kt._read_sidecar(kt.COMPACT_SIDECAR) is None, k
+        shutil.rmtree(work)
