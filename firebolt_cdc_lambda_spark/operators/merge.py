@@ -162,20 +162,25 @@ def _murmur3_int32(x: int, seed: int = 42) -> int:
 def _distinct_partition_labels(n: int) -> list[int]:
     """``n`` small non-negative ints whose Spark shuffle partition ids
     under ``repartition(n, int_col)`` are pairwise distinct (a
-    bijection onto partitions 0..n-1).  Expected O(n log n) probes."""
-    labels: list[int] = []
-    seen: set[int] = set()
+    bijection onto partitions 0..n-1), ORDER-PRESERVING: ``labels[g]``
+    lands in partition ``g`` exactly.  Partition id decides the
+    ``part-NNNNN`` output file name, so group index g -> file name
+    order — when one leaf yields several bin-pack groups their packed
+    files keep the cluster/z-order key order, and a LATER compact
+    packing adjacent-by-name files never merges key-nonadjacent runs
+    (zone-map tightness; advice finding, round 9).  Expected
+    O(n log n) probes."""
+    first_c: dict[int, int] = {}
     c = 0
     limit = 1000 + 64 * n * (n.bit_length() + 1)
-    while len(labels) < n:
+    while len(first_c) < n:
         pid = _murmur3_int32(c) % n          # == pmod(hash, n)
-        if pid not in seen:
-            seen.add(pid)
-            labels.append(c)
+        if pid not in first_c:
+            first_c[pid] = c
         c += 1
         if c > limit:                         # pragma: no cover
             raise RuntimeError(f"no label cover for n={n}")
-    return labels
+    return [first_c[g] for g in range(n)]
 
 
 TOMBSTONE_COL = "__tombstone"
@@ -1327,9 +1332,19 @@ class KeyedTable:
                     epoch = (int(cname[len(eprefix):])
                              if cname.startswith(eprefix) else None)
                     for f_ in fs.listStatus(child.getPath()):
-                        if f_.getPath().getName().endswith(".parquet"):
+                        # isFile(): a dataset DIRECTORY named *.parquet
+                        # sitting at a leaf (an external writer's
+                        # layout) lists as a 0-byte "file" otherwise —
+                        # compact() would then plan it, its rows (one
+                        # level deeper) would miss the __rel join, and
+                        # the swap's non-recursive delete of the
+                        # non-empty dir would throw inside
+                        # _recover_compact on EVERY subsequent read — a
+                        # stuck-recovery DoS (advice finding, round 9)
+                        if f_.isFile() and \
+                                f_.getPath().getName().endswith(".parquet"):
                             yield bucket, f_, epoch
-                elif cname.endswith(".parquet"):
+                elif child.isFile() and cname.endswith(".parquet"):
                     yield bucket, child, None
 
     def health_report(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
@@ -1387,8 +1402,18 @@ class KeyedTable:
                 bucket_bytes[bucket] = bucket_bytes.get(bucket, 0) + size
                 if size < small_file_bytes:
                     report["small_live_files"] += 1
-                leaf_files.setdefault((bucket, epoch), []).append(
-                    (status.getPath().getName(), size))
+                # compactable counting applies the SAME exact-leaf
+                # filter compact()'s plan uses: an out-of-layout nested
+                # file (external/bootstrap writer) is small and live but
+                # compact() will never pack it, so counting it would
+                # make the fleet gate fire a guaranteed no-op compact
+                # every sweep — the loop the metric exists to prevent
+                # (advice finding, round 9)
+                name = status.getPath().getName()
+                if str(status.getPath()).endswith(
+                        "/" + self._compact_rel(bucket, epoch, name)):
+                    leaf_files.setdefault((bucket, epoch), []).append(
+                        (name, size))
             else:
                 report["dead_files"] += 1
                 report["dead_bytes"] += size
@@ -1402,7 +1427,13 @@ class KeyedTable:
         # compact()'s defaults (2 x 32 MiB smalls always fit the
         # 128 MiB target); a caller probing with a LARGER
         # small_file_bytes than compact's small_bytes measures its own
-        # threshold, as small_live_files always has.
+        # threshold, as small_live_files always has.  Known overcount
+        # (advice, round 9): target_bytes run-SPLITTING is not
+        # replicated — a long run compact() cuts into a full group plus
+        # a trailing singleton is counted in full here, so the count
+        # can exceed what one compact() packs; it can never invent a
+        # pure no-op, since any >=2-run of sub-small_bytes files yields
+        # at least one packable group under the defaults.
         compactable = 0
         for files in leaf_files.values():
             run = 0

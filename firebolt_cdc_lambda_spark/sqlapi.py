@@ -52,11 +52,18 @@ def register_range_view(spark: SparkSession, table, column: str,
 
     The candidate-file prune is resolved at REGISTRATION time (the
     same files-pinned-at-plan-time semantics as any Spark view over
-    parquet): re-register after merges/refreshes to re-probe.  All of
-    StatsIndex.scan's guarantees carry over — fail-open on dirty
-    buckets, full-scan degrade when the index is absent or voided,
-    and the residual range filter applied on top, so the view is
-    never wrong, only sometimes unpruned.  A RANGE view needs a range:
+    parquet): re-register after merges, refreshes, AND compactions.
+    All of StatsIndex.scan's guarantees carry over — fail-open on
+    dirty buckets, full-scan degrade when the index is absent or
+    voided, and the residual range filter applied on top, so the view
+    is never wrong, only sometimes unpruned — with one FAIL-LOUD
+    staleness direction (pinned in test_sqlapi): an operation that
+    DELETES files the view pinned (``compact()``, possibly on the
+    fleet maintenance cadence, or a merge rewriting a touched bucket)
+    makes the next SELECT raise FileNotFoundException rather than
+    return stale or partial rows.  That direction is deliberate:
+    silently degrading to the surviving files would DROP the rows that
+    moved into the packed/merged files.  A RANGE view needs a range:
     at least one bound is required (for the unfiltered table, register
     ``table.read()`` directly)."""
     if lo is None and hi is None:

@@ -53,7 +53,10 @@ def test_murmur3_matches_spark_hash_and_partitioner(spark):
     assert all(pid[v] == _murmur3_int32(v) % n for v in vals)
     for k in (1, 2, 5, 16, 33):
         labels = _distinct_partition_labels(k)
-        assert sorted(_murmur3_int32(c) % k for c in labels) == list(range(k))
+        # ORDER-PRESERVING bijection: labels[g] lands in partition g,
+        # so group index == part-NNNNN file-name order (zone-map
+        # adjacency survives repeated compacts; advice, round 9)
+        assert [_murmur3_int32(c) % k for c in labels] == list(range(k))
 
 
 def test_compact_drops_files_preserves_snapshot(table):
@@ -589,3 +592,58 @@ def test_every_swap_crash_point_self_heals(spark, tmp_path, monkeypatch,
         assert got == expected, f"crash point {k}/{len(ops)}"
         assert kt._read_sidecar(kt.COMPACT_SIDECAR) is None, k
         shutil.rmtree(work)
+
+
+def test_compactable_files_excludes_out_of_layout_smalls(spark, tmp_path):
+    """Advice regression (round 9): health_report's compactable_files
+    must apply the SAME exact-leaf filter compact()'s plan uses.  A
+    table whose only small files are out-of-layout nested ones would
+    otherwise make the fleet gate fire a guaranteed no-op compact on
+    every sweep — the loop the metric exists to prevent."""
+    import pathlib
+    import shutil
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    kt.init(_rows(spark, range(50)))          # one file per bucket
+    nest = pathlib.Path(kt.path) / "_bucket=0" / "ext"
+    nest.mkdir()
+    for n in ("a", "b", "c"):
+        # plain part-FILES one level below the leaf (what an external
+        # writer leaves), not dataset dirs — those are skipped entirely
+        ds = tmp_path / f"ds_{n}"
+        _rows(spark, [9000 + ord(n)]).coalesce(1).write.parquet(str(ds))
+        part = next(ds.glob("part-*.parquet"))
+        shutil.copy(part, nest / f"{n}.parquet")
+    rep = kt.health_report()
+    # the nested smalls ARE live and small (they'd be a >=3 run) ...
+    assert rep["small_live_files"] >= 3
+    # ... but not compactable: compact() can never pack them
+    assert rep["compactable_files"] == 0
+    assert kt.compact()["groups"] == 0        # and indeed a no-op
+
+
+def test_parquet_named_directory_at_versioned_leaf_is_skipped(
+        spark, tmp_path):
+    """Advice regression (round 9): an external parquet DATASET
+    DIRECTORY planted exactly at an epoch leaf (_bucket=N/_epoch=E/
+    x.parquet/) used to list as a 0-byte 'file' that passed compact's
+    rel-path check — planned, its rows dropped by the __rel join, and
+    the swap's non-recursive delete then threw inside _recover_compact
+    on EVERY read (stuck-recovery DoS).  Non-file statuses are now
+    skipped at the walk."""
+    import pathlib
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2,
+                    versioned=True)
+    kt.init(_rows(spark, range(200)))
+    kt.cluster_by(["ts"], max_records_per_file=20)   # small-file runs
+    leaves = list(pathlib.Path(kt.path).glob("_bucket=*/_epoch=*"))
+    assert leaves
+    planted = leaves[0] / "x.parquet"
+    _rows(spark, [9001]).coalesce(1).write.parquet(str(planted))
+    # the dataset dir is not a data file: never walked, never planned
+    assert all(st.isFile() for _, st, _ in kt._walk_data_files())
+    before = _snapshot(kt)
+    res = kt.compact(target_bytes=1 << 20, small_bytes=1 << 19)
+    assert res["groups"] > 0                  # real leaf runs packed
+    assert _snapshot(kt) == before            # nothing lost
+    assert planted.exists()                   # planted dataset untouched
+    kt.read().count()                         # no stuck recovery
