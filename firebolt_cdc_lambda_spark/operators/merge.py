@@ -363,9 +363,15 @@ class KeyedTable:
     #: so later stale writes stay gated, exactly like a tombstone's)
     DV_VERSION_COL = "_dv_version"
 
+    #: delta-log sidecar columns (merge-on-read upserts): batch sequence
+    #: (newest-key-wins tiebreak across batches) and the delete marker
+    DELTA_SEQ_COL = "_delta_seq"
+    DELTA_DEL_COL = "_delta_del"
+
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  num_buckets: int = 64, tombstones: bool = False,
-                 versioned: bool = False, delete_vectors: bool = False):
+                 versioned: bool = False, delete_vectors: bool = False,
+                 delta_upserts: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -373,6 +379,7 @@ class KeyedTable:
         self.tombstones = tombstones
         self.versioned = versioned
         self.delete_vectors = delete_vectors
+        self.delta_upserts = delta_upserts
         # The stored table's own bucket count (and tombstone/versioned/
         # delete-vector mode) always wins over the constructor arguments:
         # a merger configured with a stale count would prune against
@@ -383,6 +390,7 @@ class KeyedTable:
         # unaware of delete-vector mode would physically rewrite buckets
         # for deletes another reader hides through the sidecar.
         self.table_version = 0
+        self.delta_seq = 0
         self.bloom_columns: list[str] = []
         self.stats_columns: list[str] = []
         meta = self._load_meta()
@@ -391,6 +399,8 @@ class KeyedTable:
             self.tombstones = bool(meta.get("tombstones", False))
             self.versioned = bool(meta.get("versioned", False))
             self.delete_vectors = bool(meta.get("delete_vectors", False))
+            self.delta_upserts = bool(meta.get("delta_upserts", False))
+            self.delta_seq = int(meta.get("delta_seq", 0))
             self.table_version = int(meta.get("table_version", 0))
             self.bloom_columns = list(meta.get("bloom_columns", []))
             self.stats_columns = list(meta.get("stats_columns", []))
@@ -399,10 +409,18 @@ class KeyedTable:
                 "delete_vectors replaces tombstones (the sidecar carries "
                 "the delete's version for the same out-of-order gate) and "
                 "is not yet supported on versioned tables (v1)")
+        if self.delta_upserts and (self.tombstones or self.versioned
+                                   or self.delete_vectors):
+            raise ValueError(
+                "delta_upserts subsumes delete_vectors (DELETE rows ride "
+                "the same log), keeps plain-mode delete semantics "
+                "(tombstones would be a different out-of-order contract), "
+                "and is not yet supported on versioned tables (v1)")
         # SIBLING dataset like the bloom sidecars: an in-dir child would
         # be swept into the table's own scans, and an underscore-prefixed
         # root is unreadable by Spark's file index
         self._dv_path = f"{path}__dv"
+        self._delta_path = f"{path}__delta"
 
     @staticmethod
     def _lossless_key_cast(src, dst) -> bool:
@@ -528,6 +546,8 @@ class KeyedTable:
             {"num_buckets": self.num_buckets, "keys": self.keys,
              "tombstones": self.tombstones, "versioned": self.versioned,
              "delete_vectors": self.delete_vectors,
+             "delta_upserts": self.delta_upserts,
+             "delta_seq": self.delta_seq,
              "table_version": self.table_version,
              "bloom_columns": self.bloom_columns,
              "stats_columns": self.stats_columns}))
@@ -556,6 +576,10 @@ class KeyedTable:
         meta = self._load_meta() or {}
         self.table_version = int(
             meta.get("table_version", self.table_version)) + 1
+        # same stale-handle hardening for the delta-log sequence: a
+        # handle constructed before another writer's appends must not
+        # reissue an already-used sequence number after a rewrite
+        self.delta_seq = max(self.delta_seq, int(meta.get("delta_seq", 0)))
         self.bloom_columns = sorted(
             set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
         self.stats_columns = sorted(
@@ -837,6 +861,7 @@ class KeyedTable:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
         self._drop_bloom_artifacts()
         self._write_dv(None)         # init is the reset point of history
+        self._drop_delta()
         self._bump_table_version()   # voids any bloom sidecar (fail-open)
         # AFTER the bump (which merges the old meta's registrations):
         # a recreated table must not inherit a prior table's index list
@@ -1017,12 +1042,93 @@ class KeyedTable:
         if fs.exists(p_bak):
             fs.delete(p_bak, True)
 
+    # -- delta-log sidecar (merge-on-read UPSERTS, round-10 headline) ------
+    def _read_delta(self) -> DataFrame | None:
+        """The accumulated delta-log rows (full table schema +
+        DELTA_SEQ_COL/DELTA_DEL_COL, bucket-partitioned), or None when
+        the sidecar is absent.  Read WHOLE at every use site, like the
+        DV sidecar: rows are bounded by changes-not-yet-folded
+        (micro-batch-accumulated, reclaimed by ``fold_deltas``), and a
+        global read keeps the sidecar's bucket partitioning advisory.
+        No backup swap is needed here (contrast ``_read_dv``): batches
+        APPEND — the parquet job commit either lands a batch's files
+        whole or not at all, and never touches prior entries."""
+        try:
+            return self.spark.read.parquet(self._delta_path)
+        except AnalysisException as exc:
+            if exc.getErrorClass() in ("PATH_NOT_FOUND",
+                                       "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
+
+    def _delta_winners(self, delta: DataFrame) -> DataFrame:
+        """One row per key: the NEWEST log entry (max DELTA_SEQ_COL).
+        Append-time gating (``_merge_delta``) maintains the invariant
+        that every appended row beat the then-current survivor, so the
+        newest entry alone IS the key's current state — readers never
+        replay the log sequentially.  (Window partitioning groups NULL
+        keys like any value, matching the merge's null-safe joins; a
+        same-seq tie can only be a replayed batch's content-identical
+        duplicate, so either row is the same winner.)"""
+        from pyspark.sql import Window
+        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(
+            F.col(self.DELTA_SEQ_COL).desc())
+        return (delta.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
+
+    def _apply_delta(self, df: DataFrame) -> DataFrame:
+        """The merged base+log view over ``df`` (base rows, bucket
+        column already dropped): every key with a log winner is taken
+        from the log — an upsert winner REPLACES the base row, a delete
+        winner HIDES it.  The winner set is debt-bounded, so both the
+        anti-join build side and the union's right leg are broadcast-
+        sized; the base scan stays the plan's only big input."""
+        delta = self._read_delta()
+        if delta is None:
+            return df
+        win = self._delta_winners(delta)
+        cond = F.expr(" AND ".join(
+            f"__b.{_q(k)} <=> __w.{_q(k)}" for k in self.keys))
+        base = df.alias("__b").join(
+            F.broadcast(win.select(*self.keys).alias("__w")), cond,
+            "left_anti")
+        live = (win.where(~F.col(self.DELTA_DEL_COL))
+                .select(*[F.col(c) for c in df.columns]))
+        return base.unionByName(live)
+
+    def _bump_delta_seq(self) -> int:
+        """Advance and PERSIST the log sequence before any append (a
+        crash between the bump and the append leaves a harmless gap —
+        the reverse order could reissue a seq to a DIFFERENT batch,
+        making the newest-entry winner ambiguous).  Read-modify-write
+        against the STORED meta, the ``_bump_table_version`` posture:
+        index registrations from another process must not be clobbered
+        by this handle's stale copy."""
+        meta = self._load_meta() or {}
+        self.table_version = int(
+            meta.get("table_version", self.table_version))
+        self.bloom_columns = sorted(
+            set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
+        self.stats_columns = sorted(
+            set(self.stats_columns) | set(meta.get("stats_columns", [])))
+        self.delta_seq = max(
+            self.delta_seq, int(meta.get("delta_seq", 0))) + 1
+        self._save_meta()
+        return self.delta_seq
+
+    def _drop_delta(self) -> None:
+        fs, p, _ = self._fs_and_path(self._delta_path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
         if self.delete_vectors:
             df = self._anti_dv(df)
+        if self.delta_upserts:
+            df = self._apply_delta(df)
         return df
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -1233,6 +1339,13 @@ class KeyedTable:
         snap = self._read_raw().drop(self.BUCKET_COL)
         if self.delete_vectors:
             snap = self._anti_dv(snap)
+        if self.delta_upserts:
+            # a full rewrite is the natural fold point for the delta
+            # log too: the merged view IS the rewrite base, and
+            # rewrite() clears the sidecar after the swap (a log kept
+            # across a rewrite would re-apply against a base that may
+            # have a DIFFERENT schema — fail-loud, but pointless)
+            snap = self._apply_delta(snap)
         return snap
 
     def rewrite(self, df: DataFrame,
@@ -1288,6 +1401,15 @@ class KeyedTable:
         fs.rename(p_tmp, p_old)
         self._save_schema(bucketed)
         self._save_meta()
+        if self.delta_upserts:
+            # AFTER the swap (dropping before it would lose the log's
+            # changes if the swap never committed): the tmp write above
+            # already materialized the folded view.  Crash window
+            # between swap and drop: the stale log re-applies winner
+            # rows identical to the folded base (converges) — or, after
+            # a schema evolution, fails loudly on the column mismatch
+            # until the rewrite is re-run; never silent wrongness.
+            self._drop_delta()
 
     def file_stats(self) -> dict[int, int]:
         """``{bucket: data-file count}`` from a pure filesystem listing —
@@ -1466,6 +1588,19 @@ class KeyedTable:
         target = 256 * 1024 * 1024
         want = max(1, round(report["live_bytes"] / target))
         report["recommended_buckets"] = min(1 << 20, 1 << (want - 1).bit_length())
+        if self.delta_upserts:
+            # log growth is the fold signal: every unfolded entry is a
+            # row every reader pays to resolve (winner window + union),
+            # so the fleet cadence folds when the debt crosses its gate
+            report["delta_files"] = 0
+            report["delta_bytes"] = 0
+            fs, _, jvm = self._fs_and_path(self.path)
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{self._delta_path}/{self.BUCKET_COL}=*/*.parquet")
+            for st in fs.globStatus(glob) or []:
+                if st.isFile():
+                    report["delta_files"] += 1
+                    report["delta_bytes"] += int(st.getLen())
         if self.delete_vectors:
             # sidecar growth is the fold signal (the DV analogue of
             # dead_ratio): entries accumulate until fold_delete_vectors
@@ -1860,6 +1995,10 @@ class KeyedTable:
                 n_rows = int(agg_row["uniq"])
             if self.tombstones:
                 merge_kwargs.setdefault("tombstones", True)
+            if self.delta_upserts:
+                self._merge_delta(stg, merge_kwargs, buckets,
+                                  has_del=bool(agg_row["has_del"]))
+                return 0, n_rows, did_dedup
             if self.delete_vectors:
                 n_b = self._merge_dv(stg, merge_kwargs,
                                      has_del=bool(agg_row["has_del"]))
@@ -2049,6 +2188,226 @@ class KeyedTable:
         out = self._with_bucket(merged)
         self._commit_merge(out, up_buckets, has_deletes=False)
         return len(up_buckets)
+
+    def _merge_delta(self, stg: DataFrame, merge_kwargs: dict,
+                     buckets: Sequence[int], has_del: bool) -> int:
+        """Merge-on-read UPSERT path (``delta_upserts=True``): a batch
+        NEVER rewrites a base bucket.  Its rows (upserts AND deletes)
+        append to the ``__delta`` sidecar, bucket-partitioned by the
+        same key hash; readers resolve each key from the newest log
+        entry over the base row (``_apply_delta``).  This closes the
+        last write-amplification gap: a 10-row upsert batch on a 100 TB
+        table appends ~10 rows instead of rewriting ~10 × 500 MB
+        buckets — the cost class the reference bled on for months
+        (FIX_DUPLICATE_INSERTS_ON_RETRY.md:88-91,
+        FIX_TRANSACTION_CONFLICTS.md:9-16).  Debt is reclaimed by
+        ``fold_deltas`` on the maintenance cadence.
+
+        Contract (gate-at-append): with a ``version_col``, the batch is
+        gated HERE against the current survivor per key — the log
+        winner if one exists, else the stored base row — under
+        merge_cdc's exact version contract (NULL sorts before any
+        version; ties -> the new write wins; a delete winner makes the
+        key ABSENT, so any later upsert wins, plain-mode parity).  The
+        probe is READ-ONLY and column-pruned (keys + version of the
+        touched buckets, semi-joined to the batch's keys).  The gate
+        maintains the invariant that lets readers take the single
+        newest entry instead of replaying the log.  Without a version
+        column every write wins, so the batch appends BLINDLY — zero
+        reads of any kind.
+
+        v1 scope: FULL-ROW batches only (staging must carry every
+        stored data column) — the eager merge keeps a matched row's
+        staging-absent columns, which a log-winner read cannot
+        reproduce without per-column resolution; partial-column feeds
+        should use the default eager mode.  ``insert_deletes`` is
+        rejected (deletes ride the log, they can never land as live
+        rows).
+
+        Crash contract: the sequence number is persisted BEFORE the
+        append (a crash between leaves a harmless gap — the reverse
+        order could reissue one seq to two DIFFERENT batches, making
+        the newest-entry winner ambiguous); the append commits
+        atomically through the parquet job protocol; the ledger's
+        replay of a half-applied batch re-gates and re-appends
+        content-identical winners under a fresh seq (converges).
+        Base files never change, so NO index is flagged dirty — bloom
+        words and zone maps stay exact for the base leg of every read.
+        Returns 0 buckets rewritten (the point of the mode)."""
+        from .ordering import OP_COL
+        if merge_kwargs.get("insert_deletes"):
+            raise ValueError(
+                "insert_deletes=True is incompatible with delta_upserts "
+                "mode: the log applies deletes at read time, so "
+                "unmatched deletes can never land as live rows")
+        op_col = merge_kwargs.get("op_col", OP_COL)
+        delete_values = list(merge_kwargs.get(
+            "delete_values", DEFAULT_DELETE_VALUES))
+        version_col = merge_kwargs.get("version_col")
+        schema = self._load_schema()
+        if schema is None:
+            raise ValueError(
+                "delta_upserts requires an initialized table: call "
+                "init() with the bootstrap snapshot first — the log "
+                "holds CHANGES against a stored base")
+        data_cols = [c for c in schema.names if c != self.BUCKET_COL]
+        missing = [c for c in data_cols if c not in stg.columns]
+        if missing:
+            raise ValueError(
+                "delta_upserts v1 requires FULL-ROW batches: staging "
+                f"is missing stored column(s) {missing}; the eager "
+                "merge keeps a matched row's staging-absent columns, "
+                "which a log-winner read cannot reproduce — use the "
+                "default (eager) mode for partial-column feeds")
+        # a STORED column the eager merge would treat as metadata
+        # (update keeps the target's value, insert NULLs it) cannot be
+        # reproduced by a log-winner read, which replaces the whole
+        # row: reject the configuration rather than silently diverge
+        # from the eager twin.  version_col is discarded exactly as
+        # merge_cdc does — declared versions are ordinary data.
+        meta = (set(CDC_META_COLS)
+                | set(merge_kwargs.get("extra_meta_cols", ()))
+                | {TOMBSTONE_COL})
+        if version_col is not None:
+            meta.discard(version_col)
+        clash = [c for c in data_cols
+                 if c in meta and c not in self.keys]
+        if clash:
+            raise ValueError(
+                f"delta_upserts cannot merge into a table storing CDC "
+                f"metadata column(s) {clash}: the eager merge preserves "
+                "a matched row's stored value there, which a log-winner "
+                "read cannot reproduce — declare the column as "
+                "version_col (making it ordinary data) or rename it")
+        vc = (version_col if version_col is not None
+              and version_col in stg.columns
+              and version_col in set(schema.names) else None)
+        if has_del and op_col in stg.columns:
+            is_del = F.expr(_is_delete_sql(op_col, delete_values))
+        else:
+            is_del = F.lit(False)
+        entry = (stg.drop(self.DELTA_DEL_COL, self.DELTA_SEQ_COL)
+                 .withColumn(self.DELTA_DEL_COL, is_del))
+        kcond = lambda a, b: F.expr(" AND ".join(  # noqa: E731
+            f"{a}.{_q(k)} <=> {b}.{_q(k)}" for k in self.keys))
+        if vc:
+            # -- survivor state per staged key (read-only probe) --------
+            skeys = F.broadcast(stg.select(*self.keys).distinct())
+            base = (self._read_raw(buckets=list(buckets))
+                    .select(*self.keys, F.col(vc).alias("__sv"))
+                    .alias("__t")
+                    .join(skeys.alias("__k1"), kcond("__t", "__k1"),
+                          "left_semi")
+                    .withColumn("__sdel", F.lit(False))
+                    .withColumn("__pri", F.lit(0)))
+            surv = base
+            delta = self._read_delta()
+            if delta is not None:
+                dw = (self._delta_winners(
+                          delta.alias("__d").join(
+                              skeys.alias("__k2"), kcond("__d", "__k2"),
+                              "left_semi"))
+                      .select(*self.keys, F.col(vc).alias("__sv"),
+                              F.col(self.DELTA_DEL_COL).alias("__sdel"))
+                      .withColumn("__pri", F.lit(1)))
+                surv = base.unionByName(dw)
+            # a log winner (pri 1) IS the key's state; base only when
+            # the log has no entry for the key
+            from pyspark.sql import Window
+            w = Window.partitionBy(*[F.col(k) for k in self.keys]) \
+                .orderBy(F.col("__pri").desc())
+            surv = (surv.withColumn("__rn", F.row_number().over(w))
+                    .where("__rn = 1")
+                    .select(*self.keys, "__sv", "__sdel",
+                            F.lit(True).alias("__present")))
+            j = entry.alias("__e").join(F.broadcast(surv.alias("__s")),
+                                        kcond("__e", "__s"), "left_outer")
+            alive = (F.col("__present").isNotNull()
+                     & ~F.coalesce(F.col("__sdel"), F.lit(False)))
+            # merge_cdc's gate verbatim: NULL sorts first, ties -> new
+            take = F.coalesce(
+                (F.expr(f"__e.{_q(vc)}") >= F.col("__sv"))
+                | F.col("__sv").isNull(), F.lit(False))
+            # upsert: wins when the key is absent/deleted OR fresh
+            # enough; delete: only a LIVE key can be freshly deleted
+            # (a no-op or stale delete appends nothing)
+            keep = F.when(F.col(self.DELTA_DEL_COL), alive & take) \
+                .otherwise(~alive | take)
+            entry = j.where(keep).select("__e.*")
+        seq = self._bump_delta_seq()        # persisted BEFORE the append
+        out = entry.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c)
+              for c in data_cols],
+            F.col(self.DELTA_DEL_COL).cast("boolean")
+            .alias(self.DELTA_DEL_COL),
+            F.lit(seq).cast("long").alias(self.DELTA_SEQ_COL),
+            F.col(self.BUCKET_COL))
+        (out.repartition(self.BUCKET_COL)
+         .write.mode("append")
+         .partitionBy(self.BUCKET_COL)
+         .parquet(self._delta_path))
+        return 0
+
+    def fold_deltas(self) -> int:
+        """Maintenance: physically apply the delta log — rewrite ONLY
+        the buckets holding logged keys (dynamic overwrite, cost ∝
+        logged keys' buckets, never table-sized) and clear the sidecar.
+        After a fold the base snapshot equals the merged view
+        bit-for-bit; version gating continues against the base rows'
+        version column (a folded DELETE leaves the key absent, so a
+        later stale upsert re-inserts — exactly the eager plain-mode
+        contract, merge_cdc's documented gap).
+
+        Crash contract: the base rewrite commits FIRST; re-applying a
+        not-yet-cleared log is content-idempotent (every winner row now
+        equals the folded base row; every delete winner hides an
+        already-absent key), so a crash between the rewrite and the
+        sidecar clear converges and the next fold clears it.  Returns
+        #buckets rewritten."""
+        if not self.delta_upserts:
+            raise ValueError(
+                "fold_deltas requires KeyedTable(delta_upserts=True)")
+        delta = self._read_delta()
+        if delta is None:
+            return 0
+        win = self._delta_winners(delta).localCheckpoint(eager=True)
+        # the append-time bucket stamp is authoritative: num_buckets
+        # cannot have changed while a log exists (rebucket folds first)
+        buckets = sorted({int(r[0]) for r in
+                          win.select(self.BUCKET_COL).distinct()
+                          .collect()})
+        raw = self._read_raw(buckets=buckets).alias("__t")
+        cond = F.expr(" AND ".join(
+            f"__t.{_q(k)} <=> __w.{_q(k)}" for k in self.keys))
+        base_kept = raw.join(
+            F.broadcast(win.select(*self.keys).alias("__w")), cond,
+            "left_anti")
+        live = (win.where(~F.col(self.DELTA_DEL_COL))
+                .select(*[F.col(c) for c in raw.columns]))
+        # pin before the self-overwrite (the fold_delete_vectors rule)
+        out = base_kept.unionByName(live).localCheckpoint(eager=True)
+        kept_b = {int(r[0]) for r in
+                  out.select(self.BUCKET_COL).distinct().collect()}
+        # flag BEFORE the rewrite commits (see _mark_index_dirty):
+        # folded buckets change content, so bloom AND stats go dirty
+        self._mark_index_dirty(buckets)
+        (out.repartition(self.BUCKET_COL)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(self.BUCKET_COL)
+         .parquet(self.path))
+        emptied = [b for b in buckets if b not in kept_b]
+        if emptied:
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            for b in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{self.BUCKET_COL}={b}")
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
+        self._drop_delta()
+        return len(buckets)
 
     def fold_delete_vectors(self, before_version=None) -> int:
         """Maintenance: physically apply delete-vector entries — all of

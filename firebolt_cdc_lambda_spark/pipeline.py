@@ -63,6 +63,7 @@ class CdcPipeline:
                  tombstones: bool | None = None,
                  versioned: bool = False,
                  delete_vectors: bool = False,
+                 delta_upserts: bool = False,
                  alert_hook=None,
                  expectations=None):
         self.spark = spark
@@ -102,10 +103,23 @@ class CdcPipeline:
                              "mutually exclusive: DV mode records "
                              "deletes in the sidecar, so unmatched "
                              "deletes can never land as live rows")
+        if insert_deletes and delta_upserts:
+            # same wall as DV mode: the delta log applies deletes at
+            # read, so unmatched deletes can never land as live rows
+            raise ValueError("insert_deletes and delta_upserts are "
+                             "mutually exclusive: the delta log applies "
+                             "deletes at read time")
         if tombstones is None:
             # delete_vectors carries the same out-of-order protection in
-            # the sidecar, so the marker-row default yields to it
-            tombstones = not insert_deletes and not delete_vectors
+            # the sidecar, so the marker-row default yields to it.
+            # delta_upserts keeps PLAIN-mode delete semantics by
+            # contract (KeyedTable rejects the tombstone combo): while a
+            # delete sits in the log its version still gates, and after
+            # fold_deltas the documented plain-mode resurrection gap
+            # applies — operators choosing delta mode trade that for
+            # zero write amplification.
+            tombstones = (not insert_deletes and not delete_vectors
+                          and not delta_upserts)
         self.tombstones = tombstones
         # delete_vectors=True: merge-on-read deletes (KeyedTable DV
         # mode) — a delete-only CDC file appends (keys, version) sidecar
@@ -113,6 +127,13 @@ class CdcPipeline:
         # out.  Fold accumulated entries via fold_delete_vectors on the
         # maintenance cadence.  Existing tables: stored meta wins.
         self.delete_vectors = delete_vectors
+        # delta_upserts=True: merge-on-read UPSERTS (KeyedTable delta
+        # mode) — every CDC batch appends to the __delta log sidecar
+        # and rewrites ZERO base buckets; readers resolve keys from the
+        # newest log entry.  Fold accumulated entries via fold_deltas
+        # on the maintenance cadence.  Existing tables: stored meta
+        # wins.  v1 needs full-row batches (KeyedTable._merge_delta).
+        self.delta_upserts = delta_upserts
         # versioned=True turns every target into a time-travelable
         # snapshot table (KeyedTable versioned mode: epoch dirs + a
         # manifest sidecar; read(as_of=...) / history() /
@@ -137,7 +158,8 @@ class CdcPipeline:
                           num_buckets=self.num_buckets,
                           tombstones=self.tombstones,
                           versioned=self.versioned,
-                          delete_vectors=self.delete_vectors)
+                          delete_vectors=self.delete_vectors,
+                          delta_upserts=self.delta_upserts)
 
     # -- continuous aggregates maintained per batch -----------------------
     def register_rollup(self, table: str, rollup, project) -> None:
@@ -413,6 +435,20 @@ class CdcPipeline:
         if not target.exists() or not target.delete_vectors:
             return 0
         return target.fold_delete_vectors(before_version=before_version)
+
+    def fold_deltas(self, table: str) -> int:
+        """Physically apply ``table``'s delta log into its base buckets
+        and clear the sidecar (the delta-mode analogue of
+        fold_delete_vectors, same cadence slot).  Returns #buckets
+        rewritten (0: table unconfigured / absent / not delta-mode /
+        empty log)."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return 0
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.delta_upserts:
+            return 0
+        return target.fold_deltas()
 
     def refresh_bloom_indexes(self, table: str) -> list[str]:
         """Recompute the dirty buckets of every bloom secondary index

@@ -144,6 +144,7 @@ class CdcFleet:
                         health_reports: dict[str, dict] | None = None,
                         compact_small_files: int | None = None,
                         compact_target_bytes: int = 128 * 1024 * 1024,
+                        fold_delta_files: int | None = 8,
                         ) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
@@ -167,8 +168,15 @@ class CdcFleet:
         ``small_live_files`` for reports from older callers) reaches
         it get bin-packed toward ``compact_target_bytes``
         (CdcPipeline.compact_table — grouping-only, cost ∝ small
-        files).  One table failing must not abort the sweep (same
-        degrade-don't-die posture as run_once)."""
+        files).  Delta-mode tables fold their upsert log
+        (CdcPipeline.fold_deltas) once the measured ``delta_files``
+        debt reaches ``fold_delta_files`` (default 8 — roughly a file
+        per batch, so a table sees a fold every ~8 batches; None
+        disables; the gate is a pure listing, so an idle table costs
+        nothing).  Unlike the DV fold there is no version cutoff: the
+        whole log folds, and post-fold gating continues against the
+        base rows' stored versions.  One table failing must not abort
+        the sweep (same degrade-don't-die posture as run_once)."""
         if purge_dead_ratio is not None and keep_versions is None:
             # the gate modifies the keep_versions GC; alone it would be
             # silently inert — the operator would believe version GC is
@@ -185,6 +193,18 @@ class CdcFleet:
                 # analogue; 0 for non-DV tables, no probe cost)
                 did = bool(self.pipeline.fold_delete_vectors(
                     table, before_version=before_version)) or did
+                if fold_delta_files is not None:
+                    # delta-mode tables: fold the upsert log once its
+                    # measured file debt crosses the gate.  The key is
+                    # only emitted for delta-mode tables, so a passed
+                    # report without it means "nothing to fold" — NOT a
+                    # reason to re-list every non-delta table's files
+                    report = (health_reports or {}).get(table)
+                    if report is None:
+                        report = self.pipeline.table_health(table)
+                    if (report or {}).get("delta_files", 0) \
+                            >= fold_delta_files:
+                        did = bool(self.pipeline.fold_deltas(table)) or did
                 if keep_versions is not None:
                     wants_gc = True
                     if purge_dead_ratio is not None:

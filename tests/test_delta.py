@@ -1,0 +1,376 @@
+"""Merge-on-read UPSERTS (KeyedTable delta_upserts mode, round-10
+judge order #2): a CDC batch appends to the ``__delta`` log sidecar
+instead of rewriting touched base buckets; readers resolve each key
+from the newest log entry; ``fold_deltas`` reclaims the debt on the
+maintenance cadence.
+
+Reference parity: the reference's dominant pathology is exactly this
+write amplification (FIX_DUPLICATE_INSERTS_ON_RETRY.md:88-91 — a 5 h
+degraded MERGE; FIX_TRANSACTION_CONFLICTS.md:9-16).  The house oracle:
+every delta-mode state must hash-match an EAGER-mode twin fed the same
+batches."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _mk_rows(ids, op=None, ver=TS, name=lambda i: f"n{i}",
+             bal=lambda i: float(i)):
+    rows = []
+    for i in ids:
+        r = {"id": i, "name": name(i), "bal": bal(i)}
+        if op is not None:
+            r["Op"] = op
+            r["load_timestamp"] = ver
+        rows.append(Row(**r))
+    return rows
+
+
+def _twins(spark, tmp_path, n=40, buckets=4, with_version=False):
+    """Version gating requires the version column STORED in the table
+    (merge_cdc gates only when it exists on BOTH sides), so gate tests
+    init with a load_timestamp column — which version_col= then turns
+    from CDC metadata into ordinary data."""
+    rows = _mk_rows(range(n))
+    if with_version:
+        v0 = dt.datetime(2023, 12, 1)
+        rows = [Row(**{**r.asDict(), "load_timestamp": v0}) for r in rows]
+    base = spark.createDataFrame(rows)
+    eager = KeyedTable(spark, str(tmp_path / "eager"), ["id"],
+                       num_buckets=buckets)
+    delta = KeyedTable(spark, str(tmp_path / "delta"), ["id"],
+                       num_buckets=buckets, delta_upserts=True)
+    eager.init(base)
+    delta.init(base)
+    return eager, delta
+
+
+def _snap(kt):
+    return sorted((r["id"], r["name"], r["bal"])
+                  for r in kt.read().select("id", "name", "bal").collect())
+
+
+def _mtimes(kt):
+    """(path, mtime, len) of every BASE data file — the zero-rewrite
+    witness: delta merges must leave these bit-identical."""
+    return sorted((str(st.getPath()), st.getModificationTime(),
+                   int(st.getLen())) for _, st, _ in kt._walk_data_files())
+
+
+def _apply_both(spark, eager, delta, rows, **kw):
+    stg = spark.createDataFrame(rows)
+    eager.merge_batch(stg, **kw)
+    return delta.merge_batch(stg, **kw)
+
+
+def test_upsert_insert_delete_match_eager_zero_base_rewrites(
+        spark, tmp_path):
+    eager, delta = _twins(spark, tmp_path)
+    base_files = _mtimes(delta)
+    # batch 1: updates + an insert
+    n1 = _apply_both(spark, eager, delta,
+                     _mk_rows([3, 7], op="U", bal=lambda i: i + 100.0)
+                     + _mk_rows([99], op="I"))
+    # batch 2: a delete + another update of an already-logged key
+    n2 = _apply_both(spark, eager, delta,
+                     _mk_rows([5], op="D")
+                     + _mk_rows([3], op="U", bal=lambda i: i + 200.0))
+    assert (n1, n2) == (0, 0)                 # zero buckets rewritten
+    assert _mtimes(delta) == base_files       # base files bit-untouched
+    assert _snap(delta) == _snap(eager)
+    got = {r[0]: r for r in _snap(delta)}
+    assert got[3][2] == 203.0 and 5 not in got and 99 in got
+
+
+def test_version_gate_matches_eager(spark, tmp_path):
+    """Stale updates, stale deletes, fresh deletes, and ties all gate
+    exactly like the eager merge (merge_cdc's NULL/tie contract)."""
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    v1, v2, v3 = (dt.datetime(2024, 1, d) for d in (1, 5, 9))
+    kw = dict(version_col="load_timestamp")
+    # seed versions: every row at v2
+    _apply_both(spark, eager, delta,
+                _mk_rows(range(40), op="U", ver=v2,
+                         bal=lambda i: i + 0.5), **kw)
+    # stale update (v1 < v2) must lose; tie (v2) must WIN (new write)
+    _apply_both(spark, eager, delta,
+                _mk_rows([4], op="U", ver=v1, bal=lambda i: -1.0)
+                + _mk_rows([6], op="U", ver=v2, bal=lambda i: -2.0), **kw)
+    # stale delete loses; fresh delete wins
+    _apply_both(spark, eager, delta,
+                _mk_rows([8], op="D", ver=v1)
+                + _mk_rows([9], op="D", ver=v3), **kw)
+    assert _snap(delta) == _snap(eager)
+    got = {r[0]: r for r in _snap(delta)}
+    assert got[4][2] == 4.5 and got[6][2] == -2.0
+    assert 8 in got and 9 not in got
+    # delete-then-stale-upsert re-inserts (plain-mode parity: the
+    # survivor state after a delete winner is ABSENT)
+    _apply_both(spark, eager, delta,
+                _mk_rows([9], op="U", ver=v1, bal=lambda i: 77.0), **kw)
+    assert _snap(delta) == _snap(eager)
+    assert dict((r[0], r[2]) for r in _snap(delta))[9] == 77.0
+
+
+def test_randomized_replay_mirror(spark, tmp_path):
+    """Property: N random batches (mixed ops, random versions, repeated
+    keys, NULL versions) leave the delta-mode table hash-identical to
+    the eager twin after EVERY batch — the gate-at-append invariant."""
+    rng = random.Random(1234)
+    eager, delta = _twins(spark, tmp_path, n=30, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    vers = [None] + [dt.datetime(2024, 1, d) for d in range(1, 9)]
+    for _ in range(6):
+        rows = []
+        for i in rng.sample(range(34), rng.randint(1, 8)):
+            op = rng.choice(["U", "U", "I", "D"])
+            v = rng.choice(vers)
+            rows.append(Row(id=i, name=f"x{i}", bal=rng.random() * 100,
+                            Op=op, load_timestamp=v))
+        # dedup within batch like the pipeline does (one row per key)
+        seen, uniq = set(), []
+        for r in rows:
+            if r["id"] not in seen:
+                seen.add(r["id"])
+                uniq.append(r)
+        schema = ("id bigint, name string, bal double, Op string, "
+                  "load_timestamp timestamp")
+        stg = spark.createDataFrame(uniq, schema)
+        eager.merge_batch(stg, **kw)
+        assert delta.merge_batch(stg, **kw) == 0
+        assert _snap(delta) == _snap(eager)
+
+
+def test_fold_applies_and_clears(spark, tmp_path):
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    _apply_both(spark, eager, delta,
+                _mk_rows([1, 2], op="U", bal=lambda i: i + 10.0)
+                + _mk_rows([60], op="I") + _mk_rows([4], op="D"), **kw)
+    before = _snap(delta)
+    rep = delta.health_report()
+    assert rep["delta_files"] > 0 and rep["delta_bytes"] > 0
+    n = delta.fold_deltas()
+    assert n > 0
+    assert delta._read_delta() is None              # sidecar cleared
+    assert delta.health_report()["delta_files"] == 0
+    assert _snap(delta) == before == _snap(eager)   # fold is invisible
+    assert delta.fold_deltas() == 0                 # idempotent no-op
+    # only the logged keys' buckets were rewritten
+    assert n <= 4
+
+
+def test_fold_rewrites_only_touched_buckets(spark, tmp_path):
+    _, delta = _twins(spark, tmp_path, n=40, buckets=8)
+    files0 = dict((p, (m, s)) for p, m, s in _mtimes(delta))
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3], op="U", bal=lambda i: 999.0)))
+    touched = {int(r[0]) for r in delta._with_bucket(
+        spark.createDataFrame(_mk_rows([3])))
+        .select("_bucket").collect()}
+    delta.fold_deltas()
+    changed = {p for p, m, s in _mtimes(delta)
+               if files0.get(p) != (m, s) or p not in files0}
+    assert changed                                   # something rewrote
+    for p in changed:
+        assert any(f"_bucket={b}/" in p for b in touched), p
+
+
+def test_crash_replay_converges(spark, tmp_path):
+    """Ledger-replay idempotency: applying the SAME batch twice (the
+    crash-between-append-and-ledger-commit replay) leaves the visible
+    snapshot identical — the replayed winners are content-identical."""
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    rows = _mk_rows([3, 5], op="U", bal=lambda i: i + 50.0) \
+        + _mk_rows([7], op="D")
+    _apply_both(spark, eager, delta, rows, **kw)
+    delta.merge_batch(spark.createDataFrame(rows), **kw)   # replay
+    assert _snap(delta) == _snap(eager)
+    # crash between fold's base rewrite and sidecar clear: re-applying
+    # the stale log over the folded base converges (content-identical)
+    import shutil
+    saved = str(tmp_path / "delta_log_copy")
+    shutil.copytree(delta._delta_path, saved)
+    before = _snap(delta)
+    delta.fold_deltas()
+    shutil.copytree(saved, delta._delta_path)        # resurrect the log
+    assert _snap(delta) == before                    # still converged
+    assert delta.fold_deltas() > 0                   # next fold clears
+    assert delta._read_delta() is None
+    assert _snap(delta) == before
+
+
+def test_lookup_and_rewrite_fold(spark, tmp_path):
+    _, delta = _twins(spark, tmp_path)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3], op="U", bal=lambda i: 500.0)
+        + _mk_rows([90], op="I") + _mk_rows([6], op="D")))
+    # lookup resolves through the log: updated, inserted, deleted
+    got = {r["id"]: r["bal"] for r in delta.lookup([3, 90, 6]).collect()}
+    assert got == {3: 500.0, 90: 90.0}
+    # a full rewrite (rebucket) folds the log and clears the sidecar
+    before = _snap(delta)
+    delta.rebucket(8)
+    assert delta._read_delta() is None
+    assert _snap(delta) == before
+    got = {r["id"]: r["bal"] for r in delta.lookup([3, 90]).collect()}
+    assert got == {3: 500.0, 90: 90.0}
+
+
+def test_full_row_contract_and_mode_combos(spark, tmp_path):
+    _, delta = _twins(spark, tmp_path)
+    with pytest.raises(ValueError, match="FULL-ROW"):
+        delta.merge_batch(spark.createDataFrame(
+            [Row(id=1, name="partial", Op="U")]))     # missing bal
+    with pytest.raises(ValueError, match="insert_deletes"):
+        delta.merge_batch(spark.createDataFrame(
+            _mk_rows([1], op="U")), insert_deletes=True)
+    for combo in (dict(tombstones=True), dict(versioned=True),
+                  dict(delete_vectors=True)):
+        with pytest.raises(ValueError, match="delta_upserts"):
+            KeyedTable(spark, str(tmp_path / "x"), ["id"],
+                       delta_upserts=True, **combo)
+    with pytest.raises(ValueError, match="initialized"):
+        kt = KeyedTable(spark, str(tmp_path / "fresh"), ["id"],
+                        delta_upserts=True)
+        kt.merge_batch(spark.createDataFrame(_mk_rows([1], op="U")))
+    with pytest.raises(ValueError, match="delta_upserts"):
+        KeyedTable(spark, str(tmp_path / "y"), ["id"]).fold_deltas()
+
+
+def test_mode_persists_in_meta(spark, tmp_path):
+    _, delta = _twins(spark, tmp_path)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3], op="U", bal=lambda i: 500.0)))
+    # a reader handle constructed WITHOUT the flag still sees the log
+    # (the stored meta always wins over constructor defaults)
+    reader = KeyedTable(spark, delta.path, ["id"])
+    assert reader.delta_upserts and reader.delta_seq == 1
+    assert {r["id"]: r["bal"] for r in
+            reader.lookup([3]).collect()} == {3: 500.0}
+
+
+def test_seq_bumps_before_append_and_survives_reload(spark, tmp_path):
+    _, delta = _twins(spark, tmp_path)
+    for k in (1, 2, 3):
+        delta.merge_batch(spark.createDataFrame(
+            _mk_rows([k], op="U", bal=lambda i: i * 1.0)))
+    assert delta.delta_seq == 3
+    log = delta._read_delta()
+    seqs = sorted(r[0] for r in
+                  log.select(delta.DELTA_SEQ_COL).distinct().collect())
+    assert seqs == [1, 2, 3]
+    assert KeyedTable(spark, delta.path, ["id"]).delta_seq == 3
+
+
+def test_raw_batch_dedups_then_logs(spark, tmp_path):
+    """merge_raw_batch's fused dedup-bypass rides the same path: a
+    duplicate-keyed raw batch dedups by the cascade, then appends ONE
+    winner row per key."""
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    rows = [Row(id=3, name="old", bal=1.0, Op="U",
+                load_timestamp=dt.datetime(2024, 1, 1)),
+            Row(id=3, name="new", bal=2.0, Op="U",
+                load_timestamp=dt.datetime(2024, 1, 2))]
+    stg = spark.createDataFrame(rows)
+    eager.merge_raw_batch(stg, version_col="load_timestamp")
+    nb, nrows, did = delta.merge_raw_batch(
+        stg, version_col="load_timestamp")
+    assert (nb, nrows, did) == (0, 1, True)
+    assert _snap(delta) == _snap(eager)
+    assert dict((r[0], r[1]) for r in _snap(delta))[3] == "new"
+
+
+def test_index_scans_resolve_through_the_log(spark, tmp_path):
+    """StatsIndex.scan and BloomIndex.lookup route through
+    _hide_tombstones + a residual predicate, so a delta-mode table's
+    log rows surface (and superseded base rows vanish) with NO index
+    refresh: base files never changed, the indexes stay exact for the
+    base leg."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
+
+    _, delta = _twins(spark, tmp_path, n=200, buckets=4)
+    delta.cluster_by(["bal"], max_records_per_file=25)
+    sx = StatsIndex(delta, "bal")
+    sx.build()
+    bx = BloomIndex(delta, "name")
+    bx.build()
+    # move key 10 OUT of [0,50]; insert 900 INSIDE it; delete 20
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([10], op="U", bal=lambda i: 5000.0)
+        + _mk_rows([900], op="I", bal=lambda i: 42.5)
+        + _mk_rows([20], op="D")))
+    assert sorted(delta._read_delta()
+                  .select(delta.DELTA_SEQ_COL).distinct()
+                  .collect()[0]) == [1]
+    got = {r["id"]: r["bal"] for r in sx.scan(lo=0.0, hi=50.0).collect()}
+    assert 10 not in got and 20 not in got     # superseded/deleted hidden
+    assert got[900] == 42.5                    # log-only insert surfaces
+    assert got[30] == 30.0                     # untouched base row
+    # bloom: the log-only key resolves, the deleted key does not
+    assert {r["id"] for r in bx.lookup(["n900"]).collect()} == {900}
+    assert bx.lookup(["n20"]).count() == 0
+    # and the updated key's new value is visible through its old bucket
+    assert {r["bal"] for r in bx.lookup(["n10"]).collect()} == {5000.0}
+
+
+def test_pipeline_and_fleet_fold_cadence(spark, tmp_path):
+    """End-to-end: a delta-mode CdcPipeline lands every CDC file as a
+    log append (zero base rewrites after bootstrap), and the fleet's
+    run_maintenance folds the log once the measured delta_files debt
+    crosses the gate."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+    def write_file(root, table, date, name, rows):
+        y, m, d = date.split("-")
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite").parquet(f"{root}/fair/{table}/{y}/{m}/{d}/{name}")
+
+    root = str(tmp_path / "src")
+    write_file(root, "users", "2024-01-01", "a.parquet", [
+        Row(id=1, name="alice", Op="I", load_timestamp=TS),
+        Row(id=2, name="bob", Op="I", load_timestamp=TS)])
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4, version_col="load_timestamp",
+                       delta_upserts=True)
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    assert fleet.run_once(spark)["users"] == "drained"
+    t = pipe.target_for("users", ["id"])
+    assert t.delta_upserts                      # persisted in meta
+    files0 = _mtimes(t)
+    for d in (2, 3):
+        write_file(root, "users", f"2024-01-0{d}", "b.parquet", [
+            Row(id=1, name=f"alice{d}", Op="U",
+                load_timestamp=dt.datetime(2024, 1, d)),
+            Row(id=10 * d, name=f"new{d}", Op="I",
+                load_timestamp=dt.datetime(2024, 1, d))])
+        assert fleet.run_once(spark)["users"] == "drained"
+    assert _mtimes(t) == files0                 # NO base rewrites
+    rep = t.health_report()
+    assert rep["delta_files"] >= 2
+    vis = sorted((r["id"], r["name"]) for r in
+                 t.read().select("id", "name").collect())
+    assert ("1", "alice3") not in vis           # sanity: ids are longs
+    assert dict(vis)[1] == "alice3" and dict(vis)[30] == "new3"
+    # below the gate: nothing folds; at the gate: the sweep folds
+    assert fleet.run_maintenance(fold_delta_files=99)["users"] \
+        in ("skipped", "purged")
+    assert t.health_report()["delta_files"] >= 2
+    status = fleet.run_maintenance(fold_delta_files=2)
+    assert status["users"] == "purged"
+    assert t.health_report()["delta_files"] == 0
+    assert sorted((r["id"], r["name"]) for r in
+                  t.read().select("id", "name").collect()) == vis
