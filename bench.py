@@ -542,6 +542,130 @@ def bench_lsh_probe(spark, sf_dir) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def bench_mor_upsert(spark, sf_dir) -> tuple[list[float], list[float]]:
+    """Merge-on-read UPSERT batch (round-10 feature): the same ~30-key
+    batch shape as cdc_merge_small_batch, version-gated, on a
+    delta_upserts=True table — gate probe + log append, ZERO bucket
+    rewrites.  Compare against cdc_merge_small_batch to watch the
+    copy-on-write/merge-on-read gap for upserts per round (the DV row
+    already tracks it for deletes).  Also returns one fold sample: the
+    deferred cost of physically applying the accumulated reps' log
+    (∝ logged keys' buckets)."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .withColumn("load_timestamp",
+                          F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    tmp = tempfile.mkdtemp(prefix="bench_mor_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                        num_buckets=64, delta_upserts=True)
+        kt.init(orders)
+        (orders.where("o_orderkey % 5000 = 17")   # ~30 keys
+         .withColumn("Op", F.lit("U"))
+         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+         .withColumn("load_timestamp",
+                     F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+         .coalesce(1).write.parquet(f"{tmp}/batch"))
+        b = spark.read.parquet(f"{tmp}/batch")
+        kt.merge_batch(b, version_col="load_timestamp")     # warm
+        samples = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            kt.merge_batch(b, version_col="load_timestamp")
+            samples.append(time.time() - t0)
+        t0 = time.time()
+        kt.fold_deltas()
+        fold = [time.time() - t0]
+        return samples, fold
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_fleet_sweep(spark, sf_dir) -> list[float]:
+    """Aggregate maintenance sweep (round-10 judge order #5): ONE
+    number for the whole fleet-cadence slot — health listings +
+    tombstone purge + delta-log fold + gated small-file compaction +
+    bloom/zone-map index refreshes — across a 4-table fleet with real
+    debt of each kind, so a maintenance regression is visible the way
+    per-op regressions already are.  Each rep re-seeds the debt untimed
+    (a tombstoned delete + dirty bloom bucket, a 2-batch delta log, a
+    cluster-cut small-file layout with a zone map) and times ONLY
+    health() + run_maintenance()."""
+    import datetime as dt
+
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+    orders = (load_table(spark, sf_dir, "orders")
+              .withColumn("load_timestamp",
+                          F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="bench_sweep_")
+    tables = ["torders", "tdelta", "tsmall", "tidle"]
+    try:
+        # source dirs exist only for fleet discovery (never drained)
+        for t in tables:
+            (orders.limit(1).withColumn("Op", F.lit("I"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{tmp}/src/fair/{t}/2024/01/01/seed.parquet"))
+        pipe = CdcPipeline(
+            spark, f"{tmp}/wh",
+            TableKeys.from_json(
+                '{"torders": "o_orderkey", "tdelta": "o_orderkey", '
+                '"tsmall": "o_orderkey", "tidle": "o_orderkey"}'),
+            num_buckets=16, version_col="load_timestamp", ledger=False)
+        fleet = CdcFleet(pipe, f"{tmp}/src", f"{tmp}/ckpt")
+        # tombstone-mode table with a bloom index (purge + refresh work)
+        kt_t = KeyedTable(spark, f"{tmp}/wh/torders", ["o_orderkey"],
+                          num_buckets=16, tombstones=True)
+        kt_t.init(orders)
+        BloomIndex(kt_t, "o_custkey").build()
+        # delta-mode table (fold work)
+        kt_d = KeyedTable(spark, f"{tmp}/wh/tdelta", ["o_orderkey"],
+                          num_buckets=16, delta_upserts=True)
+        kt_d.init(orders)
+        # small-file table with a zone map (compact + stats refresh)
+        kt_s = KeyedTable(spark, f"{tmp}/wh/tsmall", ["o_orderkey"],
+                          num_buckets=16)
+        kt_s.init(orders)
+        StatsIndex(kt_s, "o_orderdate").build()
+        KeyedTable(spark, f"{tmp}/wh/tidle", ["o_orderkey"],
+                   num_buckets=16).init(orders.limit(100))
+        upd = (orders.where("o_orderkey % 5000 = 17")
+               .withColumn("Op", F.lit("U"))
+               .withColumn("load_timestamp",
+                           F.to_timestamp(F.lit("2024-06-01 00:00:00"))))
+        dels = (orders.where("o_orderkey % 5000 = 1003")
+                .withColumn("Op", F.lit("D"))
+                .withColumn("load_timestamp",
+                            F.to_timestamp(F.lit("2024-06-01 00:00:00"))))
+        samples = []
+        for _ in range(N_REPS_MERGE):
+            # -- seed the debt (untimed) --------------------------------
+            kt_t.merge_batch(dels, version_col="load_timestamp")
+            kt_d.merge_batch(upd, version_col="load_timestamp")
+            kt_d.merge_batch(dels, version_col="load_timestamp")
+            kt_s.cluster_by(["o_orderdate"],
+                            max_records_per_file=max(1, n // 64))
+            # -- the sweep (timed) --------------------------------------
+            t0 = time.time()
+            reports = fleet.health()
+            fleet.run_maintenance(health_reports=reports,
+                                  compact_small_files=4,
+                                  fold_delta_files=1)
+            samples.append(time.time() - t0)
+        # the sweep must actually have paid the debts down
+        assert kt_d.health_report()["delta_files"] == 0, "fold skipped"
+        assert kt_s.health_report()["compactable_files"] == 0, \
+            "compact skipped"
+        return samples
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -637,6 +761,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"stats-scan bench failed: {exc}", file=sys.stderr)
         stats_scan = 0.0
+    # round 10 — shielded, reported outside `queries`
+    try:
+        mor_samples, mor_fold_s = bench_mor_upsert(spark, sf_dir)
+        mor_upsert = round(min(mor_samples), 3)
+        mor_fold = round(min(mor_fold_s), 3)
+        dispersion["cdc_mor_upsert_batch"] = summarize(mor_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"mor bench failed: {exc}", file=sys.stderr)
+        mor_upsert = mor_fold = 0.0
+    try:
+        sw_samples = bench_fleet_sweep(spark, sf_dir)
+        fleet_sweep = round(min(sw_samples), 3)
+        dispersion["fleet_maintenance_sweep"] = summarize(sw_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"fleet-sweep bench failed: {exc}", file=sys.stderr)
+        fleet_sweep = 0.0
     # round 9 — shielded, reported outside `queries`
     try:
         cp_samples = bench_compact(spark, sf_dir)
@@ -681,6 +821,9 @@ def main() -> None:
         "cdc_dv_delete_batch": dv_delete,
         "cdc_stats_scan": stats_scan,
         "cdc_compact_small_files": compact_run,
+        "cdc_mor_upsert_batch": mor_upsert,
+        "cdc_mor_fold": mor_fold,
+        "fleet_maintenance_sweep": fleet_sweep,
         "dispersion": dispersion,
         "sf": sf,
     })

@@ -2298,24 +2298,27 @@ class KeyedTable:
                     .alias("__t")
                     .join(skeys.alias("__k1"), kcond("__t", "__k1"),
                           "left_semi")
-                    .withColumn("__sdel", F.lit(False))
-                    .withColumn("__pri", F.lit(0)))
+                    .select(*self.keys, "__sv",
+                            F.lit(False).alias("__sdel"),
+                            F.lit(0).alias("__pri"),
+                            F.lit(-1).cast("long").alias("__seq")))
             surv = base
             delta = self._read_delta()
             if delta is not None:
-                dw = (self._delta_winners(
-                          delta.alias("__d").join(
-                              skeys.alias("__k2"), kcond("__d", "__k2"),
-                              "left_semi"))
+                de = (delta.alias("__d").join(
+                          skeys.alias("__k2"), kcond("__d", "__k2"),
+                          "left_semi")
                       .select(*self.keys, F.col(vc).alias("__sv"),
-                              F.col(self.DELTA_DEL_COL).alias("__sdel"))
-                      .withColumn("__pri", F.lit(1)))
-                surv = base.unionByName(dw)
-            # a log winner (pri 1) IS the key's state; base only when
-            # the log has no entry for the key
+                              F.col(self.DELTA_DEL_COL).alias("__sdel"),
+                              F.lit(1).alias("__pri"),
+                              F.col(self.DELTA_SEQ_COL).alias("__seq")))
+                surv = base.unionByName(de)
+            # ONE window resolves both layers: the newest log entry
+            # (pri 1, max seq) IS the key's state; the base row (pri 0)
+            # only when the log has no entry for the key
             from pyspark.sql import Window
             w = Window.partitionBy(*[F.col(k) for k in self.keys]) \
-                .orderBy(F.col("__pri").desc())
+                .orderBy(F.col("__pri").desc(), F.col("__seq").desc())
             surv = (surv.withColumn("__rn", F.row_number().over(w))
                     .where("__rn = 1")
                     .select(*self.keys, "__sv", "__sdel",
