@@ -528,6 +528,29 @@ class CdcPipeline:
         return target.compact(target_bytes=target_bytes,
                               small_bytes=small_bytes)
 
+    def store_tables(self) -> dict:
+        """Registered auxiliary KeyedTable stores, for the maintenance
+        sweep — currently every registered JoinView's materialized
+        table, keyed ``joinview:<path basename>`` and deduped by path
+        (a view registered on both its fact and dim legs appears
+        once).  RollupTable and Scd2Table stores are deliberately NOT
+        here: their refresh/apply paths dynamic-overwrite whole touched
+        bucket dirs (exactly one file per leaf, pinned in
+        test_store_compaction), so they cannot accrete the multi-file
+        leaves compact() packs — there is nothing for the sweep to
+        do."""
+        by_path: dict[str, object] = {}
+        for legs in self._join_views.values():
+            for _leg, view in legs:
+                by_path.setdefault(view.table.path, view.table)
+        stores: dict = {}
+        for path, t in sorted(by_path.items()):
+            name = f"joinview:{path.rsplit('/', 1)[-1]}"
+            while name in stores:          # basename clash: disambiguate
+                name += "+"
+            stores[name] = t
+        return stores
+
     def table_health(self, table: str,
                      small_file_bytes: int = 32 * 1024 * 1024) -> dict | None:
         """Small-file / history health metrics for one target (pure

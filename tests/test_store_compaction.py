@@ -1,0 +1,138 @@
+"""Store-table small-file maintenance (round-9 judge order #3): the
+fleet's compact cadence must cover auxiliary stores, not just the
+primary targets.
+
+Two halves:
+* JoinView stores ARE KeyedTables — run_maintenance sweeps them under
+  the same ``compactable_files`` gate, and a compacted store reads
+  identically through the view (including the bloom-routed dim leg,
+  which compaction never voids).
+* RollupTable and Scd2Table stores are NOT swept — by construction
+  they cannot accrete multi-file leaves: every refresh/apply
+  dynamic-overwrites whole touched bucket dirs with exactly one file.
+  That invariant is what makes skipping them correct, so it is pinned
+  here per store kind.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.config import TableKeys
+from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _leaf_file_counts(spark, path, bucket_col="_bucket"):
+    """{bucket dir: #data files} via the Hadoop FS (store-layout probe)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    out = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{bucket_col}="):
+            n = sum(1 for f in fs.listStatus(st.getPath())
+                    if f.isFile()
+                    and f.getPath().getName().endswith(".parquet"))
+            out[name] = n
+    return out
+
+
+def test_fleet_sweep_compacts_joinview_store(spark, tmp_path):
+    """A cluster-cut JoinView store crosses the compactable gate, the
+    fleet sweep packs it, and the view reads identically afterward —
+    including a bloom-routed dim-leg refresh (compaction never voids
+    the routing index)."""
+    fact = KeyedTable(spark, str(tmp_path / "wh" / "fact"), ["id"],
+                      num_buckets=2)
+    dim = KeyedTable(spark, str(tmp_path / "wh" / "dim"), ["did"],
+                     num_buckets=2)
+    fact.init(spark.createDataFrame(
+        [Row(id=i, cust=i % 7, val=float(i)) for i in range(300)]))
+    dim.init(spark.createDataFrame(
+        [Row(did=d, name=f"d{d}") for d in range(7)]))
+    view = JoinView(spark, str(tmp_path / "wh" / "view"), fact, dim,
+                    fk="cust")
+    view.rebuild()
+    # manufacture store small-file debt: a cluster-cut multi-file layout
+    view.table.cluster_by(["val"], max_records_per_file=25)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"fact": "id"}'),
+                       num_buckets=2, ledger=False)
+    pipe.register_join_view(view, fact_table="fact", dim_table="dim")
+    # the store shows up for maintenance exactly once (registered on
+    # both legs, deduped by path)
+    assert list(pipe.store_tables()) == ["joinview:view"]
+    fleet = CdcFleet(pipe, str(tmp_path / "src"), str(tmp_path / "ckpt"))
+    before_rows = sorted(map(tuple, view.read().select(
+        "id", "cust", "val", "dim_name").collect()))
+    files_before = sum(view.table.file_stats().values())
+    assert view.table.health_report()["compactable_files"] >= 4
+    status = fleet.run_maintenance(compact_small_files=4,
+                                   compact_target_bytes=1 << 30)
+    assert status["joinview:view"] == "purged"
+    files_after = sum(view.table.file_stats().values())
+    assert files_after < files_before
+    assert sorted(map(tuple, view.read().select(
+        "id", "cust", "val", "dim_name").collect())) == before_rows
+    # the bloom-routed dim leg still works post-compact (no index void):
+    # rename dim 3 and re-enrich only the rows referencing it
+    dim.merge_batch(spark.createDataFrame(
+        [Row(did=3, name="THREE", Op="U")]))
+    view.apply_dim_delta(spark.createDataFrame(
+        [Row(did=3, name="THREE", Op="U")]))
+    got = {r["id"]: r["dim_name"] for r in view.read().collect()}
+    assert all(got[i] == "THREE" for i in range(300) if i % 7 == 3)
+    # gate respected: an already-packed store is skipped next sweep
+    assert fleet.run_maintenance(
+        compact_small_files=4)["joinview:view"] == "skipped"
+
+
+def test_rollup_store_never_accretes_files(spark, tmp_path):
+    """The invariant that keeps RollupTable OUT of the compact sweep:
+    every refresh dynamic-overwrites whole touched group-bucket dirs,
+    so no leaf ever holds more than one data file."""
+    from firebolt_cdc_lambda_spark.operators.rollup_table import RollupTable
+
+    base = KeyedTable(spark, str(tmp_path / "base"), ["id"],
+                      num_buckets=4)
+    rows = [Row(id=i, grp=i % 5, amt=float(i)) for i in range(100)]
+    base.init(spark.createDataFrame(rows))
+    ru = RollupTable(spark, str(tmp_path / "ru"), ["grp"],
+                     lambda: [F.count(F.lit(1)).alias("n"),
+                              F.sum("amt").alias("total")],
+                     num_buckets=4)
+    ru.init(base.read())
+    for k in range(4):                       # repeated touched refreshes
+        batch = spark.createDataFrame(
+            [Row(id=900 + k, grp=k % 5, amt=1.0, Op="I")])
+        base.merge_batch(batch)
+        ru.refresh(base.read(), batch.select("grp"))
+        counts = _leaf_file_counts(spark, ru.path, bucket_col="_gbucket")
+        assert counts and all(n == 1 for n in counts.values()), counts
+
+
+def test_scd2_store_never_accretes_files(spark, tmp_path):
+    """Same invariant for Scd2Table: every apply rewrites whole touched
+    buckets — one file per leaf, always."""
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+
+    st = Scd2Table(spark, str(tmp_path / "scd2"), keys=["id"],
+                   order=["ts"], tracked=["name"], num_buckets=4)
+    st.init(spark.createDataFrame(
+        [Row(id=i, ts=T0, name=f"v0_{i}") for i in range(40)]))
+    for k in range(1, 5):                    # repeated applies
+        st.apply(spark.createDataFrame(
+            [Row(id=i, ts=T0 + dt.timedelta(days=k), name=f"v{k}_{i}")
+             for i in range(0, 40, 3)]))
+        counts = _leaf_file_counts(spark, st.path)
+        assert counts and all(n == 1 for n in counts.values()), counts
+    # and history is intact: key 0 carries every version
+    assert st.read().where("id = 0").count() == 5
