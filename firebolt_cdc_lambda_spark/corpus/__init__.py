@@ -476,37 +476,105 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # holds); newest-row distribution r9=50, r8=50, r7=50, r6=23, r5=0
 # (50+50+50+23=173 checks; the 23 r6 rows = the 20 family-covered
 # deferrals + the 3 rule-2 displacements above — they lead round 10).
+# ROUND 10 (this gate) — executes the round-9 judge's order #1:
+#   * slots 1-23 — ALL twenty-three r6-stale rows (the ledger's
+#     documented round-10 head): the three rule-2 displacements first
+#     (val_sample_rows / embedding_pseudo_label /
+#     corpus_mixture_sampling — displaced in r9, never re-gated
+#     since), then the twenty family-covered deferrals
+#     (ann_hard_negatives, corpus_dedup_canonical,
+#     corpus_drift_hellinger, corpus_gini_balance,
+#     corpus_sequence_packing, corpus_stratified_sample,
+#     corpus_temperature_mixture, dedup_graph_triangles,
+#     embedding_label_centroids, events_ewma_smoothing,
+#     events_json_extract, events_retention_cohorts,
+#     val_date_distribution, val_duplicate_pks, val_freshness,
+#     val_null_counts, val_percentiles, val_price_histogram,
+#     val_rollup_status_priority, val_topk_orders).  After these land,
+#     no row is older than r7.
+#   * slots 24-49 — TWENTY-SIX of the fifty r7-stale rows, code-
+#     touched and family-representative first: cdc_delete_vectors,
+#     cdc_pipeline_snapshot, cdc_merge_upsert_delete (merge.py gained
+#     the delta-log path and pipeline.py the delta/store wiring this
+#     round while their newest rows were r7), cdc_join_view +
+#     cdc_join_view_composite (their stores joined the maintenance
+#     sweep), then the TPC-H flagships q1 q3 q5 q10, the ANN ladder
+#     heads (ann_cosine_topk, ann_ivf_topk, ann_lsh_bucket_topk), the
+#     dedup family heads (dedup_exact, dedup_minhash_lsh,
+#     dedup_simhash, dedup_embedding_cosine), the window family
+#     (window_rank_family, window_range_frame,
+#     window_topn_per_segment), the as-of/range pair
+#     (asof_event_last_order, range_join_event_pairs), the event
+#     analytics trio (events_sessionization, events_hourly_tumbling,
+#     events_markov_transitions), and the scalar/SQL-surface pair
+#     (scalar_functions_showcase, sql_surface_listagg).
+#     The TWENTY-FOUR r7 rows deferred to round 11, each with a fresh
+#     family member in this gate or r8/r9: corpus_domain_cap
+#     (corpus_stratified_sample + corpus_temperature_mixture here),
+#     corpus_drift_tv (corpus_drift_hellinger here; chisq/jsd r9),
+#     dedup_cluster_assign + dedup_incremental_filter (dedup_exact +
+#     dedup_minhash_lsh here; the CC oracle rides
+#     corpus_leakage_safe_split r9), doc_fingerprint (dedup_simhash
+#     here — the hash-fingerprint twin), join_enriched_orders
+#     (cdc_join_view here + q10's join shape),
+#     multimodal_image_neardup (multimodal_png_neardup r9, direct
+#     twin), skew_salted_agg (skew_salted_join r9), text_bigram_fluency
+#     + text_bm25_search + text_decontamination + text_lang_id +
+#     text_passage_dedup + text_pii_scrub + text_quality_filter +
+#     text_quality_stats + text_repetition_filter + text_tfidf_keywords
+#     (the text family keeps fresh members via text_bpe_train_loop r9,
+#     text_chunk_overlap/text_token_topk r8, and this gate's
+#     scalar_functions_showcase; none code-touched since their green
+#     r7 rows), val_category_counts + val_duplicate_keys +
+#     val_monthly_distribution + val_pivot_status + val_profile_orders
+#     (val_row_counts r9; val_duplicate_pks / val_date_distribution /
+#     val_rollup_status_priority here are their direct twins;
+#     cube_status_priority r9 pins the pivot shape) — plus the one
+#     rule-2 displacement below.
+#   * slot 50 — cdc_mor_upsert, the round's FIRST new corpus query
+#     (round-9 judge order #2: merge-on-read upserts — two version-
+#     gated CDC batches land as delta-log appends with ZERO base
+#     buckets rewritten and base files mtime-identical, the merged
+#     snapshot hash-matches an eager twin, and fold_deltas clears the
+#     log invisibly, all asserted in-query), landed under GATE-FREEZE
+#     rule 2: it displaces text_token_count, the r7 tail re-gate whose
+#     token-count shape is the most redundantly re-covered
+#     (text_token_topk r8, text_bpe_train_loop r9).
+# Post-round arithmetic (if all 50 land green): 174 corpus queries,
+# 174/174 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r10=50, r9=50, r8=50, r7=24, r6=0
+# (50+50+50+24=174 checks; the 24 r7 rows = the 23 family-covered
+# deferrals + text_token_count above — they lead round 11).
 _DRIVER_PRIORITY = [
-    # slots 1-21: ALL twenty-one r5-stale rows (deferral-ledger order) ----
-    "cdc_stream_changelog", "events_stream_join",
-    "corpus_leakage_safe_split", "events_stream_watermark",
-    "events_stream_dedup", "events_stream_join_outer",
-    "val_row_counts", "val_approx_distinct", "cube_status_priority",
-    "set_ops_summary", "join_semi_active_customers",
-    "cdc_scd2_history", "ann_pq_topk", "dedup_minhash_containment",
-    "events_hll_register_audit", "corpus_drift_chisq",
-    "asof_event_next_order", "skew_salted_join",
-    "multimodal_png_neardup", "cdc_dedup_bypass_stats",
-    "events_funnel_steps",
-    # slots 22-47: twenty-six r6-stale refreshes (code-touched + sole-
-    # oracle rows first, then the eighteen TPC-H flagships) --------------
-    "cdc_bloom_lookup", "cdc_scd2_pit_join", "val_expectations_report",
-    "corpus_drift_jsd", "events_stream_join_full",
-    "events_stream_sliding", "events_stream_static_enrich",
-    "orders_trend_ols",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q12_shipping_delay_classes",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_part_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_promotion_suppliers",
-    "q21_sole_supplier_multi_line", "q22_idle_rich_customers",
-    # slots 48-50: the round's rule-2 queries (displacements above);
-    # each slot holds its displaced re-gate until the new row lands ------
-    "text_bpe_train_loop",          # rule 2: displaced corpus_mixture_sampling
-    "cdc_zorder_box_prune",         # rule 2: displaced embedding_pseudo_label
-    "cdc_compact_small_files",      # rule 2: displaced val_sample_rows
+    # slots 1-23: ALL twenty-three r6-stale rows (displacements first) --
+    "val_sample_rows", "embedding_pseudo_label",
+    "corpus_mixture_sampling",
+    "ann_hard_negatives", "corpus_dedup_canonical",
+    "corpus_drift_hellinger", "corpus_gini_balance",
+    "corpus_sequence_packing", "corpus_stratified_sample",
+    "corpus_temperature_mixture", "dedup_graph_triangles",
+    "embedding_label_centroids", "events_ewma_smoothing",
+    "events_json_extract", "events_retention_cohorts",
+    "val_date_distribution", "val_duplicate_pks", "val_freshness",
+    "val_null_counts", "val_percentiles", "val_price_histogram",
+    "val_rollup_status_priority", "val_topk_orders",
+    # slots 24-49: twenty-six r7-stale refreshes (code-touched first) --
+    "cdc_delete_vectors", "cdc_pipeline_snapshot",
+    "cdc_merge_upsert_delete", "cdc_join_view",
+    "cdc_join_view_composite",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q10_returned_items",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine",
+    "window_rank_family", "window_range_frame",
+    "window_topn_per_segment",
+    "asof_event_last_order", "range_join_event_pairs",
+    "events_sessionization", "events_hourly_tumbling",
+    "events_markov_transitions",
+    "scalar_functions_showcase", "sql_surface_listagg",
+    # slot 50: the round's rule-2 query (displacement above) -----------
+    "cdc_mor_upsert",               # rule 2: displaced text_token_count
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

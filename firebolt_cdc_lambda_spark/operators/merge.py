@@ -2251,6 +2251,14 @@ class KeyedTable:
                 "init() with the bootstrap snapshot first — the log "
                 "holds CHANGES against a stored base")
         data_cols = [c for c in schema.names if c != self.BUCKET_COL]
+        reserved = [c for c in data_cols
+                    if c in (self.DELTA_SEQ_COL, self.DELTA_DEL_COL)]
+        if reserved:
+            raise ValueError(
+                f"delta_upserts reserves column name(s) {reserved} for "
+                "the log sidecar (sequence / delete marker): a stored "
+                "column of that name would collide with the log's own — "
+                "rename it or use the default (eager) mode")
         missing = [c for c in data_cols if c not in stg.columns]
         if missing:
             raise ValueError(

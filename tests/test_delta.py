@@ -374,3 +374,16 @@ def test_pipeline_and_fleet_fold_cadence(spark, tmp_path):
     assert t.health_report()["delta_files"] == 0
     assert sorted((r["id"], r["name"]) for r in
                   t.read().select("id", "name").collect()) == vis
+
+
+def test_reserved_log_column_names_rejected(spark, tmp_path):
+    """A stored column named like the log's own sequence / delete
+    marker would collide at append (duplicate output columns) and at
+    read (the winner window would pick up the USER's values) — reject
+    the configuration loudly."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"],
+                    delta_upserts=True, num_buckets=2)
+    kt.init(spark.createDataFrame([Row(id=1, _delta_seq=7, v=1.0)]))
+    with pytest.raises(ValueError, match="reserves column"):
+        kt.merge_batch(spark.createDataFrame(
+            [Row(id=1, _delta_seq=8, v=2.0, Op="U")]))
