@@ -591,8 +591,6 @@ def bench_fleet_sweep(spark, sf_dir) -> list[float]:
     (a tombstoned delete + dirty bloom bucket, a 2-batch delta log, a
     cluster-cut small-file layout with a zone map) and times ONLY
     health() + run_maintenance()."""
-    import datetime as dt
-
     from firebolt_cdc_lambda_spark.config import TableKeys
     from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
     from firebolt_cdc_lambda_spark.operators.stats import StatsIndex
@@ -655,7 +653,7 @@ def bench_fleet_sweep(spark, sf_dir) -> list[float]:
             reports = fleet.health()
             fleet.run_maintenance(health_reports=reports,
                                   compact_small_files=4,
-                                  fold_delta_files=1)
+                                  fold_delta_batches=1)
             samples.append(time.time() - t0)
         # the sweep must actually have paid the debts down
         assert kt_d.health_report()["delta_files"] == 0, "fold skipped"

@@ -391,6 +391,12 @@ class KeyedTable:
         # for deletes another reader hides through the sidecar.
         self.table_version = 0
         self.delta_seq = 0
+        #: last log sequence already folded into the base: the fleet's
+        #: fold gate reads the BATCH backlog (delta_seq - folded) from
+        #: meta alone — no filesystem listing, and no miscalibration
+        #: from files-per-batch (an append writes ~one file per touched
+        #: bucket, so a file-count gate crossed after a single batch)
+        self.delta_folded_seq = 0
         self.bloom_columns: list[str] = []
         self.stats_columns: list[str] = []
         meta = self._load_meta()
@@ -401,6 +407,7 @@ class KeyedTable:
             self.delete_vectors = bool(meta.get("delete_vectors", False))
             self.delta_upserts = bool(meta.get("delta_upserts", False))
             self.delta_seq = int(meta.get("delta_seq", 0))
+            self.delta_folded_seq = int(meta.get("delta_folded_seq", 0))
             self.table_version = int(meta.get("table_version", 0))
             self.bloom_columns = list(meta.get("bloom_columns", []))
             self.stats_columns = list(meta.get("stats_columns", []))
@@ -548,6 +555,7 @@ class KeyedTable:
              "delete_vectors": self.delete_vectors,
              "delta_upserts": self.delta_upserts,
              "delta_seq": self.delta_seq,
+             "delta_folded_seq": self.delta_folded_seq,
              "table_version": self.table_version,
              "bloom_columns": self.bloom_columns,
              "stats_columns": self.stats_columns}))
@@ -573,17 +581,33 @@ class KeyedTable:
         caveat only under concurrent writers (a write landing within
         mtime granularity of a cached read), i.e. only outside the
         contract."""
+        self._sync_stored_meta()
+        self.table_version += 1
+
+    def _sync_stored_meta(self) -> dict:
+        """Merge every shared meta field from the STORED sidecar into
+        this handle before a read-modify-write ``_save_meta``: another
+        process's version bump, index registrations, and log sequences
+        must survive a stale handle's save (the hazard class
+        _bump_table_version documents).  ONE copy of the contract:
+        the three read-modify-write sites (version bump, index
+        registration, log-sequence bump) each carried their own partial
+        version before — a future meta field added to one and missed in
+        another would silently clobber cross-process state (review
+        finding, round 10; delta_seq itself had to be retrofitted into
+        _bump_table_version this round).  Returns the stored meta for
+        callers that need other fields."""
         meta = self._load_meta() or {}
         self.table_version = int(
-            meta.get("table_version", self.table_version)) + 1
-        # same stale-handle hardening for the delta-log sequence: a
-        # handle constructed before another writer's appends must not
-        # reissue an already-used sequence number after a rewrite
-        self.delta_seq = max(self.delta_seq, int(meta.get("delta_seq", 0)))
-        self.bloom_columns = sorted(
-            set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
-        self.stats_columns = sorted(
-            set(self.stats_columns) | set(meta.get("stats_columns", [])))
+            meta.get("table_version", self.table_version))
+        self.delta_seq = max(self.delta_seq,
+                             int(meta.get("delta_seq", 0)))
+        self.delta_folded_seq = max(self.delta_folded_seq,
+                                    int(meta.get("delta_folded_seq", 0)))
+        for a in ("bloom_columns", "stats_columns"):
+            setattr(self, a,
+                    sorted(set(getattr(self, a)) | set(meta.get(a, []))))
+        return meta
 
     def _register_index_column(self, attr: str, column: str) -> None:
         """Register a secondary-index column (``bloom_columns`` or
@@ -593,14 +617,8 @@ class KeyedTable:
         registration can neither regress another writer's version bump
         nor unregister another process' index (the same hazard class
         _bump_table_version closes for rewrites)."""
-        meta = self._load_meta() or {}
-        self.table_version = int(
-            meta.get("table_version", self.table_version))
-        for a in ("bloom_columns", "stats_columns"):
-            merged = set(getattr(self, a)) | set(meta.get(a, []))
-            if a == attr:
-                merged |= {column}
-            setattr(self, a, sorted(merged))
+        self._sync_stored_meta()
+        setattr(self, attr, sorted(set(getattr(self, attr)) | {column}))
         self._save_meta()
 
     def _register_bloom_column(self, column: str) -> None:
@@ -1104,19 +1122,17 @@ class KeyedTable:
         against the STORED meta, the ``_bump_table_version`` posture:
         index registrations from another process must not be clobbered
         by this handle's stale copy."""
-        meta = self._load_meta() or {}
-        self.table_version = int(
-            meta.get("table_version", self.table_version))
-        self.bloom_columns = sorted(
-            set(self.bloom_columns) | set(meta.get("bloom_columns", [])))
-        self.stats_columns = sorted(
-            set(self.stats_columns) | set(meta.get("stats_columns", [])))
-        self.delta_seq = max(
-            self.delta_seq, int(meta.get("delta_seq", 0))) + 1
+        self._sync_stored_meta()
+        self.delta_seq += 1
         self._save_meta()
         return self.delta_seq
 
     def _drop_delta(self) -> None:
+        # clearing the log means everything issued so far is folded (or
+        # reset): record it on the handle; the caller's next _save_meta
+        # persists it.  A crash before that save only OVERCOUNTS the
+        # backlog (one redundant no-op fold next sweep), never hides one.
+        self.delta_folded_seq = self.delta_seq
         fs, p, _ = self._fs_and_path(self._delta_path)
         if fs.exists(p):
             fs.delete(p, True)
@@ -1400,7 +1416,6 @@ class KeyedTable:
             fs.delete(p_old, True)
         fs.rename(p_tmp, p_old)
         self._save_schema(bucketed)
-        self._save_meta()
         if self.delta_upserts:
             # AFTER the swap (dropping before it would lose the log's
             # changes if the swap never committed): the tmp write above
@@ -1409,7 +1424,9 @@ class KeyedTable:
             # rows identical to the folded base (converges) — or, after
             # a schema evolution, fails loudly on the column mismatch
             # until the rewrite is re-run; never silent wrongness.
+            # Before the meta save, so the folded watermark rides it.
             self._drop_delta()
+        self._save_meta()
 
     def file_stats(self) -> dict[int, int]:
         """``{bucket: data-file count}`` from a pure filesystem listing —
@@ -1469,7 +1486,9 @@ class KeyedTable:
                 elif child.isFile() and cname.endswith(".parquet"):
                     yield bucket, child, None
 
-    def health_report(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
+    def health_report(self, small_file_bytes: int = 32 * 1024 * 1024,
+                      compact_target_bytes: int = 128 * 1024 * 1024,
+                      ) -> dict:
         """Small-file / history health metrics from a pure filesystem
         listing — no Spark job, no footer reads (fleet-cadence cheap:
         cost ∝ this table's file count, never its row count).
@@ -1549,25 +1568,31 @@ class KeyedTable:
         # compact()'s defaults (2 x 32 MiB smalls always fit the
         # 128 MiB target); a caller probing with a LARGER
         # small_file_bytes than compact's small_bytes measures its own
-        # threshold, as small_live_files always has.  Known overcount
-        # (advice, round 9): target_bytes run-SPLITTING is not
-        # replicated — a long run compact() cuts into a full group plus
-        # a trailing singleton is counted in full here, so the count
-        # can exceed what one compact() packs; it can never invent a
-        # pure no-op, since any >=2-run of sub-small_bytes files yields
-        # at least one packable group under the defaults.
+        # threshold, as small_live_files always has.  target_bytes
+        # run-SPLITTING is replicated too (round-9 advice noted the
+        # overcount; round-10 review found the sharper hazard: an
+        # operator passing a compact_target_bytes under 2x the small
+        # threshold could loop a gate-fires/compact-no-ops cycle every
+        # sweep) — this count now equals what one compact() with the
+        # same thresholds actually packs.
         compactable = 0
+
+        def _close(run_n):
+            return run_n if run_n >= 2 else 0
+
         for files in leaf_files.values():
-            run = 0
+            run, run_bytes = 0, 0
             for name, size in sorted(files):
-                if size < small_file_bytes:
-                    run += 1
+                if size >= small_file_bytes:      # big file breaks the run
+                    compactable += _close(run)
+                    run, run_bytes = 0, 0
                     continue
-                if run >= 2:
-                    compactable += run
-                run = 0
-            if run >= 2:
-                compactable += run
+                if run and run_bytes + size > compact_target_bytes:
+                    compactable += _close(run)    # split exactly as compact()
+                    run, run_bytes = 0, 0
+                run += 1
+                run_bytes += size
+            compactable += _close(run)
         report["compactable_files"] = compactable
         total = report["live_bytes"] + report["dead_bytes"]
         if total:
@@ -1590,8 +1615,15 @@ class KeyedTable:
         report["recommended_buckets"] = min(1 << 20, 1 << (want - 1).bit_length())
         if self.delta_upserts:
             # log growth is the fold signal: every unfolded entry is a
-            # row every reader pays to resolve (winner window + union),
-            # so the fleet cadence folds when the debt crosses its gate
+            # row every reader pays to resolve (winner window + union).
+            # delta_batches (= delta_seq - delta_folded_seq, from the
+            # CURRENT meta — no listing, no files-per-batch skew) is
+            # what the fleet fold gate reads; files/bytes stay for
+            # observability
+            meta_now = self._load_meta() or {}
+            report["delta_batches"] = (
+                int(meta_now.get("delta_seq", 0))
+                - int(meta_now.get("delta_folded_seq", 0)))
             report["delta_files"] = 0
             report["delta_bytes"] = 0
             fs, _, jvm = self._fs_and_path(self.path)
@@ -2418,6 +2450,8 @@ class KeyedTable:
                 if fs.exists(p):
                     fs.delete(p, True)
         self._drop_delta()
+        self._sync_stored_meta()
+        self._save_meta()          # persist the folded-seq watermark
         return len(buckets)
 
     def fold_delete_vectors(self, before_version=None) -> int:

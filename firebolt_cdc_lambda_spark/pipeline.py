@@ -450,6 +450,22 @@ class CdcPipeline:
             return 0
         return target.fold_deltas()
 
+    def delta_backlog(self, table: str) -> int:
+        """Unfolded delta-log BATCH count (delta_seq minus the folded
+        watermark) — the fleet fold gate's signal.  A pure meta-sidecar
+        read: no filesystem listing, no Spark job, and exactly one
+        increment per batch regardless of how many bucket files the
+        append produced (a file-count gate would cross after a single
+        ~30-key batch — review finding, round 10).  0: unconfigured /
+        absent / not delta-mode / nothing unfolded."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return 0
+        target = self.target_for(table, keys)
+        if not target.delta_upserts or not target.exists():
+            return 0
+        return max(0, target.delta_seq - target.delta_folded_seq)
+
     def refresh_bloom_indexes(self, table: str) -> list[str]:
         """Recompute the dirty buckets of every bloom secondary index
         registered on ``table`` (operators/bloom.py — merges flag the
@@ -552,17 +568,23 @@ class CdcPipeline:
         return stores
 
     def table_health(self, table: str,
-                     small_file_bytes: int = 32 * 1024 * 1024) -> dict | None:
+                     small_file_bytes: int = 32 * 1024 * 1024,
+                     compact_target_bytes: int = 128 * 1024 * 1024,
+                     ) -> dict | None:
         """Small-file / history health metrics for one target (pure
         filesystem listing, no Spark job — KeyedTable.health_report).
-        None: table unconfigured or absent."""
+        Pass the compact cadence's ``compact_target_bytes`` so the
+        ``compactable_files`` count splits runs exactly as that
+        compact() will.  None: table unconfigured or absent."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return None
         target = self.target_for(table, keys)
         if not target.exists():
             return None
-        return target.health_report(small_file_bytes=small_file_bytes)
+        return target.health_report(
+            small_file_bytes=small_file_bytes,
+            compact_target_bytes=compact_target_bytes)
 
     # -- entry point 2: reload driver (retrigger analogue) ----------------
     def reload(self, file_keys: Sequence[str]) -> list[BatchResult]:

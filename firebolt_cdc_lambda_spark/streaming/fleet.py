@@ -144,7 +144,7 @@ class CdcFleet:
                         health_reports: dict[str, dict] | None = None,
                         compact_small_files: int | None = None,
                         compact_target_bytes: int = 128 * 1024 * 1024,
-                        fold_delta_files: int | None = 8,
+                        fold_delta_batches: int | None = 8,
                         ) -> dict[str, str]:
         """Fleet-wide tombstone purge — the cadence slot next to ledger
         GC (reference: AUTOMATIC_CLEANUP.md's scheduled cleanup job).
@@ -169,14 +169,15 @@ class CdcFleet:
         it get bin-packed toward ``compact_target_bytes``
         (CdcPipeline.compact_table — grouping-only, cost ∝ small
         files).  Delta-mode tables fold their upsert log
-        (CdcPipeline.fold_deltas) once the measured ``delta_files``
-        debt reaches ``fold_delta_files`` (default 8 — roughly a file
-        per batch, so a table sees a fold every ~8 batches; None
-        disables; the gate is a pure listing, so an idle table costs
-        nothing).  Unlike the DV fold there is no version cutoff: the
-        whole log folds, and post-fold gating continues against the
-        base rows' stored versions.  One table failing must not abort
-        the sweep (same degrade-don't-die posture as run_once)."""
+        (CdcPipeline.fold_deltas) once the unfolded BATCH backlog
+        (``CdcPipeline.delta_backlog`` — a pure meta-sidecar read: no
+        listing, no Spark job, and one increment per batch regardless
+        of how many bucket files the append produced) reaches
+        ``fold_delta_batches`` (default 8; None disables).  Unlike the
+        DV fold there is no version cutoff: the whole log folds, and
+        post-fold gating continues against the base rows' stored
+        versions.  One table failing must not abort the sweep (same
+        degrade-don't-die posture as run_once)."""
         if purge_dead_ratio is not None and keep_versions is None:
             # the gate modifies the keep_versions GC; alone it would be
             # silently inert — the operator would believe version GC is
@@ -193,18 +194,14 @@ class CdcFleet:
                 # analogue; 0 for non-DV tables, no probe cost)
                 did = bool(self.pipeline.fold_delete_vectors(
                     table, before_version=before_version)) or did
-                if fold_delta_files is not None:
-                    # delta-mode tables: fold the upsert log once its
-                    # measured file debt crosses the gate.  The key is
-                    # only emitted for delta-mode tables, so a passed
-                    # report without it means "nothing to fold" — NOT a
-                    # reason to re-list every non-delta table's files
-                    report = (health_reports or {}).get(table)
-                    if report is None:
-                        report = self.pipeline.table_health(table)
-                    if (report or {}).get("delta_files", 0) \
-                            >= fold_delta_files:
-                        did = bool(self.pipeline.fold_deltas(table)) or did
+                if fold_delta_batches is not None and \
+                        self.pipeline.delta_backlog(table) \
+                        >= fold_delta_batches:
+                    # delta-mode tables: fold once the unfolded BATCH
+                    # backlog crosses the gate — a meta-only probe, so
+                    # the non-delta majority of an 809-table fleet pays
+                    # zero listings here (review finding, round 10)
+                    did = bool(self.pipeline.fold_deltas(table)) or did
                 if keep_versions is not None:
                     wants_gc = True
                     if purge_dead_ratio is not None:
@@ -231,7 +228,9 @@ class CdcFleet:
                     # down in the same sweep.
                     report = (health_reports or {}).get(table)
                     if report is None or "small_live_files" not in report:
-                        report = self.pipeline.table_health(table)
+                        report = self.pipeline.table_health(
+                            table,
+                            compact_target_bytes=compact_target_bytes)
                     gate = (report or {}).get(
                         "compactable_files",
                         (report or {}).get("small_live_files"))
@@ -261,7 +260,8 @@ class CdcFleet:
                     if not store.exists():
                         status[name] = "skipped"
                         continue
-                    rep = store.health_report()
+                    rep = store.health_report(
+                        compact_target_bytes=compact_target_bytes)
                     if rep.get("compactable_files", 0) \
                             >= compact_small_files:
                         res = store.compact(

@@ -647,3 +647,47 @@ def test_parquet_named_directory_at_versioned_leaf_is_skipped(
     assert _snapshot(kt) == before            # nothing lost
     assert planted.exists()                   # planted dataset untouched
     kt.read().count()                         # no stuck recovery
+
+
+def test_compactable_replicates_target_split(spark, tmp_path):
+    """Review regression (round 10): the compactable count must split
+    runs by target_bytes exactly as compact() does — an operator
+    passing a compact_target_bytes under 2x the small threshold could
+    otherwise loop a gate-fires/compact-no-ops cycle every sweep."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=1)
+    kt.init(_rows(spark, range(200)))
+    kt.cluster_by(["ts"], max_records_per_file=50)   # 4 similar files
+    sizes = [int(st.getLen()) for _, st, _ in kt._walk_data_files()]
+    assert len(sizes) == 4
+    small = max(sizes) + 1
+    # target below 2 files: every run splits into singletons -> nothing
+    # is packable, and the report must say so
+    tight = min(sizes) + 1
+    rep = kt.health_report(small_file_bytes=small,
+                           compact_target_bytes=tight)
+    assert rep["compactable_files"] == 0
+    assert kt.compact(target_bytes=tight, small_bytes=small)["groups"] == 0
+    # target fitting pairs: both count and compact agree again
+    pair = sizes[0] + sizes[1] + 1
+    rep = kt.health_report(small_file_bytes=small,
+                           compact_target_bytes=pair)
+    assert rep["compactable_files"] == 4
+    assert kt.compact(target_bytes=pair, small_bytes=small)["groups"] == 2
+
+
+def test_stale_handle_rewrite_keeps_stats_registration(spark, tmp_path):
+    """Pin for the shared _sync_stored_meta contract (round-10 review
+    dedup): a handle constructed BEFORE another process registered a
+    StatsIndex must not unregister it on rewrite.  The three
+    read-modify-write meta sites each carried their own partial copy
+    of this merge before; one shared helper means a future meta field
+    can't be merged in one site and clobbered by another."""
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    kt.init(_rows(spark, range(50)))
+    stale = KeyedTable(spark, str(tmp_path / "t"), ["id"])  # pre-registration
+    StatsIndex(kt, "ts").build()
+    bx_cols = KeyedTable(spark, str(tmp_path / "t"), ["id"]).stats_columns
+    assert bx_cols == ["ts"]
+    stale.rewrite(stale.snapshot_for_rewrite())     # stale handle rewrite
+    meta_cols = KeyedTable(spark, str(tmp_path / "t"), ["id"]).stats_columns
+    assert meta_cols == ["ts"], "stats registration lost on stale rewrite"

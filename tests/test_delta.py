@@ -365,13 +365,18 @@ def test_pipeline_and_fleet_fold_cadence(spark, tmp_path):
                  t.read().select("id", "name").collect())
     assert ("1", "alice3") not in vis           # sanity: ids are longs
     assert dict(vis)[1] == "alice3" and dict(vis)[30] == "new3"
+    # the gate counts BATCHES from meta (not files: one batch writes
+    # ~a file per touched bucket) — two appended batches, backlog 2
+    assert pipe.delta_backlog("users") == 2
+    assert t.health_report()["delta_batches"] == 2
     # below the gate: nothing folds; at the gate: the sweep folds
-    assert fleet.run_maintenance(fold_delta_files=99)["users"] \
+    assert fleet.run_maintenance(fold_delta_batches=99)["users"] \
         in ("skipped", "purged")
     assert t.health_report()["delta_files"] >= 2
-    status = fleet.run_maintenance(fold_delta_files=2)
+    status = fleet.run_maintenance(fold_delta_batches=2)
     assert status["users"] == "purged"
     assert t.health_report()["delta_files"] == 0
+    assert pipe.delta_backlog("users") == 0
     assert sorted((r["id"], r["name"]) for r in
                   t.read().select("id", "name").collect()) == vis
 
