@@ -49,8 +49,6 @@ big side never shuffles.
 
 from __future__ import annotations
 
-import functools
-import operator
 import threading
 from collections.abc import Sequence
 
@@ -127,11 +125,19 @@ def _is_delete_sql(op_col: str, delete_values: Sequence[str]) -> str:
     return f"COALESCE({_q(op_col)} IN ({vals}), FALSE)"
 
 
+def _key_cond_sql(keys: Sequence[str], left: str, right: str) -> str:
+    """The null-safe key-equality predicate as SQL — THE one copy
+    (review finding, round 10: seven verbatim rebuilds had grown across
+    the eager/DV/delta paths; a future change to the condition must not
+    be appliable to six of them)."""
+    return " AND ".join(
+        f"{left}.{_q(k)} <=> {right}.{_q(k)}" for k in keys)
+
+
 def _key_cond(keys: Sequence[str], left: str, right: str) -> Column:
-    return functools.reduce(
-        operator.and_,
-        [F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}")) for k in keys],
-    )
+    # the Column form of _key_cond_sql (same null-safe semantics; the
+    # SQL form quotes names and is preferred for new call sites)
+    return F.expr(_key_cond_sql(keys, left, right))
 
 
 def _murmur3_int32(x: int, seed: int = 42) -> int:
@@ -272,7 +278,7 @@ def merge_cdc(
     # (the previous anti-join + inner-join pair scanned it twice).
     t = target.alias("t")
     s = stg.alias("s")
-    cond = F.expr(" AND ".join(f"t.{_q(k)} <=> s.{_q(k)}" for k in keys))
+    cond = F.expr(_key_cond_sql(keys, "t", "s"))
     joined = t.join(F.broadcast(s), cond, "left_outer")
     matched = "(s.`__s_present` IS NOT NULL)"
     if version_col is not None and version_col in staging.columns and version_col in t_cols:
@@ -401,6 +407,15 @@ class KeyedTable:
         self.stats_columns: list[str] = []
         meta = self._load_meta()
         if meta is not None:
+            if not self.keys and meta.get("keys"):
+                # reader-only handles (register_warehouse, ad-hoc
+                # inspection) may construct with keys=[]; the stored
+                # key list makes them self-sufficient — without it a
+                # delta/DV-mode read would build an EMPTY null-safe
+                # join condition and throw at parse time (or worse,
+                # window over zero key columns) the moment the sidecar
+                # holds entries (review finding, round 10)
+                self.keys = list(meta["keys"])
             self.num_buckets = int(meta["num_buckets"])
             self.tombstones = bool(meta.get("tombstones", False))
             self.versioned = bool(meta.get("versioned", False))
@@ -1000,8 +1015,7 @@ class KeyedTable:
             return df
         d = F.broadcast(dv.select(*self.keys).alias("__dv"))
         s = df.alias("__t")
-        cond = F.expr(" AND ".join(
-            f"__t.{_q(k)} <=> __dv.{_q(k)}" for k in self.keys))
+        cond = F.expr(_key_cond_sql(self.keys, "__t", "__dv"))
         return s.join(d, cond, "left_anti")
 
     def _write_dv(self, dv: DataFrame | None) -> None:
@@ -1105,8 +1119,7 @@ class KeyedTable:
         if delta is None:
             return df
         win = self._delta_winners(delta)
-        cond = F.expr(" AND ".join(
-            f"__b.{_q(k)} <=> __w.{_q(k)}" for k in self.keys))
+        cond = F.expr(_key_cond_sql(self.keys, "__b", "__w"))
         base = df.alias("__b").join(
             F.broadcast(win.select(*self.keys).alias("__w")), cond,
             "left_anti")
@@ -1131,11 +1144,28 @@ class KeyedTable:
         # clearing the log means everything issued so far is folded (or
         # reset): record it on the handle; the caller's next _save_meta
         # persists it.  A crash before that save only OVERCOUNTS the
-        # backlog (one redundant no-op fold next sweep), never hides one.
+        # backlog (one redundant fold next sweep — which heals the
+        # watermark, see fold_deltas), never hides one.
+        #
+        # The clear itself is rename-THEN-delete, not a bare recursive
+        # delete: a delete removes files one at a time, and a crash
+        # that took the newest batch's file but left an older one would
+        # RESURRECT the older entry as the key's winner over the
+        # just-folded base value — which the next fold would then fold
+        # in, silently regressing the newer write (review finding,
+        # round 10; the same crash class _write_dv's swap closes).
+        # One rename makes the whole log invisible atomically; readers
+        # never look at the __dropping name, so a crash mid-delete of
+        # the renamed dir is invisible and cleaned on the next drop.
         self.delta_folded_seq = self.delta_seq
-        fs, p, _ = self._fs_and_path(self._delta_path)
+        fs, p, jvm = self._fs_and_path(self._delta_path)
+        drop = jvm.org.apache.hadoop.fs.Path(
+            f"{self._delta_path}__dropping")
+        if fs.exists(drop):            # leftover from a crashed drop
+            fs.delete(drop, True)
         if fs.exists(p):
-            fs.delete(p, True)
+            fs.rename(p, drop)
+            fs.delete(drop, True)
 
     def _hide_tombstones(self, df: DataFrame) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
@@ -2111,8 +2141,8 @@ class KeyedTable:
             dels = None
             ups = stg
         dv = self._read_dv()
-        kcond = lambda a, b: F.expr(" AND ".join(  # noqa: E731
-            f"{a}.{_q(k)} <=> {b}.{_q(k)}" for k in self.keys))
+        kcond = lambda a, b: F.expr(  # noqa: E731
+            _key_cond_sql(self.keys, a, b))
 
         def take_new(new_v, old_v):
             # merge_cdc's NULL contract verbatim: NULL sorts before any
@@ -2328,8 +2358,8 @@ class KeyedTable:
             is_del = F.lit(False)
         entry = (stg.drop(self.DELTA_DEL_COL, self.DELTA_SEQ_COL)
                  .withColumn(self.DELTA_DEL_COL, is_del))
-        kcond = lambda a, b: F.expr(" AND ".join(  # noqa: E731
-            f"{a}.{_q(k)} <=> {b}.{_q(k)}" for k in self.keys))
+        kcond = lambda a, b: F.expr(  # noqa: E731
+            _key_cond_sql(self.keys, a, b))
         if vc:
             # -- survivor state per staged key (read-only probe) --------
             skeys = F.broadcast(stg.select(*self.keys).distinct())
@@ -2412,6 +2442,16 @@ class KeyedTable:
                 "fold_deltas requires KeyedTable(delta_upserts=True)")
         delta = self._read_delta()
         if delta is None:
+            # no log files, but the watermark may still trail delta_seq:
+            # a batch whose every row was version-gated out bumps the
+            # seq yet appends nothing, and a crash between _drop_delta
+            # and the meta save leaves the same state.  Heal it here —
+            # otherwise the fleet's backlog gate would fire a no-op
+            # fold EVERY sweep forever (review finding, round 10).
+            if self.delta_folded_seq < self.delta_seq:
+                self._sync_stored_meta()
+                self.delta_folded_seq = self.delta_seq
+                self._save_meta()
             return 0
         win = self._delta_winners(delta).localCheckpoint(eager=True)
         # the append-time bucket stamp is authoritative: num_buckets
@@ -2420,8 +2460,7 @@ class KeyedTable:
                           win.select(self.BUCKET_COL).distinct()
                           .collect()})
         raw = self._read_raw(buckets=buckets).alias("__t")
-        cond = F.expr(" AND ".join(
-            f"__t.{_q(k)} <=> __w.{_q(k)}" for k in self.keys))
+        cond = F.expr(_key_cond_sql(self.keys, "__t", "__w"))
         base_kept = raw.join(
             F.broadcast(win.select(*self.keys).alias("__w")), cond,
             "left_anti")
@@ -2480,8 +2519,7 @@ class KeyedTable:
                          self._with_bucket(fold).select(self.BUCKET_COL)
                          .distinct().collect())
         raw = self._read_raw(buckets=buckets).alias("__t")
-        cond = F.expr(" AND ".join(
-            f"__t.{_q(k)} <=> __f.{_q(k)}" for k in self.keys))
+        cond = F.expr(_key_cond_sql(self.keys, "__t", "__f"))
         kept_rows = raw.join(
             F.broadcast(fold.select(*self.keys).alias("__f")), cond,
             "left_anti").localCheckpoint(eager=True)   # self-overwrite pin

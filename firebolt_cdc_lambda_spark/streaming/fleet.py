@@ -120,18 +120,26 @@ class CdcFleet:
                     del active[table]
         return status
 
-    def health(self, small_file_bytes: int = 32 * 1024 * 1024) -> dict[str, dict]:
+    def health(self, small_file_bytes: int = 32 * 1024 * 1024,
+               compact_target_bytes: int = 128 * 1024 * 1024,
+               ) -> dict[str, dict]:
         """Fleet-wide small-file / history health report: one
         KeyedTable.health_report per configured, existing target (pure
         filesystem metadata — no Spark job, so this is safe on any
         cadence even against a reference-scale 809-table fleet).  Tables
         that fail to report get an ``{"error": ...}`` row rather than
-        aborting the sweep."""
+        aborting the sweep.  An operator feeding the result into
+        ``run_maintenance(health_reports=...)`` with a NON-default
+        ``compact_target_bytes`` must pass the same value here, or the
+        reused ``compactable_files`` counts were split under the wrong
+        target — the gate-fires/compact-no-ops loop the target-aware
+        count exists to prevent (review finding, round 10)."""
         out: dict[str, dict] = {}
         for table in self.discover_tables():
             try:
                 report = self.pipeline.table_health(
-                    table, small_file_bytes=small_file_bytes)
+                    table, small_file_bytes=small_file_bytes,
+                    compact_target_bytes=compact_target_bytes)
                 if report is not None:
                     out[table] = report
             except Exception as exc:  # noqa: BLE001

@@ -392,3 +392,84 @@ def test_reserved_log_column_names_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="reserves column"):
         kt.merge_batch(spark.createDataFrame(
             [Row(id=1, _delta_seq=8, v=2.0, Op="U")]))
+
+
+def test_fully_gated_batch_cannot_wedge_the_fold_gate(spark, tmp_path):
+    """Review regression (round 10, pass 2): a batch whose every row is
+    version-gated out bumps delta_seq but appends nothing.  The backlog
+    then shows unfolded batches with NO log files — fold_deltas must
+    heal the watermark instead of letting the fleet gate fire a no-op
+    fold every sweep forever."""
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    stale = _mk_rows([3, 5], op="U", ver=dt.datetime(2020, 1, 1),
+                     bal=lambda i: -1.0)
+    for _ in range(3):                         # all rows lose the gate
+        _apply_both(spark, eager, delta, stale, **kw)
+    assert _snap(delta) == _snap(eager)        # nothing landed, anywhere
+    assert delta._read_delta() is None         # zero log files
+    assert delta.delta_seq - delta.delta_folded_seq == 3   # backlog
+    assert delta.fold_deltas() == 0            # no-op, but it HEALS:
+    reader = KeyedTable(spark, delta.path, ["id"])
+    assert reader.delta_folded_seq == reader.delta_seq == 3
+    assert reader.health_report()["delta_batches"] == 0
+
+
+def test_log_drop_is_rename_then_delete(spark, tmp_path):
+    """Review regression (round 10, pass 2): a bare recursive delete of
+    the log could crash having removed the NEWEST batch's file while an
+    older one survived — resurrecting the older entry as the winner
+    over the just-folded base value.  The drop now renames the whole
+    log aside in one metadata op; readers never see the __dropping
+    name, and a leftover is cleaned on the next drop."""
+    import pathlib
+    _, delta = _twins(spark, tmp_path)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3], op="U", bal=lambda i: 500.0)))
+    before = _snap(delta)
+    delta.fold_deltas()
+    assert not pathlib.Path(delta._delta_path).exists()
+    assert not pathlib.Path(f"{delta._delta_path}__dropping").exists()
+    # a crashed drop's leftover (renamed but not yet deleted) is
+    # INVISIBLE to readers and cleaned by the next drop
+    stale = pathlib.Path(f"{delta._delta_path}__dropping")
+    _mk = spark.createDataFrame(_mk_rows([3], op="U", bal=lambda i: -9.0))
+    delta.merge_batch(_mk)                      # new live log entry
+    live = _snap(delta)
+    assert dict((r[0], r[2]) for r in live)[3] == -9.0
+    delta.fold_deltas()
+    # plant a fake leftover holding the OLD value: must stay invisible
+    import shutil
+    ds = tmp_path / "fake"
+    spark.createDataFrame(
+        [Row(id=3, name="n3", bal=500.0, _delta_del=False,
+             _delta_seq=99, _bucket=0)]).write.parquet(str(ds))
+    shutil.copytree(ds, stale)
+    assert _snap(delta) == _snap(delta)         # readable
+    assert dict((r[0], r[2]) for r in _snap(delta))[3] == -9.0
+    delta.merge_batch(_mk)                      # next drop cycle
+    delta.fold_deltas()                         # cleans the leftover
+    assert not stale.exists()
+
+
+def test_reader_handle_with_empty_keys_adopts_stored(spark, tmp_path):
+    """Review regression (round 10, pass 2): register_warehouse-style
+    reader handles construct with keys=[]; on a delta-mode table with a
+    LIVE log the merged read needs the key list (empty keys built an
+    unparseable join condition).  The stored meta's keys now make
+    reader handles self-sufficient."""
+    from firebolt_cdc_lambda_spark import sqlapi
+
+    _, delta = _twins(spark, tmp_path)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3], op="U", bal=lambda i: 500.0)))   # UNFOLDED log
+    reader = KeyedTable(spark, delta.path, keys=[])
+    assert reader.keys == ["id"]
+    assert dict((r["id"], r["bal"]) for r in
+                reader.read().collect())[3] == 500.0
+    # and through the SQL surface (the original failure site)
+    wh_root = str(tmp_path)
+    views = sqlapi.register_warehouse(spark, wh_root, prefix="v_")
+    assert "v_delta" in views
+    got = spark.sql("SELECT bal FROM v_delta WHERE id = 3").first()["bal"]
+    assert got == 500.0
