@@ -473,3 +473,95 @@ def test_reader_handle_with_empty_keys_adopts_stored(spark, tmp_path):
     assert "v_delta" in views
     got = spark.sql("SELECT bal FROM v_delta WHERE id = 3").first()["bal"]
     assert got == 500.0
+
+
+def test_fold_crash_before_log_drop_converges(spark, tmp_path,
+                                              monkeypatch):
+    """Crash window: the fold's base rewrite (and emptied-bucket
+    deletes) committed, but the log was never dropped.  Reads must
+    stay correct (the live log re-applies content-identically over the
+    folded base — including a delete winner hiding an already-gone
+    key) and the re-run must converge and clear."""
+    eager, delta = _twins(spark, tmp_path, n=20, buckets=10)
+    # a delete that likely empties its bucket + an update + an insert
+    _apply_both(spark, eager, delta,
+                _mk_rows([4], op="D")
+                + _mk_rows([7], op="U", bal=lambda i: 700.0)
+                + _mk_rows([90], op="I"))
+    expected = _snap(delta)
+    orig = KeyedTable._drop_delta
+    calls = {"n": 0}
+
+    def crash_once(self):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("boom")
+        return orig(self)
+
+    monkeypatch.setattr(KeyedTable, "_drop_delta", crash_once)
+    with pytest.raises(RuntimeError):
+        delta.fold_deltas()
+    # crashed state: base folded, log STILL live, watermark unsaved
+    assert delta._read_delta() is not None
+    assert _snap(delta) == expected == _snap(eager)
+    fresh = KeyedTable(spark, delta.path, ["id"])
+    assert fresh.delta_folded_seq < fresh.delta_seq
+    assert fresh.fold_deltas() >= 0             # re-run converges
+    assert fresh._read_delta() is None
+    assert fresh.delta_folded_seq == fresh.delta_seq
+    assert _snap(fresh) == expected
+
+
+def test_delta_primary_with_rollup_and_joinview(spark, tmp_path):
+    """Interplay: a delta-mode PRIMARY feeding a RollupTable and a
+    JoinView through the pipeline — both maintained views must read
+    through the merged (base+log) snapshot, batch after batch, with
+    zero base rewrites on the primary."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+    from firebolt_cdc_lambda_spark.operators.rollup_table import RollupTable
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"fact": "id"}'),
+                       num_buckets=4, delta_upserts=True, ledger=False)
+    boot = spark.createDataFrame(
+        [Row(id=i, grp=i % 3, amt=float(i), Op="I") for i in range(30)])
+    pipe.process_batch("fact", ["id"], boot)             # bootstrap
+    fact = pipe.target_for("fact", ["id"])
+    assert fact.delta_upserts
+    dim = KeyedTable(spark, str(tmp_path / "wh" / "dim"), ["did"],
+                     num_buckets=2)
+    dim.init(spark.createDataFrame(
+        [Row(did=d, label=f"g{d}") for d in range(3)]))
+    view = JoinView(spark, str(tmp_path / "wh" / "view"), fact, dim,
+                    fk="grp")
+    view.rebuild()
+    ru = RollupTable(spark, str(tmp_path / "wh" / "ru"), ["grp"],
+                     lambda: [F.count(F.lit(1)).alias("n"),
+                              F.sum("amt").alias("total")],
+                     num_buckets=2)
+    ru.init(fact.read())
+    pipe.register_join_view(view, fact_table="fact", dim_table="dim")
+    pipe.register_rollup("fact", ru, lambda df: df)
+    files0 = _mtimes(fact)
+    # a real CDC batch: update (amt moves groups' totals), delete, insert
+    pipe.process_batch("fact", ["id"], spark.createDataFrame(
+        [Row(id=3, grp=0, amt=999.0, Op="U"),
+         Row(id=5, grp=2, amt=5.0, Op="D"),
+         Row(id=90, grp=1, amt=90.0, Op="I")]))
+    assert _mtimes(fact) == files0               # primary: zero rewrites
+    # rollup equals a fresh re-aggregation of the merged snapshot
+    got = sorted(map(tuple, ru.read().collect()))
+    exp = sorted(map(tuple, fact.read().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amt").alias("total")).collect()))
+    assert got == exp
+    # view equals the from-scratch join of the merged snapshots
+    vgot = sorted(map(tuple, view.read().select(
+        "id", "grp", "amt", "dim_label").collect()))
+    vexp = sorted(map(tuple, view._joined(
+        fact.read(), dim.read(), broadcast_dim=False).select(
+        "id", "grp", "amt", "dim_label").collect()))
+    assert vgot == vexp
+    assert (3, 0, 999.0, "g0") in vgot and all(t[0] != 5 for t in vgot)
