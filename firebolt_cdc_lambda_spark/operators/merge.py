@@ -1075,17 +1075,32 @@ class KeyedTable:
             fs.delete(p_bak, True)
 
     # -- delta-log sidecar (merge-on-read UPSERTS, round-10 headline) ------
-    def _read_delta(self) -> DataFrame | None:
+    def _read_delta(self, buckets: Sequence[int] | None = None
+                    ) -> DataFrame | None:
         """The accumulated delta-log rows (full table schema +
         DELTA_SEQ_COL/DELTA_DEL_COL, bucket-partitioned), or None when
-        the sidecar is absent.  Read WHOLE at every use site, like the
-        DV sidecar: rows are bounded by changes-not-yet-folded
-        (micro-batch-accumulated, reclaimed by ``fold_deltas``), and a
-        global read keeps the sidecar's bucket partitioning advisory.
+        the sidecar is absent — or when none of the requested
+        ``buckets`` hold entries.  The log is partitioned by the SAME
+        key hash as the base, so any KEY-scoped reader (``lookup``, the
+        append gate's survivor probe) may prune it structurally with
+        the same brace-glob trick as ``_read_raw`` — a point lookup
+        then touches one log dir instead of windowing the whole debt.
+        Value-scoped readers (bloom/zone-map paths) must NOT prune: a
+        probed VALUE's log entry lives in its KEY's bucket, which the
+        value-derived candidate set knows nothing about — they read
+        whole (debt-bounded, reclaimed by ``fold_deltas``).
         No backup swap is needed here (contrast ``_read_dv``): batches
         APPEND — the parquet job commit either lands a batch's files
-        whole or not at all, and never touches prior entries."""
+        whole or not at all, and never touches prior entries; the only
+        destructive op, the fold's clear, renames the whole log aside
+        first (``_drop_delta``)."""
         try:
+            if buckets is not None:
+                glob = ",".join(str(b) for b in sorted(buckets))
+                return (self.spark.read
+                        .option("basePath", self._delta_path)
+                        .parquet(f"{self._delta_path}/"
+                                 f"{self.BUCKET_COL}={{{glob}}}"))
             return self.spark.read.parquet(self._delta_path)
         except AnalysisException as exc:
             if exc.getErrorClass() in ("PATH_NOT_FOUND",
@@ -1108,14 +1123,17 @@ class KeyedTable:
         return (delta.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1).drop("__rn"))
 
-    def _apply_delta(self, df: DataFrame) -> DataFrame:
+    def _apply_delta(self, df: DataFrame,
+                     buckets: Sequence[int] | None = None) -> DataFrame:
         """The merged base+log view over ``df`` (base rows, bucket
         column already dropped): every key with a log winner is taken
         from the log — an upsert winner REPLACES the base row, a delete
         winner HIDES it.  The winner set is debt-bounded, so both the
         anti-join build side and the union's right leg are broadcast-
-        sized; the base scan stays the plan's only big input."""
-        delta = self._read_delta()
+        sized; the base scan stays the plan's only big input.
+        ``buckets`` prunes the log read — legal ONLY when ``df`` itself
+        is key-scoped to those buckets (see ``_read_delta``)."""
+        delta = self._read_delta(buckets=buckets)
         if delta is None:
             return df
         win = self._delta_winners(delta)
@@ -1167,14 +1185,16 @@ class KeyedTable:
             fs.rename(p, drop)
             fs.delete(drop, True)
 
-    def _hide_tombstones(self, df: DataFrame) -> DataFrame:
+    def _hide_tombstones(self, df: DataFrame,
+                         buckets: Sequence[int] | None = None) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
         if self.delete_vectors:
             df = self._anti_dv(df)
         if self.delta_upserts:
-            df = self._apply_delta(df)
+            # buckets: KEY-scoped callers only (lookup) — see _read_delta
+            df = self._apply_delta(df, buckets=buckets)
         return df
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -1218,7 +1238,11 @@ class KeyedTable:
                    .distinct().collect()]
         df = self._hide_tombstones(
             self._read_raw(buckets=buckets, as_of=as_of)
-            .drop(self.BUCKET_COL))
+            .drop(self.BUCKET_COL),
+            # the lookup is KEY-scoped: the log prunes to the same
+            # buckets the base glob reads — a point lookup touches one
+            # log dir instead of windowing the whole unfolded debt
+            buckets=buckets)
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
     def purge_tombstones(self, before_version=None,
@@ -2373,7 +2397,9 @@ class KeyedTable:
                             F.lit(0).alias("__pri"),
                             F.lit(-1).cast("long").alias("__seq")))
             surv = base
-            delta = self._read_delta()
+            # the gate probe is KEY-scoped to the batch's buckets: prune
+            # the log read the same way the base probe above prunes
+            delta = self._read_delta(buckets=list(buckets))
             if delta is not None:
                 de = (delta.alias("__d").join(
                           skeys.alias("__k2"), kcond("__d", "__k2"),

@@ -565,3 +565,45 @@ def test_delta_primary_with_rollup_and_joinview(spark, tmp_path):
         "id", "grp", "amt", "dim_label").collect()))
     assert vgot == vexp
     assert (3, 0, 999.0, "g0") in vgot and all(t[0] != 5 for t in vgot)
+
+
+def test_key_scoped_log_reads_prune_by_bucket(spark, tmp_path):
+    """lookup() and the append gate are KEY-scoped, so their log reads
+    prune structurally to the keys' buckets (the log shares the base's
+    key-hash partitioning); value-scoped paths (bloom) keep the whole
+    log — a probed value's entry lives in its KEY's bucket, unknowable
+    from the value."""
+    _, delta = _twins(spark, tmp_path, n=40, buckets=8)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3, 7, 11], op="U", bal=lambda i: i + 500.0)))
+    ks = spark.createDataFrame(_mk_rows([3]))
+    b3 = int(delta._with_bucket(ks).select("_bucket").first()[0])
+    # the pruned read returns ONLY that bucket's entries
+    pruned = delta._read_delta(buckets=[b3])
+    assert pruned is not None
+    assert {int(r[0]) for r in pruned.select("_bucket").distinct()
+            .collect()} == {b3}
+    # a bucket with no log dir reads as "no entries", not an error
+    all_b = {int(r[0]) for r in delta._read_delta()
+             .select("_bucket").distinct().collect()}
+    absent = next(b for b in range(8) if b not in all_b)
+    assert delta._read_delta(buckets=[absent]) is None
+    # and lookup through the pruned path is still exactly right
+    got = {r["id"]: r["bal"] for r in delta.lookup([3, 5]).collect()}
+    assert got == {3: 503.0, 5: 5.0}
+
+
+def test_delta_read_plan_contract(spark, tmp_path):
+    """Plan contract (PLANS §7u): the merged base+log read broadcasts
+    the debt-bounded winner legs — zero SortMergeJoin, zero
+    CartesianProduct; the base scan is the only big input."""
+    _, delta = _twins(spark, tmp_path, n=400, buckets=8)
+    delta.merge_batch(spark.createDataFrame(
+        _mk_rows([3, 7], op="U", bal=lambda i: i + 500.0)
+        + _mk_rows([9], op="D")))
+    df = delta.read()
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # the winner anti-join
