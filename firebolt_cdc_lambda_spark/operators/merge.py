@@ -931,6 +931,22 @@ class KeyedTable:
         self._save_schema(bucketed)
         self._save_meta()
 
+    def _bucket_glob_read(self, root: str, buckets: Sequence[int],
+                          schema=None) -> DataFrame:
+        """ONE copy of the brace-glob structural prune (review finding,
+        round 10: _read_raw and _read_delta had grown separate copies):
+        read only the named bucket dirs under ``root``, with basePath
+        keeping the bucket partition column.  ``schema`` pins types
+        when the caller has a sidecar (the base table); the log infers
+        (its files are homogeneous by construction — one writer, cast
+        to the stored schema at append)."""
+        glob = ",".join(str(b) for b in sorted(buckets))
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return (r.option("basePath", root)
+                .parquet(f"{root}/{self.BUCKET_COL}={{{glob}}}"))
+
     def _read_raw(self, buckets: Sequence[int] | None = None,
                   as_of: int | None = None) -> DataFrame:
         """Read the stored snapshot; with ``buckets`` given, read ONLY those
@@ -952,12 +968,8 @@ class KeyedTable:
         schema = self._load_schema()
         try:
             if schema is not None and buckets is not None:
-                glob = ",".join(str(b) for b in sorted(buckets))
-                return (self.spark.read.schema(schema)
-                        # basePath keeps _bucket as a partition column even
-                        # though we hand Spark the leaf dirs
-                        .option("basePath", self.path)
-                        .parquet(f"{self.path}/{self.BUCKET_COL}={{{glob}}}"))
+                return self._bucket_glob_read(self.path, buckets,
+                                              schema=schema)
             if schema is not None:
                 # partition column comes back from dir names; schema pins types
                 return self.spark.read.schema(schema).parquet(self.path)
@@ -1096,11 +1108,7 @@ class KeyedTable:
         first (``_drop_delta``)."""
         try:
             if buckets is not None:
-                glob = ",".join(str(b) for b in sorted(buckets))
-                return (self.spark.read
-                        .option("basePath", self._delta_path)
-                        .parquet(f"{self._delta_path}/"
-                                 f"{self.BUCKET_COL}={{{glob}}}"))
+                return self._bucket_glob_read(self._delta_path, buckets)
             return self.spark.read.parquet(self._delta_path)
         except AnalysisException as exc:
             if exc.getErrorClass() in ("PATH_NOT_FOUND",
@@ -1182,7 +1190,15 @@ class KeyedTable:
         if fs.exists(drop):            # leftover from a crashed drop
             fs.delete(drop, True)
         if fs.exists(p):
-            fs.rename(p, drop)
+            if not fs.rename(p, drop):
+                # Hadoop FS reports several rename failures by RETURNING
+                # false (HDFS posture).  Proceeding would persist a
+                # folded watermark over a still-live log — the backlog
+                # signal would under-report until new batches arrive
+                # (review finding, round 10).  Raise: the caller's meta
+                # save never runs, the fold retries next sweep.
+                raise OSError(
+                    f"could not rename the delta log aside: {p}")
             fs.delete(drop, True)
 
     def _hide_tombstones(self, df: DataFrame,
@@ -1572,6 +1588,10 @@ class KeyedTable:
         to delete history the next manifest repair might still need."""
         report = {
             "num_buckets": self.num_buckets, "versioned": self.versioned,
+            # the target the compactable count was split under: reused
+            # reports are only valid for a compact() with the SAME
+            # target (run_maintenance recomputes on mismatch)
+            "compact_target_bytes": compact_target_bytes,
             "manifest_entries": 0, "live_files": 0, "live_bytes": 0,
             "small_live_files": 0, "compactable_files": 0,
             "dead_files": 0, "dead_bytes": 0,
@@ -2473,11 +2493,22 @@ class KeyedTable:
             # seq yet appends nothing, and a crash between _drop_delta
             # and the meta save leaves the same state.  Heal it here —
             # otherwise the fleet's backlog gate would fire a no-op
-            # fold EVERY sweep forever (review finding, round 10).
+            # fold EVERY sweep forever.  Sync FIRST: a long-lived stale
+            # handle's in-memory counters may agree while the STORED
+            # backlog is behind (review findings, round 10 — both
+            # directions).
+            self._sync_stored_meta()
             if self.delta_folded_seq < self.delta_seq:
-                self._sync_stored_meta()
                 self.delta_folded_seq = self.delta_seq
                 self._save_meta()
+            # and clean a crashed drop's leftover: a table that stops
+            # receiving upserts after the crash would otherwise keep a
+            # full orphaned copy of the log on disk forever
+            fs, _, jvm = self._fs_and_path(self._delta_path)
+            drop = jvm.org.apache.hadoop.fs.Path(
+                f"{self._delta_path}__dropping")
+            if fs.exists(drop):
+                fs.delete(drop, True)
             return 0
         win = self._delta_winners(delta).localCheckpoint(eager=True)
         # the append-time bucket stamp is authoritative: num_buckets

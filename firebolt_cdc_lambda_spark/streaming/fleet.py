@@ -129,11 +129,11 @@ class CdcFleet:
         cadence even against a reference-scale 809-table fleet).  Tables
         that fail to report get an ``{"error": ...}`` row rather than
         aborting the sweep.  An operator feeding the result into
-        ``run_maintenance(health_reports=...)`` with a NON-default
-        ``compact_target_bytes`` must pass the same value here, or the
-        reused ``compactable_files`` counts were split under the wrong
-        target — the gate-fires/compact-no-ops loop the target-aware
-        count exists to prevent (review finding, round 10)."""
+        ``run_maintenance(health_reports=...)`` should pass the same
+        ``compact_target_bytes`` here; the report carries the target it
+        was split under, and run_maintenance RECOMPUTES any report whose
+        stamp mismatches its own target (so a mismatch costs one extra
+        listing, never a wrong gate — review finding, round 10)."""
         out: dict[str, dict] = {}
         for table in self.discover_tables():
             try:
@@ -235,7 +235,17 @@ class CdcFleet:
                     # below so the buckets compact flags dirty are paid
                     # down in the same sweep.
                     report = (health_reports or {}).get(table)
-                    if report is None or "small_live_files" not in report:
+                    if (report is None
+                            or "small_live_files" not in report
+                            or report.get("compact_target_bytes")
+                            != compact_target_bytes):
+                        # a reused report split its runs under a
+                        # DIFFERENT target: its compactable count could
+                        # gate a compact() that then no-ops (or skip one
+                        # that would pack) — recompute under the sweep's
+                        # own target (review finding, round 10; the
+                        # docstring warning alone left the loop
+                        # reachable with zero errors)
                         report = self.pipeline.table_health(
                             table,
                             compact_target_bytes=compact_target_bytes)
