@@ -2322,13 +2322,13 @@ class KeyedTable:
         column every write wins, so the batch appends BLINDLY — zero
         reads of any kind.
 
-        v1 scope: FULL-ROW batches only (staging must carry every
-        stored data column) — the eager merge keeps a matched row's
-        staging-absent columns, which a log-winner read cannot
-        reproduce without per-column resolution; partial-column feeds
-        should use the default eager mode.  ``insert_deletes`` is
-        rejected (deletes ride the log, they can never land as live
-        rows).
+        PARTIAL-COLUMN batches materialize the merged row at append
+        (absent stored columns inherit the survivor's values on an
+        update, NULL on an insert — the eager branches verbatim), so
+        the newest-entry read invariant holds without per-column log
+        replay; the probe widens by exactly the absent columns.
+        ``insert_deletes`` is rejected (deletes ride the log, they can
+        never land as live rows).
 
         Crash contract: the sequence number is persisted BEFORE the
         append (a crash between leaves a harmless gap — the reverse
@@ -2365,14 +2365,21 @@ class KeyedTable:
                 "the log sidecar (sequence / delete marker): a stored "
                 "column of that name would collide with the log's own — "
                 "rename it or use the default (eager) mode")
-        missing = [c for c in data_cols if c not in stg.columns]
-        if missing:
-            raise ValueError(
-                "delta_upserts v1 requires FULL-ROW batches: staging "
-                f"is missing stored column(s) {missing}; the eager "
-                "merge keeps a matched row's staging-absent columns, "
-                "which a log-winner read cannot reproduce — use the "
-                "default (eager) mode for partial-column feeds")
+        # (key columns are guaranteed present: _merge_impl's bucket
+        # hash resolved them before this runs)
+        # PARTIAL-COLUMN batches (v2, lifts the round-10 v1 wall): a
+        # staging-absent stored column inherits the SURVIVOR's value —
+        # the eager merge's update branch keeps the target's value
+        # there, and an insert NULLs it.  The append MATERIALIZES the
+        # full merged row into the log using the survivor the gate
+        # probe already resolves, so readers keep the single
+        # newest-entry invariant (no per-column log replay).  Cost: the
+        # probe widens by exactly the absent columns (still read-only,
+        # still zero rewrites); full-row batches keep the
+        # column-pruned probe (or, with no version column, the
+        # zero-read blind append).
+        partial = [c for c in data_cols
+                   if c not in stg.columns and c not in self.keys]
         # a STORED column the eager merge would treat as metadata
         # (update keeps the target's value, insert NULLs it) cannot be
         # reproduced by a log-winner read, which replaces the whole
@@ -2404,15 +2411,21 @@ class KeyedTable:
                  .withColumn(self.DELTA_DEL_COL, is_del))
         kcond = lambda a, b: F.expr(  # noqa: E731
             _key_cond_sql(self.keys, a, b))
-        if vc:
-            # -- survivor state per staged key (read-only probe) --------
+        if vc or partial:
+            # -- survivor state per staged key (read-only probe).  The
+            # survivor carries the version (when gating) and exactly
+            # the staging-ABSENT columns (when materializing a partial
+            # batch) — both legs stay column-pruned to that set. ------
+            sv_base = (F.col(vc) if vc
+                       else F.lit(None).cast("string")).alias("__sv")
             skeys = F.broadcast(stg.select(*self.keys).distinct())
             base = (self._read_raw(buckets=list(buckets))
-                    .select(*self.keys, F.col(vc).alias("__sv"))
+                    .select(*self.keys, sv_base,
+                            *[F.col(c) for c in partial])
                     .alias("__t")
                     .join(skeys.alias("__k1"), kcond("__t", "__k1"),
                           "left_semi")
-                    .select(*self.keys, "__sv",
+                    .select(*self.keys, "__sv", *partial,
                             F.lit(False).alias("__sdel"),
                             F.lit(0).alias("__pri"),
                             F.lit(-1).cast("long").alias("__seq")))
@@ -2424,7 +2437,7 @@ class KeyedTable:
                 de = (delta.alias("__d").join(
                           skeys.alias("__k2"), kcond("__d", "__k2"),
                           "left_semi")
-                      .select(*self.keys, F.col(vc).alias("__sv"),
+                      .select(*self.keys, sv_base, *partial,
                               F.col(self.DELTA_DEL_COL).alias("__sdel"),
                               F.lit(1).alias("__pri"),
                               F.col(self.DELTA_SEQ_COL).alias("__seq")))
@@ -2437,22 +2450,44 @@ class KeyedTable:
                 .orderBy(F.col("__pri").desc(), F.col("__seq").desc())
             surv = (surv.withColumn("__rn", F.row_number().over(w))
                     .where("__rn = 1")
-                    .select(*self.keys, "__sv", "__sdel",
+                    .select(*self.keys, "__sv", *partial, "__sdel",
                             F.lit(True).alias("__present")))
             j = entry.alias("__e").join(F.broadcast(surv.alias("__s")),
                                         kcond("__e", "__s"), "left_outer")
             alive = (F.col("__present").isNotNull()
                      & ~F.coalesce(F.col("__sdel"), F.lit(False)))
-            # merge_cdc's gate verbatim: NULL sorts first, ties -> new
-            take = F.coalesce(
+            # merge_cdc's gate verbatim: NULL sorts first, ties -> new;
+            # without a version column every write wins
+            take = (F.coalesce(
                 (F.expr(f"__e.{_q(vc)}") >= F.col("__sv"))
                 | F.col("__sv").isNull(), F.lit(False))
+                if vc else F.lit(True))
             # upsert: wins when the key is absent/deleted OR fresh
             # enough; delete: only a LIVE key can be freshly deleted
             # (a no-op or stale delete appends nothing)
             keep = F.when(F.col(self.DELTA_DEL_COL), alive & take) \
                 .otherwise(~alive | take)
-            entry = j.where(keep).select("__e.*")
+            if partial:
+                # materialize the merged row: a kept upsert is either an
+                # UPDATE (alive — absent columns inherit the survivor's
+                # values, the eager update branch) or an INSERT (absent
+                # columns NULL, the eager insert branch); a kept
+                # delete's payload is never read
+                pset = set(partial)
+                sel = []
+                for c in data_cols:
+                    if c in pset:
+                        sel.append(F.when(alive, F.expr(f"__s.{_q(c)}"))
+                                   .otherwise(F.lit(None)).alias(c))
+                    else:
+                        sel.append(F.expr(f"__e.{_q(c)}").alias(c))
+                sel.append(F.expr(f"__e.{_q(self.DELTA_DEL_COL)}")
+                           .alias(self.DELTA_DEL_COL))
+                sel.append(F.expr(f"__e.{_q(self.BUCKET_COL)}")
+                           .alias(self.BUCKET_COL))
+                entry = j.where(keep).select(*sel)
+            else:
+                entry = j.where(keep).select("__e.*")
         seq = self._bump_delta_seq()        # persisted BEFORE the append
         out = entry.select(
             *[F.col(c).cast(schema[c].dataType).alias(c)

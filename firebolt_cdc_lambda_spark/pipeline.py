@@ -132,7 +132,8 @@ class CdcPipeline:
         # and rewrites ZERO base buckets; readers resolve keys from the
         # newest log entry.  Fold accumulated entries via fold_deltas
         # on the maintenance cadence.  Existing tables: stored meta
-        # wins.  v1 needs full-row batches (KeyedTable._merge_delta).
+        # wins.  Partial-column batches materialize the merged row
+        # at append (KeyedTable._merge_delta).
         self.delta_upserts = delta_upserts
         # versioned=True turns every target into a time-travelable
         # snapshot table (KeyedTable versioned mode: epoch dirs + a

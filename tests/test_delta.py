@@ -228,9 +228,10 @@ def test_lookup_and_rewrite_fold(spark, tmp_path):
 
 def test_full_row_contract_and_mode_combos(spark, tmp_path):
     _, delta = _twins(spark, tmp_path)
-    with pytest.raises(ValueError, match="FULL-ROW"):
-        delta.merge_batch(spark.createDataFrame(
-            [Row(id=1, name="partial", Op="U")]))     # missing bal
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):      # key column absent:
+        delta.merge_batch(spark.createDataFrame( # fails at the bucket
+            [Row(name="nokey", bal=1.0, Op="U")]))  # hash, loudly
     with pytest.raises(ValueError, match="insert_deletes"):
         delta.merge_batch(spark.createDataFrame(
             _mk_rows([1], op="U")), insert_deletes=True)
@@ -607,3 +608,90 @@ def test_delta_read_plan_contract(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan          # the winner anti-join
+
+
+def test_partial_column_batches_match_eager(spark, tmp_path):
+    """v2: a staging-absent stored column inherits the survivor's value
+    on an UPDATE and is NULL on an INSERT — the eager merge's branches
+    verbatim, materialized into the log at append so reads stay
+    single-winner.  Deterministic coverage of every branch, always
+    hash-checked against the eager twin."""
+    eager, delta = _twins(spark, tmp_path, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    v1, v2, v3 = (dt.datetime(2024, 1, d) for d in (2, 5, 9))
+
+    def both(rows, schema):
+        stg = spark.createDataFrame(rows, schema)
+        eager.merge_batch(stg, **kw)
+        assert delta.merge_batch(stg, **kw) == 0
+        assert _snap(delta) == _snap(eager)
+
+    part = "id bigint, bal double, Op string, load_timestamp timestamp"
+    # UPDATE missing `name`: bal moves, name INHERITED from the base
+    both([(3, 333.0, "U", v1)], part)
+    got = {r[0]: r for r in _snap(delta)}
+    assert got[3] == (3, "n3", 333.0)
+    # INSERT missing `name`: NULL
+    both([(77, 77.0, "I", v1)], part)
+    assert {r[0]: r for r in _snap(delta)}[77] == (77, None, 77.0)
+    # partial UPDATE over a LOG winner: inherits the logged name
+    both([(3, 444.0, "U", v2)], part)
+    assert {r[0]: r for r in _snap(delta)}[3] == (3, "n3", 444.0)
+    # STALE partial update: gated out entirely
+    both([(3, -1.0, "U", v1)], part)
+    assert {r[0]: r for r in _snap(delta)}[3] == (3, "n3", 444.0)
+    # delete, then a partial re-insert: absent column NULL (not the
+    # dead survivor's value — the eager insert branch)
+    both([(3, 0.0, "D", v3)], part)
+    both([(3, 555.0, "U", v1)], part)
+    assert {r[0]: r for r in _snap(delta)}[3] == (3, None, 555.0)
+
+
+def test_partial_batches_without_version_column(spark, tmp_path):
+    """Partial + no version column: last write wins, but the append
+    still probes the survivor (materialization needs it) instead of
+    the blind zero-read path."""
+    eager, delta = _twins(spark, tmp_path)
+    part = "id bigint, bal double, Op string"
+    stg = spark.createDataFrame([(5, 50.5, "U"), (88, 8.8, "I")], part)
+    eager.merge_batch(stg)
+    assert delta.merge_batch(stg) == 0
+    assert _snap(delta) == _snap(eager)
+    got = {r[0]: r for r in _snap(delta)}
+    assert got[5] == (5, "n5", 50.5) and got[88] == (88, None, 8.8)
+
+
+def test_randomized_partial_column_mirror(spark, tmp_path):
+    """Property: random batches with RANDOM COLUMN SUBSETS (name and/or
+    bal absent), mixed ops and versions, stay hash-identical to the
+    eager twin after every batch."""
+    rng = random.Random(777)
+    eager, delta = _twins(spark, tmp_path, n=25, with_version=True)
+    kw = dict(version_col="load_timestamp")
+    vers = [dt.datetime(2024, 1, d) for d in range(1, 8)]
+    for _ in range(6):
+        cols = rng.choice([("name", "bal"), ("name",), ("bal",), ()])
+        rows, seen = [], set()
+        for i in rng.sample(range(30), rng.randint(1, 7)):
+            if i in seen:
+                continue
+            seen.add(i)
+            r = {"id": i, "Op": rng.choice(["U", "U", "I", "D"]),
+                 "load_timestamp": rng.choice(vers)}
+            if "name" in cols:
+                r["name"] = f"r{i}_{rng.randint(0, 9)}"
+            if "bal" in cols:
+                r["bal"] = round(rng.random() * 100, 2)
+            rows.append(r)
+        schema = ("id bigint"
+                  + (", name string" if "name" in cols else "")
+                  + (", bal double" if "bal" in cols else "")
+                  + ", Op string, load_timestamp timestamp")
+        stg = spark.createDataFrame(
+            [tuple(r.get(c) for c in
+                   ["id"] + (["name"] if "name" in cols else [])
+                   + (["bal"] if "bal" in cols else [])
+                   + ["Op", "load_timestamp"]) for r in rows], schema)
+        eager.merge_batch(stg, **kw)
+        assert delta.merge_batch(stg, **kw) == 0
+        assert _snap(delta) == _snap(eager)
