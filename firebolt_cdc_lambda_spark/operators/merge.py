@@ -373,6 +373,11 @@ class KeyedTable:
     #: (newest-key-wins tiebreak across batches) and the delete marker
     DELTA_SEQ_COL = "_delta_seq"
     DELTA_DEL_COL = "_delta_del"
+    #: versioned-mode delta log only: the manifest version under which
+    #: the batch committed, as a PARTITION directory — version-window
+    #: selection is structural (a read lists only its window's dirs) and
+    #: purge_versions reclaims dead history as pure metadata deletes
+    DELTA_VER_COL = "_delta_ver"
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  num_buckets: int = 64, tombstones: bool = False,
@@ -431,13 +436,11 @@ class KeyedTable:
                 "delete_vectors replaces tombstones (the sidecar carries "
                 "the delete's version for the same out-of-order gate) and "
                 "is not yet supported on versioned tables (v1)")
-        if self.delta_upserts and (self.tombstones or self.versioned
-                                   or self.delete_vectors):
+        if self.delta_upserts and (self.tombstones or self.delete_vectors):
             raise ValueError(
                 "delta_upserts subsumes delete_vectors (DELETE rows ride "
-                "the same log), keeps plain-mode delete semantics "
-                "(tombstones would be a different out-of-order contract), "
-                "and is not yet supported on versioned tables (v1)")
+                "the same log) and keeps plain-mode delete semantics "
+                "(tombstones would be a different out-of-order contract)")
         # SIBLING dataset like the bloom sidecars: an in-dir child would
         # be swept into the table's own scans, and an underscore-prefixed
         # root is unreadable by Spark's file index
@@ -793,6 +796,76 @@ class KeyedTable:
                 break
         return assign, nb
 
+    # -- versioned x delta_upserts: manifest-derived log windows ----------
+    # In versioned mode every delta append is itself a manifest version
+    # (op "delta" — no base files; the batch's rows land under
+    # __delta/_bucket=b/_delta_ver=<version>).  The snapshot at version V
+    # is then base(V) overlaid with the log entries in the WINDOW
+    # (fold_boundary(V), V], where the fold boundary is the newest
+    # manifest entry <= V whose base files fully incorporate all older
+    # log entries: a "fold" entry, any "full" entry (init / rewrite /
+    # rebucket / evolution), or the boundary a purge recorded into its
+    # collapsed "base" entry.  Window selection is structural (explicit
+    # _delta_ver dirs), so a read's log cost is bounded by the unfolded
+    # debt at THAT version — the fleet's fold cadence, not table history.
+
+    def _delta_boundary(self, as_of: int | None = None) -> int:
+        """The newest version <= ``as_of`` (None = all) whose base files
+        incorporate every log entry at or below it — log entries with
+        ver <= boundary must NOT be applied on top of that base (a
+        folded DELETE re-hiding its key would gate out a later stale
+        upsert the eager plain-mode contract re-inserts)."""
+        b = 0
+        for e in self.history():
+            ee = int(e["e"])
+            if as_of is not None and ee > as_of:
+                break
+            if "base" in e:
+                # purge collapsed the prefix; it recorded the boundary
+                # in force at the collapse point (0-safe default: over-
+                # including folded entries is harmless for reads and
+                # can only arise on a manifest this code didn't write)
+                b = int(e.get("delta_boundary", 0))
+            elif e.get("full") or e.get("op") == "fold":
+                b = ee
+        return b
+
+    def _delta_vers(self, as_of: int | None = None) -> list[int]:
+        """The delta-append versions in the window
+        (fold_boundary(as_of), as_of] — exactly the log partitions a
+        read at ``as_of`` (None = latest) overlays on its base.  A
+        purge's collapsed "base" entry contributes the prefix's own
+        delta versions above its boundary (recorded at collapse time):
+        the oldest retained versions' windows may open inside the
+        collapsed prefix."""
+        lo = self._delta_boundary(as_of)
+        out: list[int] = []
+        for e in self.history():
+            ee = int(e["e"])
+            if as_of is not None and ee > as_of:
+                break
+            if "base" in e:
+                out.extend(int(v) for v in e.get("delta_vers", ())
+                           if int(v) > lo
+                           and (as_of is None or int(v) <= as_of))
+            elif e.get("op") == "delta" and ee > lo:
+                out.append(ee)
+        return sorted(out)
+
+    def _clean_delta_ver_dir(self, ver: int) -> None:
+        """Remove log leaf dirs a CRASHED append at this version may
+        have left (the manifest entry is written only after the append
+        commits, so a replay reuses the version number — the stale
+        copy's rows would ride along as dead weight forever)."""
+        fs, root, jvm = self._fs_and_path(self._delta_path)
+        if not fs.exists(root):
+            return
+        glob = jvm.org.apache.hadoop.fs.Path(
+            f"{self._delta_path}/{self.BUCKET_COL}=*/"
+            f"{self.DELTA_VER_COL}={ver}")
+        for st in fs.globStatus(glob) or []:
+            fs.delete(st.getPath(), True)
+
     def _clean_epoch_dirs(self, epoch: int) -> None:
         """Remove leaf dirs a CRASHED attempt at this epoch may have left
         (the manifest is written only after a successful write, so a
@@ -1087,7 +1160,8 @@ class KeyedTable:
             fs.delete(p_bak, True)
 
     # -- delta-log sidecar (merge-on-read UPSERTS, round-10 headline) ------
-    def _read_delta(self, buckets: Sequence[int] | None = None
+    def _read_delta(self, buckets: Sequence[int] | None = None,
+                    vers: Sequence[int] | None = None
                     ) -> DataFrame | None:
         """The accumulated delta-log rows (full table schema +
         DELTA_SEQ_COL/DELTA_DEL_COL, bucket-partitioned), or None when
@@ -1105,7 +1179,49 @@ class KeyedTable:
         APPEND — the parquet job commit either lands a batch's files
         whole or not at all, and never touches prior entries; the only
         destructive op, the fold's clear, renames the whole log aside
-        first (``_drop_delta``)."""
+        first (``_drop_delta``).
+
+        VERSIONED tables: ``vers`` (required there — every caller knows
+        its window from the manifest) selects the _delta_ver partition
+        dirs structurally, so the read lists and scans only its
+        window's entries; with no manifest the log is dropped on
+        rewrite, but here history retains it and the window bounds the
+        cost.  The schema is PINNED from the sidecar: historic entries
+        written before a schema evolution read under the current
+        schema (absent columns null, dropped columns ignored), exactly
+        as historic base epochs already do."""
+        if self.versioned:
+            if not vers or (buckets is not None and not buckets):
+                return None
+            from pyspark.sql import types as T
+            schema = self._load_schema()
+            if schema is None:
+                raise ValueError(f"delta log at {self._delta_path} has "
+                                 "no schema sidecar")
+            fs, root, jvm = self._fs_and_path(self._delta_path)
+            bsel = ("*" if buckets is None else
+                    "{" + ",".join(str(b) for b in sorted(buckets)) + "}")
+            vsel = "{" + ",".join(str(v) for v in sorted(vers)) + "}"
+            # expand to CONCRETE matched dirs driver-side — a multi-path
+            # read where one arm matches nothing fails whole with
+            # PATH_NOT_FOUND (the _read_versioned rule)
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{self._delta_path}/{self.BUCKET_COL}={bsel}/"
+                f"{self.DELTA_VER_COL}={vsel}")
+            paths = [st.getPath().toString()
+                     for st in (fs.globStatus(glob) or [])]
+            if not paths:
+                return None
+            rschema = T.StructType(
+                [f for f in schema.fields if f.name != self.BUCKET_COL]
+                + [T.StructField(self.DELTA_DEL_COL, T.BooleanType()),
+                   T.StructField(self.DELTA_SEQ_COL, T.LongType()),
+                   schema[self.BUCKET_COL],
+                   T.StructField(self.DELTA_VER_COL, T.IntegerType())])
+            return (self.spark.read.schema(rschema)
+                    .option("basePath", self._delta_path)
+                    .parquet(*paths)
+                    .drop(self.DELTA_VER_COL))
         try:
             if buckets is not None:
                 return self._bucket_glob_read(self._delta_path, buckets)
@@ -1132,7 +1248,8 @@ class KeyedTable:
                 .where(F.col("__rn") == 1).drop("__rn"))
 
     def _apply_delta(self, df: DataFrame,
-                     buckets: Sequence[int] | None = None) -> DataFrame:
+                     buckets: Sequence[int] | None = None,
+                     as_of: int | None = None) -> DataFrame:
         """The merged base+log view over ``df`` (base rows, bucket
         column already dropped): every key with a log winner is taken
         from the log — an upsert winner REPLACES the base row, a delete
@@ -1140,8 +1257,15 @@ class KeyedTable:
         anti-join build side and the union's right leg are broadcast-
         sized; the base scan stays the plan's only big input.
         ``buckets`` prunes the log read — legal ONLY when ``df`` itself
-        is key-scoped to those buckets (see ``_read_delta``)."""
-        delta = self._read_delta(buckets=buckets)
+        is key-scoped to those buckets (see ``_read_delta``).
+        ``as_of`` (versioned tables) overlays exactly the window
+        (fold_boundary(as_of), as_of] — the entries version as_of's
+        base does not yet incorporate."""
+        if self.versioned:
+            delta = self._read_delta(buckets=buckets,
+                                     vers=self._delta_vers(as_of))
+        else:
+            delta = self._read_delta(buckets=buckets)
         if delta is None:
             return df
         win = self._delta_winners(delta)
@@ -1202,15 +1326,17 @@ class KeyedTable:
             fs.delete(drop, True)
 
     def _hide_tombstones(self, df: DataFrame,
-                         buckets: Sequence[int] | None = None) -> DataFrame:
+                         buckets: Sequence[int] | None = None,
+                         as_of: int | None = None) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
         if self.delete_vectors:
             df = self._anti_dv(df)
         if self.delta_upserts:
-            # buckets: KEY-scoped callers only (lookup) — see _read_delta
-            df = self._apply_delta(df, buckets=buckets)
+            # buckets: KEY-scoped callers only (lookup) — see _read_delta;
+            # as_of: the caller's version when df is a historic base
+            df = self._apply_delta(df, buckets=buckets, as_of=as_of)
         return df
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -1218,7 +1344,8 @@ class KeyedTable:
         column) are hidden from readers.  On a versioned table,
         ``as_of`` time-travels to that epoch's snapshot."""
         return self._hide_tombstones(
-            self._read_raw(as_of=as_of).drop(self.BUCKET_COL))
+            self._read_raw(as_of=as_of).drop(self.BUCKET_COL),
+            as_of=as_of)
 
     def lookup(self, keys, as_of: int | None = None) -> DataFrame:
         """Point/batch lookup: the live rows for the given keys, reading
@@ -1258,7 +1385,11 @@ class KeyedTable:
             # the lookup is KEY-scoped: the log prunes to the same
             # buckets the base glob reads — a point lookup touches one
             # log dir instead of windowing the whole unfolded debt
-            buckets=buckets)
+            # (the versioned window's entries were stamped under the
+            # bucket count in force at that era, which is exactly the
+            # count this lookup hashed with — rebucket is a "full"
+            # boundary, so no window ever spans two counts)
+            buckets=buckets, as_of=as_of)
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
     def purge_tombstones(self, before_version=None,
@@ -1338,6 +1469,48 @@ class KeyedTable:
                       "base": {str(b): e for b, e in assign.items()
                                if e < cutoff},
                       "num_buckets": nb}
+        if self.delta_upserts:
+            # The collapsed prefix loses its fold/full entries, so the
+            # base entry RECORDS the delta-window boundary in force at
+            # the collapse point — _delta_boundary resolves it for every
+            # retained version whose window opens inside the prefix.
+            # Log partitions at or below boundary(cutoff) are needed by
+            # NO retained version (every V >= cutoff has boundary(V) >=
+            # boundary(cutoff)): delete them — pure metadata, and it
+            # also sweeps orphan dirs a crashed append left below the
+            # boundary.  Deletes run BEFORE the manifest collapse: a
+            # crash mid-delete leaves the old manifest, and the retry
+            # re-enumerates; the reverse order would strand the dirs
+            # forever (the entries they'd be enumerated from are gone).
+            bnd_rec = self._delta_boundary(cutoff - 1)
+            base_entry["delta_boundary"] = bnd_rec
+            # the prefix's delta versions above the boundary are still
+            # inside the oldest retained versions' windows — carry them
+            # into the base entry (merging a previous purge's record)
+            carried: set[int] = set()
+            for en in entries:
+                if int(en["e"]) >= cutoff:
+                    continue
+                if "base" in en:
+                    carried.update(int(v) for v in en.get("delta_vers", ()))
+                elif en.get("op") == "delta":
+                    carried.add(int(en["e"]))
+            base_entry["delta_vers"] = sorted(
+                v for v in carried if v > bnd_rec)
+            bnd_keep = self._delta_boundary(cutoff)
+            dfs, droot, djvm = self._fs_and_path(self._delta_path)
+            if dfs.exists(droot):
+                glob = djvm.org.apache.hadoop.fs.Path(
+                    f"{self._delta_path}/{self.BUCKET_COL}=*/"
+                    f"{self.DELTA_VER_COL}=*")
+                for st in dfs.globStatus(glob) or []:
+                    name = st.getPath().getName()
+                    try:
+                        v = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if v <= bnd_keep:
+                        dfs.delete(st.getPath(), True)
         kept_entries = [en for en in entries if int(en["e"]) >= cutoff]
         self._save_manifest([base_entry] + kept_entries)
         return sorted(deleted)
@@ -1375,17 +1548,33 @@ class KeyedTable:
         a_assign, a_nb = self._resolve_epochs(from_version)
         b_assign, b_nb = self._resolve_epochs(to_version)
         if a_nb == b_nb:
-            changed: Sequence[int] | None = sorted(
+            changed_set = {
                 b for b in set(a_assign) | set(b_assign)
-                if a_assign.get(b) != b_assign.get(b))
+                if a_assign.get(b) != b_assign.get(b)}
+            if self.delta_upserts:
+                # a delta append changes no base assignment — its touched
+                # buckets come from the manifest entry's own record.
+                # Entries at or before from_version affect both snapshots
+                # identically (same window entries win, or a fold between
+                # the versions rewrote their buckets — caught by the
+                # assignment diff above), so only (from, to] contributes.
+                for e in self.history():
+                    ee = int(e["e"])
+                    if (e.get("op") == "delta"
+                            and from_version < ee <= resolved_to):
+                        changed_set.update(
+                            int(b) for b in e.get("delta_buckets", ()))
+            changed: Sequence[int] | None = sorted(changed_set)
         else:
             changed = None
         old = self._hide_tombstones(
             self._read_raw(buckets=changed, as_of=from_version)
-            .drop(self.BUCKET_COL))
+            .drop(self.BUCKET_COL),
+            buckets=changed, as_of=from_version)
         new = self._hide_tombstones(
             self._read_raw(buckets=changed, as_of=to_version)
-            .drop(self.BUCKET_COL))
+            .drop(self.BUCKET_COL),
+            buckets=changed, as_of=resolved_to)
         keys = list(self.keys)
         payload = [c for c in old.columns if c not in keys]
         # zero-payload tables can only insert/delete; the lit(0) field
@@ -1458,6 +1647,17 @@ class KeyedTable:
             self._write_epoch(bucketed, epoch, sort_within=sort_within,
                               max_records_per_file=max_records_per_file)
             self._save_schema(bucketed)
+            if self.delta_upserts:
+                # the full entry below is a delta-window BOUNDARY (the
+                # caller derived df from snapshot_for_rewrite, which
+                # applied the log), so the whole backlog is folded as of
+                # this version; the log itself is RETAINED for older
+                # versions' windows.  Crash after this save but before
+                # the manifest commits: the watermark over-reports, but
+                # reads stay exact (the old boundary still applies the
+                # entries) and the next append's seq bump re-arms the
+                # fold gate — converges, never silent wrongness.
+                self.delta_folded_seq = self.delta_seq
             self._save_meta()
             entries = self._load_manifest()
             entries.append({
@@ -1701,12 +1901,24 @@ class KeyedTable:
             report["delta_files"] = 0
             report["delta_bytes"] = 0
             fs, _, jvm = self._fs_and_path(self.path)
-            glob = jvm.org.apache.hadoop.fs.Path(
-                f"{self._delta_path}/{self.BUCKET_COL}=*/*.parquet")
-            for st in fs.globStatus(glob) or []:
-                if st.isFile():
-                    report["delta_files"] += 1
-                    report["delta_bytes"] += int(st.getLen())
+            if self.versioned:
+                # count only the LIVE window's entries — folded history
+                # retained for time travel is purge_versions' debt, not
+                # the fold gate's
+                vers = self._delta_vers(None)
+                globs = ([f"{self._delta_path}/{self.BUCKET_COL}=*/"
+                          f"{self.DELTA_VER_COL}="
+                          "{" + ",".join(str(v) for v in vers) + "}"
+                          "/*.parquet"] if vers else [])
+            else:
+                globs = [f"{self._delta_path}/{self.BUCKET_COL}=*/"
+                         "*.parquet"]
+            for g in globs:
+                glob = jvm.org.apache.hadoop.fs.Path(g)
+                for st in fs.globStatus(glob) or []:
+                    if st.isFile():
+                        report["delta_files"] += 1
+                        report["delta_bytes"] += int(st.getLen())
         if self.delete_vectors:
             # sidecar growth is the fold signal (the DV analogue of
             # dead_ratio): entries accumulate until fold_delete_vectors
@@ -2330,6 +2542,16 @@ class KeyedTable:
         ``insert_deletes`` is rejected (deletes ride the log, they can
         never land as live rows).
 
+        VERSIONED tables: the append itself is a manifest version (op
+        "delta" — zero base files, so the version costs no base write
+        either), the rows land under __delta/_bucket=b/_delta_ver=v,
+        and a read at any version overlays exactly its manifest-derived
+        window (see ``_delta_boundary``).  Version numbering therefore
+        matches an eager versioned twin batch-for-batch until the first
+        fold.  The gate probe windows the log to the LATEST boundary —
+        a folded DELETE's key must read as absent so later stale
+        upserts re-insert (plain-mode parity).
+
         Crash contract: the sequence number is persisted BEFORE the
         append (a crash between leaves a harmless gap — the reverse
         order could reissue one seq to two DIFFERENT batches, making
@@ -2358,7 +2580,8 @@ class KeyedTable:
                 "holds CHANGES against a stored base")
         data_cols = [c for c in schema.names if c != self.BUCKET_COL]
         reserved = [c for c in data_cols
-                    if c in (self.DELTA_SEQ_COL, self.DELTA_DEL_COL)]
+                    if c in (self.DELTA_SEQ_COL, self.DELTA_DEL_COL,
+                             self.DELTA_VER_COL)]
         if reserved:
             raise ValueError(
                 f"delta_upserts reserves column name(s) {reserved} for "
@@ -2431,8 +2654,17 @@ class KeyedTable:
                             F.lit(-1).cast("long").alias("__seq")))
             surv = base
             # the gate probe is KEY-scoped to the batch's buckets: prune
-            # the log read the same way the base probe above prunes
-            delta = self._read_delta(buckets=list(buckets))
+            # the log read the same way the base probe above prunes.
+            # Versioned: only the LATEST window's entries are survivors
+            # — a folded entry's state already lives in the base row it
+            # folded into (and a folded DELETE's key must read as
+            # ABSENT, so a later stale upsert re-inserts: the eager
+            # plain-mode contract)
+            if self.versioned:
+                delta = self._read_delta(buckets=list(buckets),
+                                         vers=self._delta_vers(None))
+            else:
+                delta = self._read_delta(buckets=list(buckets))
             if delta is not None:
                 de = (delta.alias("__d").join(
                           skeys.alias("__k2"), kcond("__d", "__k2"),
@@ -2496,6 +2728,29 @@ class KeyedTable:
             .alias(self.DELTA_DEL_COL),
             F.lit(seq).cast("long").alias(self.DELTA_SEQ_COL),
             F.col(self.BUCKET_COL))
+        if self.versioned:
+            # the append IS a manifest version (op "delta" — no base
+            # files; delta_buckets records the touched set for diff's
+            # pruning).  Files land FIRST, the manifest entry after —
+            # the epoch-write rule: a version is immutable once the
+            # manifest references it.  A crash between leaves an
+            # ORPHAN ver dir no manifest-driven window ever reads; the
+            # ledger's replay reuses the version number, so clean the
+            # wreckage before appending (the _clean_epoch_dirs rule).
+            ver = self.latest_epoch() + 1
+            self._clean_delta_ver_dir(ver)
+            (out.withColumn(self.DELTA_VER_COL, F.lit(ver))
+             .repartition(self.BUCKET_COL)
+             .write.mode("append")
+             .partitionBy(self.BUCKET_COL, self.DELTA_VER_COL)
+             .parquet(self._delta_path))
+            entries = self._load_manifest()
+            entries.append({
+                "e": ver, "op": "delta", "buckets": [], "emptied": [],
+                "num_buckets": self.num_buckets,
+                "delta_buckets": sorted(int(b) for b in buckets)})
+            self._save_manifest(entries)
+            return 0
         (out.repartition(self.BUCKET_COL)
          .write.mode("append")
          .partitionBy(self.BUCKET_COL)
@@ -2512,6 +2767,13 @@ class KeyedTable:
         later stale upsert re-inserts — exactly the eager plain-mode
         contract, merge_cdc's documented gap).
 
+        VERSIONED tables fold history-preservingly: the merged content
+        lands as a new manifest epoch (op "fold", the window boundary
+        from then on) and the log is RETAINED — every pre-fold version
+        still resolves its own window over its own base epochs; the
+        folded entries' partitions are reclaimed by purge_versions once
+        no retained version needs them.
+
         Crash contract: the base rewrite commits FIRST; re-applying a
         not-yet-cleared log is content-idempotent (every winner row now
         equals the folded base row; every delete winner hides an
@@ -2521,7 +2783,10 @@ class KeyedTable:
         if not self.delta_upserts:
             raise ValueError(
                 "fold_deltas requires KeyedTable(delta_upserts=True)")
-        delta = self._read_delta()
+        if self.versioned:
+            delta = self._read_delta(vers=self._delta_vers(None))
+        else:
+            delta = self._read_delta()
         if delta is None:
             # no log files, but the watermark may still trail delta_seq:
             # a batch whose every row was version-gated out bumps the
@@ -2565,6 +2830,33 @@ class KeyedTable:
         # flag BEFORE the rewrite commits (see _mark_index_dirty):
         # folded buckets change content, so bloom AND stats go dirty
         self._mark_index_dirty(buckets)
+        if self.versioned:
+            # History-preserving fold: the merged content lands as a NEW
+            # epoch (op "fold" — the delta-window BOUNDARY from here on),
+            # and the log is RETAINED, not cleared — versions before the
+            # fold still resolve their own windows over their own base
+            # epochs.  The boundary makes folded entries invisible to
+            # every read at or past the fold; purge_versions reclaims
+            # them once no retained version needs them.  Crash contract:
+            # epoch files land first (a retry's _clean_epoch_dirs eats
+            # the wreckage), the manifest entry commits the fold, and a
+            # crash before the meta save only under-reports the folded
+            # watermark — the next sweep's fold finds an empty window
+            # and heals it (the branch above).
+            epoch = self.latest_epoch() + 1
+            self._write_epoch(out, epoch)
+            entries = self._load_manifest()
+            entries.append({
+                "e": epoch, "op": "fold",
+                "buckets": sorted(int(b) for b in kept_b),
+                "emptied": sorted(int(b) for b in buckets
+                                  if b not in kept_b),
+                "num_buckets": self.num_buckets})
+            self._save_manifest(entries)
+            self._sync_stored_meta()
+            self.delta_folded_seq = self.delta_seq
+            self._save_meta()      # persist the folded-seq watermark
+            return len(buckets)
         (out.repartition(self.BUCKET_COL)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

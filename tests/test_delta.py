@@ -235,8 +235,7 @@ def test_full_row_contract_and_mode_combos(spark, tmp_path):
     with pytest.raises(ValueError, match="insert_deletes"):
         delta.merge_batch(spark.createDataFrame(
             _mk_rows([1], op="U")), insert_deletes=True)
-    for combo in (dict(tombstones=True), dict(versioned=True),
-                  dict(delete_vectors=True)):
+    for combo in (dict(tombstones=True), dict(delete_vectors=True)):
         with pytest.raises(ValueError, match="delta_upserts"):
             KeyedTable(spark, str(tmp_path / "x"), ["id"],
                        delta_upserts=True, **combo)
@@ -695,3 +694,282 @@ def test_randomized_partial_column_mirror(spark, tmp_path):
         eager.merge_batch(stg, **kw)
         assert delta.merge_batch(stg, **kw) == 0
         assert _snap(delta) == _snap(eager)
+
+
+# -- versioned x delta_upserts: merge-on-read upserts WITH time travel --
+# The wall lifted post-round-10: a versioned delta table treats every
+# append as a manifest version (op "delta", zero base files), folds
+# history-preservingly (op "fold" — the log is retained so every
+# pre-fold version still resolves), and reclaims dead log partitions at
+# purge_versions.  Oracle: an EAGER VERSIONED twin fed the same batches
+# — version numbering matches batch-for-batch until the first fold.
+
+
+def _vtwins(spark, tmp_path, n=30, buckets=4):
+    v0 = dt.datetime(2023, 12, 1)
+    rows = [Row(**{**r.asDict(), "load_timestamp": v0})
+            for r in _mk_rows(range(n))]
+    base = spark.createDataFrame(rows)
+    eager = KeyedTable(spark, str(tmp_path / "veager"), ["id"],
+                       num_buckets=buckets, versioned=True)
+    delta = KeyedTable(spark, str(tmp_path / "vdelta"), ["id"],
+                       num_buckets=buckets, versioned=True,
+                       delta_upserts=True)
+    eager.init(base)
+    delta.init(base)
+    return eager, delta
+
+
+def _vsnap(kt, as_of=None):
+    return sorted((r["id"], r["name"], r["bal"])
+                  for r in kt.read(as_of=as_of)
+                  .select("id", "name", "bal").collect())
+
+
+_V = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+_KW = dict(version_col="load_timestamp")
+
+
+def _vbatches():
+    return [
+        _mk_rows([3, 7], op="U", ver=_V(5), bal=lambda i: i + 100.0)
+        + _mk_rows([99], op="I", ver=_V(5)),
+        _mk_rows([5], op="D", ver=_V(6))
+        + _mk_rows([3], op="U", ver=_V(7), bal=lambda i: i + 200.0),
+        _mk_rows([4], op="U", ver=_V(2), bal=lambda i: -1.0),  # stale
+        _mk_rows([9], op="D", ver=_V(8))
+        + _mk_rows([11], op="U", ver=_V(8), bal=lambda i: 42.0),
+    ]
+
+
+def _vplay(spark, eager, delta):
+    """Apply the canonical batches to both twins; return the version
+    marks ((eager_ver, delta_ver) after each batch)."""
+    marks = []
+    for b in _vbatches():
+        stg = spark.createDataFrame(b)
+        eager.merge_batch(stg, **_KW)
+        assert delta.merge_batch(stg, **_KW) == 0
+        marks.append((eager.latest_epoch(), delta.latest_epoch()))
+    return marks
+
+
+def test_versioned_delta_time_travel_matches_eager_twin(spark, tmp_path):
+    eager, delta = _vtwins(spark, tmp_path)
+    files0 = _mtimes(delta)
+    marks = _vplay(spark, eager, delta)
+    assert _mtimes(delta) == files0          # zero base writes, ever
+    assert marks == [(i + 1, i + 1) for i in range(4)]
+    assert _vsnap(delta) == _vsnap(eager)
+    for ev, dv in [(0, 0)] + marks:
+        assert _vsnap(delta, as_of=dv) == _vsnap(eager, as_of=ev), dv
+
+
+def test_versioned_delta_fold_preserves_history(spark, tmp_path):
+    eager, delta = _vtwins(spark, tmp_path)
+    marks = _vplay(spark, eager, delta)
+    pre = {dv: _vsnap(delta, as_of=dv) for _, dv in [(0, 0)] + marks}
+    assert delta.health_report()["delta_batches"] == 4
+    n = delta.fold_deltas()
+    assert n > 0
+    # every pre-fold version still reads identically; the fold version
+    # itself reads as the latest pre-fold state
+    for dv, s in pre.items():
+        assert _vsnap(delta, as_of=dv) == s, dv
+    assert _vsnap(delta, as_of=delta.latest_epoch()) == _vsnap(delta)
+    assert _vsnap(delta) == _vsnap(eager)
+    # the log is RETAINED (history needs it) but the live window is
+    # empty: fold gate healed, next fold is a no-op
+    assert delta.health_report()["delta_batches"] == 0
+    assert delta.health_report()["delta_files"] == 0
+    assert delta.fold_deltas() == 0
+    # folded DELETE + later stale upsert re-inserts (plain-mode parity)
+    stg = spark.createDataFrame(
+        _mk_rows([9], op="U", ver=_V(1), bal=lambda i: 77.0))
+    eager.merge_batch(stg, **_KW)
+    delta.merge_batch(stg, **_KW)
+    assert _vsnap(delta) == _vsnap(eager)
+    assert dict((r[0], r[2]) for r in _vsnap(delta))[9] == 77.0
+
+
+def test_versioned_delta_diff_parity(spark, tmp_path):
+    eager, delta = _vtwins(spark, tmp_path)
+    _vplay(spark, eager, delta)
+    # delta-only window (no fold between the versions)
+    for a, b in [(1, 3), (0, 4), (2, 2)]:
+        de = sorted(map(tuple, eager.diff(a, b).collect()))
+        dd = sorted(map(tuple, delta.diff(a, b).collect()))
+        assert de == dd, (a, b)
+    # across a fold: the fold version adds no visible change
+    delta.fold_deltas()
+    f = delta.latest_epoch()
+    assert delta.diff(4, f).count() == 0
+    dd = sorted(map(tuple, delta.diff(0, f).collect()))
+    de = sorted(map(tuple, eager.diff(0, 4).collect()))
+    assert dd == de
+
+
+def test_versioned_delta_purge_reclaims_log(spark, tmp_path):
+    eager, delta = _vtwins(spark, tmp_path)
+    marks = _vplay(spark, eager, delta)
+    # purge cutting INTO the unfolded window: the base entry must carry
+    # the collapsed prefix's delta versions (windows of the oldest
+    # retained versions open inside the prefix)
+    keep_hist = {dv: _vsnap(delta, as_of=dv) for _, dv in marks[-3:]}
+    delta.purge_versions(keep_last=3)
+    for dv, s in keep_hist.items():
+        assert _vsnap(delta, as_of=dv) == s, dv
+    with pytest.raises(ValueError, match="purged"):
+        delta.read(as_of=0).collect()
+    # fold, then purge everything before the fold: the folded log
+    # partitions are physically deleted (pure metadata reclamation)
+    delta.fold_deltas()
+    delta.purge_versions(keep_last=1)
+    import glob as _g
+    vdirs = _g.glob(f"{delta._delta_path}/_bucket=*/_delta_ver=*")
+    assert vdirs == []                       # all entries were folded
+    assert _vsnap(delta) == _vsnap(eager)
+    # and the table still merges + folds after the purge
+    stg = spark.createDataFrame(
+        _mk_rows([14], op="U", ver=_V(9), bal=lambda i: 9.9))
+    eager.merge_batch(stg, **_KW)
+    delta.merge_batch(stg, **_KW)
+    assert _vsnap(delta) == _vsnap(eager)
+    assert delta.fold_deltas() > 0
+    assert _vsnap(delta) == _vsnap(eager)
+
+
+def test_versioned_delta_append_crash_replay_converges(spark, tmp_path):
+    """Crash between the log append and the manifest entry: the orphan
+    _delta_ver dir is invisible (windows are manifest-driven) and the
+    ledger's replay reuses the version number, cleaning the wreckage."""
+    eager, delta = _vtwins(spark, tmp_path)
+    manifest_before = delta._read_sidecar("_epochs.json")
+    pre = _vsnap(delta)
+    rows = _mk_rows([3, 7], op="U", ver=_V(5), bal=lambda i: i + 100.0)
+    delta.merge_batch(spark.createDataFrame(rows), **_KW)
+    # simulate the crash: files landed, manifest write lost
+    delta._write_sidecar("_epochs.json", manifest_before)
+    assert _vsnap(delta) == pre              # orphan entries invisible
+    # replay (fresh handle, as the ledger would)
+    replay = KeyedTable(spark, delta.path, ["id"])
+    eager.merge_batch(spark.createDataFrame(rows), **_KW)
+    replay.merge_batch(spark.createDataFrame(rows), **_KW)
+    assert _vsnap(replay) == _vsnap(eager)
+    # the replay cleaned the orphan copy: exactly one entry per key in
+    # the version's partition
+    ver = replay.latest_epoch()
+    log = replay._read_delta(vers=[ver])
+    assert log.groupBy("id").count().agg(
+        F.max("count")).first()[0] == 1
+
+
+def test_versioned_delta_fold_crash_windows(spark, tmp_path):
+    eager, delta = _vtwins(spark, tmp_path)
+    _vplay(spark, eager, delta)
+    # (a) epoch files written, manifest entry lost: next fold reuses the
+    # epoch number and _clean_epoch_dirs eats the wreckage
+    manifest_before = delta._read_sidecar("_epochs.json")
+    meta_before = delta._read_sidecar("_meta.json")
+    delta.fold_deltas()
+    delta._write_sidecar("_epochs.json", manifest_before)
+    delta._write_sidecar("_meta.json", meta_before)
+    crashed = KeyedTable(spark, delta.path, ["id"])
+    assert _vsnap(crashed) == _vsnap(eager)  # reads unaffected
+    assert crashed.fold_deltas() > 0         # retry converges
+    assert _vsnap(crashed) == _vsnap(eager)
+    # (b) manifest committed, meta save lost: backlog over-reports; the
+    # next sweep's fold finds an empty window and heals the watermark
+    meta_before = crashed._read_sidecar("_meta.json")
+    stg = spark.createDataFrame(
+        _mk_rows([8], op="U", ver=_V(9), bal=lambda i: 1.5))
+    eager.merge_batch(stg, **_KW)
+    crashed.merge_batch(stg, **_KW)
+    meta_after_append = crashed._read_sidecar("_meta.json")
+    crashed.fold_deltas()
+    crashed._write_sidecar("_meta.json", meta_after_append)
+    healed = KeyedTable(spark, crashed.path, ["id"])
+    assert healed.health_report()["delta_batches"] > 0   # over-report
+    assert healed.fold_deltas() == 0                     # heals
+    assert healed.health_report()["delta_batches"] == 0
+    assert _vsnap(healed) == _vsnap(eager)
+
+
+def test_versioned_delta_partial_and_blind(spark, tmp_path):
+    # partial-column batch on a versioned table (materialized append)
+    eager, delta = _vtwins(spark, tmp_path)
+    stg = spark.createDataFrame(
+        [(3, _V(5), "U"), (88, _V(5), "I")],
+        "id bigint, load_timestamp timestamp, Op string")
+    eager.merge_batch(stg, **_KW)
+    assert delta.merge_batch(stg, **_KW) == 0
+    assert _vsnap(delta) == _vsnap(eager)
+    got = {r[0]: r for r in _vsnap(delta)}
+    assert got[3] == (3, "n3", 3.0) and got[88] == (88, None, None)
+    # blind append (no version column): zero reads, every write wins —
+    # and it is still a time-travelable version
+    b = spark.createDataFrame(_mk_rows([2], bal=lambda i: 222.0))
+    eager2 = KeyedTable(spark, str(tmp_path / "e2"), ["id"],
+                        num_buckets=4, versioned=True)
+    delta2 = KeyedTable(spark, str(tmp_path / "d2"), ["id"],
+                        num_buckets=4, versioned=True, delta_upserts=True)
+    base = spark.createDataFrame(_mk_rows(range(10)))
+    eager2.init(base)
+    delta2.init(base)
+    eager2.merge_batch(b)
+    assert delta2.merge_batch(b) == 0
+    assert _vsnap(delta2) == _vsnap(eager2)
+    assert _vsnap(delta2, as_of=0) == _vsnap(eager2, as_of=0)
+    assert _vsnap(delta2, as_of=1) == _vsnap(eager2, as_of=1)
+
+
+def test_versioned_delta_randomized_mirror(spark, tmp_path):
+    """Property: random batches with interleaved FOLDS stay identical
+    to the eager twin at EVERY recorded version, before and after each
+    fold (version ids diverge after a fold — compare recorded marks)."""
+    rng = random.Random(4242)
+    eager, delta = _vtwins(spark, tmp_path, n=25)
+    vers = [None] + [dt.datetime(2024, 1, d) for d in range(1, 9)]
+    marks = [(0, 0)]
+    for step in range(8):
+        rows, seen = [], set()
+        for i in rng.sample(range(30), rng.randint(1, 7)):
+            if i in seen:
+                continue
+            seen.add(i)
+            rows.append(Row(id=i, name=f"x{i}", bal=rng.random() * 100,
+                            Op=rng.choice(["U", "U", "I", "D"]),
+                            load_timestamp=rng.choice(vers)))
+        stg = spark.createDataFrame(
+            rows, "id bigint, name string, bal double, Op string, "
+            "load_timestamp timestamp")
+        eager.merge_batch(stg, **_KW)
+        assert delta.merge_batch(stg, **_KW) == 0
+        marks.append((eager.latest_epoch(), delta.latest_epoch()))
+        if step in (2, 5):
+            delta.fold_deltas()
+        for ev, dv in marks:
+            assert _vsnap(delta, as_of=dv) == _vsnap(eager, as_of=ev), \
+                (step, ev, dv)
+
+
+def test_versioned_delta_bloom_overlay_and_rebucket(spark, tmp_path):
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    eager, delta = _vtwins(spark, tmp_path)
+    ix = BloomIndex(delta, "name")
+    ix.build()
+    _vplay(spark, eager, delta)
+    # bloom lookup resolves through the log overlay: an updated row's
+    # NEW name is found even though no base file holds it
+    got = {r["id"]: r["bal"] for r in ix.lookup(["n3"]).collect()}
+    assert got == {3: 203.0}
+    # rebucket = full entry = window boundary; pre-rebucket versions
+    # still lookup with the bucket count in force THEN
+    pre3 = _vsnap(delta, as_of=3)
+    delta.rebucket(8)
+    assert _vsnap(delta, as_of=3) == pre3
+    row = delta.lookup([3], as_of=3).collect()
+    assert len(row) == 1 and row[0]["bal"] == 203.0
+    row = delta.lookup([3]).collect()
+    assert len(row) == 1 and row[0]["bal"] == 203.0
+    assert _vsnap(delta) == _vsnap(eager)
