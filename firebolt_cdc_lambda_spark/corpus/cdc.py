@@ -1113,8 +1113,12 @@ def cdc_mor_upsert(spark, sf):
     tmp = tempfile.mkdtemp(prefix="cdc_mor_q_")     # left for OS cleanup
     eager = KeyedTable(spark, f"{tmp}/eager", ["o_orderkey"],
                        num_buckets=16)
+    # the delta table is VERSIONED: every append is a manifest version
+    # (zero base files), so the query also pins time travel THROUGH
+    # the merge-on-read path — as_of=0 must read the untouched
+    # bootstrap before and after the fold
     delta = KeyedTable(spark, f"{tmp}/delta", ["o_orderkey"],
-                       num_buckets=16, delta_upserts=True)
+                       num_buckets=16, versioned=True, delta_upserts=True)
     eager.init(orders)
     delta.init(orders)
 
@@ -1149,27 +1153,40 @@ def cdc_mor_upsert(spark, sf):
                        int(st.getLen()))
                       for _, st, _ in delta._walk_data_files())
 
-    def state(kt):
-        row = kt.read().agg(
+    def state(df):
+        row = df.agg(
             F.count(F.lit(1)).alias("c"),
             F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h")
         ).collect()[0]
         return int(row["c"]), row["h"]
 
     files0 = base_files()
+    s0 = state(orders)
     for b in (b1, b2):
         eager.merge_batch(b, version_col="o_orderdate")
         nb = delta.merge_batch(b, version_col="o_orderdate")
         assert nb == 0, f"delta merge rewrote {nb} base buckets"
     assert base_files() == files0, "a base data file changed"
-    merged = state(delta)
-    assert merged == state(eager), \
+    merged = state(delta.read())
+    assert merged == state(eager.read()), \
         "merge-on-read snapshot diverged from the eager twin"
+    v_mark = delta.latest_epoch()        # version after batch 2
     n = delta.fold_deltas()
     # 6 logged keys can touch at most 6 buckets — fold cost ∝ keys
     assert 0 < n <= 6, f"fold rewrote {n} buckets"
-    assert delta._read_delta() is None, "fold left sidecar entries"
-    assert state(delta) == merged, "fold changed the visible snapshot"
+    # versioned fold RETAINS the log for history; the live window must
+    # be empty (folded entries invisible to every read at or past it)
+    assert delta._read_delta(vers=delta._delta_vers(None)) is None, \
+        "fold left live-window entries"
+    assert state(delta.read()) == merged, \
+        "fold changed the visible snapshot"
+    # time travel through the merge-on-read path, across the fold:
+    # the bootstrap version still reads the untouched source, and the
+    # pre-fold batch-2 version still reads the merged state
+    assert state(delta.read(as_of=0)) == s0, \
+        "as_of=0 diverged from the bootstrap snapshot"
+    assert state(delta.read(as_of=v_mark)) == merged, \
+        "pre-fold version diverged after the fold"
     return delta.read().select(*cols)
 
 
@@ -1285,10 +1302,12 @@ QUERIES = {
         "hash"),
     "cdc_mor_upsert": Query(
         cdc_mor_upsert, CDC_MOR_UPSERT_SQL,
-        "merge-on-read upserts: two CDC batches (updates, insert, "
-        "deletes, a stale update gated at append) land as delta-log "
-        "appends — zero base buckets rewritten and base files "
+        "merge-on-read upserts on a VERSIONED table: two CDC batches "
+        "(updates, insert, deletes, a stale update gated at append) "
+        "land as delta-log appends that are themselves manifest "
+        "versions — zero base buckets rewritten and base files "
         "mtime-identical (asserted), snapshot hash-matches the eager "
-        "twin, fold clears the log invisibly — post-fold state under "
-        "the value hash"),
+        "twin, fold is history-preserving (live window empties, "
+        "as_of=0 and the pre-fold version still read exactly, all "
+        "asserted) — post-fold state under the value hash"),
 }
