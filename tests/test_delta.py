@@ -973,3 +973,87 @@ def test_versioned_delta_bloom_overlay_and_rebucket(spark, tmp_path):
     row = delta.lookup([3]).collect()
     assert len(row) == 1 and row[0]["bal"] == 203.0
     assert _vsnap(delta) == _vsnap(eager)
+
+
+def test_versioned_delta_pipeline_and_fleet(spark, tmp_path):
+    """End-to-end wiring: CdcPipeline(versioned=True, delta_upserts=
+    True) lands every CDC file as a manifest version with zero base
+    rewrites, the fleet's fold gate reads the meta backlog, and the
+    fold preserves every file's version for time travel."""
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+    from firebolt_cdc_lambda_spark.streaming.fleet import CdcFleet
+
+    def write_file(root, table, date, name, rows):
+        y, m, d = date.split("-")
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite").parquet(f"{root}/fair/{table}/{y}/{m}/{d}/{name}")
+
+    root = str(tmp_path / "src")
+    write_file(root, "users", "2024-01-01", "a.parquet", [
+        Row(id=1, name="alice", Op="I", load_timestamp=TS),
+        Row(id=2, name="bob", Op="I", load_timestamp=TS)])
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4, version_col="load_timestamp",
+                       versioned=True, delta_upserts=True)
+    fleet = CdcFleet(pipe, root, str(tmp_path / "ckpt"))
+    assert fleet.run_once(spark)["users"] == "drained"
+    t = pipe.target_for("users", ["id"])
+    assert t.delta_upserts and t.versioned      # persisted in meta
+    files0 = _mtimes(t)
+    for d in (2, 3):
+        write_file(root, "users", f"2024-01-0{d}", "b.parquet", [
+            Row(id=1, name=f"alice{d}", Op="U",
+                load_timestamp=dt.datetime(2024, 1, d)),
+            Row(id=10 * d, name=f"new{d}", Op="I",
+                load_timestamp=dt.datetime(2024, 1, d))])
+        assert fleet.run_once(spark)["users"] == "drained"
+    assert _mtimes(t) == files0                 # NO base rewrites
+    assert t.latest_epoch() == 2                # one version per file
+    v1 = sorted((r["id"], r["name"]) for r in
+                t.read(as_of=1).select("id", "name").collect())
+    assert dict(v1)[1] == "alice2" and 30 not in dict(v1)
+    vis = sorted((r["id"], r["name"]) for r in
+                 t.read().select("id", "name").collect())
+    assert pipe.delta_backlog("users") == 2
+    status = fleet.run_maintenance(fold_delta_batches=2)
+    assert status["users"] == "purged"
+    assert pipe.delta_backlog("users") == 0
+    # fold preserved per-file versions AND the live snapshot
+    assert sorted((r["id"], r["name"]) for r in
+                  t.read().select("id", "name").collect()) == vis
+    assert sorted((r["id"], r["name"]) for r in
+                  t.read(as_of=1).select("id", "name").collect()) == v1
+
+
+def test_versioned_delta_schema_evolution(spark, tmp_path):
+    """ADD COLUMN on a versioned delta table: the evolution rewrite is
+    a full entry (window boundary), post-evolution appends carry the
+    new column, and HISTORIC versions (base epochs and log entries
+    written under the old schema) read under the current schema with
+    the absent column null — the versioned convention."""
+    eager, delta = _vtwins(spark, tmp_path, n=12)
+    marks = _vplay(spark, eager, delta)
+    # evolve: add a column (the pipeline's auto-ADD path)
+    for kt in (eager, delta):
+        snap = kt.snapshot_for_rewrite().withColumn(
+            "tier", F.lit(None).cast("string"))
+        kt.rewrite(snap)
+    assert delta.health_report()["delta_batches"] == 0   # folded
+    assert _vsnap(delta) == _vsnap(eager)
+    # post-evolution append with the new column populated
+    stg = spark.createDataFrame(
+        [Row(id=3, name="n3v", bal=1.0, tier="gold",
+             load_timestamp=_V(9), Op="U")])
+    eager.merge_batch(stg, **_KW)
+    assert delta.merge_batch(stg, **_KW) == 0
+    got = {r["id"]: (r["tier"], r["bal"])
+           for r in delta.read().where("id in (3, 4)").collect()}
+    assert got[3] == ("gold", 1.0) and got[4][0] is None
+    # historic version: pre-evolution log entries read with tier null
+    pre = delta.read(as_of=marks[0][1])
+    assert "tier" in pre.columns
+    row = pre.where("id = 3").collect()[0]
+    assert row["tier"] is None and row["bal"] == 103.0
+    assert _vsnap(delta) == _vsnap(eager)
