@@ -581,6 +581,45 @@ def bench_mor_upsert(spark, sf_dir) -> tuple[list[float], list[float]]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
+    """Versioned merge-on-read (post-round-10 feature): the same batch
+    shape as cdc_mor_upsert_batch on a versioned=True delta table —
+    each append is a manifest version (gate probe + log append + one
+    manifest round trip, still ZERO bucket rewrites).  Compare against
+    cdc_mor_upsert_batch to watch the versioning tax on the append
+    path; the second sample list times a TIME-TRAVEL read (as_of the
+    first append, overlaying its one-version window)."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .withColumn("load_timestamp",
+                          F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    tmp = tempfile.mkdtemp(prefix="bench_morv_")
+    try:
+        kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                        num_buckets=64, versioned=True, delta_upserts=True)
+        kt.init(orders)
+        (orders.where("o_orderkey % 5000 = 17")   # ~30 keys
+         .withColumn("Op", F.lit("U"))
+         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+         .withColumn("load_timestamp",
+                     F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+         .coalesce(1).write.parquet(f"{tmp}/batch"))
+        b = spark.read.parquet(f"{tmp}/batch")
+        kt.merge_batch(b, version_col="load_timestamp")     # warm
+        samples = []
+        for _ in range(N_REPS_MERGE):
+            t0 = time.time()
+            kt.merge_batch(b, version_col="load_timestamp")
+            samples.append(time.time() - t0)
+        tt = []
+        for _ in range(2):
+            t0 = time.time()
+            kt.read(as_of=1).agg(F.sum("o_totalprice")).collect()
+            tt.append(time.time() - t0)
+        return samples, tt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_fleet_sweep(spark, sf_dir) -> list[float]:
     """Aggregate maintenance sweep (round-10 judge order #5): ONE
     number for the whole fleet-cadence slot — health listings +
@@ -768,6 +807,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"mor bench failed: {exc}", file=sys.stderr)
         mor_upsert = mor_fold = 0.0
+    # post-round-10 — shielded, reported outside `queries`
+    try:
+        morv_samples, morv_tt = bench_mor_versioned(spark, sf_dir)
+        mor_versioned = round(min(morv_samples), 3)
+        mor_time_travel = round(min(morv_tt), 3)
+        dispersion["cdc_mor_versioned_batch"] = summarize(morv_samples)
+    except Exception as exc:  # noqa: BLE001
+        print(f"mor-versioned bench failed: {exc}", file=sys.stderr)
+        mor_versioned = mor_time_travel = 0.0
     try:
         sw_samples = bench_fleet_sweep(spark, sf_dir)
         fleet_sweep = round(min(sw_samples), 3)
@@ -821,6 +869,8 @@ def main() -> None:
         "cdc_compact_small_files": compact_run,
         "cdc_mor_upsert_batch": mor_upsert,
         "cdc_mor_fold": mor_fold,
+        "cdc_mor_versioned_batch": mor_versioned,
+        "cdc_mor_time_travel": mor_time_travel,
         "fleet_maintenance_sweep": fleet_sweep,
         "dispersion": dispersion,
         "sf": sf,

@@ -539,7 +539,14 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #     log invisibly, all asserted in-query), landed under GATE-FREEZE
 #     rule 2: it displaces text_token_count, the r7 tail re-gate whose
 #     token-count shape is the most redundantly re-covered
-#     (text_token_topk r8, text_bpe_train_loop r9).
+#     (text_token_topk r8, text_bpe_train_loop r9).  UPGRADED at the
+#     round-10 tail when the versioned wall fell: the delta table is
+#     now VERSIONED — the same batches land as manifest versions, and
+#     the query additionally asserts time travel through the
+#     merge-on-read path (as_of=0 reads the untouched bootstrap and
+#     the pre-fold version reads the merged state AFTER the
+#     history-preserving fold, live window empty).  Full gate dry-run
+#     re-run after the upgrade, same oracle, same cost.
 # Post-round arithmetic (if all 50 land green): 174 corpus queries,
 # 174/174 ever-gated (zero never-gated — the freeze-policy invariant
 # holds); newest-row distribution r10=50, r9=50, r8=50, r7=24, r6=0

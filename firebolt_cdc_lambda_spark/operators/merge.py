@@ -435,7 +435,9 @@ class KeyedTable:
             raise ValueError(
                 "delete_vectors replaces tombstones (the sidecar carries "
                 "the delete's version for the same out-of-order gate) and "
-                "is not yet supported on versioned tables (v1)")
+                "is not supported on versioned tables — use delta_upserts "
+                "there (merge-on-read for upserts AND deletes, composes "
+                "with versioning)")
         if self.delta_upserts and (self.tombstones or self.delete_vectors):
             raise ValueError(
                 "delta_upserts subsumes delete_vectors (DELETE rows ride "
