@@ -1057,3 +1057,33 @@ def test_versioned_delta_schema_evolution(spark, tmp_path):
     row = pre.where("id = 3").collect()[0]
     assert row["tier"] is None and row["bal"] == 103.0
     assert _vsnap(delta) == _vsnap(eager)
+
+
+def test_versioned_delta_read_plan_contract(spark, tmp_path):
+    """Plan contract (PLANS §7v): the versioned merged read keeps the
+    broadcast shape AND selects the log structurally — a latest read's
+    input files cover exactly the LIVE window's _delta_ver dirs (none
+    after a fold, though the folded history is still on disk), and a
+    historic read touches only its own window."""
+    eager, delta = _vtwins(spark, tmp_path, n=200, buckets=8)
+    marks = _vplay(spark, eager, delta)
+
+    def log_vers(df):
+        import re
+        return sorted({int(m) for f in df.inputFiles()
+                       for m in re.findall(r"_delta_ver=(\d+)", f)})
+
+    df = delta.read()
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert log_vers(df) == [1, 2, 3, 4]          # the whole live window
+    assert log_vers(delta.read(as_of=2)) == [1, 2]   # its own window
+    delta.fold_deltas()
+    # history still on disk, but the latest read touches NO log dir
+    import glob as _g
+    assert _g.glob(f"{delta._delta_path}/_bucket=*/_delta_ver=*")
+    assert log_vers(delta.read()) == []
+    assert log_vers(delta.read(as_of=marks[1][1])) == [1, 2]
