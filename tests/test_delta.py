@@ -1087,3 +1087,35 @@ def test_versioned_delta_read_plan_contract(spark, tmp_path):
     assert _g.glob(f"{delta._delta_path}/_bucket=*/_delta_ver=*")
     assert log_vers(delta.read()) == []
     assert log_vers(delta.read(as_of=marks[1][1])) == [1, 2]
+
+
+def test_versioned_delta_compact_interplay(spark, tmp_path):
+    """compact() on a versioned delta table: packing live base leaves
+    changes NO visible snapshot — latest (overlay included), every
+    historic version, and the log itself are untouched."""
+    eager, delta = _vtwins(spark, tmp_path, n=120, buckets=2)
+    # re-cut the base into many small files (per live leaf)
+    delta.cluster_by(["id"], max_records_per_file=10)
+    eager.cluster_by(["id"], max_records_per_file=10)
+    marks = _vplay(spark, eager, delta)
+    # cluster_by is a full rewrite (a window boundary); version 0 is
+    # the init and marks are the post-rewrite appends — all resolve
+    pre = {dv: _vsnap(delta, as_of=dv) for _, dv in [(0, 0)] + marks}
+    import glob as _g
+    log_before = sorted(_g.glob(
+        f"{delta._delta_path}/_bucket=*/_delta_ver=*/*.parquet"))
+    res = delta.compact(target_bytes=1 << 30, small_bytes=1 << 30)
+    assert res["files_removed"] > 0
+    assert sorted(_g.glob(
+        f"{delta._delta_path}/_bucket=*/_delta_ver=*/*.parquet")) \
+        == log_before                        # log bit-untouched
+    assert _vsnap(delta) == _vsnap(eager)
+    for dv, s in pre.items():
+        assert _vsnap(delta, as_of=dv) == s, dv
+    # and the table still appends + folds after the compact
+    stg = spark.createDataFrame(
+        _mk_rows([3], op="U", ver=_V(9), bal=lambda i: 5.5))
+    eager.merge_batch(stg, **_KW)
+    assert delta.merge_batch(stg, **_KW) == 0
+    delta.fold_deltas()
+    assert _vsnap(delta) == _vsnap(eager)
