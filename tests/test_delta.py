@@ -736,7 +736,9 @@ def _vbatches():
         + _mk_rows([99], op="I", ver=_V(5)),
         _mk_rows([5], op="D", ver=_V(6))
         + _mk_rows([3], op="U", ver=_V(7), bal=lambda i: i + 200.0),
-        _mk_rows([4], op="U", ver=_V(2), bal=lambda i: -1.0),  # stale
+        # genuinely stale: older than the v0 base row, must lose
+        _mk_rows([4], op="U", ver=dt.datetime(2023, 11, 1),
+                 bal=lambda i: -1.0),
         _mk_rows([9], op="D", ver=_V(8))
         + _mk_rows([11], op="U", ver=_V(8), bal=lambda i: 42.0),
     ]
@@ -1079,8 +1081,12 @@ def test_versioned_delta_read_plan_contract(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert log_vers(df) == [1, 2, 3, 4]          # the whole live window
+    # the whole live window — version 3 (the fully-gated stale batch)
+    # is an EMPTY version: it exists in the manifest (a valid as_of)
+    # but landed no log files, so no _delta_ver=3 dir is ever read
+    assert log_vers(df) == [1, 2, 4]
     assert log_vers(delta.read(as_of=2)) == [1, 2]   # its own window
+    assert _vsnap(delta, as_of=3) == _vsnap(delta, as_of=2)
     delta.fold_deltas()
     # history still on disk, but the latest read touches NO log dir
     import glob as _g
