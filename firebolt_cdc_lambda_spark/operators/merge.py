@@ -749,8 +749,9 @@ class KeyedTable:
 
     def history(self) -> list[dict]:
         """The manifest entries, oldest first — one per committed write
-        (init / merge / rewrite), plus at most one leading ``base`` entry
-        left by purge_versions."""
+        (init / merge / rewrite / restore, plus, on a delta table,
+        "delta" appends and "fold"s), and at most one leading ``base``
+        entry left by purge_versions."""
         return sorted(self._load_manifest(), key=lambda e: int(e["e"]))
 
     def _resolve_epochs(self, as_of: int | None) -> tuple[dict[int, int], int]:
@@ -1393,6 +1394,36 @@ class KeyedTable:
             # boundary, so no window ever spans two counts)
             buckets=buckets, as_of=as_of)
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
+
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW version (the
+        Delta/Iceberg RESTORE shape): history is preserved — the bad
+        versions stay readable for forensics until purged, and the
+        restore itself is an auditable manifest entry.  Returns the new
+        latest version.
+
+        Implementation: a full rewrite from the as-of RAW snapshot
+        (tombstone marker rows and column included, so the out-of-order
+        gate survives exactly as ``snapshot_for_rewrite`` preserves it
+        for current-state rewrites; on a delta table the target
+        window's entries are applied and the rewrite is the log's fold
+        point, as any full entry is).  Cost is O(live rows at that
+        version) — honest and simple; a metadata-only restore (manifest
+        entry re-pointing at the old epochs + a recorded delta window)
+        would be O(1) but needs a new terminal entry kind in
+        ``_resolve_epochs``, noted as future work in ROADMAP.  A
+        restore to the CURRENT version is a no-op rewrite, still a new
+        version (idempotent audit semantics)."""
+        if not self.versioned:
+            raise ValueError("restore requires a versioned table "
+                             "(KeyedTable(..., versioned=True))")
+        # (delete_vectors cannot reach here: the DV x versioned combo is
+        # rejected at construction)
+        snap = self._read_raw(as_of=version).drop(self.BUCKET_COL)
+        if self.delta_upserts:
+            snap = self._apply_delta(snap, as_of=version)
+        self.rewrite(snap)
+        return self.latest_epoch()
 
     def purge_tombstones(self, before_version=None,
                          version_col: str | None = None) -> bool:

@@ -233,3 +233,81 @@ def test_every_version_equals_fresh_replay(spark, tmp_path_factory, batches):
         for df in dfs[:i]:
             ku.merge_batch(df)
         assert rows(kv.read(as_of=i), "k", "v") == rows(ku.read(), "k", "v"), i
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """RESTORE (the Delta/Iceberg shape): roll back to an old version
+    AS a new version — history preserved, bad versions still readable,
+    the restore auditable in the manifest, merges continue after."""
+    kt = make(spark, tmp_path)
+    kt.init(base_df(spark).drop("Op"))
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=1, v="bad", Op="U"), Row(k=100, v="junk", Op="I")]))
+    kt.merge_batch(spark.createDataFrame([Row(k=2, v="x", Op="D")]))
+    v0 = rows(kt.read(as_of=0), "k", "v")
+    v2 = rows(kt.read(as_of=2), "k", "v")
+    new_v = kt.restore(0)
+    assert new_v == kt.latest_epoch() == 3
+    assert kt.history()[-1]["op"] == "rewrite"      # auditable entry
+    assert rows(kt.read(), "k", "v") == v0          # rolled back
+    assert rows(kt.read(as_of=2), "k", "v") == v2   # forensics intact
+    assert rows(kt.read(as_of=3), "k", "v") == v0
+    kt.merge_batch(spark.createDataFrame([Row(k=5, v="after", Op="U")]))
+    got = dict(rows(kt.read(), "k", "v"))
+    assert got[5] == "after" and 100 not in got
+    with pytest.raises(ValueError, match="versioned"):
+        KeyedTable(spark, str(tmp_path / "u"), ["k"],
+                   num_buckets=2).restore(0)
+
+
+def test_restore_keeps_tombstone_markers(spark, tmp_path):
+    """Restoring to a version whose state includes a tombstoned delete
+    must carry the MARKER row (not just the visible rows): the
+    out-of-order gate survives the restore, so a stale late upsert of
+    the deleted key stays gated."""
+    import datetime as dt
+    kt = make(spark, tmp_path, tombstones=True)
+    kt.init(spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ts=dt.datetime(2024, 1, 5))
+         for i in range(10)]))
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=3, v="x", ts=dt.datetime(2024, 1, 9), Op="D")]),
+        version_col="ts")                       # v1: tombstoned delete
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=7, v="upd", ts=dt.datetime(2024, 1, 10), Op="U")]),
+        version_col="ts")                       # v2: unrelated update
+    kt.restore(1)                               # v3 == v1's state
+    assert 3 not in dict(rows(kt.read(), "k", "v"))
+    # the stale late upsert (older than the delete) must stay gated
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=3, v="stale", ts=dt.datetime(2024, 1, 7), Op="U")]),
+        version_col="ts")
+    assert 3 not in dict(rows(kt.read(), "k", "v"))
+
+
+def test_restore_on_versioned_delta_folds_window(spark, tmp_path):
+    """restore() on a versioned delta table applies the TARGET
+    version's log window and acts as the log's fold point (a full
+    entry): post-restore reads need no log, history still resolves."""
+    kt = KeyedTable(spark, str(tmp_path / "d"), ["k"], num_buckets=4,
+                    versioned=True, delta_upserts=True)
+    kt.init(base_df(spark).drop("Op"))
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=1, v="one", Op="U")]))           # v1 (delta append)
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=2, v="two", Op="U"), Row(k=50, v="fifty", Op="I")]))  # v2
+    v1 = rows(kt.read(as_of=1), "k", "v")
+    new_v = kt.restore(1)                       # roll back past v2
+    assert rows(kt.read(), "k", "v") == v1
+    assert dict(rows(kt.read(), "k", "v"))[1] == "one"
+    assert 50 not in dict(rows(kt.read(), "k", "v"))
+    assert rows(kt.read(as_of=2), "k", "v") != v1   # forensics intact
+    # the restore is the window boundary: a latest read touches no log
+    assert not any("_delta_ver=" in f for f in kt.read().inputFiles())
+    assert kt.health_report()["delta_batches"] == 0
+    # and the mode keeps working: append + fold after the restore
+    kt.merge_batch(spark.createDataFrame([Row(k=4, v="post", Op="U")]))
+    assert dict(rows(kt.read(), "k", "v"))[4] == "post"
+    assert kt.fold_deltas() > 0
+    assert dict(rows(kt.read(), "k", "v"))[4] == "post"
+    assert rows(kt.read(as_of=new_v), "k", "v") == v1
