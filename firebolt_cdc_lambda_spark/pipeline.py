@@ -451,6 +451,23 @@ class CdcPipeline:
             return 0
         return target.fold_deltas()
 
+    def restore_table(self, table: str, version: int) -> int | None:
+        """Roll ``table`` back to ``version`` as a NEW version
+        (KeyedTable.restore — the incident tool: a bad batch landed,
+        the operator restores and replays).  Returns the new latest
+        version, or None if the table is unconfigured / absent / not
+        versioned.  Unlike the maintenance wrappers this NEVER runs on
+        a cadence — a restore is an operator decision; pair it with a
+        ledger reset for the replayed window if the bad batches should
+        re-land."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return None
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.versioned:
+            return None
+        return target.restore(version)
+
     def delta_backlog(self, table: str) -> int:
         """Unfolded delta-log BATCH count (delta_seq minus the folded
         watermark) — the fleet fold gate's signal.  A pure meta-sidecar

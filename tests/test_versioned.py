@@ -311,3 +311,34 @@ def test_restore_on_versioned_delta_folds_window(spark, tmp_path):
     assert kt.fold_deltas() > 0
     assert dict(rows(kt.read(), "k", "v"))[4] == "post"
     assert rows(kt.read(as_of=new_v), "k", "v") == v1
+
+
+def test_pipeline_restore_table(spark, tmp_path):
+    """The incident-tool surface: a bad CDC batch lands through the
+    pipeline, restore_table rolls the target back, processing
+    continues."""
+    import datetime as dt
+
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       num_buckets=4, version_col="ts", versioned=True)
+    pipe.process_batch("users", ["id"], spark.createDataFrame(
+        [Row(id=1, name="alice", Op="I", ts=dt.datetime(2024, 1, 1))]))
+    pipe.process_batch("users", ["id"], spark.createDataFrame(
+        [Row(id=1, name="CORRUPT", Op="U", ts=dt.datetime(2024, 1, 2))]))
+    t = pipe.target_for("users", ["id"])
+    assert [r["name"] for r in t.read().collect()] == ["CORRUPT"]
+    new_v = pipe.restore_table("users", t.latest_epoch() - 1)
+    assert new_v == t.latest_epoch()
+    assert [r["name"] for r in t.read().collect()] == ["alice"]
+    # unconfigured / unversioned targets answer None, never raise
+    assert pipe.restore_table("nosuch", 0) is None
+    pipe2 = CdcPipeline(spark, str(tmp_path / "wh2"),
+                        TableKeys.from_json('{"u2": "id"}'),
+                        num_buckets=2, version_col="ts")
+    pipe2.process_batch("u2", ["id"], spark.createDataFrame(
+        [Row(id=1, name="x", Op="I", ts=dt.datetime(2024, 1, 1))]))
+    assert pipe2.restore_table("u2", 0) is None
