@@ -1125,3 +1125,31 @@ def test_versioned_delta_compact_interplay(spark, tmp_path):
     assert delta.merge_batch(stg, **_KW) == 0
     delta.fold_deltas()
     assert _vsnap(delta) == _vsnap(eager)
+
+
+def test_versioned_delta_fold_empties_bucket(spark, tmp_path):
+    """A fold whose deletes empty an entire bucket: the fold entry's
+    'emptied' list drops it from resolution at and past the fold,
+    while earlier versions still read the bucket's rows."""
+    eager, delta = _vtwins(spark, tmp_path, n=8, buckets=2)
+    # find every key in bucket 0 and delete all of them
+    b0 = [r["id"] for r in delta._with_bucket(
+        spark.createDataFrame(_mk_rows(range(8))))
+        .where("_bucket = 0").select("id").collect()]
+    assert b0
+    stg = spark.createDataFrame(_mk_rows(b0, op="D", ver=_V(9)))
+    eager.merge_batch(stg, **_KW)
+    assert delta.merge_batch(stg, **_KW) == 0
+    pre0 = _vsnap(delta, as_of=0)
+    n = delta.fold_deltas()
+    assert n >= 1
+    fold_entry = delta.history()[-1]
+    assert fold_entry["op"] == "fold" and 0 in fold_entry["emptied"]
+    assert _vsnap(delta) == _vsnap(eager)
+    assert not any(r[0] in set(b0) for r in _vsnap(delta))
+    assert _vsnap(delta, as_of=0) == pre0       # history keeps them
+    # a key hashed into the emptied bucket re-inserts cleanly
+    stg = spark.createDataFrame(_mk_rows([b0[0]], op="I", ver=_V(10)))
+    eager.merge_batch(stg, **_KW)
+    delta.merge_batch(stg, **_KW)
+    assert _vsnap(delta) == _vsnap(eager)
