@@ -109,5 +109,25 @@ def register_point_view(spark: SparkSession, table, column: str,
     return name
 
 
+def register_snapshot_view(spark: SparkSession, table, name: str,
+                           as_of: int | None = None) -> str:
+    """Register a (possibly historical) KeyedTable snapshot as a temp
+    view — time travel for SQL users:
+
+        register_snapshot_view(spark, kt, "orders_v3", as_of=3)
+        spark.sql("SELECT ... FROM orders_v3")
+
+    ``as_of=None`` registers the LIVE snapshot (tombstones hidden,
+    delete vectors applied, delta-log overlay resolved).  A versioned
+    table's historical snapshot is immutable by construction (epoch
+    dirs are append-only and the delta window is manifest-pinned), so
+    unlike the index-routed views there is no staleness direction to
+    warn about until purge_versions deletes the version's files — the
+    next SELECT then fails loudly, and the version is gone for every
+    reader, not just this view."""
+    table.read(as_of=as_of).createOrReplaceTempView(name)
+    return name
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)

@@ -148,3 +148,30 @@ def test_register_point_view_hits_bloom_index(spark, tmp_path):
     # absent index on another column: correct full-scan degrade
     sqlapi.register_point_view(spark, kt, "v", "v7", values=[7.0])
     assert spark.sql("SELECT COUNT(*) AS n FROM v7").first()["n"] == 1
+
+
+def test_register_snapshot_view_time_travel(spark, tmp_path):
+    """SQL users time-travel through a temp view: live and as-of
+    snapshots register, the delta-log overlay resolves, and a purged
+    version fails loudly at read."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2,
+                    versioned=True, delta_upserts=True)
+    kt.init(spark.createDataFrame([Row(id=i, v=float(i))
+                                   for i in range(6)]))
+    kt.merge_batch(spark.createDataFrame([Row(id=3, v=333.0, Op="U")]))
+    sqlapi.register_snapshot_view(spark, kt, "t_live")
+    sqlapi.register_snapshot_view(spark, kt, "t_v0", as_of=0)
+    assert spark.sql(
+        "SELECT v FROM t_live WHERE id = 3").first()["v"] == 333.0
+    assert spark.sql(
+        "SELECT v FROM t_v0 WHERE id = 3").first()["v"] == 3.0
+    # purge drops version 0's files; the stale view now fails loudly
+    kt.fold_deltas()
+    kt.purge_versions(keep_last=1)
+    with pytest.raises((Py4JJavaError, ValueError)):
+        spark.sql("SELECT COUNT(*) FROM t_v0").collect()
