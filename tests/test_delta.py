@@ -1153,3 +1153,56 @@ def test_versioned_delta_fold_empties_bucket(spark, tmp_path):
     eager.merge_batch(stg, **_KW)
     delta.merge_batch(stg, **_KW)
     assert _vsnap(delta) == _vsnap(eager)
+
+
+def test_versioned_delta_composite_null_keys(spark, tmp_path):
+    """Composite key with NULL components through the versioned delta
+    path: the null-safe key algebra (bucket hash, gate probe window,
+    winner window, fold join) must group a NULL component like any
+    value — mirror-checked against the eager versioned twin."""
+    # unique composite keys (a KeyedTable's contract), five of them
+    # with a NULL first component
+    rows = [Row(a=i % 3 if i % 5 else None, b=f"g{i}",
+                v=float(i), load_timestamp=dt.datetime(2023, 12, 1))
+            for i in range(24)]
+    base = spark.createDataFrame(
+        rows, "a int, b string, v double, load_timestamp timestamp")
+    eager = KeyedTable(spark, str(tmp_path / "ce"), ["a", "b"],
+                       num_buckets=4, versioned=True)
+    delta = KeyedTable(spark, str(tmp_path / "cd"), ["a", "b"],
+                       num_buckets=4, versioned=True, delta_upserts=True)
+    eager.init(base)
+    delta.init(base)
+
+    def snap(kt, as_of=None):
+        return sorted(((r["a"], r["b"], r["v"]) for r in
+                       kt.read(as_of=as_of).collect()),
+                      key=lambda t: (t[0] is None, t))
+
+    batches = [
+        # update a NULL-component key; insert a fresh NULL-keyed row
+        [(None, "g0", 100.0, dt.datetime(2024, 1, 5), "U"),
+         (None, "zz", 7.0, dt.datetime(2024, 1, 5), "I")],
+        # delete a NULL-component key; stale update of another (loses)
+        [(None, "g5", 0.0, dt.datetime(2024, 1, 6), "D"),
+         (1, "g7", -1.0, dt.datetime(2023, 11, 1), "U")],
+        # re-update the same NULL key (log-winner-over-log path)
+        [(None, "g0", 200.0, dt.datetime(2024, 1, 7), "U")],
+    ]
+    schema = ("a int, b string, v double, load_timestamp timestamp, "
+              "Op string")
+    marks = []
+    for b in batches:
+        stg = spark.createDataFrame(b, schema)
+        eager.merge_batch(stg, version_col="load_timestamp")
+        assert delta.merge_batch(stg, version_col="load_timestamp") == 0
+        marks.append(delta.latest_epoch())
+        assert snap(delta) == snap(eager)
+    got = {(r[0], r[1]): r[2] for r in snap(delta)}
+    assert got[(None, "g0")] == 200.0 and got[(None, "zz")] == 7.0
+    assert (None, "g5") not in got and got[(1, "g7")] == 7.0
+    pre = {m: snap(delta, as_of=m) for m in [0] + marks}
+    delta.fold_deltas()
+    for m, s in pre.items():
+        assert snap(delta, as_of=m) == s, m
+    assert snap(delta) == snap(eager)
