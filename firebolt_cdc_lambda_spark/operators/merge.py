@@ -378,6 +378,12 @@ class KeyedTable:
     #: selection is structural (a read lists only its window's dirs) and
     #: purge_versions reclaims dead history as pure metadata deletes
     DELTA_VER_COL = "_delta_ver"
+    #: beyond this many window versions, log reads switch from an
+    #: explicit brace-alternation glob to _delta_ver=* plus a
+    #: driver-side filter of the matched dir names (identical result;
+    #: guards the out-of-fold-posture case from an O(arms)-per-dir
+    #: glob regex)
+    DELTA_GLOB_VER_CAP = 64
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  num_buckets: int = 64, tombstones: bool = False,
@@ -1204,15 +1210,33 @@ class KeyedTable:
             fs, root, jvm = self._fs_and_path(self._delta_path)
             bsel = ("*" if buckets is None else
                     "{" + ",".join(str(b) for b in sorted(buckets)) + "}")
-            vsel = "{" + ",".join(str(v) for v in sorted(vers)) + "}"
+            want = {int(v) for v in vers}
+            # a brace alternation costs O(arms) per listed dir; inside
+            # the fleet's fold posture the window is ~8 arms, but an
+            # operator who never folds could push it into the
+            # thousands — beyond the cap, match every ver dir and
+            # filter the window driver-side (identical result, one
+            # pass over dir names instead of an N-arm glob regex)
+            if len(want) <= self.DELTA_GLOB_VER_CAP:
+                vsel = "{" + ",".join(str(v) for v in sorted(want)) + "}"
+            else:
+                vsel = "*"
             # expand to CONCRETE matched dirs driver-side — a multi-path
             # read where one arm matches nothing fails whole with
             # PATH_NOT_FOUND (the _read_versioned rule)
             glob = jvm.org.apache.hadoop.fs.Path(
                 f"{self._delta_path}/{self.BUCKET_COL}={bsel}/"
                 f"{self.DELTA_VER_COL}={vsel}")
-            paths = [st.getPath().toString()
-                     for st in (fs.globStatus(glob) or [])]
+            paths = []
+            for st in fs.globStatus(glob) or []:
+                p = st.getPath()
+                if vsel == "*":
+                    try:
+                        if int(p.getName().split("=", 1)[1]) not in want:
+                            continue
+                    except ValueError:
+                        continue
+                paths.append(p.toString())
             if not paths:
                 return None
             rschema = T.StructType(
@@ -1937,21 +1961,34 @@ class KeyedTable:
             if self.versioned:
                 # count only the LIVE window's entries — folded history
                 # retained for time travel is purge_versions' debt, not
-                # the fold gate's
-                vers = self._delta_vers(None)
+                # the fold gate's.  Same glob-arm cap as _read_delta:
+                # beyond it, match every ver dir and filter by name.
+                vers = set(self._delta_vers(None))
+                capped = len(vers) > self.DELTA_GLOB_VER_CAP
+                vsel = ("*" if capped else
+                        "{" + ",".join(str(v) for v in sorted(vers)) + "}")
                 globs = ([f"{self._delta_path}/{self.BUCKET_COL}=*/"
-                          f"{self.DELTA_VER_COL}="
-                          "{" + ",".join(str(v) for v in vers) + "}"
-                          "/*.parquet"] if vers else [])
+                          f"{self.DELTA_VER_COL}={vsel}/*.parquet"]
+                         if vers else [])
             else:
+                capped = False
                 globs = [f"{self._delta_path}/{self.BUCKET_COL}=*/"
                          "*.parquet"]
             for g in globs:
                 glob = jvm.org.apache.hadoop.fs.Path(g)
                 for st in fs.globStatus(glob) or []:
-                    if st.isFile():
-                        report["delta_files"] += 1
-                        report["delta_bytes"] += int(st.getLen())
+                    if not st.isFile():
+                        continue
+                    if capped:
+                        try:
+                            v = int(st.getPath().getParent().getName()
+                                    .split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if v not in vers:
+                            continue
+                    report["delta_files"] += 1
+                    report["delta_bytes"] += int(st.getLen())
         if self.delete_vectors:
             # sidecar growth is the fold signal (the DV analogue of
             # dead_ratio): entries accumulate until fold_delete_vectors

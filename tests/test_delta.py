@@ -1206,3 +1206,27 @@ def test_versioned_delta_composite_null_keys(spark, tmp_path):
     for m, s in pre.items():
         assert snap(delta, as_of=m) == s, m
     assert snap(delta) == snap(eager)
+
+
+def test_versioned_delta_glob_cap_fallback(spark, tmp_path, monkeypatch):
+    """Beyond DELTA_GLOB_VER_CAP window versions, log reads switch
+    from an N-arm brace glob to _delta_ver=* plus a driver-side name
+    filter — results must be IDENTICAL (read, health, and the window
+    exclusion of folded/orphan dirs)."""
+    eager, delta = _vtwins(spark, tmp_path)
+    marks = _vplay(spark, eager, delta)
+    expected = _vsnap(delta)
+    hist = _vsnap(delta, as_of=marks[1][1])
+    rep = delta.health_report()
+    monkeypatch.setattr(KeyedTable, "DELTA_GLOB_VER_CAP", 1)
+    assert _vsnap(delta) == expected == _vsnap(eager)
+    assert _vsnap(delta, as_of=marks[1][1]) == hist
+    rep_capped = delta.health_report()
+    assert (rep_capped["delta_files"], rep_capped["delta_bytes"]) \
+        == (rep["delta_files"], rep["delta_bytes"])
+    # the capped filter still EXCLUDES out-of-window dirs: after a
+    # fold, the retained history matches nothing in the live window
+    delta.fold_deltas()
+    assert delta.health_report()["delta_files"] == 0
+    assert _vsnap(delta) == expected
+    assert _vsnap(delta, as_of=marks[1][1]) == hist
