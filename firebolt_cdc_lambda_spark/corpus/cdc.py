@@ -1206,6 +1206,104 @@ UNION ALL
 SELECT {_MOR_NEW_KEY}, 1, 'O', 123.45, TIMESTAMP '2005-06-16 00:00:00'
 """
 
+# -- metadata-only RESTORE under the oracle (round-11 headline) -----------
+# The incident tool: a bad CDC batch lands on a versioned merge-on-read
+# table, the operator restores PAST it as a new version — pure metadata
+# (the query asserts ZERO data files written or removed across the
+# restore, base AND log), auditable (op "restore" + restored_from), and
+# history-preserving (the bad version stays readable for forensics).
+# The table is versioned+delta, so the restore must re-open the target
+# version's LOG WINDOW verbatim through the replacement-walk — the bad
+# batch's log entries sit NEWER in the same log and must not leak.
+# Returned: the post-incident latest (restore + a follow-up good batch)
+# union-tagged with the bad-version forensic snapshot; DuckDB
+# reconstructs both states from relational algebra alone, so a leaked
+# restored-away entry, a lost re-opened entry, or a resurrected delete
+# hash-mismatches.  Reference anchor: the reference fleet's bad-reload
+# recovery was a ~60-minute manual runbook
+# (RETRIGGER_LAMBDA_README.md:185-196).
+_RESTORE_NEW_KEY = 3_000_000
+
+
+def cdc_restore_time_travel(spark, sf):
+    import os
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf, "orders").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="cdc_restore_q_")  # left for OS cleanup
+    kt = KeyedTable(spark, f"{tmp}/orders", ["o_orderkey"],
+                    num_buckets=32, versioned=True, delta_upserts=True)
+    kt.init(orders)                                             # v0
+    good1 = (orders.where("o_orderkey % 100 = 7")
+             .withColumn("o_totalprice", F.col("o_totalprice") + 11.0)
+             .withColumn("Op", F.lit("U"))
+             .unionByName(spark.createDataFrame(
+                 [(_RESTORE_NEW_KEY, 1, "O", 123.45, "I")],
+                 orders.withColumn("Op", F.lit("")).schema)))
+    bad = (orders.where("o_orderkey % 100 = 13")
+           .withColumn("o_totalprice", F.lit(-999.0))
+           .withColumn("Op", F.lit("U"))
+           .unionByName(orders.where("o_orderkey % 100 = 21")
+                        .withColumn("Op", F.lit("D"))))
+    good2 = (orders.where("o_orderkey % 100 = 33")
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+             .withColumn("Op", F.lit("U"))
+             .unionByName(orders.where("o_orderkey % 100 = 47")
+                          .withColumn("Op", F.lit("D"))))
+
+    def files():
+        out = set()
+        for root in (f"{tmp}/orders", f"{tmp}/orders__delta"):
+            for dirpath, _dirs, names in os.walk(root):
+                out.update((os.path.join(dirpath, f),
+                            os.path.getmtime(os.path.join(dirpath, f)))
+                           for f in names if f.endswith(".parquet"))
+        return out
+
+    assert kt.merge_batch(good1) == 0                           # v1
+    assert kt.merge_batch(bad) == 0                             # v2: bad
+    before = files()
+    new_v = kt.restore(1)                                       # v3 -> v1
+    assert files() == before, "restore touched a data file"
+    last = kt.history()[-1]
+    assert (last["op"], last["restored_from"]) == ("restore", 1), \
+        "restore must be auditable in the manifest"
+    # the re-opened window is exactly v1's: the bad batch's log entry
+    # (same log, newer version) must not leak through the restore
+    assert kt._delta_vers(None) == [1], kt._delta_vers(None)
+    assert new_v == 3
+    kt.merge_batch(good2)                                       # v4
+    post = kt.read().select(
+        F.lit("post").alias("snapshot_version"), *cols)
+    forensic = kt.read(as_of=2).select(
+        F.lit("bad").alias("snapshot_version"), *cols)
+    return post.unionByName(forensic)
+
+
+CDC_RESTORE_TIME_TRAVEL_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice + 11.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT {_RESTORE_NEW_KEY}, 1, 'O', 123.45
+)
+SELECT 'post' AS snapshot_version, o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 100 = 33 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM v1 WHERE o_orderkey % 100 <> 47
+UNION ALL
+SELECT 'bad' AS snapshot_version, o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 100 = 13 THEN -999.0
+            ELSE o_totalprice END AS o_totalprice
+FROM v1 WHERE o_orderkey % 100 <> 21
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -1310,4 +1408,13 @@ QUERIES = {
         "twin, fold is history-preserving (live window empties, "
         "as_of=0 and the pre-fold version still read exactly, all "
         "asserted) — post-fold state under the value hash"),
+    "cdc_restore_time_travel": Query(
+        cdc_restore_time_travel, CDC_RESTORE_TIME_TRAVEL_SQL,
+        "metadata-only RESTORE on a versioned merge-on-read table: a "
+        "bad batch lands, restore(1) rolls past it touching ZERO data "
+        "files (asserted, base and log), auditable (op restore + "
+        "restored_from, asserted), re-opening exactly the target's "
+        "log window (asserted); a good batch continues after — the "
+        "post-incident latest union-tagged with the bad version's "
+        "forensic snapshot, both under the value hash"),
 }

@@ -445,10 +445,20 @@ class KeyedTable:
                 "there (merge-on-read for upserts AND deletes, composes "
                 "with versioning)")
         if self.delta_upserts and (self.tombstones or self.delete_vectors):
+            # FINAL contract, not a TODO (round 11): the combinations
+            # stay walled.  delta_upserts subsumes delete_vectors
+            # (DELETE rows ride the same log), and tombstones would be
+            # a DIFFERENT out-of-order contract the log already
+            # subsumes — out-of-order users of delta mode get the gate
+            # via versioned delta tables (every append is version-gated
+            # at append time against the then-current survivor).
             raise ValueError(
                 "delta_upserts subsumes delete_vectors (DELETE rows ride "
                 "the same log) and keeps plain-mode delete semantics "
-                "(tombstones would be a different out-of-order contract)")
+                "(tombstones would be a different out-of-order contract "
+                "— for out-of-order CDC on a delta table, use "
+                "KeyedTable(versioned=True, delta_upserts=True): the "
+                "log's append gate IS the version gate)")
         # SIBLING dataset like the bloom sidecars: an in-dir child would
         # be swept into the table's own scans, and an underscore-prefixed
         # root is unreadable by Spark's file index
@@ -775,10 +785,14 @@ class KeyedTable:
             raise ValueError(f"version {as_of} does not exist (latest is "
                              f"{latest})")
         visible = [e for e in entries if int(e["e"]) <= as_of]
-        if not visible or "base" in visible[-1]:
-            # a base entry is the collapsed REMAINS of purged versions —
-            # it supports resolution of newer versions, it is not one
-            oldest = next((e["e"] for e in entries if "base" not in e), None)
+        if not visible or visible[-1].get("op") == "base":
+            # an op-"base" entry is the collapsed REMAINS of purged
+            # versions — it supports resolution of newer versions, it
+            # is not one.  The check is on the op, not the "base" key:
+            # a metadata restore entry is base-SHAPED too, and reading
+            # AT a restore is legal (round 11).
+            oldest = next((e["e"] for e in entries
+                           if e.get("op") != "base"), None)
             raise ValueError(f"version {as_of} has been purged (oldest "
                              f"retained is {oldest})")
         nb = int(visible[-1].get("num_buckets", self.num_buckets))
@@ -819,47 +833,64 @@ class KeyedTable:
     # debt at THAT version — the fleet's fold cadence, not table history.
 
     def _delta_boundary(self, as_of: int | None = None) -> int:
-        """The newest version <= ``as_of`` (None = all) whose base files
-        incorporate every log entry at or below it — log entries with
-        ver <= boundary must NOT be applied on top of that base (a
+        """The boundary of version ``as_of``'s (None = latest) read
+        window: log entries at or below it are already incorporated in
+        that version's base files and must NOT be re-applied on top (a
         folded DELETE re-hiding its key would gate out a later stale
-        upsert the eager plain-mode contract re-inserts)."""
+        upsert the eager plain-mode contract re-inserts).
+
+        REPLACEMENT WALK: a base-SHAPED entry (a purge's collapsed
+        "base", a metadata ``restore``) RESETS the boundary to its own
+        record — a restore's window is its TARGET version's window
+        verbatim, so the boundary can go DOWN across a restore (the
+        pre-round-11 monotone-in-version invariant holds only between
+        restores; purge_versions' prune rules stopped leaning on it
+        when restores arrived — see the union rule there)."""
         b = 0
         for e in self.history():
             ee = int(e["e"])
             if as_of is not None and ee > as_of:
                 break
             if "base" in e:
-                # purge collapsed the prefix; it recorded the boundary
-                # in force at the collapse point (0-safe default: over-
-                # including folded entries is harmless for reads and
-                # can only arise on a manifest this code didn't write)
+                # recorded walk state (0-safe default: over-including
+                # folded entries is harmless for reads and can only
+                # arise on a manifest this code didn't write)
                 b = int(e.get("delta_boundary", 0))
             elif e.get("full") or e.get("op") == "fold":
                 b = ee
         return b
 
     def _delta_vers(self, as_of: int | None = None) -> list[int]:
-        """The delta-append versions in the window
-        (fold_boundary(as_of), as_of] — exactly the log partitions a
-        read at ``as_of`` (None = latest) overlays on its base.  A
-        purge's collapsed "base" entry contributes the prefix's own
-        delta versions above its boundary (recorded at collapse time):
-        the oldest retained versions' windows may open inside the
-        collapsed prefix."""
-        lo = self._delta_boundary(as_of)
-        out: list[int] = []
+        """The delta-append versions in version ``as_of``'s (None =
+        latest) read window — exactly the log partitions a read at that
+        version overlays on its base.
+
+        REPLACEMENT WALK (the round-11 restore semantics): the walk
+        carries (boundary, versions) forward; a base-SHAPED entry (a
+        purge's collapsed "base" — whose record lets the oldest
+        retained versions' windows open inside the collapsed prefix —
+        or a metadata ``restore``) RESETS that state to its own record,
+        and a fold/full entry CLEARS it.  The reset is load-bearing for
+        restore: entries of restored-away versions remain in the
+        manifest but must not contribute past the restore — naive
+        accumulation against a single global boundary would overlay
+        them (the bug the ROADMAP 5b design called out), because a
+        restore legitimately LOWERS the boundary.  Pinned against an
+        independent model in tests/test_delta_manifest_algebra.py."""
+        vers: list[int] = []
         for e in self.history():
             ee = int(e["e"])
             if as_of is not None and ee > as_of:
                 break
             if "base" in e:
-                out.extend(int(v) for v in e.get("delta_vers", ())
-                           if int(v) > lo
-                           and (as_of is None or int(v) <= as_of))
-            elif e.get("op") == "delta" and ee > lo:
-                out.append(ee)
-        return sorted(out)
+                lo = int(e.get("delta_boundary", 0))
+                vers = [int(v) for v in e.get("delta_vers", ())
+                        if int(v) > lo]
+            elif e.get("full") or e.get("op") == "fold":
+                vers = []
+            elif e.get("op") == "delta":
+                vers.append(ee)
+        return sorted(vers)
 
     def _clean_delta_ver_dir(self, ver: int) -> None:
         """Remove log leaf dirs a CRASHED append at this version may
@@ -1205,8 +1236,13 @@ class KeyedTable:
             from pyspark.sql import types as T
             schema = self._load_schema()
             if schema is None:
-                raise ValueError(f"delta log at {self._delta_path} has "
-                                 "no schema sidecar")
+                # the TABLE's sidecar, not a log-specific one: the
+                # versioned delta read pins its schema from it (advice
+                # finding, round 10 — the old wording misdirected
+                # debugging toward the log directory)
+                raise ValueError(
+                    f"table at {self.path} has no schema sidecar; the "
+                    "versioned delta-log read pins its schema from it")
             fs, root, jvm = self._fs_and_path(self._delta_path)
             bsel = ("*" if buckets is None else
                     "{" + ",".join(str(b) for b in sorted(buckets)) + "}")
@@ -1419,35 +1455,97 @@ class KeyedTable:
             buckets=buckets, as_of=as_of)
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int, materialize: bool = False) -> int:
         """Roll the table BACK to ``version`` as a NEW version (the
         Delta/Iceberg RESTORE shape): history is preserved — the bad
         versions stay readable for forensics until purged, and the
-        restore itself is an auditable manifest entry.  Returns the new
-        latest version.
+        restore itself is an auditable manifest entry (op "restore",
+        with ``restored_from``).  Returns the new latest version.
+        The incident tool the reference fleet lacked: their bad-reload
+        recovery was a ~60-minute manual fix+retrigger+verify runbook
+        (RETRIGGER_LAMBDA_README.md:185-196).
 
-        Implementation: a full rewrite from the as-of RAW snapshot
-        (tombstone marker rows and column included, so the out-of-order
-        gate survives exactly as ``snapshot_for_rewrite`` preserves it
-        for current-state rewrites; on a delta table the target
-        window's entries are applied and the rewrite is the log's fold
-        point, as any full entry is).  Cost is O(live rows at that
-        version) — honest and simple; a metadata-only restore (manifest
-        entry re-pointing at the old epochs + a recorded delta window)
-        would be O(1) but needs a new terminal entry kind in
-        ``_resolve_epochs``, noted as future work in ROADMAP.  A
-        restore to the CURRENT version is a no-op rewrite, still a new
-        version (idempotent audit semantics)."""
+        Default (``materialize=False``): METADATA-ONLY — a base-shaped
+        manifest entry re-points every bucket at the target version's
+        epoch dirs and, on a delta table, re-opens the target's log
+        window verbatim (recorded (boundary, versions); the
+        replacement-walk in ``_delta_vers`` keeps restored-away
+        entries from leaking through).  ZERO data files are read or
+        written: a 100 TB rollback is one sidecar write.  Tombstone
+        marker rows ride along (they live in the re-pointed files), so
+        the out-of-order gate survives.  The stored ``num_buckets``
+        flips to the target's (subsequent merges must hash with the
+        count those files were bucketed under — restoring across a
+        rebucket is legal), and ``table_version`` bumps (bloom/stats
+        sidecars indexed the pre-restore content; they fail open and
+        rebuild on the maintenance cadence).  Schema is NOT rolled
+        back: history reads always pin the CURRENT sidecar schema
+        (post-evolution columns read as null in pre-evolution epochs),
+        so the restored view matches ``read(as_of=version)`` exactly —
+        the same contract the materialized path inherits from
+        ``rewrite``.  Crash contract: meta commits before the manifest
+        entry, the same window ``rewrite`` has — a crash between the
+        two leaves a table whose next write hashes under the target's
+        bucket count; re-running the restore converges (pure metadata,
+        idempotent up to the audit entry).
+
+        ``materialize=True``: the round-10 behavior — a full rewrite of
+        the as-of RAW snapshot (delta window applied), O(live rows at
+        that version).  The rewrite is the log's fold point, as any
+        full entry is; use it to also compact a long-history table's
+        live view into fresh files in the same pass.
+
+        A restore to the CURRENT version is a no-op re-point, still a
+        new version (idempotent audit semantics)."""
         if not self.versioned:
             raise ValueError("restore requires a versioned table "
                              "(KeyedTable(..., versioned=True))")
         # (delete_vectors cannot reach here: the DV x versioned combo is
         # rejected at construction)
-        snap = self._read_raw(as_of=version).drop(self.BUCKET_COL)
+        if materialize:
+            snap = self._read_raw(as_of=version).drop(self.BUCKET_COL)
+            if self.delta_upserts:
+                snap = self._apply_delta(snap, as_of=version)
+            self.rewrite(snap)
+            # stamp the entry apart from an ordinary rewrite (the audit
+            # trail must distinguish a rollback from schema evolution —
+            # advice finding, round 10).  Resolution keys off the
+            # "full" flag, not the op string, so this is purely
+            # additive.
+            entries = self._load_manifest()
+            entries[-1]["op"] = "restore"
+            entries[-1]["restored_from"] = int(version)
+            self._save_manifest(entries)
+            return self.latest_epoch()
+        # validates the target exists and is not purged, and yields the
+        # exact assignment + bucket count the entry re-points to
+        assign, nb = self._resolve_epochs(version)
+        self._bump_table_version()   # voids bloom/stats (fail-open)
+        epoch = self.latest_epoch() + 1
+        entry: dict = {
+            "e": epoch, "op": "restore", "restored_from": int(version),
+            "base": {str(b): int(e) for b, e in assign.items()},
+            "num_buckets": nb, "buckets": [], "emptied": []}
         if self.delta_upserts:
-            snap = self._apply_delta(snap, as_of=version)
-        self.rewrite(snap)
-        return self.latest_epoch()
+            win = self._delta_vers(version)
+            entry["delta_boundary"] = self._delta_boundary(version)
+            entry["delta_vers"] = win
+            # re-arm the fold gate for the re-opened window: the
+            # watermark tracks BATCHES, and each windowed version was
+            # one batch, so seq - len(window) under-counts at worst
+            # (gated-out batches bumped seq without a version) — the
+            # gate over-fires, fold_deltas folds or heals, never
+            # silent debt.  min(): never RAISE the watermark here — a
+            # raise could hide genuinely unfolded batches.
+            self.delta_folded_seq = min(
+                self.delta_folded_seq,
+                max(0, self.delta_seq - len(win)))
+        self.num_buckets = nb
+        self._save_meta()
+        entries = self._load_manifest()
+        entries.append(entry)
+        self._save_manifest(entries)
+        return epoch
 
     def purge_tombstones(self, before_version=None,
                          version_col: str | None = None) -> bool:
@@ -1501,9 +1599,23 @@ class KeyedTable:
             return []
         cutoff = int(entries[-keep_last]["e"])
         assign, nb = self._resolve_epochs(cutoff)
-        # every retained version >= cutoff resolves each bucket to either
-        # an epoch >= cutoff (kept wholesale) or to exactly assign[b]
-        needed_old = {(b, e) for b, e in assign.items() if e < cutoff}
+        # UNION rule (round 11): an old (bucket, epoch) leaf survives
+        # iff SOME retained version still resolves to it.  Before
+        # restore existed, assign(cutoff) alone sufficed (every
+        # retained version resolved each bucket to an epoch >= cutoff
+        # or to exactly assign(cutoff)[b]); a retained RESTORE entry
+        # re-points buckets at arbitrary older epochs, so the need set
+        # is the union over every retained version's resolution.
+        # Driver-side and O(versions * manifest walk) — same class as
+        # Delta/Iceberg snapshot GC, never a Spark job.
+        needed_old: set[tuple[int, int]] = set()
+        for en in entries:
+            v = int(en["e"])
+            if v < cutoff:
+                continue
+            av, _ = self._resolve_epochs(v)
+            needed_old.update((b, e) for b, e in av.items()
+                              if e < cutoff)
         deleted: set[int] = set()
         fs, root, jvm = self._fs_and_path(self.path)
         for entry in entries:
@@ -1528,33 +1640,38 @@ class KeyedTable:
                       "num_buckets": nb}
         if self.delta_upserts:
             # The collapsed prefix loses its fold/full entries, so the
-            # base entry RECORDS the delta-window boundary in force at
-            # the collapse point — _delta_boundary resolves it for every
+            # base entry RECORDS the replacement-walk state at the
+            # collapse point (boundary + window versions) — the walk in
+            # _delta_boundary/_delta_vers resumes from it for every
             # retained version whose window opens inside the prefix.
-            # Log partitions at or below boundary(cutoff) are needed by
-            # NO retained version (every V >= cutoff has boundary(V) >=
-            # boundary(cutoff)): delete them — pure metadata, and it
-            # also sweeps orphan dirs a crashed append left below the
-            # boundary.  Deletes run BEFORE the manifest collapse: a
+            # UNION prune rule (round 11): a log partition survives iff
+            # it sits in SOME retained version's window.  The old rule
+            # (delete ver <= boundary(cutoff)) leaned on boundary
+            # monotonicity, which restore breaks by design — a retained
+            # restore may re-open a window far below a retained fold.
+            # The union rule is also strictly stronger housekeeping: it
+            # reclaims dead MID-history windows (folded before cutoff,
+            # re-opened by nobody) and orphan dirs from crashed
+            # appends.  Deletes run BEFORE the manifest collapse: a
             # crash mid-delete leaves the old manifest, and the retry
             # re-enumerates; the reverse order would strand the dirs
             # forever (the entries they'd be enumerated from are gone).
             bnd_rec = self._delta_boundary(cutoff - 1)
             base_entry["delta_boundary"] = bnd_rec
-            # the prefix's delta versions above the boundary are still
-            # inside the oldest retained versions' windows — carry them
-            # into the base entry (merging a previous purge's record)
-            carried: set[int] = set()
+            needed_vers: set[int] = set()
             for en in entries:
                 if int(en["e"]) >= cutoff:
-                    continue
-                if "base" in en:
-                    carried.update(int(v) for v in en.get("delta_vers", ()))
-                elif en.get("op") == "delta":
-                    carried.add(int(en["e"]))
+                    needed_vers.update(self._delta_vers(int(en["e"])))
+            # the recorded window is the walk state at cutoff-1,
+            # filtered to surviving dirs: a recorded version no
+            # retained window contains can never re-enter one (the
+            # walk clears it at the first retained fold/full/restore
+            # before any read could overlay it), and recording it
+            # would leave the manifest naming a deleted dir (advice
+            # finding, round 10)
             base_entry["delta_vers"] = sorted(
-                v for v in carried if v > bnd_rec)
-            bnd_keep = self._delta_boundary(cutoff)
+                v for v in self._delta_vers(cutoff - 1)
+                if v in needed_vers)
             dfs, droot, djvm = self._fs_and_path(self._delta_path)
             if dfs.exists(droot):
                 glob = djvm.org.apache.hadoop.fs.Path(
@@ -1566,7 +1683,7 @@ class KeyedTable:
                         v = int(name.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if v <= bnd_keep:
+                    if v not in needed_vers:
                         dfs.delete(st.getPath(), True)
         kept_entries = [en for en in entries if int(en["e"]) >= cutoff]
         self._save_manifest([base_entry] + kept_entries)
@@ -1609,19 +1726,36 @@ class KeyedTable:
                 b for b in set(a_assign) | set(b_assign)
                 if a_assign.get(b) != b_assign.get(b)}
             if self.delta_upserts:
-                # a delta append changes no base assignment — its touched
-                # buckets come from the manifest entry's own record.
-                # Entries at or before from_version affect both snapshots
-                # identically (same window entries win, or a fold between
-                # the versions rewrote their buckets — caught by the
-                # assignment diff above), so only (from, to] contributes.
-                for e in self.history():
-                    ee = int(e["e"])
-                    if (e.get("op") == "delta"
-                            and from_version < ee <= resolved_to):
-                        changed_set.update(
-                            int(b) for b in e.get("delta_buckets", ()))
-            changed: Sequence[int] | None = sorted(changed_set)
+                # a delta append changes no base assignment — its
+                # touched buckets come from the manifest entry's own
+                # record.  The two snapshots' overlays differ exactly
+                # on the SYMMETRIC DIFFERENCE of their windows: an
+                # entry in both windows wins identically on both sides;
+                # one folded out between the versions had its buckets
+                # rewritten (caught by the assignment diff above, but
+                # adding them again is harmless); one RE-OPENED by a
+                # restore between the versions changes content with NO
+                # assignment change — the (from, to] interval scan this
+                # replaced missed that case (round-11 regression:
+                # test_diff_across_restore).  Both windows' entries
+                # were stamped under the same bucket count (a_nb ==
+                # b_nb here, and no window spans a rebucket).
+                by_e = {int(e["e"]): e for e in self.history()}
+                wf = set(self._delta_vers(from_version))
+                wt = set(self._delta_vers(resolved_to))
+                for v in wf ^ wt:
+                    en = by_e.get(v)
+                    if en is None or "delta_buckets" not in en:
+                        # the entry was purge-collapsed into a base
+                        # record (its window survives, its per-version
+                        # bucket list does not) — prune is best-effort,
+                        # fall back to a full two-sided scan
+                        changed_set = None
+                        break
+                    changed_set.update(int(b)
+                                       for b in en["delta_buckets"])
+            changed: Sequence[int] | None = (
+                None if changed_set is None else sorted(changed_set))
         else:
             changed = None
         old = self._hide_tombstones(

@@ -451,22 +451,25 @@ class CdcPipeline:
             return 0
         return target.fold_deltas()
 
-    def restore_table(self, table: str, version: int) -> int | None:
+    def restore_table(self, table: str, version: int,
+                      materialize: bool = False) -> int | None:
         """Roll ``table`` back to ``version`` as a NEW version
         (KeyedTable.restore — the incident tool: a bad batch landed,
-        the operator restores and replays).  Returns the new latest
-        version, or None if the table is unconfigured / absent / not
-        versioned.  Unlike the maintenance wrappers this NEVER runs on
-        a cadence — a restore is an operator decision; pair it with a
-        ledger reset for the replayed window if the bad batches should
-        re-land."""
+        the operator restores and replays).  Metadata-only by default
+        (zero data files touched — a 100 TB rollback is one sidecar
+        write); ``materialize=True`` rewrites the live view into fresh
+        files in the same pass.  Returns the new latest version, or
+        None if the table is unconfigured / absent / not versioned.
+        Unlike the maintenance wrappers this NEVER runs on a cadence —
+        a restore is an operator decision; pair it with a ledger reset
+        for the replayed window if the bad batches should re-land."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return None
         target = self.target_for(table, keys)
         if not target.exists() or not target.versioned:
             return None
-        return target.restore(version)
+        return target.restore(version, materialize=materialize)
 
     def delta_backlog(self, table: str) -> int:
         """Unfolded delta-log BATCH count (delta_seq minus the folded

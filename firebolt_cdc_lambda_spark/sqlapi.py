@@ -119,12 +119,18 @@ def register_snapshot_view(spark: SparkSession, table, name: str,
 
     ``as_of=None`` registers the LIVE snapshot (tombstones hidden,
     delete vectors applied, delta-log overlay resolved).  A versioned
-    table's historical snapshot is immutable by construction (epoch
-    dirs are append-only and the delta window is manifest-pinned), so
-    unlike the index-routed views there is no staleness direction to
-    warn about until purge_versions deletes the version's files — the
-    next SELECT then fails loudly, and the version is gone for every
-    reader, not just this view."""
+    table's historical CONTENT is immutable by construction (epoch
+    dirs are append-only and the delta window is manifest-pinned), but
+    the FILES a view pinned at registration are not: purge_versions
+    deletes a purged version's files, and compact() swaps live leaf
+    files in place with no manifest change — either makes the next
+    SELECT through this view raise PATH_NOT_FOUND (advice finding,
+    round 10: the same re-register-after-compaction rule the range
+    view documents applies here).  Fail-loud, never stale or partial:
+    re-register after purge_versions and after compact() — after a
+    purge the version is gone for every reader; after a compact the
+    re-registered view serves the identical (bit-for-bit) snapshot
+    from the packed files."""
     table.read(as_of=as_of).createOrReplaceTempView(name)
     return name
 

@@ -1,23 +1,40 @@
-"""Pure-manifest property tests for the versioned-delta window algebra
-(no Spark): _delta_boundary / _delta_vers are pure functions of
-history(), and every read's correctness rests on four invariants of
-that algebra — pinned here under hypothesis over random manifests,
-including purge-collapsed prefixes (the shape that carried the one
-real bug this feature's bring-up found: a collapse losing delta
-versions still inside retained windows)."""
+"""Pure-manifest property tests for the versioned manifest algebra
+(no Spark): _delta_boundary / _delta_vers / _resolve_epochs are pure
+functions of history(), and every read's correctness rests on the
+invariants of that algebra — pinned here under hypothesis over random
+manifests, including purge-collapsed prefixes (the shape that carried
+the one real bug the round-10 bring-up found: a collapse losing delta
+versions still inside retained windows) and, from round 11, RESTORE
+entries (metadata-only rollback: a base-shaped entry that RESETS the
+walk state — the replacement-walk semantics; naive accumulation would
+overlay restored-away windows, the bug the banked design warned
+against).
+
+The collapse/prune replicas below mirror purge_versions' round-11
+rules: epoch dirs survive iff SOME retained version resolves to them
+(union rule — a retained restore may reference epochs far below the
+cutoff assignment, so the old assign(cutoff)-only rule is unsound),
+and delta-log dirs survive iff they sit in SOME retained version's
+window (the old `ver <= boundary(cutoff)` delete rule relied on
+boundary monotonicity, which restore breaks by design)."""
 
 from hypothesis import given, settings, strategies as st
 
 from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
 
+NB = 2  # model bucket count
+
 
 class _Stub:
-    """The minimal surface _delta_boundary/_delta_vers touch — the
-    REAL methods are borrowed onto it, so this tests the production
+    """The minimal surface the manifest algebra touches — the REAL
+    methods are borrowed onto it, so this tests the production
     algebra, not a copy."""
 
     _delta_boundary = KeyedTable._delta_boundary
     _delta_vers = KeyedTable._delta_vers
+    _resolve_epochs = KeyedTable._resolve_epochs
+
+    num_buckets = NB
 
     def __init__(self, entries):
         self._entries = entries
@@ -27,90 +44,185 @@ class _Stub:
 
 
 # an op sequence: each element becomes manifest entry e=i+1 on top of
-# the init full at e=0
-_OPS = st.lists(st.sampled_from(["delta", "fold", "rewrite", "merge"]),
-                min_size=0, max_size=24)
+# the init full at e=0.  "restore" carries a raw draw reduced mod the
+# number of existing versions at build time (any version is a legal
+# target pre-purge).  "fold0" models a fold that EMPTIES bucket 0
+# (its logged keys all deleted) — exercises the dropped-bucket walk
+# under restore resurrection.
+_OP = st.one_of(
+    st.sampled_from(["delta", "fold", "fold0", "rewrite",
+                     "merge0", "merge1"]),
+    st.tuples(st.just("restore"), st.integers(min_value=0,
+                                              max_value=10_000)))
+_OPS = st.lists(_OP, min_size=0, max_size=24)
 
 
 def _build(ops):
+    """Entries + an independent MODEL of the expected algebra: for each
+    version, (boundary, window, bucket->epoch assignment, live files).
+    Restore entries carry the records the production restore() writes —
+    computed from the MODEL, so the test checks both the record's
+    construction contract and the production walk that consumes it."""
     entries = [{"e": 0, "op": "init", "full": True,
-                "buckets": [0], "emptied": [], "num_buckets": 1}]
+                "buckets": list(range(NB)), "emptied": [],
+                "num_buckets": NB}]
+    lo = {0: 0}
+    win = {0: ()}
+    assign = {0: {b: 0 for b in range(NB)}}
+    files = {(b, 0) for b in range(NB)}   # (bucket, epoch) leaf dirs
+    log_dirs = set()                      # _delta_ver partition dirs
     for i, op in enumerate(ops, start=1):
-        e = {"e": i, "op": op, "buckets": [], "emptied": [],
-             "num_buckets": 1}
-        if op == "rewrite":
-            e["full"] = True
-        if op == "merge":
-            e["buckets"] = [0]
-        if op == "delta":
-            e["delta_buckets"] = [0]
+        if isinstance(op, tuple):
+            t = op[1] % i                 # any existing version
+            e = {"e": i, "op": "restore", "restored_from": t,
+                 "base": {str(b): ep for b, ep in assign[t].items()},
+                 "num_buckets": NB, "buckets": [], "emptied": [],
+                 "delta_boundary": lo[t], "delta_vers": list(win[t])}
+            lo[i], win[i] = lo[t], win[t]
+            assign[i] = dict(assign[t])   # pure metadata: no files
+        elif op == "rewrite":
+            e = {"e": i, "op": "rewrite", "full": True,
+                 "buckets": list(range(NB)), "emptied": [],
+                 "num_buckets": NB}
+            lo[i], win[i] = i, ()
+            assign[i] = {b: i for b in range(NB)}
+            files |= {(b, i) for b in range(NB)}
+        elif op in ("fold", "fold0"):
+            kept = [1] if op == "fold0" else list(range(NB))
+            emptied = [0] if op == "fold0" else []
+            e = {"e": i, "op": "fold", "buckets": kept,
+                 "emptied": emptied, "num_buckets": NB}
+            lo[i], win[i] = i, ()
+            assign[i] = dict(assign[i - 1])
+            for b in kept:
+                assign[i][b] = i
+                files.add((b, i))
+            for b in emptied:
+                assign[i].pop(b, None)
+        elif op in ("merge0", "merge1"):
+            b = int(op[-1])
+            e = {"e": i, "op": "merge", "buckets": [b], "emptied": [],
+                 "num_buckets": NB}
+            lo[i], win[i] = lo[i - 1], win[i - 1]
+            assign[i] = dict(assign[i - 1])
+            assign[i][b] = i
+            files.add((b, i))
+        else:                             # delta append
+            e = {"e": i, "op": "delta", "buckets": [], "emptied": [],
+                 "num_buckets": NB, "delta_buckets": [0]}
+            lo[i] = lo[i - 1]
+            win[i] = tuple(win[i - 1]) + (i,)
+            assign[i] = dict(assign[i - 1])
+            log_dirs.add(i)
         entries.append(e)
-    return entries
+    return entries, lo, win, assign, files, log_dirs
 
 
-def _collapse(entries, keep_last):
-    """purge_versions' manifest collapse, replicated structurally: the
-    base entry records delta_boundary(cutoff-1) and the prefix's delta
-    versions above it (merging any earlier base's record)."""
+def _collapse(entries, keep_last, files, log_dirs):
+    """purge_versions' round-11 manifest collapse + prune rules,
+    replicated structurally: epoch dirs and log dirs survive iff some
+    RETAINED version references them (union over retained resolutions /
+    windows — sound under restore, which breaks the boundary
+    monotonicity the old rules leaned on), and the base entry records
+    the WALK STATE at cutoff-1 with its delta record filtered to the
+    union (manifest and disk agree)."""
     ordered = sorted(entries, key=lambda e: int(e["e"]))
     if len(ordered) <= keep_last:
-        return entries
+        return entries, files, log_dirs
     cutoff = int(ordered[-keep_last]["e"])
     stub = _Stub(entries)
-    bnd_rec = stub._delta_boundary(cutoff - 1)
-    carried = set()
-    for en in ordered:
-        if int(en["e"]) >= cutoff:
-            continue
-        if "base" in en:
-            carried.update(int(v) for v in en.get("delta_vers", ()))
-        elif en.get("op") == "delta":
-            carried.add(int(en["e"]))
-    base = {"e": cutoff - 1, "op": "base", "base": {},
-            "num_buckets": 1, "delta_boundary": bnd_rec,
-            "delta_vers": sorted(v for v in carried if v > bnd_rec)}
-    return [base] + [en for en in ordered if int(en["e"]) >= cutoff]
+    retained = [en for en in ordered if int(en["e"]) >= cutoff]
+    needed_files = set()
+    needed_vers = set()
+    for en in retained:
+        v = int(en["e"])
+        a, _ = stub._resolve_epochs(v)
+        needed_files |= set(a.items())
+        needed_vers |= set(stub._delta_vers(v))
+    files = {f for f in files if f in needed_files or f[1] >= cutoff}
+    log_dirs = log_dirs & needed_vers
+    a_cut, _ = stub._resolve_epochs(cutoff)
+    base = {"e": cutoff - 1, "op": "base",
+            "base": {str(b): e for b, e in a_cut.items() if e < cutoff},
+            "num_buckets": NB,
+            "delta_boundary": stub._delta_boundary(cutoff - 1),
+            "delta_vers": [v for v in stub._delta_vers(cutoff - 1)
+                           if v in needed_vers]}
+    return [base] + retained, files, log_dirs
 
 
 @settings(max_examples=300, deadline=None)
 @given(_OPS)
 def test_window_invariants(ops):
-    entries = _build(ops)
+    """_delta_boundary/_delta_vers match the independent replacement-
+    walk model at every version: a restore's window IS its target's
+    window (entries of restored-away versions never leak through), and
+    absent restores the boundary is monotone (the pre-round-11
+    invariant, preserved where it held)."""
+    entries, lo, win, *_ = _build(ops)
     stub = _Stub(entries)
     latest = len(ops)
-    deltas = {i for i, op in enumerate(ops, start=1) if op == "delta"}
     prev_b = 0
+    any_restore = any(isinstance(op, tuple) for op in ops)
     for v in range(latest + 1):
         b = stub._delta_boundary(v)
         w = stub._delta_vers(v)
-        assert 0 <= b <= v                      # boundary inside range
-        assert b >= prev_b                      # monotone in version
+        assert 0 <= b <= v                  # boundary inside range
+        assert b == lo[v]
+        assert w == sorted(win[v])
+        if not any_restore:
+            assert b >= prev_b              # monotone absent restores
         prev_b = b
-        # the window is EXACTLY the delta versions in (boundary, v]
-        assert w == sorted(x for x in deltas if b < x <= v)
-    # as_of=None == latest
-    assert stub._delta_boundary(None) == prev_b
-    assert stub._delta_vers(None) == \
-        stub._delta_vers(latest)
+    assert stub._delta_boundary(None) == lo[latest]
+    assert stub._delta_vers(None) == stub._delta_vers(latest)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_OPS)
+def test_assignment_matches_model(ops):
+    """_resolve_epochs matches the independent model at every version:
+    a restore entry resolves to its TARGET's assignment verbatim
+    (including buckets a later fold had emptied), and every referenced
+    (bucket, epoch) leaf exists."""
+    entries, _, _, assign, files, _ = _build(ops)
+    stub = _Stub(entries)
+    for v in range(len(ops) + 1):
+        a, nb = stub._resolve_epochs(v)
+        assert nb == NB
+        assert a == assign[v], v
+        assert set(a.items()) <= files
 
 
 @settings(max_examples=300, deadline=None)
 @given(_OPS, st.integers(min_value=1, max_value=8),
        st.integers(min_value=1, max_value=8))
-def test_collapse_preserves_retained_windows(ops, keep1, keep2):
-    """The purge-collapse must not change ANY retained version's
-    boundary or window — including after a SECOND collapse (the base
-    entry's record must merge forward)."""
-    entries = _build(ops)
-    stub0 = _Stub(entries)
+def test_collapse_preserves_retained_resolution(ops, keep1, keep2):
+    """The purge collapse + union prune must not change ANY retained
+    version's boundary, window, or assignment — including after a
+    SECOND collapse — and everything a retained version references
+    (epoch leaves, log dirs) must survive the prune.  This is the
+    unsound-prune case the banked design called out: a retained
+    restore may reference epochs/log versions BELOW the cutoff
+    assignment's, which the old assign(cutoff)/boundary(cutoff) rules
+    would have deleted."""
+    entries, lo, win, assign, files, log_dirs = _build(ops)
     latest = len(ops)
-    want = {v: (stub0._delta_boundary(v), stub0._delta_vers(v))
-            for v in range(latest + 1)}
     for keep in (keep1, keep2):
-        entries = _collapse(entries, keep)
+        entries, files, log_dirs = _collapse(entries, keep, files,
+                                             log_dirs)
         ordered = sorted(entries, key=lambda e: int(e["e"]))
         stub = _Stub(entries)
-        retained = [int(e["e"]) for e in ordered if "base" not in e]
+        retained = [int(e["e"]) for e in ordered
+                    if e.get("op") != "base"]
         for v in retained:
-            assert (stub._delta_boundary(v),
-                    stub._delta_vers(v)) == want[v], v
+            assert stub._delta_boundary(v) == lo[v], v
+            assert stub._delta_vers(v) == sorted(win[v]), v
+            a, _ = stub._resolve_epochs(v)
+            assert a == assign[v], v
+            assert set(a.items()) <= files, v
+            assert set(stub._delta_vers(v)) <= log_dirs, v
+        # manifest-and-disk agreement: the base record names only
+        # surviving log dirs (advice finding, round 10)
+        base = ordered[0]
+        if base.get("op") == "base":
+            assert set(base.get("delta_vers", ())) <= log_dirs
