@@ -552,36 +552,107 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # holds); newest-row distribution r10=50, r9=50, r8=50, r7=24, r6=0
 # (50+50+50+24=174 checks; the 24 r7 rows = the 23 family-covered
 # deferrals + text_token_count above — they lead round 11).
+# ROUND 11 (this gate) — executes the round-10 judge's order #1:
+#   * slots 1-24 — ALL twenty-four r7-stale rows (the ledger's
+#     documented round-11 head): the rule-2 displacement first
+#     (text_token_count — displaced in r10, never re-gated since),
+#     then the twenty-three family-covered deferrals (corpus_domain_cap,
+#     corpus_drift_tv, dedup_cluster_assign, dedup_incremental_filter,
+#     doc_fingerprint, join_enriched_orders, multimodal_image_neardup,
+#     skew_salted_agg, the ten text-family rows, val_category_counts,
+#     val_duplicate_keys, val_monthly_distribution, val_pivot_status,
+#     val_profile_orders).  After these land, no row is older than r8.
+#   * slots 25-49 — TWENTY-FIVE of the fifty r8-stale rows, code-
+#     touched first: the eight CDC rows whose load-bearing paths this
+#     round rewrote (cdc_time_travel — manifest resolution gained the
+#     restore walk; cdc_table_changes — diff's prune became the window
+#     symmetric difference; cdc_out_of_order_replay, cdc_stats_prune,
+#     cdc_dedup_cascade, cdc_dedup_last_writer, cdc_rollup_refresh,
+#     cdc_scd2_incremental — merge.py shared-path neighbors), then
+#     family heads so every deferred family keeps a fresh member:
+#     ann_ivfpq_rerank_topk (ANN ladder tail), dedup_semantic_cluster +
+#     dedup_substring_runs, embedding_kmeans_step +
+#     embedding_outlier_trim, multimodal_audio_features +
+#     multimodal_video_scenes, events_stream_sessions (streaming
+#     oracle), events_lead_lag_gaps, text_token_topk +
+#     text_bpe_pair_merge + text_cms_heavy_hitters,
+#     val_quantile_sketch_audit, val_agg_summary,
+#     window_distribution_family, join_full_outer_compare,
+#     scalar_datetime_showcase.
+#     The TWENTY-FIVE r8 rows deferred to round 12, each with a fresh
+#     family member in this gate or r9/r10: argmax_order_per_customer
+#     (window_topn_per_segment r10 + window_distribution_family here),
+#     corpus_dsir_importance (corpus_temperature_mixture r10),
+#     corpus_prep_pipeline + corpus_weighted_sample
+#     (corpus_sequence_packing + corpus_stratified_sample r10),
+#     dataset_split_assignment (corpus_leakage_safe_split r9),
+#     dedup_ngram_jaccard (dedup_minhash_lsh r10 — and the documented
+#     quadratic exact baseline), embedding_int8_quant
+#     (embedding_pseudo_label r10 + embedding_kmeans_step here),
+#     events_distinct_sketch_audit (text_cms_heavy_hitters +
+#     val_quantile_sketch_audit here pin the sketch family),
+#     gapfill_monthly_orders (val_date_distribution r10),
+#     grouping_sets_status_priority (val_rollup_status_priority r10 +
+#     cube_status_priority r9), join_anti_customers_no_orders
+#     (join_semi/join_anti r9), join_bloom_filter_audit
+#     (cdc_bloom_lookup r9 + cdc_stats_prune here pin the sidecar-index
+#     family), join_correlated_nation_counts (join_full_outer_compare
+#     here + q5/q10 r10), sql_surface_in_subquery + sql_surface_unpivot
+#     (sql_surface_listagg r10 + scalar_datetime_showcase here),
+#     text_char_diversity + text_chunk_overlap + text_fuzzy_event_types
+#     + text_ngram_novelty + text_pmi_collocations + text_vocab_growth
+#     (text_token_topk + text_bpe_pair_merge here, text_bpe_train_loop
+#     r9, the ten r7 text rows in this same gate), val_checksum
+#     (val_agg_summary here; the md5 scalar rides
+#     scalar_functions_showcase r10), val_ingestion_seq
+#     (window_distribution_family here pins unpartitioned windows),
+#     window_moving_frame (window_range_frame r10) — plus the one
+#     rule-2 displacement below.
+#   * slot 50 — cdc_restore_time_travel, the round's new corpus query
+#     (round-10 judge order #2: metadata-only RESTORE — a bad CDC
+#     batch lands on a versioned merge-on-read table, restore(1) rolls
+#     past it touching ZERO data files (asserted in-query via a full
+#     base+log listing), writes an auditable op-"restore" entry
+#     (asserted), and re-opens exactly the target's log window through
+#     the replacement-walk (asserted); a good batch continues after;
+#     the result unions the post-incident latest with the bad
+#     version's forensic snapshot, both DuckDB-reconstructed), landed
+#     under GATE-FREEZE rule 2: it displaces val_global_summary, the
+#     r8 re-gate whose single-global-multi-agg shape is the most
+#     redundantly re-covered (val_agg_summary in this gate is its
+#     direct twin; val_row_counts r9; q1_pricing_summary r10).
+# Post-round arithmetic (if all 50 land green): 175 corpus queries,
+# 175/175 ever-gated (zero never-gated — the freeze-policy invariant
+# holds); newest-row distribution r11=50, r10=50, r9=50, r8=25, r7=0
+# (50+50+50+25=175 checks; the 25 r8 rows = the 24 family-covered
+# deferrals + val_global_summary above — they lead round 12).
 _DRIVER_PRIORITY = [
-    # slots 1-23: ALL twenty-three r6-stale rows (displacements first) --
-    "val_sample_rows", "embedding_pseudo_label",
-    "corpus_mixture_sampling",
-    "ann_hard_negatives", "corpus_dedup_canonical",
-    "corpus_drift_hellinger", "corpus_gini_balance",
-    "corpus_sequence_packing", "corpus_stratified_sample",
-    "corpus_temperature_mixture", "dedup_graph_triangles",
-    "embedding_label_centroids", "events_ewma_smoothing",
-    "events_json_extract", "events_retention_cohorts",
-    "val_date_distribution", "val_duplicate_pks", "val_freshness",
-    "val_null_counts", "val_percentiles", "val_price_histogram",
-    "val_rollup_status_priority", "val_topk_orders",
-    # slots 24-49: twenty-six r7-stale refreshes (code-touched first) --
-    "cdc_delete_vectors", "cdc_pipeline_snapshot",
-    "cdc_merge_upsert_delete", "cdc_join_view",
-    "cdc_join_view_composite",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "q10_returned_items",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine",
-    "window_rank_family", "window_range_frame",
-    "window_topn_per_segment",
-    "asof_event_last_order", "range_join_event_pairs",
-    "events_sessionization", "events_hourly_tumbling",
-    "events_markov_transitions",
-    "scalar_functions_showcase", "sql_surface_listagg",
+    # slots 1-24: ALL twenty-four r7-stale rows (displacement first) ---
+    "text_token_count",
+    "corpus_domain_cap", "corpus_drift_tv", "dedup_cluster_assign",
+    "dedup_incremental_filter", "doc_fingerprint",
+    "join_enriched_orders", "multimodal_image_neardup",
+    "skew_salted_agg", "text_bigram_fluency", "text_bm25_search",
+    "text_decontamination", "text_lang_id", "text_passage_dedup",
+    "text_pii_scrub", "text_quality_filter", "text_quality_stats",
+    "text_repetition_filter", "text_tfidf_keywords",
+    "val_category_counts", "val_duplicate_keys",
+    "val_monthly_distribution", "val_pivot_status",
+    "val_profile_orders",
+    # slots 25-49: twenty-five r8-stale refreshes (code-touched first) -
+    "cdc_time_travel", "cdc_table_changes", "cdc_out_of_order_replay",
+    "cdc_stats_prune", "cdc_dedup_cascade", "cdc_dedup_last_writer",
+    "cdc_rollup_refresh", "cdc_scd2_incremental",
+    "ann_ivfpq_rerank_topk", "dedup_semantic_cluster",
+    "dedup_substring_runs", "embedding_kmeans_step",
+    "embedding_outlier_trim", "multimodal_audio_features",
+    "multimodal_video_scenes", "events_stream_sessions",
+    "events_lead_lag_gaps", "text_token_topk", "text_bpe_pair_merge",
+    "text_cms_heavy_hitters", "val_quantile_sketch_audit",
+    "val_agg_summary", "window_distribution_family",
+    "join_full_outer_compare", "scalar_datetime_showcase",
     # slot 50: the round's rule-2 query (displacement above) -----------
-    "cdc_mor_upsert",               # rule 2: displaced text_token_count
+    "cdc_restore_time_travel",      # rule 2: displaced val_global_summary
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
