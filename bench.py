@@ -588,7 +588,10 @@ def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
     manifest round trip, still ZERO bucket rewrites).  Compare against
     cdc_mor_upsert_batch to watch the versioning tax on the append
     path; the second sample list times a TIME-TRAVEL read (as_of the
-    first append, overlaying its one-version window)."""
+    first append, overlaying its one-version window); the third times
+    a METADATA-ONLY restore to that version (round-11 feature — one
+    manifest walk + two sidecar writes, zero data files; regression
+    here means the manifest walk or sidecar path grew a data job)."""
     orders = (load_table(spark, sf_dir, "orders")
               .withColumn("load_timestamp",
                           F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
@@ -615,7 +618,12 @@ def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
             t0 = time.time()
             kt.read(as_of=1).agg(F.sum("o_totalprice")).collect()
             tt.append(time.time() - t0)
-        return samples, tt
+        rs = []
+        for _ in range(2):
+            t0 = time.time()
+            kt.restore(1)
+            rs.append(time.time() - t0)
+        return samples, tt, rs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -809,13 +817,14 @@ def main() -> None:
         mor_upsert = mor_fold = 0.0
     # post-round-10 — shielded, reported outside `queries`
     try:
-        morv_samples, morv_tt = bench_mor_versioned(spark, sf_dir)
+        morv_samples, morv_tt, morv_rs = bench_mor_versioned(spark, sf_dir)
         mor_versioned = round(min(morv_samples), 3)
         mor_time_travel = round(min(morv_tt), 3)
+        restore_meta = round(min(morv_rs), 3)
         dispersion["cdc_mor_versioned_batch"] = summarize(morv_samples)
     except Exception as exc:  # noqa: BLE001
         print(f"mor-versioned bench failed: {exc}", file=sys.stderr)
-        mor_versioned = mor_time_travel = 0.0
+        mor_versioned = mor_time_travel = restore_meta = 0.0
     try:
         sw_samples = bench_fleet_sweep(spark, sf_dir)
         fleet_sweep = round(min(sw_samples), 3)
@@ -871,6 +880,7 @@ def main() -> None:
         "cdc_mor_fold": mor_fold,
         "cdc_mor_versioned_batch": mor_versioned,
         "cdc_mor_time_travel": mor_time_travel,
+        "cdc_restore_metadata": restore_meta,
         "fleet_maintenance_sweep": fleet_sweep,
         "dispersion": dispersion,
         "sf": sf,

@@ -565,8 +565,12 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 #   * slots 25-49 — TWENTY-FIVE of the fifty r8-stale rows, code-
 #     touched first: the eight CDC rows whose load-bearing paths this
 #     round rewrote (cdc_time_travel — manifest resolution gained the
-#     restore walk; cdc_table_changes — diff's prune became the window
-#     symmetric difference; cdc_out_of_order_replay, cdc_stats_prune,
+#     restore walk, and UPGRADED in place per judge order #5: both
+#     snapshot legs now route through sqlapi.register_snapshot_view
+#     and a register_point_view lookup is asserted same-rows in-query,
+#     so the SQL views ride this row's oracle instead of being
+#     test-pinned only; cdc_table_changes — diff's prune became the
+#     window symmetric difference; cdc_out_of_order_replay, cdc_stats_prune,
 #     cdc_dedup_cascade, cdc_dedup_last_writer, cdc_rollup_refresh,
 #     cdc_scd2_incremental — merge.py shared-path neighbors), then
 #     family heads so every deferred family keeps a fresh member:

