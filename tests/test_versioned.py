@@ -557,3 +557,42 @@ def test_pipeline_restore_table(spark, tmp_path):
     pipe2.process_batch("u2", ["id"], spark.createDataFrame(
         [Row(id=1, name="x", Op="I", ts=dt.datetime(2024, 1, 1))]))
     assert pipe2.restore_table("u2", 0) is None
+
+
+def test_restore_voids_bloom_index_and_refresh_heals(spark, tmp_path):
+    """Metadata restore bumps table_version, so secondary indexes built
+    against the pre-restore content are VOID — the documented honest
+    negative of the manifest re-point (PLANS 7w).  Pin both halves of
+    the fail-open contract: probes answer None (caller full-scans the
+    RESTORED content, so a value that exists only in the restored-away
+    version is correctly absent), and the next maintenance refresh()
+    falls back to a full build under the stored format, after which the
+    probe prunes against the restored content again."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+
+    kt = make(spark, tmp_path)
+    kt.init(spark.createDataFrame(
+        [Row(k=i, v=f"cat_{i % 5}") for i in range(60)]))
+    # v1 introduces a category that exists ONLY after v0
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=100 + i, v="post_only", Op="I") for i in range(3)]))
+    ix = BloomIndex(kt, "v")
+    ix.build()
+    assert ix.lookup(["post_only"]).count() == 3          # indexed, found
+    kt.restore(0)
+    # voided: probe answers None, lookup full-scans the restored content
+    assert ix.candidate_buckets(["post_only"]) is None
+    assert ix.lookup(["post_only"]).count() == 0
+    # maintenance heals: refresh() full-rebuilds (not a dirty-only pass)
+    ix.refresh()
+    side = ix._load_side()
+    assert side["table_version"] == ix._current_tv()
+    assert side["dirty"] == []
+    cands = ix.candidate_buckets(["cat_3"])
+    assert cands is not None and len(cands) < kt.num_buckets
+    got = sorted(tuple(r) for r in ix.lookup(["cat_3"]).collect())
+    exp = sorted(tuple(r) for r in
+                 kt.read().where(F.col("v") == "cat_3").collect())
+    assert got == exp and got
+    # the restored-away value stays absent through the rebuilt index
+    assert ix.lookup(["post_only"]).count() == 0
