@@ -452,7 +452,8 @@ class CdcPipeline:
         return target.fold_deltas()
 
     def restore_table(self, table: str, version: int,
-                      materialize: bool = False) -> int | None:
+                      materialize: bool = False,
+                      sync_stores: bool = True) -> int | None:
         """Roll ``table`` back to ``version`` as a NEW version
         (KeyedTable.restore — the incident tool: a bad batch landed,
         the operator restores and replays).  Metadata-only by default
@@ -462,14 +463,35 @@ class CdcPipeline:
         None if the table is unconfigured / absent / not versioned.
         Unlike the maintenance wrappers this NEVER runs on a cadence —
         a restore is an operator decision; pair it with a ledger reset
-        for the replayed window if the bad batches should re-land."""
+        for the replayed window if the bad batches should re-land.
+
+        Derived stores: a restore replaces the snapshot WHOLESALE — the
+        same class of change as (re)initialization, so the per-batch
+        delta legs cannot express it (a delta can only upsert its own
+        keys; it cannot say "every post-``version`` row reverted").
+        With ``sync_stores`` (default) the registered join views on
+        ``table`` are force-rebuilt and its registered rollups re-
+        aggregated from the restored snapshot — cost ∝ store size, the
+        price of a consistent read surface; pass ``sync_stores=False``
+        to defer that to the operator (the stores then serve the PRE-
+        restore content until rebuilt by hand).  SCD2 histories are
+        built from the batch STREAM, not the snapshot, so no rebuild
+        can reconstruct them here — replaying the corrected window is
+        the operator's SCD2 recovery path."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return None
         target = self.target_for(table, keys)
         if not target.exists() or not target.versioned:
             return None
-        return target.restore(version, materialize=materialize)
+        new_v = target.restore(version, materialize=materialize)
+        if sync_stores:
+            self._rebuild_join_views(table)
+            for rollup, project in self._rollups.get(table, ()):
+                rollup.init(project(target.read()))
+        self.alert_hook(f"[{table}] restored to version {version} "
+                        f"(new version {new_v})")
+        return new_v
 
     def delta_backlog(self, table: str) -> int:
         """Unfolded delta-log BATCH count (delta_seq minus the folded

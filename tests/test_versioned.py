@@ -596,3 +596,74 @@ def test_restore_voids_bloom_index_and_refresh_heals(spark, tmp_path):
     assert got == exp and got
     # the restored-away value stays absent through the rebuilt index
     assert ix.lookup(["post_only"]).count() == 0
+
+
+def test_restore_table_resyncs_derived_stores(spark, tmp_path):
+    """restore_table replaces the snapshot WHOLESALE — the per-batch
+    delta legs cannot express that (they only upsert their own keys) —
+    so the pipeline force-rebuilds registered join views and
+    re-aggregates registered rollups from the restored snapshot by
+    default; ``sync_stores=False`` pins the documented opt-out (the
+    stores keep serving pre-restore rows until rebuilt by hand)."""
+    import datetime as dt
+
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.operators.joinview import JoinView
+    from firebolt_cdc_lambda_spark.operators.rollup_table import RollupTable
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"fact": "id"}'),
+                       num_buckets=4, version_col="ts", versioned=True,
+                       ledger=False)
+    ts = dt.datetime(2024, 1, 1)
+    pipe.process_batch("fact", ["id"], spark.createDataFrame(
+        [Row(id=i, grp=i % 3, amt=float(i), Op="I", ts=ts)
+         for i in range(12)]))
+    fact = pipe.target_for("fact", ["id"])
+    dim = KeyedTable(spark, str(tmp_path / "wh" / "dim"), ["did"],
+                     num_buckets=2)
+    dim.init(spark.createDataFrame(
+        [Row(did=d, label=f"g{d}") for d in range(3)]))
+    view = JoinView(spark, str(tmp_path / "wh" / "view"), fact, dim,
+                    fk="grp")
+    view.rebuild()
+    ru = RollupTable(spark, str(tmp_path / "wh" / "ru"), ["grp"],
+                     lambda: [F.count(F.lit(1)).alias("n"),
+                              F.sum("amt").alias("total")], num_buckets=2)
+    ru.init(fact.read())
+    pipe.register_join_view(view, fact_table="fact", dim_table="dim")
+    pipe.register_rollup("fact", ru, lambda df: df)
+    good_v = fact.latest_epoch()
+    # a bad batch lands and propagates into BOTH derived stores
+    ts2 = dt.datetime(2024, 1, 2)
+    pipe.process_batch("fact", ["id"], spark.createDataFrame(
+        [Row(id=1, grp=0, amt=9999.0, Op="U", ts=ts2),
+         Row(id=500, grp=1, amt=500.0, Op="I", ts=ts2)]))
+    assert any(r["id"] == 500 for r in view.read().collect())
+    alerts: list[str] = []
+    pipe.alert_hook = alerts.append
+    new_v = pipe.restore_table("fact", good_v)
+    assert new_v == fact.latest_epoch()
+    # view again equals the from-scratch join of the RESTORED snapshots
+    cols = ["id", "grp", "amt", "dim_label"]
+    vgot = sorted(map(tuple, view.read().select(*cols).collect()))
+    vexp = sorted(map(tuple, view._joined(
+        fact.read(), dim.read(), broadcast_dim=False)
+        .select(*cols).collect()))
+    assert vgot == vexp and all(t[0] != 500 for t in vgot)
+    # rollup equals a re-aggregation of the restored snapshot
+    got = sorted(map(tuple, ru.read().collect()))
+    exp = sorted(map(tuple, fact.read().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amt").alias("total")).collect()))
+    assert got == exp
+    assert alerts and "restored to version" in alerts[0]
+    # the opt-out: another bad batch, restore with sync_stores=False —
+    # the stores keep serving the pre-restore content (documented)
+    ts3 = dt.datetime(2024, 1, 3)
+    pipe.process_batch("fact", ["id"], spark.createDataFrame(
+        [Row(id=777, grp=2, amt=7.0, Op="I", ts=ts3)]))
+    pipe.restore_table("fact", new_v, sync_stores=False)
+    assert all(r["id"] != 777 for r in fact.read().collect())
+    assert any(r["id"] == 777 for r in view.read().collect())
