@@ -52,8 +52,8 @@ def register_range_view(spark: SparkSession, table, column: str,
 
     The candidate-file prune is resolved at REGISTRATION time (the
     same files-pinned-at-plan-time semantics as any Spark view over
-    parquet): re-register after merges, refreshes, AND compactions.
-    All of StatsIndex.scan's guarantees carry over — fail-open on
+    parquet): re-register after merges, refreshes, restores, AND
+    compactions.  All of StatsIndex.scan's guarantees carry over — fail-open on
     dirty buckets, full-scan degrade when the index is absent or
     voided, and the residual range filter applied on top, so the view
     is never wrong, only sometimes unpruned — with one FAIL-LOUD
@@ -88,8 +88,8 @@ def register_point_view(spark: SparkSession, table, column: str,
 
     The candidate-bucket prune is resolved at REGISTRATION time (the
     files-pinned-at-plan-time semantics of any Spark view over
-    parquet): re-register after merges, folds, AND compactions.  All
-    of BloomIndex.lookup's guarantees carry over — dirty buckets stay
+    parquet): re-register after merges, folds, restores, AND
+    compactions.  All of BloomIndex.lookup's guarantees carry over — dirty buckets stay
     candidates, full-scan degrade when the index is absent or voided,
     the equality filter applied on top, so the view is never wrong,
     only sometimes unpruned — with the same FAIL-LOUD staleness
@@ -130,7 +130,12 @@ def register_snapshot_view(spark: SparkSession, table, name: str,
     re-register after purge_versions and after compact() — after a
     purge the version is gone for every reader; after a compact the
     re-registered view serves the identical (bit-for-bit) snapshot
-    from the packed files."""
+    from the packed files.  One SILENT direction remains, inherent in
+    view pinning: anything that moves ``latest`` (a merge, a fold, a
+    metadata ``restore``) leaves a LIVE view (``as_of=None``) serving
+    its registration-time snapshot — the old files still exist, so
+    nothing raises.  A live view is a snapshot OF registration time by
+    construction; re-register to follow the table forward."""
     table.read(as_of=as_of).createOrReplaceTempView(name)
     return name
 
