@@ -462,8 +462,10 @@ class CdcPipeline:
         files in the same pass.  Returns the new latest version, or
         None if the table is unconfigured / absent / not versioned.
         Unlike the maintenance wrappers this NEVER runs on a cadence —
-        a restore is an operator decision; pair it with a ledger reset
-        for the replayed window if the bad batches should re-land.
+        a restore is an operator decision; pair it with
+        :meth:`forget_files` for the replayed window if the corrected
+        batches should re-land (the ledger otherwise answers
+        ``already_processed`` and the replay is a no-op).
 
         Derived stores: a restore replaces the snapshot WHOLESALE — the
         same class of change as (re)initialization, so the per-batch
@@ -492,6 +494,18 @@ class CdcPipeline:
         self.alert_hook(f"[{table}] restored to version {version} "
                         f"(new version {new_v})")
         return new_v
+
+    def forget_files(self, file_keys=None, prefix: str | None = None) -> int:
+        """The ledger half of the restore runbook (FileLedger.forget):
+        un-mark the given file keys and/or every key under ``prefix``
+        so ``process_file`` re-lands them instead of answering
+        ``already_processed``.  Returns the rows dropped (0: no ledger
+        configured — streaming checkpoints, not the ledger, own
+        exactly-once there, and a checkpointed stream re-delivers
+        nothing; replay through batch ``process_file`` instead)."""
+        if self.ledger is None:
+            return 0
+        return self.ledger.forget(file_keys=file_keys, prefix=prefix)
 
     def delta_backlog(self, table: str) -> int:
         """Unfolded delta-log BATCH count (delta_seq minus the folded

@@ -74,6 +74,41 @@ class FileLedger:
          .write.mode("append").parquet(self.path))
         self.maybe_cleanup()
 
+    def forget(self, file_keys=None, prefix: str | None = None) -> int:
+        """Incident tool: UN-mark files so they re-process — the ledger
+        half of a rollback (``KeyedTable.restore`` re-points the table;
+        this re-opens the window so ``process_file`` re-lands the
+        corrected files instead of answering ``already_processed``).
+        Drops every row — any status — for the explicit ``file_keys``
+        and/or every key under ``prefix`` (the natural incident shape:
+        one bad day-dir, e.g. ``fair/orders/2024/01/05/``).  Returns
+        the number of rows dropped; 0 skips the rewrite entirely.
+
+        Same rewrite machinery and crash posture as ``maybe_cleanup``
+        (cache → count → in-place overwrite): the ledger is
+        observability + batch idempotency and merges are idempotent,
+        so a torn rewrite degrades safe (files replay as no-ops), never
+        wrong."""
+        if file_keys is None and prefix is None:
+            raise ValueError(
+                "forget() needs file_keys and/or prefix (to drop the "
+                "WHOLE ledger, delete its directory)")
+        drop = F.lit(False)
+        if file_keys is not None:
+            drop = drop | F.col("file_key").isin(list(file_keys))
+        if prefix is not None:
+            drop = drop | F.col("file_key").startswith(prefix)
+        df = self._read()
+        n = df.where(drop).count()
+        if n == 0:
+            return 0
+        kept = df.where(~drop)
+        kept.cache()
+        kept.count()
+        kept.write.mode("overwrite").parquet(self.path)
+        kept.unpersist()
+        return n
+
     def maybe_cleanup(self, force: bool = False) -> None:
         """Probabilistic GC: with p=1% drop entries older than 30 days
         (AUTOMATIC_CLEANUP.md:10-63)."""

@@ -210,3 +210,53 @@ def test_version_col_lands_and_gates_at_pipeline_level(spark, tmp_path):
         Row(id=1, name="stale", Op="U", load_timestamp=TS)])
     assert pipe.process_file(f2).status == "completed"
     assert t.read().first()["name"] == "fresh"
+
+
+def test_forget_files_reopens_the_replay_window(spark, tmp_path):
+    """The ledger half of the restore runbook: restore_table re-points
+    the table, forget_files un-marks the bad window so the corrected
+    files RE-LAND through process_file (which otherwise answers
+    already_processed and the replay silently no-ops) — the full
+    incident loop the reference ran as a 60-minute manual runbook
+    (RETRIGGER_LAMBDA_README.md:185-196)."""
+    root = str(tmp_path / "cdc")
+    ledger = FileLedger(spark, str(tmp_path / "ledger"),
+                        cleanup_probability=0.0)
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "id"}'),
+                       ledger=ledger, num_buckets=4,
+                       version_col="load_timestamp", versioned=True)
+    f1 = write_cdc_file(spark, root, "users", "2024-01-01", "b1.parquet",
+                        [Row(id=1, name="alice", Op="I", load_timestamp=TS)])
+    assert pipe.process_file(f1).status == "bootstrapped"
+    tbl = pipe.target_for("users", ["id"])
+    good_v = tbl.latest_epoch()
+    # the bad day lands and is ledgered
+    f2 = write_cdc_file(spark, root, "users", "2024-01-02", "bad.parquet",
+                        [Row(id=1, name="CORRUPT", Op="U",
+                             load_timestamp=TS2)])
+    assert pipe.process_file(f2).status == "completed"
+    assert [r["name"] for r in tbl.read().collect()] == ["CORRUPT"]
+    # restore alone is NOT enough: the corrected file replay no-ops
+    pipe.restore_table("users", good_v)
+    f2fix = write_cdc_file(spark, root, "users", "2024-01-02",
+                           "bad.parquet",
+                           [Row(id=1, name="alice_fixed", Op="U",
+                                load_timestamp=TS2)])
+    assert pipe.process_file(f2fix).status == "already_processed"
+    # forget the window (prefix = the bad day-dir), replay re-lands
+    n = pipe.forget_files(prefix=f"{root}/fair/users/2024/01/02/")
+    assert n == 1
+    assert pipe.process_file(f2fix).status == "completed"
+    assert [r["name"] for r in tbl.read().collect()] == ["alice_fixed"]
+    # edges: unknown keys drop nothing; no-arg raises; explicit keys work
+    assert ledger.forget(file_keys=["nope"]) == 0
+    with pytest.raises(ValueError, match="forget"):
+        ledger.forget()
+    assert ledger.forget(file_keys=[f1]) == 1
+    assert not ledger.is_processed(f1)
+    # a ledger-less pipeline answers 0, never raises
+    pipe2 = CdcPipeline(spark, str(tmp_path / "wh2"),
+                        TableKeys.from_json('{"u2": "id"}'),
+                        ledger=False, num_buckets=2)
+    assert pipe2.forget_files(prefix="anything/") == 0
