@@ -93,6 +93,12 @@ class FileLedger:
             raise ValueError(
                 "forget() needs file_keys and/or prefix (to drop the "
                 "WHOLE ledger, delete its directory)")
+        if prefix == "":
+            # every key startswith("") — the whole-ledger drop the
+            # error above routes to an explicit directory delete
+            raise ValueError("empty prefix would forget EVERY file; "
+                             "to drop the whole ledger, delete its "
+                             "directory")
         drop = F.lit(False)
         if file_keys is not None:
             drop = drop | F.col("file_key").isin(list(file_keys))

@@ -253,6 +253,8 @@ def test_forget_files_reopens_the_replay_window(spark, tmp_path):
     assert ledger.forget(file_keys=["nope"]) == 0
     with pytest.raises(ValueError, match="forget"):
         ledger.forget()
+    with pytest.raises(ValueError, match="EVERY file"):
+        ledger.forget(prefix="")   # would match every key
     assert ledger.forget(file_keys=[f1]) == 1
     assert not ledger.is_processed(f1)
     # a ledger-less pipeline answers 0, never raises
