@@ -54,9 +54,16 @@ class RollupTable:
         return base.groupBy(*self.group_cols).agg(*self.agg_builder())
 
     def init(self, base: DataFrame) -> None:
+        """(Re)aggregate from scratch — REPLACES the whole store.  The
+        overwrite is pinned STATIC: the session default is dynamic
+        (refresh() depends on it), under which a re-init whose fresh
+        aggregate occupies FEWER buckets would leave the vacated bucket
+        dirs' stale groups alive (found via a shrinking full reload —
+        group gone from the base, still served by the rollup)."""
         (self._with_bucket(self._aggregate(base))
          .repartition(self.BUCKET_COL)
          .write.mode("overwrite")
+         .option("partitionOverwriteMode", "static")
          .partitionBy(self.BUCKET_COL)
          .parquet(self.path))
 

@@ -231,6 +231,20 @@ class CdcPipeline:
             if view.fact.exists() and view.dim.exists():
                 view.rebuild()
 
+    def _resync_rollups(self, table: str, target: KeyedTable) -> None:
+        """Re-aggregate every rollup registered on ``table`` from the
+        CURRENT snapshot — the rollup twin of ``_rebuild_join_views``,
+        owed by the same paths: any WHOLESALE snapshot replacement
+        (bootstrap of a table whose rollup survives from a previous
+        life, a full-load RE-bootstrap of an existing table, a
+        restore).  The incremental ``_refresh_rollups`` leg cannot
+        cover these — it re-aggregates only the batch's touched
+        groups, so a replaced base leaves every UNtouched group's
+        aggregate permanently stale (the same silent divergence the
+        join-view delta legs would have)."""
+        for rollup, project in self._rollups.get(table, ()):
+            rollup.init(project(target.read()))
+
     # -- full-load bootstrap (the LOAD* path the CDC stream skips) --------
     def _run_quality_gate(self, table: str, staging: DataFrame) -> None:
         """Enforce the table's declared expectations (if any) — shared by
@@ -261,6 +275,7 @@ class CdcPipeline:
         target = self.target_for(table, keys)
         target.init(deduped.select(*self._out_cols(deduped)))
         self._rebuild_join_views(table)
+        self._resync_rollups(table, target)
         return BatchResult("bootstrapped", table=table,
                            rows=target.read().count(),
                            duration_sec=time.time() - t0)
@@ -318,6 +333,7 @@ class CdcPipeline:
             deduped = deduplicate(staging, keys, check_bypass=True)
             target.init(deduped.select(*self._out_cols(deduped)))
             self._rebuild_join_views(table)
+            self._resync_rollups(table, target)
             return BatchResult("bootstrapped", table=table,
                                rows=target.read().count(),
                                duration_sec=time.time() - t0)
@@ -489,8 +505,7 @@ class CdcPipeline:
         new_v = target.restore(version, materialize=materialize)
         if sync_stores:
             self._rebuild_join_views(table)
-            for rollup, project in self._rollups.get(table, ()):
-                rollup.init(project(target.read()))
+            self._resync_rollups(table, target)
         self.alert_hook(f"[{table}] restored to version {version} "
                         f"(new version {new_v})")
         return new_v

@@ -94,3 +94,50 @@ def test_rollup_under_delete_vector_mode(spark, tmp_path):
            for r in rollup.read().collect()}
     assert got == want
     assert got["b"][0] == 1                        # only id=1 left
+
+
+def test_rebootstrap_resyncs_registered_rollup(spark, tmp_path):
+    """A full-load RE-bootstrap of an EXISTING table replaces the
+    snapshot wholesale; the incremental rollup leg only re-aggregates
+    a batch's touched groups, so without the bootstrap-path resync an
+    existing rollup keeps every untouched group's pre-reload aggregate
+    forever (the same silent-divergence class restore_table fixed for
+    its own path)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"tx": "id"}'), num_buckets=4)
+    rollup = RollupTable(spark, str(tmp_path / "rollup"), ["status"], aggs,
+                         num_buckets=4)
+    pipe.register_rollup("tx", rollup, project=lambda df: df)
+    pipe.process_batch("tx", ["id"], spark.createDataFrame(
+        [Row(id=i, status=("a", "b")[i % 2], amt=float(i), Op="I",
+             load_timestamp=TS) for i in range(20)]))
+    # one incremental batch so the rollup exists and tracks
+    pipe.process_batch("tx", ["id"], spark.createDataFrame(
+        [Row(id=100, status="a", amt=1.0, Op="I", load_timestamp=TS2)]))
+    assert rollup.exists()
+    # full reload: group 'b' vanishes entirely, 'a' shrinks — a batch
+    # that follows touches NEITHER pre-reload group
+    p = str(tmp_path / "LOAD001.parquet")
+    spark.createDataFrame(
+        [Row(id=i, status="a", amt=10.0) for i in range(3)]
+    ).write.parquet(p)
+    r = pipe.bootstrap_from_load_files("tx", [p])
+    assert r.status == "bootstrapped" and r.rows == 3
+    snap = pipe.target_for("tx", ["id"]).read()
+    want = {x["status"]: (x["n"], x["total"])
+            for x in snap.groupBy("status").agg(*aggs()).collect()}
+    got = {x["status"]: (x["n"], x["total"])
+           for x in rollup.read().collect()}
+    assert got == want and "b" not in got          # stale 'b' dropped
+    # and the CDC bootstrap branch resyncs the same way: a fresh
+    # warehouse whose rollup store survives from a previous life
+    import shutil
+    shutil.rmtree(str(tmp_path / "wh"))
+    pipe2 = CdcPipeline(spark, str(tmp_path / "wh"),
+                        TableKeys.from_json('{"tx": "id"}'), num_buckets=4)
+    pipe2.register_rollup("tx", rollup, project=lambda df: df)
+    pipe2.process_batch("tx", ["id"], spark.createDataFrame(
+        [Row(id=7, status="z", amt=2.0, Op="I", load_timestamp=TS)]))
+    got2 = {x["status"]: (x["n"], x["total"])
+            for x in rollup.read().collect()}
+    assert got2 == {"z": (1, 2.0)}
