@@ -55,11 +55,13 @@ class RollupTable:
 
     def init(self, base: DataFrame) -> None:
         """(Re)aggregate from scratch — REPLACES the whole store.  The
-        overwrite is pinned STATIC: the session default is dynamic
-        (refresh() depends on it), under which a re-init whose fresh
-        aggregate occupies FEWER buckets would leave the vacated bucket
-        dirs' stale groups alive (found via a shrinking full reload —
-        group gone from the base, still served by the rollup)."""
+        overwrite is pinned STATIC defensively against a dynamic
+        session default (refresh() pins dynamic on its own write, so
+        nothing here relies on the session setting): under dynamic, a
+        re-init whose fresh aggregate occupies FEWER buckets would
+        leave the vacated bucket dirs' stale groups alive (found via a
+        shrinking full reload — group gone from the base, still served
+        by the rollup)."""
         (self._with_bucket(self._aggregate(base))
          .repartition(self.BUCKET_COL)
          .write.mode("overwrite")

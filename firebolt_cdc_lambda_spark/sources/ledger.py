@@ -51,6 +51,27 @@ class FileLedger:
                 raise
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
+    def _rewrite_kept(self, kept) -> None:
+        """Replace the ledger with ``kept`` via temp-dir-and-swap (the
+        ``KeyedTable.rewrite`` shape): write the survivors to a sibling
+        temp dir, then delete-old + rename-in.  The old cache→count→
+        overwrite-in-place pattern could lose the ENTIRE ledger if an
+        executor was lost mid-overwrite (recomputation re-reads source
+        files the overwrite already deleted); with the swap, the only
+        crash window (between delete and rename) leaves the ledger
+        verifiably absent — files replay as idempotent no-ops, never a
+        partial recomputation."""
+        tmp = f"{self.path}__tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p_old = jvm.org.apache.hadoop.fs.Path(self.path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_old.getFileSystem(hconf)
+        if fs.exists(p_old):
+            fs.delete(p_old, True)
+        fs.rename(p_tmp, p_old)
+
     def is_processed(self, file_key: str) -> bool:
         """Idempotency check (lambda/handler.py:664-675): completed or
         batch_processed ⇒ skip."""
@@ -84,15 +105,19 @@ class FileLedger:
         one bad day-dir, e.g. ``fair/orders/2024/01/05/``).  Returns
         the number of rows dropped; 0 skips the rewrite entirely.
 
-        Same rewrite machinery and crash posture as ``maybe_cleanup``
-        (cache → count → in-place overwrite): the ledger is
-        observability + batch idempotency and merges are idempotent,
-        so a torn rewrite degrades safe (files replay as no-ops), never
-        wrong."""
+        Rewrites via ``_rewrite_kept``'s temp-dir-and-swap; the ledger
+        is observability + batch idempotency and merges are idempotent,
+        so even the swap's absent-window degrades safe (files replay as
+        no-ops), never wrong."""
         if file_keys is None and prefix is None:
             raise ValueError(
                 "forget() needs file_keys and/or prefix (to drop the "
                 "WHOLE ledger, delete its directory)")
+        if isinstance(file_keys, str):
+            # the natural incident call passes ONE key (process_file
+            # takes a single str); list("one/path") would silently
+            # explode it into per-character keys matching nothing
+            file_keys = [file_keys]
         if prefix == "":
             # every key startswith("") — the whole-ledger drop the
             # error above routes to an explicit directory delete
@@ -108,11 +133,7 @@ class FileLedger:
         n = df.where(drop).count()
         if n == 0:
             return 0
-        kept = df.where(~drop)
-        kept.cache()
-        kept.count()
-        kept.write.mode("overwrite").parquet(self.path)
-        kept.unpersist()
+        self._rewrite_kept(df.where(~drop))
         return n
 
     def maybe_cleanup(self, force: bool = False) -> None:
@@ -122,8 +143,5 @@ class FileLedger:
             return
         cutoff = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(
             days=self.days_to_keep)
-        kept = self._read().where(F.col("processed_at") >= F.lit(cutoff))
-        kept.cache()
-        kept.count()
-        kept.write.mode("overwrite").parquet(self.path)
-        kept.unpersist()
+        self._rewrite_kept(
+            self._read().where(F.col("processed_at") >= F.lit(cutoff)))

@@ -255,7 +255,9 @@ def test_forget_files_reopens_the_replay_window(spark, tmp_path):
         ledger.forget()
     with pytest.raises(ValueError, match="EVERY file"):
         ledger.forget(prefix="")   # would match every key
-    assert ledger.forget(file_keys=[f1]) == 1
+    # a bare-str key must mean ONE key, not list("p/a/t/h") exploded
+    # into per-character keys silently matching nothing
+    assert ledger.forget(file_keys=f1) == 1
     assert not ledger.is_processed(f1)
     # a ledger-less pipeline answers 0, never raises
     pipe2 = CdcPipeline(spark, str(tmp_path / "wh2"),
