@@ -1286,8 +1286,14 @@ def cdc_restore_time_travel(spark, sf):
 
     assert kt.merge_batch(good1) == 0                           # v1
     assert kt.merge_batch(bad) == 0                             # v2: bad
+    # v3: schema EVOLUTION lands between the incident and its fix —
+    # the restore below must roll back ACROSS it (round 12: the
+    # schema-per-version leg).  The rewrite is also the log's fold
+    # point; the log itself is retained for older versions' windows.
+    kt.rewrite(kt.snapshot_for_rewrite().withColumn(
+        "o_audit_flag", F.lit("post-incident")))
     before = files()
-    new_v = kt.restore(1)                                       # v3 -> v1
+    new_v = kt.restore(1, restore_schema=True)                  # v4 -> v1
     assert files() == before, "restore touched a data file"
     last = kt.history()[-1]
     assert (last["op"], last["restored_from"]) == ("restore", 1), \
@@ -1295,8 +1301,15 @@ def cdc_restore_time_travel(spark, sf):
     # the re-opened window is exactly v1's: the bad batch's log entry
     # (same log, newer version) must not leak through the restore
     assert kt._delta_vers(None) == [1], kt._delta_vers(None)
-    assert new_v == 3
-    kt.merge_batch(good2)                                       # v4
+    assert new_v == 4
+    # schema leg: the sidecar flipped back to the pre-evolution column
+    # set (latest reads narrow), the evolved epoch keeps ITS schema for
+    # forensics, and the historical record resolves per-version
+    assert "o_audit_flag" not in kt.read().columns
+    assert sorted(kt.read(as_of=1, schema_as_of=True).columns) == \
+        sorted(cols)
+    assert "o_audit_flag" in kt.read(as_of=3, schema_as_of=True).columns
+    kt.merge_batch(good2)                                       # v5
     post = kt.read().select(
         F.lit("post").alias("snapshot_version"), *cols)
     forensic = kt.read(as_of=2).select(
@@ -1432,10 +1445,13 @@ QUERIES = {
     "cdc_restore_time_travel": Query(
         cdc_restore_time_travel, CDC_RESTORE_TIME_TRAVEL_SQL,
         "metadata-only RESTORE on a versioned merge-on-read table: a "
-        "bad batch lands, restore(1) rolls past it touching ZERO data "
+        "bad batch lands, then a schema evolution; restore(1, "
+        "restore_schema=True) rolls past BOTH touching ZERO data "
         "files (asserted, base and log), auditable (op restore + "
         "restored_from, asserted), re-opening exactly the target's "
-        "log window (asserted); a good batch continues after — the "
-        "post-incident latest union-tagged with the bad version's "
-        "forensic snapshot, both under the value hash"),
+        "log window (asserted) and flipping the sidecar back to the "
+        "pre-evolution schema (asserted; the evolved epoch keeps its "
+        "own via schema_as_of — round 12); a good batch continues "
+        "after — the post-incident latest union-tagged with the bad "
+        "version's forensic snapshot, both under the value hash"),
 }

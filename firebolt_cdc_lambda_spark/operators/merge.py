@@ -892,6 +892,33 @@ class KeyedTable:
                 vers.append(ee)
         return sorted(vers)
 
+    def _schema_text_as_of(self, as_of: int | None = None) -> str | None:
+        """The schema (sidecar JSON text, ``_bucket`` column included)
+        in force at version ``as_of`` (None = latest) — round 12's
+        schema-per-version records.  REPLACEMENT WALK, trivially: the
+        newest visible entry carrying a ``"schema"`` record wins.  The
+        walk is sound because schema can only change at entries that
+        record it — init and full rewrite (evolution's path) always
+        stamp theirs, a metadata restore stamps the schema it leaves in
+        force (the target's under ``restore_schema=True``, the current
+        one otherwise), and purge's collapsed base carries the walk
+        state at its cutoff.  Ordinary merges/folds/deltas operate on
+        the intersection gate and cannot change the schema, so they
+        carry no record.
+
+        Returns None when NO visible entry carries a record — a
+        manifest written entirely by pre-round-12 code — and callers
+        fall back to (or raise toward) the current-sidecar pin, the
+        old contract.  Pinned against an independent model in
+        tests/test_delta_manifest_algebra.py."""
+        text = None
+        for e in self.history():
+            if as_of is not None and int(e["e"]) > as_of:
+                break
+            if "schema" in e:
+                text = e["schema"]
+        return text
+
     def _clean_delta_ver_dir(self, ver: int) -> None:
         """Remove log leaf dirs a CRASHED append at this version may
         have left (the manifest entry is written only after the append
@@ -940,9 +967,15 @@ class KeyedTable:
         writer.parquet(self.path)
 
     def _read_versioned(self, buckets: Sequence[int] | None,
-                        as_of: int | None) -> DataFrame:
+                        as_of: int | None,
+                        schema_override=None) -> DataFrame:
         from pyspark.sql import types as T
-        schema = self._load_schema()
+        # schema_override (round 12): the HISTORICAL schema from the
+        # version's manifest record — the parquet scan then projects to
+        # exactly that era's columns (post-evolution columns pruned at
+        # the scan, not nulled in)
+        schema = (schema_override if schema_override is not None
+                  else self._load_schema())
         assign, _ = self._resolve_epochs(as_of)
         if buckets is not None:
             want = set(buckets)
@@ -1026,7 +1059,11 @@ class KeyedTable:
             self._save_manifest([{
                 "e": 0, "op": "init", "full": True,
                 "buckets": list(range(self.num_buckets)), "emptied": [],
-                "num_buckets": self.num_buckets}])
+                "num_buckets": self.num_buckets,
+                # schema-per-version record (round 12): full entries
+                # stamp the schema they wrote — the only points it can
+                # change — so _schema_text_as_of resolves any version
+                "schema": bucketed.schema.json()}])
             return
         (bucketed
          .repartition(self.BUCKET_COL)
@@ -1061,7 +1098,8 @@ class KeyedTable:
                 .parquet(f"{root}/{self.BUCKET_COL}={{{glob}}}"))
 
     def _read_raw(self, buckets: Sequence[int] | None = None,
-                  as_of: int | None = None) -> DataFrame:
+                  as_of: int | None = None,
+                  schema_override=None) -> DataFrame:
         """Read the stored snapshot; with ``buckets`` given, read ONLY those
         bucket directories via one brace-alternation glob.  That skips the
         driver-side listing + partition discovery of every bucket dir a
@@ -1074,10 +1112,13 @@ class KeyedTable:
         (None = latest); unversioned tables reject it."""
         self._recover_compact()   # never serve a half-swapped compact
         if self.versioned:
-            return self._read_versioned(buckets, as_of)
+            return self._read_versioned(buckets, as_of,
+                                        schema_override=schema_override)
         if as_of is not None:
             raise ValueError("as_of requires a versioned table "
                              "(KeyedTable(..., versioned=True))")
+        if schema_override is not None:
+            raise ValueError("schema_as_of requires a versioned table")
         schema = self._load_schema()
         try:
             if schema is not None and buckets is not None:
@@ -1201,8 +1242,8 @@ class KeyedTable:
 
     # -- delta-log sidecar (merge-on-read UPSERTS, round-10 headline) ------
     def _read_delta(self, buckets: Sequence[int] | None = None,
-                    vers: Sequence[int] | None = None
-                    ) -> DataFrame | None:
+                    vers: Sequence[int] | None = None,
+                    schema_override=None) -> DataFrame | None:
         """The accumulated delta-log rows (full table schema +
         DELTA_SEQ_COL/DELTA_DEL_COL, bucket-partitioned), or None when
         the sidecar is absent — or when none of the requested
@@ -1234,7 +1275,11 @@ class KeyedTable:
             if not vers or (buckets is not None and not buckets):
                 return None
             from pyspark.sql import types as T
-            schema = self._load_schema()
+            # schema_override: the historical record for schema_as_of
+            # reads — sound because a window never spans a schema
+            # change (full entries are window boundaries)
+            schema = (schema_override if schema_override is not None
+                      else self._load_schema())
             if schema is None:
                 # the TABLE's sidecar, not a log-specific one: the
                 # versioned delta read pins its schema from it (advice
@@ -1312,7 +1357,8 @@ class KeyedTable:
 
     def _apply_delta(self, df: DataFrame,
                      buckets: Sequence[int] | None = None,
-                     as_of: int | None = None) -> DataFrame:
+                     as_of: int | None = None,
+                     schema_override=None) -> DataFrame:
         """The merged base+log view over ``df`` (base rows, bucket
         column already dropped): every key with a log winner is taken
         from the log — an upsert winner REPLACES the base row, a delete
@@ -1326,7 +1372,8 @@ class KeyedTable:
         base does not yet incorporate."""
         if self.versioned:
             delta = self._read_delta(buckets=buckets,
-                                     vers=self._delta_vers(as_of))
+                                     vers=self._delta_vers(as_of),
+                                     schema_override=schema_override)
         else:
             delta = self._read_delta(buckets=buckets)
         if delta is None:
@@ -1390,7 +1437,8 @@ class KeyedTable:
 
     def _hide_tombstones(self, df: DataFrame,
                          buckets: Sequence[int] | None = None,
-                         as_of: int | None = None) -> DataFrame:
+                         as_of: int | None = None,
+                         schema_override=None) -> DataFrame:
         if self.tombstones and TOMBSTONE_COL in df.columns:
             df = (df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
                   .drop(TOMBSTONE_COL))
@@ -1399,16 +1447,49 @@ class KeyedTable:
         if self.delta_upserts:
             # buckets: KEY-scoped callers only (lookup) — see _read_delta;
             # as_of: the caller's version when df is a historic base
-            df = self._apply_delta(df, buckets=buckets, as_of=as_of)
+            df = self._apply_delta(df, buckets=buckets, as_of=as_of,
+                                   schema_override=schema_override)
         return df
 
-    def read(self, as_of: int | None = None) -> DataFrame:
+    def read(self, as_of: int | None = None,
+             schema_as_of: bool = False) -> DataFrame:
         """The LIVE snapshot: tombstone marker rows (and the marker
         column) are hidden from readers.  On a versioned table,
-        ``as_of`` time-travels to that epoch's snapshot."""
+        ``as_of`` time-travels to that epoch's snapshot.
+
+        ``schema_as_of=True`` (round 12) reads under the HISTORICAL
+        schema — the manifest's schema record in force at ``as_of`` —
+        instead of pinning the current sidecar: columns a later
+        evolution added are PRUNED AT THE SCAN (not nulled in), and a
+        later type rewrite's types roll back.  Raises on an
+        unversioned table and on a manifest with no schema record at
+        or below ``as_of`` (a table never written by round-12+ code —
+        the old pin-current contract, answered loudly rather than
+        silently substituting the current schema).  A delta window
+        never spans a schema change (schema changes only at full
+        entries, which are window boundaries), so the log leg reads
+        under the same record."""
+        schema_override = None
+        if schema_as_of:
+            if not self.versioned:
+                raise ValueError("schema_as_of requires a versioned "
+                                 "table (KeyedTable(..., "
+                                 "versioned=True))")
+            text = self._schema_text_as_of(as_of)
+            if text is None:
+                v = "latest" if as_of is None else as_of
+                raise ValueError(
+                    f"no schema record at or below version {v} — the "
+                    "manifest predates schema-per-version records "
+                    "(round 12); read without schema_as_of for the "
+                    "current-schema pin")
+            import json as _json
+            from pyspark.sql import types as T
+            schema_override = T.StructType.fromJson(_json.loads(text))
         return self._hide_tombstones(
-            self._read_raw(as_of=as_of).drop(self.BUCKET_COL),
-            as_of=as_of)
+            self._read_raw(as_of=as_of, schema_override=schema_override)
+            .drop(self.BUCKET_COL),
+            as_of=as_of, schema_override=schema_override)
 
     def lookup(self, keys, as_of: int | None = None) -> DataFrame:
         """Point/batch lookup: the live rows for the given keys, reading
@@ -1455,7 +1536,8 @@ class KeyedTable:
             buckets=buckets, as_of=as_of)
         return df.join(F.broadcast(kdf), list(self.keys), "left_semi")
 
-    def restore(self, version: int, materialize: bool = False) -> int:
+    def restore(self, version: int, materialize: bool = False,
+                restore_schema: bool = False) -> int:
         """Roll the table BACK to ``version`` as a NEW version (the
         Delta/Iceberg RESTORE shape): history is preserved — the bad
         versions stay readable for forensics until purged, and the
@@ -1478,12 +1560,24 @@ class KeyedTable:
         count those files were bucketed under — restoring across a
         rebucket is legal), and ``table_version`` bumps (bloom/stats
         sidecars indexed the pre-restore content; they fail open and
-        rebuild on the maintenance cadence).  Schema is NOT rolled
-        back: history reads always pin the CURRENT sidecar schema
+        rebuild on the maintenance cadence).  Schema, by default, is
+        NOT rolled back: reads keep the CURRENT sidecar schema
         (post-evolution columns read as null in pre-evolution epochs),
         so the restored view matches ``read(as_of=version)`` exactly —
         the same contract the materialized path inherits from
-        ``rewrite``.  Crash contract: meta commits before the manifest
+        ``rewrite``.  ``restore_schema=True`` (round 12) ALSO flips the
+        sidecar to the schema in force at ``version``
+        (``_schema_text_as_of``'s record — raises if the target
+        predates schema records): a rollback across an evolution gets
+        the historical column set back, subsequent merges validate
+        staging against it, and the restore entry's own schema record
+        makes the flip itself time-travelable; the post-evolution
+        epochs stay readable for forensics under THEIR schema via
+        ``read(as_of=..., schema_as_of=True)``.  Crash contract
+        (restore_schema adds the sidecar flip BEFORE the manifest
+        commit — a crash between them leaves current-latest reads
+        under the narrowed schema, exactly what re-running the restore
+        converges to): meta commits before the manifest
         entry, the same window ``rewrite`` has — a crash between the
         two leaves a table whose next write hashes under the target's
         bucket count; re-running the restore converges (pure metadata,
@@ -1502,10 +1596,31 @@ class KeyedTable:
                              "(KeyedTable(..., versioned=True))")
         # (delete_vectors cannot reach here: the DV x versioned combo is
         # rejected at construction)
+        target_schema_text = None
+        if restore_schema:
+            target_schema_text = self._schema_text_as_of(version)
+            if target_schema_text is None:
+                raise ValueError(
+                    f"version {version} predates schema-per-version "
+                    "records (the manifest carries no schema record at "
+                    "or below it); restore without restore_schema, or "
+                    "rewrite once with current code to start recording")
         if materialize:
             snap = self._read_raw(as_of=version).drop(self.BUCKET_COL)
             if self.delta_upserts:
                 snap = self._apply_delta(snap, as_of=version)
+            if target_schema_text is not None:
+                # project to the historical column set (additive
+                # evolution means names suffice; cast pins any type a
+                # later rewrite changed) — rewrite() below then stamps
+                # and saves the narrowed schema, so the sidecar flip
+                # rides the ordinary rewrite machinery
+                import json as _json
+                from pyspark.sql import types as T
+                tgt = T.StructType.fromJson(_json.loads(target_schema_text))
+                snap = snap.select(*[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in tgt.fields if f.name != self.BUCKET_COL])
             self.rewrite(snap)
             # stamp the entry apart from an ordinary rewrite (the audit
             # trail must distinguish a rollback from schema evolution —
@@ -1526,6 +1641,18 @@ class KeyedTable:
             "e": epoch, "op": "restore", "restored_from": int(version),
             "base": {str(b): int(e) for b, e in assign.items()},
             "num_buckets": nb, "buckets": [], "emptied": []}
+        # schema record: the restore stamps the schema it LEAVES IN
+        # FORCE — the target's under restore_schema (sidecar flipped
+        # below), else the current one (pin-current contract); a
+        # recordless current sidecar (pre-round-12 table) stamps
+        # nothing and the walk keeps answering None
+        if restore_schema:
+            entry["schema"] = target_schema_text
+            self._write_sidecar("_schema.json", target_schema_text)
+        else:
+            cur = self._read_sidecar("_schema.json")
+            if cur is not None:
+                entry["schema"] = cur
         if self.delta_upserts:
             win = self._delta_vers(version)
             entry["delta_boundary"] = self._delta_boundary(version)
@@ -1638,6 +1765,13 @@ class KeyedTable:
                       "base": {str(b): e for b, e in assign.items()
                                if e < cutoff},
                       "num_buckets": nb}
+        # schema record (round 12): a purged entry may have carried the
+        # record retained versions resolve to — the collapse preserves
+        # the walk state at the cutoff (None on pre-round-12 manifests:
+        # stamp nothing, the walk keeps answering None)
+        sch_rec = self._schema_text_as_of(cutoff - 1)
+        if sch_rec is not None:
+            base_entry["schema"] = sch_rec
         if self.delta_upserts:
             # The collapsed prefix loses its fold/full entries, so the
             # base entry RECORDS the replacement-walk state at the
@@ -1854,7 +1988,10 @@ class KeyedTable:
             entries.append({
                 "e": epoch, "op": "rewrite", "full": True,
                 "buckets": list(range(self.num_buckets)), "emptied": [],
-                "num_buckets": self.num_buckets})
+                "num_buckets": self.num_buckets,
+                # schema-per-version record: a rewrite is the evolution
+                # path — stamp what this epoch's files actually carry
+                "schema": bucketed.schema.json()})
             self._save_manifest(entries)
             return
         tmp = f"{self.path}__tmp_rewrite"

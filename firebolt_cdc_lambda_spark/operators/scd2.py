@@ -335,3 +335,45 @@ class Scd2Table:
         if self.op_col:
             cur = cur.where(~F.col(DELETED_COL))
         return cur
+
+    def rewind(self, cutoff) -> None:
+        """Incident rollback — the SCD2 half of the restore runbook
+        (``CdcPipeline.restore_table`` rolls the KeyedTable back;
+        nothing could roll the history store back until this).  Excise
+        every version OPENED at or after ``cutoff`` (a ``valid_from``
+        value — the bad window's start) and RE-OPEN each key's newest
+        surviving version (``valid_to`` null, ``is_current``): the
+        exact pre-window state, because per key the version order and
+        the ``valid_from`` order coincide, so any closer of a
+        surviving row opened inside the excised window.  Keys whose
+        whole history began inside the window vanish.
+
+        Replay WITHOUT a rewind cannot reconstruct the history: the
+        batch-order gate drops corrected rows whose event time does
+        not beat the bad version's ``valid_from``, and the bad
+        versions would stay in history regardless.  After the rewind,
+        re-applying the corrected window's batches reconstructs the
+        true history (``apply`` is deterministic in state + batches) —
+        pinned end-to-end in tests/test_pipeline.py.
+
+        Full-table scan + STATIC rewrite: an incident tool, not a
+        cadence op — and static is load-bearing, not defensive: a key
+        excised entirely leaves its bucket dir needing truncation,
+        which a dynamic overwrite would skip (the vanished-group class
+        of bug pinned on RollupTable.init, round 11)."""
+        dim = self.read()
+        to_type = dict(dim.dtypes)["valid_from"]
+        kept = dim.where(
+            F.col("valid_from") < F.lit(cutoff).cast(to_type))
+        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(
+            F.col("version").desc())
+        out = (kept.withColumn("__rn", F.row_number().over(w))
+               .withColumn("valid_to",
+                           F.when(F.col("__rn") == 1,
+                                  F.lit(None).cast(to_type))
+                           .otherwise(F.col("valid_to")))
+               .withColumn("is_current", F.col("__rn") == 1)
+               .drop("__rn"))
+        # pin before the overwrite replaces the files the plan reads
+        out = out.localCheckpoint(eager=True)
+        self._write(out, dynamic=False)

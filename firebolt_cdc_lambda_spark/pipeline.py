@@ -469,14 +469,19 @@ class CdcPipeline:
 
     def restore_table(self, table: str, version: int,
                       materialize: bool = False,
+                      restore_schema: bool = False,
                       sync_stores: bool = True) -> int | None:
         """Roll ``table`` back to ``version`` as a NEW version
         (KeyedTable.restore — the incident tool: a bad batch landed,
         the operator restores and replays).  Metadata-only by default
         (zero data files touched — a 100 TB rollback is one sidecar
         write); ``materialize=True`` rewrites the live view into fresh
-        files in the same pass.  Returns the new latest version, or
-        None if the table is unconfigured / absent / not versioned.
+        files in the same pass; ``restore_schema=True`` also rolls the
+        schema sidecar back to the one in force at ``version``
+        (KeyedTable.restore's round-12 flag — a rollback across an
+        evolution gets the historical column set back, and subsequent
+        merges validate against it).  Returns the new latest version,
+        or None if the table is unconfigured / absent / not versioned.
         Unlike the maintenance wrappers this NEVER runs on a cadence —
         a restore is an operator decision; pair it with
         :meth:`forget_files` for the replayed window if the corrected
@@ -502,7 +507,8 @@ class CdcPipeline:
         target = self.target_for(table, keys)
         if not target.exists() or not target.versioned:
             return None
-        new_v = target.restore(version, materialize=materialize)
+        new_v = target.restore(version, materialize=materialize,
+                               restore_schema=restore_schema)
         if sync_stores:
             self._rebuild_join_views(table)
             self._resync_rollups(table, target)

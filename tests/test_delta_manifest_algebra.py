@@ -33,6 +33,7 @@ class _Stub:
     _delta_boundary = KeyedTable._delta_boundary
     _delta_vers = KeyedTable._delta_vers
     _resolve_epochs = KeyedTable._resolve_epochs
+    _schema_text_as_of = KeyedTable._schema_text_as_of
 
     num_buckets = NB
 
@@ -50,44 +51,61 @@ class _Stub:
 # (its logged keys all deleted) — exercises the dropped-bucket walk
 # under restore resurrection.
 _OP = st.one_of(
-    st.sampled_from(["delta", "fold", "fold0", "rewrite",
+    st.sampled_from(["delta", "fold", "fold0", "rewrite", "evolve",
                      "merge0", "merge1"]),
-    st.tuples(st.just("restore"), st.integers(min_value=0,
-                                              max_value=10_000)))
+    st.tuples(st.just("restore"),
+              st.integers(min_value=0, max_value=10_000),
+              st.booleans()))                 # restore_schema flip
 _OPS = st.lists(_OP, min_size=0, max_size=24)
 
 
 def _build(ops):
     """Entries + an independent MODEL of the expected algebra: for each
-    version, (boundary, window, bucket->epoch assignment, live files).
-    Restore entries carry the records the production restore() writes —
-    computed from the MODEL, so the test checks both the record's
-    construction contract and the production walk that consumes it."""
+    version, (boundary, window, bucket->epoch assignment, live files,
+    schema id).  Restore entries carry the records the production
+    restore() writes — computed from the MODEL, so the test checks both
+    the record's construction contract and the production walk that
+    consumes it.  Schema records (round 12): init/rewrite/evolve stamp
+    the schema they write ("evolve" is a rewrite that CHANGES it — the
+    evolution path); a restore stamps the schema it leaves in force
+    (the target's under restore_schema=True, the pre-restore one
+    otherwise); merges/folds/deltas carry none."""
     entries = [{"e": 0, "op": "init", "full": True,
                 "buckets": list(range(NB)), "emptied": [],
-                "num_buckets": NB}]
+                "num_buckets": NB, "schema": 0}]
     lo = {0: 0}
     win = {0: ()}
     assign = {0: {b: 0 for b in range(NB)}}
+    sch = {0: 0}                          # model: schema ids, 0 = initial
+    next_sch = 1
     files = {(b, 0) for b in range(NB)}   # (bucket, epoch) leaf dirs
     log_dirs = set()                      # _delta_ver partition dirs
     for i, op in enumerate(ops, start=1):
         if isinstance(op, tuple):
             t = op[1] % i                 # any existing version
+            flip = op[2]
+            sch[i] = sch[t] if flip else sch[i - 1]
             e = {"e": i, "op": "restore", "restored_from": t,
                  "base": {str(b): ep for b, ep in assign[t].items()},
                  "num_buckets": NB, "buckets": [], "emptied": [],
-                 "delta_boundary": lo[t], "delta_vers": list(win[t])}
+                 "delta_boundary": lo[t], "delta_vers": list(win[t]),
+                 "schema": sch[i]}
             lo[i], win[i] = lo[t], win[t]
             assign[i] = dict(assign[t])   # pure metadata: no files
-        elif op == "rewrite":
+        elif op in ("rewrite", "evolve"):
+            if op == "evolve":
+                sch[i] = next_sch
+                next_sch += 1
+            else:
+                sch[i] = sch[i - 1]       # rewrite stamps, unchanged
             e = {"e": i, "op": "rewrite", "full": True,
                  "buckets": list(range(NB)), "emptied": [],
-                 "num_buckets": NB}
+                 "num_buckets": NB, "schema": sch[i]}
             lo[i], win[i] = i, ()
             assign[i] = {b: i for b in range(NB)}
             files |= {(b, i) for b in range(NB)}
         elif op in ("fold", "fold0"):
+            sch[i] = sch[i - 1]
             kept = [1] if op == "fold0" else list(range(NB))
             emptied = [0] if op == "fold0" else []
             e = {"e": i, "op": "fold", "buckets": kept,
@@ -100,6 +118,7 @@ def _build(ops):
             for b in emptied:
                 assign[i].pop(b, None)
         elif op in ("merge0", "merge1"):
+            sch[i] = sch[i - 1]
             b = int(op[-1])
             e = {"e": i, "op": "merge", "buckets": [b], "emptied": [],
                  "num_buckets": NB}
@@ -108,6 +127,7 @@ def _build(ops):
             assign[i][b] = i
             files.add((b, i))
         else:                             # delta append
+            sch[i] = sch[i - 1]
             e = {"e": i, "op": "delta", "buckets": [], "emptied": [],
                  "num_buckets": NB, "delta_buckets": [0]}
             lo[i] = lo[i - 1]
@@ -115,7 +135,7 @@ def _build(ops):
             assign[i] = dict(assign[i - 1])
             log_dirs.add(i)
         entries.append(e)
-    return entries, lo, win, assign, files, log_dirs
+    return entries, lo, win, assign, files, log_dirs, sch
 
 
 def _collapse(entries, keep_last, files, log_dirs):
@@ -148,6 +168,11 @@ def _collapse(entries, keep_last, files, log_dirs):
             "delta_boundary": stub._delta_boundary(cutoff - 1),
             "delta_vers": [v for v in stub._delta_vers(cutoff - 1)
                            if v in needed_vers]}
+    # schema record (round 12): the walk state at the cutoff — purged
+    # entries may have carried the record retained versions resolve to
+    s_cut = stub._schema_text_as_of(cutoff - 1)
+    if s_cut is not None:
+        base["schema"] = s_cut
     return [base] + retained, files, log_dirs
 
 
@@ -184,7 +209,7 @@ def test_assignment_matches_model(ops):
     a restore entry resolves to its TARGET's assignment verbatim
     (including buckets a later fold had emptied), and every referenced
     (bucket, epoch) leaf exists."""
-    entries, _, _, assign, files, _ = _build(ops)
+    entries, _, _, assign, files, _, _ = _build(ops)
     stub = _Stub(entries)
     for v in range(len(ops) + 1):
         a, nb = stub._resolve_epochs(v)
@@ -205,7 +230,7 @@ def test_collapse_preserves_retained_resolution(ops, keep1, keep2):
     restore may reference epochs/log versions BELOW the cutoff
     assignment's, which the old assign(cutoff)/boundary(cutoff) rules
     would have deleted."""
-    entries, lo, win, assign, files, log_dirs = _build(ops)
+    entries, lo, win, assign, files, log_dirs, sch = _build(ops)
     latest = len(ops)
     for keep in (keep1, keep2):
         entries, files, log_dirs = _collapse(entries, keep, files,
@@ -221,8 +246,43 @@ def test_collapse_preserves_retained_resolution(ops, keep1, keep2):
             assert a == assign[v], v
             assert set(a.items()) <= files, v
             assert set(stub._delta_vers(v)) <= log_dirs, v
+            # schema resolution survives the collapse: the record a
+            # retained version resolved to may have lived on a PURGED
+            # entry — the base entry must carry the walk state
+            assert stub._schema_text_as_of(v) == sch[v], v
         # manifest-and-disk agreement: the base record names only
         # surviving log dirs (advice finding, round 10)
         base = ordered[0]
         if base.get("op") == "base":
             assert set(base.get("delta_vers", ())) <= log_dirs
+
+
+@settings(max_examples=300, deadline=None)
+@given(_OPS)
+def test_schema_walk_matches_model(ops):
+    """_schema_text_as_of matches the independent model at every
+    version (round 12): the newest visible record wins; a rewrite
+    re-stamps without changing it; an "evolve" rewrite changes it; a
+    restore leaves the PRE-restore schema in force unless it flipped
+    (restore_schema=True), in which case the TARGET's schema returns —
+    and restored-away evolutions never leak through."""
+    entries, *_, sch = _build(ops)
+    stub = _Stub(entries)
+    for v in range(len(ops) + 1):
+        assert stub._schema_text_as_of(v) == sch[v], v
+    assert stub._schema_text_as_of(None) == sch[len(ops)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_OPS)
+def test_schema_walk_none_on_recordless_manifest(ops):
+    """A manifest written entirely by pre-round-12 code carries no
+    schema records; the walk answers None at EVERY version (callers
+    fall back to / raise toward the current-sidecar pin — the old
+    contract), never a half-resolved schema."""
+    entries, *_ = _build(ops)
+    stripped = [{k: val for k, val in e.items() if k != "schema"}
+                for e in entries]
+    stub = _Stub(stripped)
+    for v in range(len(ops) + 1):
+        assert stub._schema_text_as_of(v) is None, v
