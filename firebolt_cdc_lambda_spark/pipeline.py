@@ -498,9 +498,13 @@ class CdcPipeline:
         price of a consistent read surface; pass ``sync_stores=False``
         to defer that to the operator (the stores then serve the PRE-
         restore content until rebuilt by hand).  SCD2 histories are
-        built from the batch STREAM, not the snapshot, so no rebuild
-        can reconstruct them here — replaying the corrected window is
-        the operator's SCD2 recovery path."""
+        built from the batch STREAM, not the snapshot, so no snapshot
+        rebuild can reconstruct them here — the operator's SCD2
+        recovery is ``Scd2Table.rewind(window_start)`` followed by the
+        corrected-window replay (replay alone reconstructs nothing:
+        the batch-order gate drops same-event-time corrected rows),
+        pinned end-to-end in
+        tests/test_pipeline.py::test_scd2_incident_loop_reconstructs_history."""
         keys = self.table_keys.resolve(table)
         if keys is None:
             return None
