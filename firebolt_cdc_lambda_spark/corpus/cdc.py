@@ -1338,6 +1338,69 @@ FROM v1 WHERE o_orderkey % 100 <> 21
 """
 
 
+def cdc_shallow_clone(spark, sf):
+    """Zero-copy table fork (round 12, operators/merge.py:KeyedTable.
+    clone): a versioned table is cloned as ONE manifest write — zero
+    base data copied (asserted: no _bucket dirs under the clone) —
+    then BOTH sides merge different batches and diverge independently
+    (the incident runbook's "test the fix on a clone" step).  Result:
+    the two final snapshots union-tagged, both DuckDB-reconstructed."""
+    import os
+    import tempfile
+
+    from ..operators.merge import KeyedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf, "orders").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="cdc_clone_q_")  # left for OS cleanup
+    src = KeyedTable(spark, f"{tmp}/src", ["o_orderkey"],
+                     num_buckets=32, versioned=True)
+    src.init(orders)                                            # v0
+    src.merge_batch(orders.where("o_orderkey % 100 = 7")
+                    .withColumn("o_totalprice",
+                                F.col("o_totalprice") + 11.0)
+                    .withColumn("Op", F.lit("U")))              # v1
+    clone = src.clone(f"{tmp}/fork")
+    # zero-copy pin: the clone holds NO base data, one manifest entry
+    assert not [n for n in os.listdir(f"{tmp}/fork")
+                if n.startswith("_bucket=")], "clone copied base data"
+    assert clone.history()[-1]["op"] == "clone"
+    # the fix is tested on the CLONE; production takes a different path
+    clone.merge_batch(orders.where("o_orderkey % 100 = 13")
+                      .withColumn("o_totalprice", F.lit(555.0))
+                      .withColumn("Op", F.lit("U"))
+                      .unionByName(
+                          orders.where("o_orderkey % 100 = 21")
+                          .withColumn("Op", F.lit("D"))))
+    src.merge_batch(orders.where("o_orderkey % 100 = 33")
+                    .withColumn("o_totalprice",
+                                F.col("o_totalprice") * 2)
+                    .withColumn("Op", F.lit("U")))
+    return (clone.read()
+            .select(F.lit("clone").alias("side"), *cols)
+            .unionByName(src.read()
+                         .select(F.lit("source").alias("side"), *cols)))
+
+
+CDC_SHALLOW_CLONE_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice + 11.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT 'clone' AS side, o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 100 = 13 THEN 555.0
+            ELSE o_totalprice END AS o_totalprice
+FROM v1 WHERE o_orderkey % 100 <> 21
+UNION ALL
+SELECT 'source' AS side, o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 100 = 33 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM v1
+"""
+
+
 QUERIES = {
     "cdc_pipeline_snapshot": Query(cdc_pipeline_snapshot, CDC_PIPELINE_SNAPSHOT_SQL,
                                    "full pipeline: bootstrap + merge through "
@@ -1454,4 +1517,10 @@ QUERIES = {
         "own via schema_as_of — round 12); a good batch continues "
         "after — the post-incident latest union-tagged with the bad "
         "version's forensic snapshot, both under the value hash"),
+    "cdc_shallow_clone": Query(
+        cdc_shallow_clone, CDC_SHALLOW_CLONE_SQL,
+        "zero-copy SHALLOW CLONE (root-tagged manifest refs): fork a "
+        "versioned table in ONE manifest write (no base data copied, "
+        "asserted), merge different batches into clone and source, "
+        "both diverged snapshots union-tagged under the value hash"),
 }

@@ -770,11 +770,16 @@ class KeyedTable:
         entry left by purge_versions."""
         return sorted(self._load_manifest(), key=lambda e: int(e["e"]))
 
-    def _resolve_epochs(self, as_of: int | None) -> tuple[dict[int, int], int]:
-        """``{bucket: epoch-dir to read}`` for version ``as_of`` (None =
+    def _resolve_epochs(self, as_of: int | None
+                        ) -> tuple[dict[int, tuple[int, str | None]], int]:
+        """``{bucket: (epoch, root)}`` for version ``as_of`` (None =
         latest), plus the bucket COUNT in force at that version (rebucket
         changes it; key-pruned lookups must hash with the version's own
-        count)."""
+        count).  ``root`` is None for this table's own path; a SHALLOW
+        CLONE's base map re-points buckets at a foreign table's epoch
+        dirs as ``[epoch, root]`` pairs (round 12) — plain int values
+        (every pre-clone manifest) parse as local, so the format is
+        fully backward-compatible."""
         entries = self.history()
         if not entries:
             raise ValueError(f"no versions recorded at {self.path}")
@@ -796,7 +801,7 @@ class KeyedTable:
             raise ValueError(f"version {as_of} has been purged (oldest "
                              f"retained is {oldest})")
         nb = int(visible[-1].get("num_buckets", self.num_buckets))
-        assign: dict[int, int] = {}
+        assign: dict[int, tuple[int, str | None]] = {}
         dropped: set[int] = set()
         for entry in reversed(visible):
             e = int(entry["e"])
@@ -804,14 +809,17 @@ class KeyedTable:
                 for b, be in entry["base"].items():
                     b = int(b)
                     if b not in assign and b not in dropped:
-                        assign[b] = int(be)
+                        if isinstance(be, (list, tuple)):   # [e, root]
+                            assign[b] = (int(be[0]), be[1])
+                        else:
+                            assign[b] = (int(be), None)
                 break
             for b in entry.get("emptied", ()):
                 if b not in assign:
                     dropped.add(int(b))
             for b in entry.get("buckets", ()):
                 if b not in dropped and b not in assign:
-                    assign[int(b)] = e
+                    assign[int(b)] = (e, None)
             if entry.get("full"):
                 # init / full rewrite: every live row was (re)written at
                 # this epoch — older mentions must not leak through (their
@@ -891,6 +899,14 @@ class KeyedTable:
             elif e.get("op") == "delta":
                 vers.append(ee)
         return sorted(vers)
+
+    @staticmethod
+    def _ser_ref(er) -> int | list:
+        """Serialize a resolution ref for the manifest: local ``(e,
+        None)`` stays a plain int (every pre-clone manifest shape);
+        foreign ``(e, root)`` becomes ``[e, root]``."""
+        e, r = er
+        return int(e) if r is None else [int(e), r]
 
     def _schema_text_as_of(self, as_of: int | None = None) -> str | None:
         """The schema (sidecar JSON text, ``_bucket`` column included)
@@ -979,10 +995,15 @@ class KeyedTable:
         assign, _ = self._resolve_epochs(as_of)
         if buckets is not None:
             want = set(buckets)
-            assign = {b: e for b, e in assign.items() if b in want}
-        groups: dict[int, list[int]] = {}
-        for b, e in assign.items():
-            groups.setdefault(e, []).append(b)
+            assign = {b: er for b, er in assign.items() if b in want}
+        # group by (root, epoch): a shallow clone resolves some buckets
+        # to a FOREIGN table's dirs — each root gets its own read (its
+        # own basePath pins the partition-column parse), unioned below;
+        # roots are few (self + clone sources), so this stays O(roots)
+        # driver work, not O(buckets)
+        groups: dict[tuple[str | None, int], list[int]] = {}
+        for b, (e, r) in assign.items():
+            groups.setdefault((r, e), []).append(b)
         if schema is None:
             raise ValueError(f"versioned table at {self.path} has no "
                              "schema sidecar")
@@ -995,22 +1016,51 @@ class KeyedTable:
         # "empty table" would silently drop every bucket that DOES exist
         # (found by the fresh-replay hypothesis property).
         fs, _, jvm = self._fs_and_path(self.path)
-        paths: list[str] = []
-        for e, bs in sorted(groups.items()):
-            glob = jvm.org.apache.hadoop.fs.Path(
-                f"{self.path}/{self.BUCKET_COL}="
-                f"{{{','.join(str(b) for b in sorted(bs))}}}/"
-                f"{self.EPOCH_COL}={e}")
-            for st in fs.globStatus(glob) or []:
-                paths.append(st.getPath().toString())
-        if not paths:
-            return self.spark.createDataFrame([], schema)
         rschema = T.StructType(
             list(schema.fields) + [T.StructField(self.EPOCH_COL, T.IntegerType())])
-        return (self.spark.read.schema(rschema)
-                .option("basePath", self.path)
-                .parquet(*paths)
-                .drop(self.EPOCH_COL))
+        by_root: dict[str | None, list[str]] = {}
+        for (r, e), bs in sorted(groups.items(),
+                                 key=lambda kv: (kv[0][0] or "", kv[0][1])):
+            root = r if r is not None else self.path
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{self.BUCKET_COL}="
+                f"{{{','.join(str(b) for b in sorted(bs))}}}/"
+                f"{self.EPOCH_COL}={e}")
+            gfs = (fs if r is None else glob.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()))
+            matched = [st.getPath().toString()
+                       for st in gfs.globStatus(glob) or []]
+            if r is not None and len(matched) < len(bs):
+                # FOREIGN refs (a shallow clone's re-points) recorded
+                # only dirs that EXISTED at clone time, so a missing
+                # arm means the SOURCE purged/compacted it away — the
+                # documented clone hazard, answered LOUDLY and whole,
+                # never as a silently partial snapshot (the Delta
+                # shallow-clone contract; clone(materialize=True) is
+                # the escape).  Local arms keep the legal-empty
+                # contract: a resolved bucket may simply hold no data.
+                raise ValueError(
+                    f"shallow-clone source dir(s) missing under {r} "
+                    f"(epoch {e}: matched {len(matched)} of {len(bs)} "
+                    "bucket dirs) — the source table purged or "
+                    "rewrote files this clone pins; re-clone, or "
+                    "materialize the clone before source maintenance")
+            by_root.setdefault(r, []).extend(matched)
+        legs = []
+        for r, paths in by_root.items():
+            if not paths:
+                continue
+            legs.append(self.spark.read.schema(rschema)
+                        .option("basePath",
+                                r if r is not None else self.path)
+                        .parquet(*paths)
+                        .drop(self.EPOCH_COL))
+        if not legs:
+            return self.spark.createDataFrame([], schema)
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
 
     def exists(self) -> bool:
         jvm = self.spark._jvm
@@ -1639,7 +1689,8 @@ class KeyedTable:
         epoch = self.latest_epoch() + 1
         entry: dict = {
             "e": epoch, "op": "restore", "restored_from": int(version),
-            "base": {str(b): int(e) for b, e in assign.items()},
+            "base": {str(b): self._ser_ref(er)
+                     for b, er in assign.items()},
             "num_buckets": nb, "buckets": [], "emptied": []}
         # schema record: the restore stamps the schema it LEAVES IN
         # FORCE — the target's under restore_schema (sidecar flipped
@@ -1673,6 +1724,141 @@ class KeyedTable:
         entries.append(entry)
         self._save_manifest(entries)
         return epoch
+
+    def clone(self, dest_path: str, as_of: int | None = None,
+              materialize: bool = False) -> "KeyedTable":
+        """SHALLOW CLONE (round 12): a NEW independent table at
+        ``dest_path`` whose starting content is this table's snapshot
+        at ``as_of`` (None = latest) — with ZERO base data copied.
+        The Delta SHALLOW CLONE shape, and the capability the incident
+        runbook wants next: "test the fix on a clone before restoring
+        production" — a 100 TB dev fork is one manifest write.
+
+        Mechanics: the clone's manifest holds ONE base-shaped entry
+        (op "clone", at e = the source version — see below) whose base
+        map re-points every bucket at the SOURCE's epoch dirs as
+        root-tagged ``[epoch, root]`` refs; cloning a clone flattens
+        the chain (refs keep their original roots).  Only dirs that
+        EXIST at clone time are recorded (a source bucket with no dir
+        contributes no rows, exactly like a local never-written
+        bucket), so a later read that finds a recorded foreign dir
+        missing knows the source purged/compacted it away and fails
+        LOUD and whole (see ``_read_versioned``) — the documented
+        hazard Delta shares; ``materialize=True`` is the escape (an
+        ordinary O(rows) full copy with the markers carried).
+
+        The clone entry sits at e = V_source, NOT 0, so clone-local
+        versions continue ABOVE every copied log version — on a
+        delta_upserts table the source's unfolded window (debt-bounded
+        by the fold cadence, NOT table-sized) is physically COPIED
+        into the clone's own log under its original version numbers,
+        and the entry re-opens it with the restore replacement-walk
+        semantics the round-11 algebra already pinned; a colliding
+        local append is impossible by construction (pinned in the
+        algebra suite's no-collision property).
+
+        Divergence after the fork is by construction: clone writes
+        land under the CLONE's root only; the source is never written.
+        Maintenance on the clone is foreign-safe: purge never deletes
+        a root-tagged ref (not its files), compact/health walk only
+        local leaves, and a clone-local full entry (rewrite / fold /
+        materialized restore) extinguishes every foreign pin — after
+        which source maintenance can no longer break the clone.
+        Schema: the clone starts from the source's record at ``as_of``
+        (schema-per-version) and evolves independently.  Indexes do
+        not carry (table_version starts fresh; bloom/stats rebuild on
+        the clone's own cadence).
+
+        Returns the clone's handle."""
+        if not self.versioned:
+            raise ValueError("clone requires a versioned table "
+                             "(KeyedTable(..., versioned=True))")
+        dfs, droot, jvm = self._fs_and_path(dest_path)
+        if dfs.exists(droot):
+            raise ValueError(f"clone target already exists: {dest_path}"
+                             " (clone never overwrites; choose a fresh "
+                             "path or delete it first)")
+        V = self.latest_epoch() if as_of is None else int(as_of)
+        assign, nb = self._resolve_epochs(V)
+        dest = KeyedTable(self.spark, dest_path, self.keys,
+                          num_buckets=nb, tombstones=self.tombstones,
+                          versioned=True,
+                          delta_upserts=self.delta_upserts)
+        if materialize:
+            snap = self._read_raw(as_of=V).drop(self.BUCKET_COL)
+            if self.delta_upserts:
+                snap = self._apply_delta(snap, as_of=V)
+            dest.init(snap)
+            entries = dest._load_manifest()
+            entries[-1]["op"] = "clone"
+            entries[-1]["cloned_from"] = {"path": self.path,
+                                          "version": V}
+            dest._save_manifest(entries)
+            return dest
+        # -- expand the assignment to EXISTING dirs, root-tagged -------
+        # (one globStatus per distinct (root, epoch) — the
+        # _read_versioned grouping; buckets with no dir are legal-empty
+        # and simply not recorded, which is what lets a LATER missing
+        # recorded dir mean "source deleted it" and fail loud)
+        groups: dict[tuple[str | None, int], list[int]] = {}
+        for b, (e, r) in assign.items():
+            groups.setdefault((r, e), []).append(b)
+        hconf = self.spark._jsc.hadoopConfiguration()
+        refs: dict[int, tuple[int, str]] = {}
+        for (r, e), bs in groups.items():
+            root = r if r is not None else self.path
+            glob = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{self.BUCKET_COL}="
+                f"{{{','.join(str(b) for b in sorted(bs))}}}/"
+                f"{self.EPOCH_COL}={e}")
+            for st in glob.getFileSystem(hconf).globStatus(glob) or []:
+                bname = st.getPath().getParent().getName()
+                b = int(bname.split("=", 1)[1])
+                refs[b] = (e, root)
+        entry: dict = {
+            "e": V, "op": "clone",
+            "cloned_from": {"path": self.path, "version": V},
+            "base": {str(b): self._ser_ref(er)
+                     for b, er in refs.items()},
+            "num_buckets": nb, "buckets": [], "emptied": []}
+        sch_text = self._schema_text_as_of(V)
+        if sch_text is None:
+            sch_text = self._read_sidecar("_schema.json")
+        win: list[int] = []
+        if self.delta_upserts:
+            win = self._delta_vers(V)
+            entry["delta_boundary"] = self._delta_boundary(V)
+            entry["delta_vers"] = win
+            # COPY the window's log dirs (debt-bounded by the fold
+            # cadence): the clone must survive the source folding or
+            # purging its log — base re-points are validated loudly at
+            # read time, but log dirs vanish on the source's ordinary
+            # fold cadence, which must never break a clone
+            sfs, _, _ = self._fs_and_path(self._delta_path)
+            for v in win:
+                g = jvm.org.apache.hadoop.fs.Path(
+                    f"{self._delta_path}/{self.BUCKET_COL}=*/"
+                    f"{self.DELTA_VER_COL}={v}")
+                for st in sfs.globStatus(g) or []:
+                    src = st.getPath()
+                    bdir = src.getParent().getName()
+                    dst = jvm.org.apache.hadoop.fs.Path(
+                        f"{dest._delta_path}/{bdir}/{src.getName()}")
+                    jvm.org.apache.hadoop.fs.FileUtil.copy(
+                        sfs, src, dfs, dst, False, hconf)
+        if sch_text is not None:
+            entry["schema"] = sch_text
+            dest._write_sidecar("_schema.json", sch_text)
+        dest.num_buckets = nb
+        dest.table_version = 1
+        dest.delta_seq = self.delta_seq
+        # the restore re-arm formula: the clone's backlog IS the
+        # re-opened window (gated-out batches make this under-count at
+        # worst — the fold gate over-fires, never silent debt)
+        dest.delta_folded_seq = max(0, self.delta_seq - len(win))
+        dest._save_meta()
+        dest._save_manifest([entry])
+        return dest
 
     def purge_tombstones(self, before_version=None,
                          version_col: str | None = None) -> bool:
@@ -1741,8 +1927,11 @@ class KeyedTable:
             if v < cutoff:
                 continue
             av, _ = self._resolve_epochs(v)
-            needed_old.update((b, e) for b, e in av.items()
-                              if e < cutoff)
+            # LOCAL refs only: foreign dirs (a clone's re-points) are
+            # another table's files — never deletion candidates here,
+            # so they never enter the need set either
+            needed_old.update((b, e) for b, (e, r) in av.items()
+                              if r is None and e < cutoff)
         deleted: set[int] = set()
         fs, root, jvm = self._fs_and_path(self.path)
         for entry in entries:
@@ -1753,7 +1942,13 @@ class KeyedTable:
             mentioned = (entry.get("buckets", []) if "base" not in entry
                          else [int(b) for b in entry["base"]])
             for b in mentioned:
-                be = e if "base" not in entry else int(entry["base"][str(b)])
+                if "base" not in entry:
+                    be = e
+                else:
+                    rec = entry["base"][str(b)]
+                    if isinstance(rec, (list, tuple)):
+                        continue          # foreign ref: not ours to delete
+                    be = int(rec)
                 if (int(b), be) in needed_old:
                     continue
                 p = jvm.org.apache.hadoop.fs.Path(
@@ -1761,9 +1956,15 @@ class KeyedTable:
                     f"{self.EPOCH_COL}={be}")
                 if fs.exists(p):
                     fs.delete(p, True)
+        # the collapsed record: LOCAL refs only when re-derivable from
+        # retained entries (e >= cutoff), foreign refs ALWAYS (their
+        # epochs live in another table's numbering — the cutoff
+        # comparison is meaningless and no retained local entry can
+        # re-derive them)
         base_entry = {"e": cutoff - 1, "op": "base",
-                      "base": {str(b): e for b, e in assign.items()
-                               if e < cutoff},
+                      "base": {str(b): self._ser_ref((e, r))
+                               for b, (e, r) in assign.items()
+                               if r is not None or e < cutoff},
                       "num_buckets": nb}
         # schema record (round 12): a purged entry may have carried the
         # record retained versions resolve to — the collapse preserves
@@ -2137,7 +2338,7 @@ class KeyedTable:
         leaf_files: dict[tuple[int, int | None], list] = {}
         for bucket, status, epoch in self._walk_data_files():
             live = (epoch is None or assign is None
-                    or assign.get(bucket) == epoch)
+                    or assign.get(bucket) == (epoch, None))
             size = int(status.getLen())
             if live:
                 report["live_files"] += 1
@@ -2423,7 +2624,7 @@ class KeyedTable:
         # -- plan: adjacent-run greedy packing per (bucket, epoch) ------
         by_leaf: dict[tuple[int, int | None], list] = {}
         for b, st, e in self._walk_data_files():
-            if assign is not None and assign.get(b) != e:
+            if assign is not None and assign.get(b) != (e, None):
                 continue                      # dead epoch: purge's job
             # only files sitting EXACTLY at the expected leaf are
             # packable: _walk_data_files also yields plain-table files

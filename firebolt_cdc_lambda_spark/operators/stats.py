@@ -159,17 +159,24 @@ class StatsIndex(SidecarIndex):
             return {(b, st.getPath().getName()): str(st.getPath())
                     for b, st, _ in t._walk_data_files()}
         assign, _ = t._resolve_epochs(None)
-        groups: dict[int, list[int]] = {}
-        for b, e in assign.items():
-            groups.setdefault(e, []).append(b)
+        # group by (root, epoch): a shallow clone resolves buckets to
+        # FOREIGN roots (round 12) — the zone map indexes those files
+        # under their real paths; a clone-local rewrite extinguishes
+        # the refs and the next build re-lists local leaves only
+        groups: dict[tuple[str | None, int], list[int]] = {}
+        for b, (e, r) in assign.items():
+            groups.setdefault((r, e), []).append(b)
         fs, _, jvm = t._fs_and_path(t.path)
+        hconf = t.spark._jsc.hadoopConfiguration()
         out: dict[tuple[int, str], str] = {}
         bprefix = f"{t.BUCKET_COL}="
-        for e, bs in groups.items():
+        for (r, e), bs in groups.items():
+            root = r if r is not None else t.path
             alt = ",".join(str(b) for b in sorted(bs))
             glob = jvm.org.apache.hadoop.fs.Path(
-                f"{t.path}/{bprefix}{{{alt}}}/{t.EPOCH_COL}={e}/*.parquet")
-            for st in fs.globStatus(glob) or []:
+                f"{root}/{bprefix}{{{alt}}}/{t.EPOCH_COL}={e}/*.parquet")
+            gfs = fs if r is None else glob.getFileSystem(hconf)
+            for st in gfs.globStatus(glob) or []:
                 p = st.getPath()
                 bucket = int(p.getParent().getParent()
                              .getName()[len(bprefix):])

@@ -520,6 +520,27 @@ class CdcPipeline:
                         f"(new version {new_v})")
         return new_v
 
+    def clone_table(self, table: str, dest_path: str,
+                    as_of: int | None = None,
+                    materialize: bool = False):
+        """Zero-copy dev/test fork of ``table``'s snapshot
+        (KeyedTable.clone — the incident runbook's missing first step:
+        test the fix on a clone BEFORE restoring production).  Returns
+        the clone's KeyedTable handle, or None if the table is
+        unconfigured / absent / not versioned.  The clone is NOT
+        registered with this pipeline: it is an independent table the
+        operator drives directly (or through a second pipeline rooted
+        elsewhere).  Source maintenance hazard + the materialize
+        escape are documented on KeyedTable.clone."""
+        keys = self.table_keys.resolve(table)
+        if keys is None:
+            return None
+        target = self.target_for(table, keys)
+        if not target.exists() or not target.versioned:
+            return None
+        return target.clone(dest_path, as_of=as_of,
+                            materialize=materialize)
+
     def forget_files(self, file_keys=None, prefix: str | None = None) -> int:
         """The ledger half of the restore runbook (FileLedger.forget):
         un-mark the given file keys and/or every key under ``prefix``

@@ -1,0 +1,211 @@
+"""Shallow clone (round 12): zero-copy table forks via root-tagged
+manifest refs — the restore re-point machinery generalized across
+tables (the Delta SHALLOW CLONE shape).  The manifest algebra is
+hypothesis-pinned in test_delta_manifest_algebra; these tests pin the
+Spark-side behavior: reads, divergence, the delta-window copy, purge
+interplay BOTH directions (source purge breaks the clone LOUDLY, clone
+purge never touches source files), chain flattening, and the
+schema-record carry."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for r in [r] for c in cols)
+                  for r in df.collect())
+
+
+def rowset(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def base_df(spark):
+    return spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in range(10)])
+
+
+def make_src(spark, tmp_path, **kw):
+    kw.setdefault("num_buckets", 8)
+    kt = KeyedTable(spark, str(tmp_path / "src"), ["k"],
+                    versioned=True, **kw)
+    kt.init(base_df(spark))
+    kt.merge_batch(spark.createDataFrame(
+        [Row(k=1, v="b1", Op="U"), Row(k=100, v="new", Op="I")]))
+    kt.merge_batch(spark.createDataFrame([Row(k=2, v="x", Op="D")]))
+    return kt
+
+
+def data_dirs(path):
+    """The _bucket=* dirs under a table root (local base data)."""
+    if not os.path.isdir(path):
+        return []
+    return [n for n in os.listdir(path) if n.startswith("_bucket=")]
+
+
+def test_clone_zero_copy_reads_source_snapshot(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    assert rowset(c.read()) == rowset(src.read())
+    # ZERO base data under the clone: sidecars only
+    assert data_dirs(str(tmp_path / "c")) == []
+    # as-of clone forks the historical snapshot
+    c1 = src.clone(str(tmp_path / "c1"), as_of=1)
+    assert rowset(c1.read()) == rowset(src.read(as_of=1))
+    # the clone entry is auditable
+    ent = c.history()[-1]
+    assert ent["op"] == "clone"
+    assert ent["cloned_from"] == {"path": src.path, "version": 2}
+
+
+def test_clone_diverges_independently(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    before_src = rowset(src.read())
+    c = src.clone(str(tmp_path / "c"))
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="CLONE", Op="U")]))
+    assert rowset(src.read()) == before_src          # source untouched
+    assert dict(rowset(c.read()))[1] == "CLONE"
+    src.merge_batch(spark.createDataFrame([Row(k=3, v="SRC", Op="U")]))
+    assert dict(rowset(c.read())).get(3) == "v3"     # clone untouched
+    # clone-local writes created ONLY the touched buckets locally
+    assert 0 < len(data_dirs(c.path)) <= c.num_buckets
+
+
+def test_clone_purge_never_deletes_source_files(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="a", Op="U")]))
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="b", Op="U")]))
+    src_before = rowset(src.read())
+    purged = c.purge_versions(keep_last=1)
+    assert purged                                    # something purged
+    assert rowset(src.read()) == src_before         # source intact
+    assert dict(rowset(c.read()))[1] == "b"
+    # the collapsed base still carries the foreign refs (they are not
+    # re-derivable from retained local entries)
+    base = c.history()[0]
+    assert base["op"] == "base"
+    assert any(isinstance(v, list) for v in base["base"].values())
+
+
+def test_source_purge_breaks_clone_loudly(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    # source moves on and purges the epochs the clone pins
+    src.merge_batch(spark.createDataFrame([Row(k=1, v="z1", Op="U")]))
+    src.rewrite(src.snapshot_for_rewrite())         # full: old epochs dead
+    src.purge_versions(keep_last=1)
+    with pytest.raises(ValueError, match="shallow-clone source"):
+        c.read().collect()
+    # the materialized clone is the documented escape — unaffected
+    src2 = make_src(spark, tmp_path / "s2")
+    m = src2.clone(str(tmp_path / "m"), materialize=True)
+    src2.rewrite(src2.snapshot_for_rewrite())
+    src2.purge_versions(keep_last=1)
+    assert rowset(m.read()) == rowset(src2.read())
+    assert m.history()[-1]["op"] == "clone"
+
+
+def test_clone_local_full_rewrite_extinguishes_pins(spark, tmp_path):
+    """After a clone-local full entry every foreign ref is shadowed —
+    source maintenance can no longer break the clone."""
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    c.rewrite(c.snapshot_for_rewrite())             # clone-local full
+    want = rowset(c.read())
+    src.rewrite(src.snapshot_for_rewrite())
+    src.purge_versions(keep_last=1)                 # source epochs gone
+    assert rowset(c.read()) == want                 # clone unaffected
+    a, _ = c._resolve_epochs(None)
+    assert all(r is None for _, r in a.values())
+
+
+def test_clone_of_clone_flattens_chain(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    b = src.clone(str(tmp_path / "b"))
+    b.merge_batch(spark.createDataFrame([Row(k=1, v="B", Op="U")]))
+    c = b.clone(str(tmp_path / "c"))
+    assert rowset(c.read()) == rowset(b.read())
+    roots = {r for _, r in c._resolve_epochs(None)[0].values()}
+    # untouched buckets still point at the ORIGINAL source root —
+    # the chain flattened at clone time (no hop through b for them)
+    assert src.path in roots and b.path in roots
+
+
+def test_clone_delta_table_survives_source_fold(spark, tmp_path):
+    """On a delta_upserts source the unfolded window is COPIED
+    (debt-bounded), so the source folding (its ordinary cadence) or
+    dropping its log never breaks the clone."""
+    src = KeyedTable(spark, str(tmp_path / "src"), ["k"],
+                     versioned=True, delta_upserts=True, num_buckets=4)
+    src.init(base_df(spark))
+    src.merge_batch(spark.createDataFrame([Row(k=1, v="d1", Op="U")]))
+    src.merge_batch(spark.createDataFrame([Row(k=2, v="d2", Op="U")]))
+    assert src._delta_vers(None) == [1, 2]          # unfolded debt
+    c = src.clone(str(tmp_path / "c"))
+    want = rowset(src.read())
+    assert rowset(c.read()) == want
+    # copied window: the clone's OWN log holds the dirs
+    assert c._delta_vers(None) == [1, 2]
+    src.fold_deltas()                                # source folds
+    assert rowset(c.read()) == want                  # clone unaffected
+    # clone-local appends continue ABOVE the copied versions (the
+    # no-collision invariant) and the fold gate sees the backlog
+    c.merge_batch(spark.createDataFrame([Row(k=3, v="d3", Op="U")]))
+    assert c._delta_vers(None) == [1, 2, 3]
+    assert c.delta_seq - c.delta_folded_seq >= 3
+    c.fold_deltas()
+    assert c._delta_vers(None) == []
+    got = dict(rowset(c.read()))
+    assert got[1] == "d1" and got[2] == "d2" and got[3] == "d3"
+
+
+def test_clone_carries_schema_record(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    src.rewrite(src.snapshot_for_rewrite().withColumn(
+        "extra", F.lit("e")))                        # v3: evolve
+    c_old = src.clone(str(tmp_path / "c_old"), as_of=1)
+    assert sorted(c_old.read().columns) == ["k", "v"]
+    assert sorted(c_old.read(as_of=1, schema_as_of=True).columns) == [
+        "k", "v"]
+    c_new = src.clone(str(tmp_path / "c_new"))
+    assert "extra" in c_new.read().columns
+    # the clone evolves independently of the source
+    c_old.rewrite(c_old.snapshot_for_rewrite().withColumn(
+        "clone_col", F.lit(1)))
+    assert "clone_col" not in src.read().columns
+
+
+def test_clone_rejections(spark, tmp_path):
+    ku = KeyedTable(spark, str(tmp_path / "u"), ["k"], num_buckets=4)
+    ku.init(base_df(spark))
+    with pytest.raises(ValueError, match="versioned"):
+        ku.clone(str(tmp_path / "x"))
+    src = make_src(spark, tmp_path)
+    src.clone(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone(str(tmp_path / "c"))
+
+
+def test_pipeline_clone_table(spark, tmp_path):
+    from firebolt_cdc_lambda_spark.config import TableKeys
+    from firebolt_cdc_lambda_spark.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "wh"),
+                       TableKeys.from_json('{"users": "k"}'),
+                       ledger=False, num_buckets=4, versioned=True)
+    t = pipe.target_for("users", ["k"])
+    t.init(base_df(spark))
+    c = pipe.clone_table("users", str(tmp_path / "fork"))
+    assert rowset(c.read()) == rowset(t.read())
+    # unconfigured / absent tables answer None, never raise
+    assert pipe.clone_table("users", str(tmp_path / "f2"),
+                            as_of=0) is not None
+    pipe2 = CdcPipeline(spark, str(tmp_path / "wh2"),
+                        TableKeys.from_json('{"u2": null}'))
+    assert pipe2.clone_table("u2", str(tmp_path / "f3")) is None

@@ -157,13 +157,15 @@ def _collapse(entries, keep_last, files, log_dirs):
     for en in retained:
         v = int(en["e"])
         a, _ = stub._resolve_epochs(v)
-        needed_files |= set(a.items())
+        needed_files |= {(b, e) for b, (e, r) in a.items() if r is None}
         needed_vers |= set(stub._delta_vers(v))
     files = {f for f in files if f in needed_files or f[1] >= cutoff}
     log_dirs = log_dirs & needed_vers
     a_cut, _ = stub._resolve_epochs(cutoff)
     base = {"e": cutoff - 1, "op": "base",
-            "base": {str(b): e for b, e in a_cut.items() if e < cutoff},
+            "base": {str(b): KeyedTable._ser_ref((e, r))
+                     for b, (e, r) in a_cut.items()
+                     if r is not None or e < cutoff},
             "num_buckets": NB,
             "delta_boundary": stub._delta_boundary(cutoff - 1),
             "delta_vers": [v for v in stub._delta_vers(cutoff - 1)
@@ -214,8 +216,11 @@ def test_assignment_matches_model(ops):
     for v in range(len(ops) + 1):
         a, nb = stub._resolve_epochs(v)
         assert nb == NB
-        assert a == assign[v], v
-        assert set(a.items()) <= files
+        # values are (epoch, root) pairs since round 12 (shallow
+        # clone); a single-table manifest resolves every ref LOCAL
+        assert all(r is None for _, r in a.values()), v
+        assert {b: e for b, (e, _) in a.items()} == assign[v], v
+        assert {(b, e) for b, (e, _) in a.items()} <= files
 
 
 @settings(max_examples=300, deadline=None)
@@ -243,8 +248,8 @@ def test_collapse_preserves_retained_resolution(ops, keep1, keep2):
             assert stub._delta_boundary(v) == lo[v], v
             assert stub._delta_vers(v) == sorted(win[v]), v
             a, _ = stub._resolve_epochs(v)
-            assert a == assign[v], v
-            assert set(a.items()) <= files, v
+            assert {b: e for b, (e, _) in a.items()} == assign[v], v
+            assert {(b, e) for b, (e, _) in a.items()} <= files, v
             assert set(stub._delta_vers(v)) <= log_dirs, v
             # schema resolution survives the collapse: the record a
             # retained version resolved to may have lived on a PURGED
@@ -286,3 +291,127 @@ def test_schema_walk_none_on_recordless_manifest(ops):
     stub = _Stub(stripped)
     for v in range(len(ops) + 1):
         assert stub._schema_text_as_of(v) is None, v
+
+
+# -- shallow clone (round 12): root-tagged refs in a fresh manifest ----
+
+SRC = "/src/table"   # model source root
+
+
+def _clone_build(src_ops, post_ops):
+    """A source manifest from ``src_ops``, cloned at its LATEST version
+    into a fresh manifest whose clone entry is base-SHAPED at e =
+    V_src (the restore replacement-walk, so clone-local versions
+    continue above every copied log version — no _delta_ver dir
+    collision), with the base map's refs tagged [epoch, SRC]; then
+    ``post_ops`` continue CLONE-LOCAL.  Returns the clone manifest +
+    the model (assignment with roots, window, schema) per clone-side
+    version."""
+    entries, lo, win, assign, files, log_dirs, sch = _build(src_ops)
+    V = len(src_ops)
+    clone_e = {"e": V, "op": "clone", "cloned_from": V,
+               "base": {str(b): [e, SRC] for b, e in assign[V].items()},
+               "num_buckets": NB, "buckets": [], "emptied": [],
+               "delta_boundary": lo[V], "delta_vers": list(win[V]),
+               "schema": sch[V]}
+    c_entries = [clone_e]
+    c_assign = {V: {b: (e, SRC) for b, e in assign[V].items()}}
+    c_lo, c_win, c_sch = {V: lo[V]}, {V: tuple(win[V])}, {V: sch[V]}
+    c_files = set()                     # clone-LOCAL (bucket, epoch) dirs
+    next_sch = 1000                     # clone-side evolutions, distinct
+    for j, op in enumerate(post_ops, start=V + 1):
+        if op in ("rewrite", "evolve"):
+            c_sch[j] = next_sch if op == "evolve" else c_sch[j - 1]
+            next_sch += op == "evolve"
+            e = {"e": j, "op": "rewrite", "full": True,
+                 "buckets": list(range(NB)), "emptied": [],
+                 "num_buckets": NB, "schema": c_sch[j]}
+            c_lo[j], c_win[j] = j, ()
+            c_assign[j] = {b: (j, None) for b in range(NB)}
+            c_files |= {(b, j) for b in range(NB)}
+        elif op in ("merge0", "merge1"):
+            c_sch[j] = c_sch[j - 1]
+            b = int(op[-1])
+            e = {"e": j, "op": "merge", "buckets": [b], "emptied": [],
+                 "num_buckets": NB}
+            c_lo[j], c_win[j] = c_lo[j - 1], c_win[j - 1]
+            c_assign[j] = dict(c_assign[j - 1])
+            c_assign[j][b] = (j, None)
+            c_files.add((b, j))
+        elif op == "fold":
+            c_sch[j] = c_sch[j - 1]
+            e = {"e": j, "op": "fold", "buckets": list(range(NB)),
+                 "emptied": [], "num_buckets": NB}
+            c_lo[j], c_win[j] = j, ()
+            c_assign[j] = {b: (j, None) for b in range(NB)}
+            c_files |= {(b, j) for b in range(NB)}
+        else:                           # delta append, clone-local
+            c_sch[j] = c_sch[j - 1]
+            e = {"e": j, "op": "delta", "buckets": [], "emptied": [],
+                 "num_buckets": NB, "delta_buckets": [0]}
+            c_lo[j] = c_lo[j - 1]
+            c_win[j] = tuple(c_win[j - 1]) + (j,)
+            c_assign[j] = dict(c_assign[j - 1])
+        c_entries.append(e)
+    return c_entries, c_lo, c_win, c_assign, c_files, c_sch, V
+
+
+_POST = st.lists(st.sampled_from(
+    ["delta", "fold", "rewrite", "evolve", "merge0", "merge1"]),
+    min_size=0, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_OPS, _POST)
+def test_clone_manifest_resolution(src_ops, post_ops):
+    """The clone entry resolves to the SOURCE assignment verbatim with
+    every ref root-tagged; clone-local writes shadow foreign refs
+    bucket by bucket (a merge makes ONE bucket local, the rest stay
+    foreign); a full clone-local entry extinguishes every foreign ref;
+    the window re-opens the source's (copied log dirs keep their
+    numbers BELOW every clone-local version — the no-collision
+    invariant); schema records carry across and evolve locally."""
+    c_entries, c_lo, c_win, c_assign, _, c_sch, V = _clone_build(
+        src_ops, post_ops)
+    stub = _Stub(c_entries)
+    for v in range(V, V + len(post_ops) + 1):
+        a, nb = stub._resolve_epochs(v)
+        assert nb == NB
+        assert a == c_assign[v], v
+        assert stub._delta_boundary(v) == c_lo[v], v
+        assert stub._delta_vers(v) == sorted(c_win[v]), v
+        assert stub._schema_text_as_of(v) == c_sch[v], v
+        # no-collision invariant: every copied (source) window version
+        # sits at or below the clone entry; every local one above
+        assert all(w <= V for w in c_win[V])
+        assert all(w > V for w in c_win[v] if w not in c_win[V]), v
+
+
+@settings(max_examples=150, deadline=None)
+@given(_OPS, _POST, st.integers(min_value=1, max_value=6))
+def test_clone_collapse_never_deletes_foreign(src_ops, post_ops, keep):
+    """purge_versions on a CLONE: foreign refs are never deletion
+    candidates, survive into the collapsed base unconditionally (their
+    epochs live in another table's numbering — the local cutoff
+    comparison is meaningless), and every retained version's resolution
+    and window are preserved across the collapse."""
+    c_entries, c_lo, c_win, c_assign, c_files, c_sch, V = _clone_build(
+        src_ops, post_ops)
+    log_dirs = {int(e["e"]) for e in c_entries if e.get("op") == "delta"}
+    log_dirs |= set(c_win[V])           # copied window dirs
+    entries2, files2, log2 = _collapse(c_entries, keep, set(c_files),
+                                       log_dirs)
+    stub = _Stub(entries2)
+    retained = [int(e["e"]) for e in
+                sorted(entries2, key=lambda e: int(e["e"]))
+                if e.get("op") != "base"]
+    for v in retained:
+        a, _ = stub._resolve_epochs(v)
+        assert a == c_assign[v], v
+        # local refs must survive the prune; foreign refs are not
+        # local files at all (never deleted by construction)
+        assert {(b, e) for b, (e, r) in a.items()
+                if r is None} <= files2, v
+        assert stub._delta_boundary(v) == c_lo[v], v
+        assert stub._delta_vers(v) == sorted(c_win[v]), v
+        assert stub._schema_text_as_of(v) == c_sch[v], v
