@@ -581,7 +581,7 @@ def bench_mor_upsert(spark, sf_dir) -> tuple[list[float], list[float]]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
+def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float], list[float], list[float]]:
     """Versioned merge-on-read (post-round-10 feature): the same batch
     shape as cdc_mor_upsert_batch on a versioned=True delta table —
     each append is a manifest version (gate probe + log append + one
@@ -591,7 +591,11 @@ def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
     first append, overlaying its one-version window); the third times
     a METADATA-ONLY restore to that version (round-11 feature — one
     manifest walk + two sidecar writes, zero data files; regression
-    here means the manifest walk or sidecar path grew a data job)."""
+    here means the manifest walk or sidecar path grew a data job); the
+    fourth times a METADATA-ONLY shallow clone (round-12 feature —
+    one manifest + meta + schema write plus the debt-bounded log-window
+    copy; regression means the ref expansion or window copy grew with
+    table size)."""
     orders = (load_table(spark, sf_dir, "orders")
               .withColumn("load_timestamp",
                           F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
@@ -623,7 +627,12 @@ def bench_mor_versioned(spark, sf_dir) -> tuple[list[float], list[float]]:
             t0 = time.time()
             kt.restore(1)
             rs.append(time.time() - t0)
-        return samples, tt, rs
+        cl = []
+        for i in range(2):
+            t0 = time.time()
+            kt.clone(f"{tmp}/fork{i}")
+            cl.append(time.time() - t0)
+        return samples, tt, rs, cl
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -817,14 +826,16 @@ def main() -> None:
         mor_upsert = mor_fold = 0.0
     # post-round-10 — shielded, reported outside `queries`
     try:
-        morv_samples, morv_tt, morv_rs = bench_mor_versioned(spark, sf_dir)
+        morv_samples, morv_tt, morv_rs, morv_cl = bench_mor_versioned(spark, sf_dir)
         mor_versioned = round(min(morv_samples), 3)
         mor_time_travel = round(min(morv_tt), 3)
         restore_meta = round(min(morv_rs), 3)
+        clone_meta = round(min(morv_cl), 3)
         dispersion["cdc_mor_versioned_batch"] = summarize(morv_samples)
     except Exception as exc:  # noqa: BLE001
         print(f"mor-versioned bench failed: {exc}", file=sys.stderr)
         mor_versioned = mor_time_travel = restore_meta = 0.0
+        clone_meta = 0.0
     try:
         sw_samples = bench_fleet_sweep(spark, sf_dir)
         fleet_sweep = round(min(sw_samples), 3)
@@ -881,6 +892,7 @@ def main() -> None:
         "cdc_mor_versioned_batch": mor_versioned,
         "cdc_mor_time_travel": mor_time_travel,
         "cdc_restore_metadata": restore_meta,
+        "cdc_clone_metadata": clone_meta,
         "fleet_maintenance_sweep": fleet_sweep,
         "dispersion": dispersion,
         "sf": sf,

@@ -630,33 +630,90 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # holds); newest-row distribution r11=50, r10=50, r9=50, r8=25, r7=0
 # (50+50+50+25=175 checks; the 25 r8 rows = the 24 family-covered
 # deferrals + val_global_summary above — they lead round 12).
+# ROUND 12 (this gate) — executes the round-11 judge's order #2:
+#   * slots 1-25 — ALL twenty-five r8-stale rows (the documented
+#     deferral ledger): the rule-2 displacement first
+#     (val_global_summary — displaced in r11 by
+#     cdc_restore_time_travel, never re-gated since), then the
+#     twenty-four family-covered deferrals verbatim from the r11
+#     ledger above.  After these land, no row is older than r9.
+#   * slots 26-27 — the two rows whose QUERY CODE changed this round
+#     (re-gate before anything merely stale): cdc_restore_time_travel
+#     UPGRADED in place (a schema evolution now lands between the
+#     incident and the restore; restore(restore_schema=True) rolls
+#     back across it with the sidecar-flip/zero-file/forensic legs
+#     asserted in-query; oracle rows unchanged, re-validated at
+#     sf0.001 + sf0.01), and cdc_shallow_clone — the round's NEW
+#     query (round-11 judge order #4: zero-copy fork via root-tagged
+#     manifest refs, divergence both sides, no-base-data pin
+#     asserted in-query), landed under GATE-FREEZE rule 2.
+#   * slots 28-34 — the seven r9 rows whose load-bearing paths this
+#     round rewrote (code-touched first): cdc_zorder_box_prune (the
+#     StatsIndex versioned listing gained the root dimension),
+#     cdc_bloom_lookup + cdc_compact_small_files +
+#     cdc_dedup_bypass_stats (merge.py resolution/read rewrite),
+#     cdc_scd2_history + cdc_scd2_pit_join (scd2.py gained rewind),
+#     val_expectations_report (pipeline.py surface).
+#   * slots 35-50 — sixteen r9 family heads so every deferred family
+#     keeps a fresh member: ann_pq_topk (ANN ladder),
+#     asof_event_next_order (as-of), cdc_stream_changelog (stateful
+#     streaming), events_stream_watermark + events_stream_join
+#     (stream-oracle heads), corpus_leakage_safe_split (dataprep),
+#     cube_status_priority (grouping), dedup_minhash_containment
+#     (dedup), events_funnel_steps (funnel),
+#     events_hll_register_audit (sketch), multimodal_png_neardup
+#     (multimodal), orders_trend_ols (regression), q4_order_priority
+#     + q9_product_profit (TPC-H heads), set_ops_summary (set ops),
+#     val_row_counts (validation head).
+#     The TWENTY-SEVEN r9 rows deferred to round 13, each with a
+#     fresh family member in this gate or r10/r11:
+#     q2/q6/q7/q8/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22
+#     (sixteen TPC-H rows — q4+q9 here, q1/q3/q5/q10 r10/r11; these
+#     ride plain DataFrame ops over load_table, no round-12-touched
+#     operator code), corpus_drift_chisq + corpus_drift_jsd
+#     (corpus_drift_tv r11), events_stream_dedup +
+#     events_stream_join_full + events_stream_join_outer +
+#     events_stream_sliding + events_stream_static_enrich
+#     (events_stream_sessions r11 + watermark/join here),
+#     skew_salted_join (skew_salted_agg r11), text_bpe_train_loop
+#     (text_bpe_pair_merge r11), val_approx_distinct
+#     (val_quantile_sketch_audit r11 + events_hll_register_audit
+#     here), join_semi_active_customers (join_full_outer_compare +
+#     join_enriched_orders r11).
+# Post-round arithmetic (if all 50 land green): 176 corpus queries
+# (cdc_shallow_clone new), 176/176 ever-gated; newest-row
+# distribution r12=50, r11=49 (cdc_restore_time_travel re-gated
+# here), r10=50, r9=27, r8=0 (50+49+50+27=176 checks; the 27 r9 rows
+# = the family-covered deferrals above — they lead round 13).
 _DRIVER_PRIORITY = [
-    # slots 1-24: ALL twenty-four r7-stale rows (displacement first) ---
-    "text_token_count",
-    "corpus_domain_cap", "corpus_drift_tv", "dedup_cluster_assign",
-    "dedup_incremental_filter", "doc_fingerprint",
-    "join_enriched_orders", "multimodal_image_neardup",
-    "skew_salted_agg", "text_bigram_fluency", "text_bm25_search",
-    "text_decontamination", "text_lang_id", "text_passage_dedup",
-    "text_pii_scrub", "text_quality_filter", "text_quality_stats",
-    "text_repetition_filter", "text_tfidf_keywords",
-    "val_category_counts", "val_duplicate_keys",
-    "val_monthly_distribution", "val_pivot_status",
-    "val_profile_orders",
-    # slots 25-49: twenty-five r8-stale refreshes (code-touched first) -
-    "cdc_time_travel", "cdc_table_changes", "cdc_out_of_order_replay",
-    "cdc_stats_prune", "cdc_dedup_cascade", "cdc_dedup_last_writer",
-    "cdc_rollup_refresh", "cdc_scd2_incremental",
-    "ann_ivfpq_rerank_topk", "dedup_semantic_cluster",
-    "dedup_substring_runs", "embedding_kmeans_step",
-    "embedding_outlier_trim", "multimodal_audio_features",
-    "multimodal_video_scenes", "events_stream_sessions",
-    "events_lead_lag_gaps", "text_token_topk", "text_bpe_pair_merge",
-    "text_cms_heavy_hitters", "val_quantile_sketch_audit",
-    "val_agg_summary", "window_distribution_family",
-    "join_full_outer_compare", "scalar_datetime_showcase",
-    # slot 50: the round's rule-2 query (displacement above) -----------
-    "cdc_restore_time_travel",      # rule 2: displaced val_global_summary
+    # slots 1-25: ALL twenty-five r8-stale rows (displacement first) ---
+    "val_global_summary",
+    "argmax_order_per_customer", "corpus_dsir_importance",
+    "corpus_prep_pipeline", "corpus_weighted_sample",
+    "dataset_split_assignment", "dedup_ngram_jaccard",
+    "embedding_int8_quant", "events_distinct_sketch_audit",
+    "gapfill_monthly_orders", "grouping_sets_status_priority",
+    "join_anti_customers_no_orders", "join_bloom_filter_audit",
+    "join_correlated_nation_counts", "sql_surface_in_subquery",
+    "sql_surface_unpivot", "text_char_diversity", "text_chunk_overlap",
+    "text_fuzzy_event_types", "text_ngram_novelty",
+    "text_pmi_collocations", "text_vocab_growth", "val_checksum",
+    "val_ingestion_seq", "window_moving_frame",
+    # slots 26-27: the rows whose query code changed this round --------
+    "cdc_restore_time_travel",      # upgraded in place: schema legs
+    "cdc_shallow_clone",            # rule 2: the round's new query
+    # slots 28-34: code-touched r9 refreshes ---------------------------
+    "cdc_zorder_box_prune", "cdc_bloom_lookup",
+    "cdc_compact_small_files", "cdc_dedup_bypass_stats",
+    "cdc_scd2_history", "cdc_scd2_pit_join", "val_expectations_report",
+    # slots 35-50: sixteen r9 family heads -----------------------------
+    "ann_pq_topk", "asof_event_next_order", "cdc_stream_changelog",
+    "events_stream_watermark", "events_stream_join",
+    "corpus_leakage_safe_split", "cube_status_priority",
+    "dedup_minhash_containment", "events_funnel_steps",
+    "events_hll_register_audit", "multimodal_png_neardup",
+    "orders_trend_ols", "q4_order_priority", "q9_product_profit",
+    "set_ops_summary", "val_row_counts",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
