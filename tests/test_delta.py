@@ -1331,3 +1331,71 @@ def test_restore_in_randomized_versioned_mirror(spark, tmp_path):
         for v in range(delta.latest_epoch() + 1):
             assert _vsnap(delta, as_of=v) == _vsnap(eager, as_of=v), \
                 (step, v)
+
+
+def test_clone_in_randomized_versioned_mirror(spark, tmp_path):
+    """The eager-twin mirror property EXTENDED with shallow clones
+    (round 12): at random steps the twin PAIR forks — the eager twin
+    via clone(materialize=True) (an ordinary full copy), the delta
+    twin via the metadata clone (root-tagged refs + copied window) —
+    and all pairs then take independent random batches/folds.  After
+    every op, EVERY pair's every version must hash-match across the
+    eager/metadata implementations, and ops on one pair must leave
+    every other pair bit-identical (fork isolation).  This
+    cross-checks the two clone implementations against each other the
+    way the restore mirror pinned the two restores."""
+    rng = random.Random(1207)
+    eager0, delta0 = _vtwins(spark, tmp_path, n=24, buckets=4)
+    pairs = [(eager0, delta0)]
+    live = list(range(24))
+    next_id = 100
+    n_clones = 0
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.22 and n_clones < 2:
+            src_e, src_d = pairs[rng.randrange(len(pairs))]
+            tgt = rng.randrange(src_d.latest_epoch() + 1)
+            try:
+                ce = src_e.clone(str(tmp_path / f"ce{n_clones}"),
+                                 as_of=tgt, materialize=True)
+            except ValueError:
+                with pytest.raises(ValueError):
+                    src_d.clone(str(tmp_path / f"cd{n_clones}"),
+                                as_of=tgt)
+                continue
+            cd = src_d.clone(str(tmp_path / f"cd{n_clones}"),
+                             as_of=tgt)
+            assert _vsnap(cd) == _vsnap(ce), ("clone", step)
+            pairs.append((ce, cd))
+            n_clones += 1
+        elif roll < 0.35:
+            _, d = pairs[rng.randrange(len(pairs))]
+            assert d.fold_deltas() >= 0
+            # fold is delta-only version traffic; the eager member of
+            # the pair needs no padding here because the clone mirror
+            # compares LATEST state per pair, not per-version numbering
+        else:
+            e, d = pairs[rng.randrange(len(pairs))]
+            ids = rng.sample(live, k=rng.randrange(1, 5))
+            ops = []
+            for i in ids:
+                if rng.random() < 0.2:
+                    ops += _mk_rows([i], op="D", ver=_V(step + 2))
+                else:
+                    ops += _mk_rows([i], op="U", ver=_V(step + 2),
+                                    bal=lambda x, s=step: x + s * 10.0)
+            if rng.random() < 0.3:
+                ops += _mk_rows([next_id], op="I", ver=_V(step + 2))
+                live.append(next_id)
+                next_id += 1
+            stg = spark.createDataFrame(ops)
+            before = [(i, _vsnap(pd)) for i, (_, pd) in
+                      enumerate(pairs) if pd is not d]
+            e.merge_batch(stg, **_KW)
+            d.merge_batch(stg, **_KW)
+            # fork isolation: every OTHER pair is bit-identical
+            for i, snap in before:
+                assert _vsnap(pairs[i][1]) == snap, ("isolation",
+                                                     step, i)
+        for e, d in pairs:
+            assert _vsnap(d) == _vsnap(e), ("pair", step)
