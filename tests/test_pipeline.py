@@ -358,3 +358,72 @@ def test_scd2_incident_loop_reconstructs_history(spark, tmp_path):
     want = sorted(tuple(r[c] for c in cols)
                   for r in oracle.read().collect())
     assert got == want
+
+
+def test_day_partitioned_ledger(spark, tmp_path):
+    """partition_by_day layout (round 12): GC drops whole expired-day
+    DIRS (no rewrite), forget rewrites ONLY the touched day dirs, and
+    a flat ledger migrates itself on the first partitioned write."""
+    import os
+
+    # retention window chosen to split the fixture dates: TS/TS2
+    # (2024-01) stay inside it, `old` (2023-01) expires
+    keep_days = (dt.datetime.now() - TS).days + 30
+    led = FileLedger(spark, str(tmp_path / "led"),
+                     cleanup_probability=0.0, partition_by_day=True,
+                     days_to_keep=keep_days)
+    old = dt.datetime(2023, 1, 5, 8, 0)
+    led.record("fair/u/2023/01/05/a.parquet", "completed",
+               processed_at=old)
+    led.record("fair/u/2024/01/01/b.parquet", "completed",
+               processed_at=TS)
+    led.record("fair/u/2024/01/02/c.parquet", "completed",
+               processed_at=TS2)
+    root = str(tmp_path / "led")
+    days = sorted(n for n in os.listdir(root) if n.startswith("_pday="))
+    assert days == ["_pday=20230105", "_pday=20240101",
+                    "_pday=20240102"]
+    assert led.is_processed("fair/u/2024/01/01/b.parquet")
+    # forget one day's prefix: only that day dir is touched
+    before = set(os.listdir(f"{root}/_pday=20240102"))
+    assert led.forget(prefix="fair/u/2024/01/01/") == 1
+    assert not os.path.isdir(f"{root}/_pday=20240101")   # fully gone
+    assert set(os.listdir(f"{root}/_pday=20240102")) == before
+    assert not led.is_processed("fair/u/2024/01/01/b.parquet")
+    assert led.is_processed("fair/u/2024/01/02/c.parquet")
+    # partial-day forget: the day dir is REWRITTEN, survivors stay
+    led.record("fair/u/2024/01/02/d.parquet", "completed",
+               processed_at=TS2)
+    assert led.forget(file_keys="fair/u/2024/01/02/c.parquet") == 1
+    assert os.path.isdir(f"{root}/_pday=20240102")
+    assert not led.is_processed("fair/u/2024/01/02/c.parquet")
+    assert led.is_processed("fair/u/2024/01/02/d.parquet")
+    # GC: the expired day vanishes as a directory drop; recent stays
+    led.maybe_cleanup(force=True)
+    days = sorted(n for n in os.listdir(root) if n.startswith("_pday="))
+    assert days == ["_pday=20240102"]
+    assert not led.is_processed("fair/u/2023/01/05/a.parquet")
+    assert led.is_processed("fair/u/2024/01/02/d.parquet")
+
+
+def test_flat_ledger_migrates_to_partitioned(spark, tmp_path):
+    """A flat ledger handed partition_by_day=True migrates on the
+    first write: old rows land under their processed_at day dirs and
+    every query answer is preserved."""
+    import os
+
+    path = str(tmp_path / "led")
+    flat = FileLedger(spark, path, cleanup_probability=0.0)
+    flat.record("k1", "completed", processed_at=TS)
+    flat.record("k2", "failed", processed_at=TS2)
+    part = FileLedger(spark, path, cleanup_probability=0.0,
+                      partition_by_day=True)
+    assert part.is_processed("k1")          # pre-migration read works
+    part.record("k3", "completed", processed_at=TS2)
+    names = os.listdir(path)
+    assert not [n for n in names
+                if n.endswith(".parquet") and not n.startswith("_")]
+    assert "_pday=20240101" in names and "_pday=20240102" in names
+    assert part.is_processed("k1") and part.is_processed("k3")
+    assert not part.is_processed("k2")      # failed is not completed
+    assert part._read().count() == 3
