@@ -268,3 +268,34 @@ def test_drift_jsd_codegen_compiles_and_broadcast_totals(spark):
         assert fresh.count() == 1
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_clone_read_union_of_scans_no_exchange(spark, tmp_path):
+    """Shallow-clone read (round 12): the multi-root resolution must
+    stay a UNION of plain file scans — one whole-stage-codegen leg per
+    root, columns pruned at each scan, and NO Exchange (a shuffle here
+    would mean the root grouping grew a repartition).  A clone-local
+    full rewrite collapses the plan back to a single local scan."""
+    from pyspark.sql import Row
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    src = KeyedTable(spark, str(tmp_path / "src"), ["k"], num_buckets=4,
+                     versioned=True)
+    src.init(spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", w=i * 1.0) for i in range(20)]))
+    c = src.clone(str(tmp_path / "c"))
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="x", w=9.0,
+                                             Op="U")]))
+    df = c.read().select("k", "v")           # w pruned
+    plan = executed(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan   # local + source
+    detail = formatted(spark, df)
+    # column pruning reaches BOTH roots' scans
+    assert detail.count("ReadSchema: struct<k:bigint,v:string>") == 2, \
+        detail
+    # a clone-local full entry extinguishes the foreign leg
+    c.rewrite(c.snapshot_for_rewrite())
+    plan2 = executed(c.read().select("k", "v"))
+    assert plan2.count("FileScan parquet") == 1, plan2
+    assert "Exchange" not in plan2, plan2
