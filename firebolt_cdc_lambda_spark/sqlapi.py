@@ -110,12 +110,18 @@ def register_point_view(spark: SparkSession, table, column: str,
 
 
 def register_snapshot_view(spark: SparkSession, table, name: str,
-                           as_of: int | None = None) -> str:
+                           as_of: int | None = None,
+                           schema_as_of: bool = False) -> str:
     """Register a (possibly historical) KeyedTable snapshot as a temp
     view — time travel for SQL users:
 
         register_snapshot_view(spark, kt, "orders_v3", as_of=3)
         spark.sql("SELECT ... FROM orders_v3")
+
+    ``schema_as_of=True`` registers the snapshot under its HISTORICAL
+    schema (the version's manifest record — round 12): SQL over a
+    pre-evolution version then sees exactly that era's column set
+    instead of nulled-in current columns.
 
     ``as_of=None`` registers the LIVE snapshot (tombstones hidden,
     delete vectors applied, delta-log overlay resolved).  A versioned
@@ -136,7 +142,8 @@ def register_snapshot_view(spark: SparkSession, table, name: str,
     its registration-time snapshot — the old files still exist, so
     nothing raises.  A live view is a snapshot OF registration time by
     construction; re-register to follow the table forward."""
-    table.read(as_of=as_of).createOrReplaceTempView(name)
+    table.read(as_of=as_of,
+               schema_as_of=schema_as_of).createOrReplaceTempView(name)
     return name
 
 

@@ -175,3 +175,26 @@ def test_register_snapshot_view_time_travel(spark, tmp_path):
     kt.purge_versions(keep_last=1)
     with pytest.raises((Py4JJavaError, ValueError)):
         spark.sql("SELECT COUNT(*) FROM t_v0").collect()
+
+
+def test_register_snapshot_view_historical_schema(spark, tmp_path):
+    """schema_as_of (round 12) through the SQL surface: a view over a
+    pre-evolution version exposes that era's COLUMN SET; the default
+    keeps the nulled-in current schema."""
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.operators.merge import KeyedTable
+
+    kt = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2,
+                    versioned=True)
+    kt.init(spark.createDataFrame([Row(id=i, v=float(i))
+                                   for i in range(4)]))
+    kt.rewrite(kt.snapshot_for_rewrite().withColumn(
+        "extra", F.lit("e")))
+    sqlapi.register_snapshot_view(spark, kt, "t_hist", as_of=0,
+                                  schema_as_of=True)
+    sqlapi.register_snapshot_view(spark, kt, "t_pin", as_of=0)
+    assert spark.table("t_hist").columns == ["id", "v"]
+    assert "extra" in spark.table("t_pin").columns
+    assert spark.sql(
+        "SELECT v FROM t_hist WHERE id = 2").first()["v"] == 2.0
