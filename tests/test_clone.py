@@ -209,3 +209,29 @@ def test_pipeline_clone_table(spark, tmp_path):
     pipe2 = CdcPipeline(spark, str(tmp_path / "wh2"),
                         TableKeys.from_json('{"u2": null}'))
     assert pipe2.clone_table("u2", str(tmp_path / "f3")) is None
+
+
+def test_restore_on_clone_re_points_foreign_refs(spark, tmp_path):
+    """restore() on a CLONE: rolling back to the fork point re-points
+    buckets at the SOURCE's dirs again (the restore base map carries
+    the root tags verbatim), and rolling forward to a clone-local
+    version restores the local content — metadata-only in both
+    directions."""
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    fork_v = c.latest_epoch()
+    at_fork = rowset(c.read())
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="X", Op="U")]))
+    local_v = c.latest_epoch()
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="Y", Op="U")]))
+    # back to the fork: foreign refs resolve again
+    c.restore(fork_v)
+    assert rowset(c.read()) == at_fork
+    a, _ = c._resolve_epochs(None)
+    assert any(r is not None for _, r in a.values())
+    # forward to the local version
+    c.restore(local_v)
+    assert dict(rowset(c.read()))[1] == "X"
+    # the restore entries are pure metadata: no new data dirs appeared
+    # beyond the two merges' buckets
+    assert len(data_dirs(c.path)) <= 2 * c.num_buckets

@@ -320,7 +320,20 @@ def _clone_build(src_ops, post_ops):
     c_files = set()                     # clone-LOCAL (bucket, epoch) dirs
     next_sch = 1000                     # clone-side evolutions, distinct
     for j, op in enumerate(post_ops, start=V + 1):
-        if op in ("rewrite", "evolve"):
+        if isinstance(op, tuple):         # clone-local restore
+            t = V + op[1] % (j - V)       # any clone-side version
+            flip = op[2]
+            c_sch[j] = c_sch[t] if flip else c_sch[j - 1]
+            e = {"e": j, "op": "restore", "restored_from": t,
+                 "base": {str(b): (er[0] if er[1] is None
+                                   else [er[0], er[1]])
+                          for b, er in c_assign[t].items()},
+                 "num_buckets": NB, "buckets": [], "emptied": [],
+                 "delta_boundary": c_lo[t],
+                 "delta_vers": sorted(c_win[t]), "schema": c_sch[j]}
+            c_lo[j], c_win[j] = c_lo[t], tuple(c_win[t])
+            c_assign[j] = dict(c_assign[t])
+        elif op in ("rewrite", "evolve"):
             c_sch[j] = next_sch if op == "evolve" else c_sch[j - 1]
             next_sch += op == "evolve"
             e = {"e": j, "op": "rewrite", "full": True,
@@ -356,8 +369,12 @@ def _clone_build(src_ops, post_ops):
     return c_entries, c_lo, c_win, c_assign, c_files, c_sch, V
 
 
-_POST = st.lists(st.sampled_from(
-    ["delta", "fold", "rewrite", "evolve", "merge0", "merge1"]),
+_POST = st.lists(st.one_of(
+    st.sampled_from(["delta", "fold", "rewrite", "evolve",
+                     "merge0", "merge1"]),
+    st.tuples(st.just("restore"),
+              st.integers(min_value=0, max_value=10_000),
+              st.booleans())),
     min_size=0, max_size=12)
 
 
