@@ -1849,6 +1849,13 @@ class KeyedTable:
         if sch_text is not None:
             entry["schema"] = sch_text
             dest._write_sidecar("_schema.json", sch_text)
+        # the clone is the reset point of ITS path's history: a prior
+        # deleted table's orphaned __bloom_*/__stats_* sidecars were
+        # recorded at that table's version 1 — exactly the fresh
+        # table_version below, so without this drop they would MATCH
+        # and serve the old table's filter words as live (false
+        # negatives, not fail-open; init() has the same guard)
+        dest._drop_bloom_artifacts()
         dest.num_buckets = nb
         dest.table_version = 1
         dest.delta_seq = self.delta_seq

@@ -235,3 +235,29 @@ def test_restore_on_clone_re_points_foreign_refs(spark, tmp_path):
     # the restore entries are pure metadata: no new data dirs appeared
     # beyond the two merges' buckets
     assert len(data_dirs(c.path)) <= 2 * c.num_buckets
+
+
+def test_clone_drops_orphaned_index_artifacts(spark, tmp_path):
+    """A metadata clone at a path where a PRIOR (deleted) table left
+    __bloom_* sidecars must drop them: the orphan was recorded at the
+    old table's version 1 — exactly the clone's fresh table_version —
+    so it would otherwise MATCH and serve the old table's filter words
+    as live (false negatives, the init() guard's bug class)."""
+    from firebolt_cdc_lambda_spark.operators.bloom import BloomIndex
+
+    prior = KeyedTable(spark, str(tmp_path / "c"), ["k"], num_buckets=4)
+    prior.init(spark.createDataFrame([Row(k=1, v="old")]))
+    ix = BloomIndex(prior, "v")
+    ix.build()
+    import shutil
+    shutil.rmtree(str(tmp_path / "c"))           # table deleted...
+    import os
+    orphans = [n for n in os.listdir(tmp_path) if "__bloom" in n]
+    assert orphans                                # ...sidecar orphaned
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))           # same path reused
+    assert not [n for n in os.listdir(tmp_path) if "__bloom" in n]
+    # the probe on the fresh clone answers through a full scan, never
+    # through the dead index
+    probe = BloomIndex(c, "v")
+    assert probe.lookup("old").count() == 0
