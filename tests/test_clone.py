@@ -261,3 +261,17 @@ def test_clone_drops_orphaned_index_artifacts(spark, tmp_path):
     # through the dead index
     probe = BloomIndex(c, "v")
     assert probe.lookup("old").count() == 0
+
+
+def test_lookup_on_diverged_clone(spark, tmp_path):
+    """Point lookups on a clone prune to the keys' buckets across BOTH
+    roots: a locally-merged key answers from the clone's dirs, an
+    untouched key from the source's — same bucket-glob machinery,
+    root dimension included."""
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    c.merge_batch(spark.createDataFrame([Row(k=1, v="LOCAL", Op="U")]))
+    got = {r["k"]: r["v"] for r in c.lookup([1, 3, 100]).collect()}
+    assert got == {1: "LOCAL", 3: "v3", 100: "new"}
+    # deleted-in-source key stays deleted in the fork
+    assert c.lookup([2]).count() == 0
