@@ -1829,6 +1829,13 @@ class KeyedTable:
             win = self._delta_vers(V)
             entry["delta_boundary"] = self._delta_boundary(V)
             entry["delta_vers"] = win
+            # the clone is the reset point of ITS paths' history: a
+            # prior deleted table's stale __delta dirs whose version
+            # numbers land inside the copied window would MERGE with
+            # the copies below (FileUtil.copy into an existing dir —
+            # duplicate rows), or be resurrected by a later clone-side
+            # restore; same orphan class as the bloom-sidecar drop
+            dest._drop_delta()
             # COPY the window's log dirs (debt-bounded by the fold
             # cadence): the clone must survive the source folding or
             # purging its log — base re-points are validated loudly at

@@ -275,3 +275,32 @@ def test_lookup_on_diverged_clone(spark, tmp_path):
     assert got == {1: "LOCAL", 3: "v3", 100: "new"}
     # deleted-in-source key stays deleted in the fork
     assert c.lookup([2]).count() == 0
+
+
+def test_clone_drops_stale_delta_sidecar_at_destination(spark, tmp_path):
+    """A prior deleted table's stale __delta dirs at the clone path
+    must be dropped before the window copy: a stale _delta_ver whose
+    number lands inside the copied window would MERGE with the copy
+    (duplicate rows) or resurrect dead entries through a clone-side
+    restore — the same orphan class as the bloom-sidecar drop."""
+    import shutil
+
+    # prior life: a delta table at the DEST path with log entries
+    prior = KeyedTable(spark, str(tmp_path / "c"), ["k"], num_buckets=4,
+                       versioned=True, delta_upserts=True)
+    prior.init(base_df(spark))
+    prior.merge_batch(spark.createDataFrame([Row(k=1, v="STALE",
+                                                 Op="U")]))
+    assert os.path.isdir(str(tmp_path / "c__delta"))
+    shutil.rmtree(str(tmp_path / "c"))          # table gone, log orphaned
+    # new source with unfolded debt at the SAME version numbers
+    src = KeyedTable(spark, str(tmp_path / "src"), ["k"], num_buckets=4,
+                     versioned=True, delta_upserts=True)
+    src.init(base_df(spark))
+    src.merge_batch(spark.createDataFrame([Row(k=2, v="FRESH",
+                                               Op="U")]))  # ver 1 too
+    c = src.clone(str(tmp_path / "c"))
+    got = rowset(c.read())
+    assert got == rowset(src.read())            # no dup, no STALE row
+    assert dict(got)[2] == "FRESH" and dict(got).get(1) == "v1"
+    assert len(got) == len(dict(got))           # one row per key
