@@ -377,3 +377,12 @@ class Scd2Table:
         # pin before the overwrite replaces the files the plan reads
         out = out.localCheckpoint(eager=True)
         self._write(out, dynamic=False)
+        # the static overwrite wiped the whole path INCLUDING the
+        # _scd2_meta.json sidecar; re-save it (mirroring init) or a
+        # later handle silently falls back to its constructor
+        # num_buckets/op_col/tracked — mis-bucketed dynamic applies
+        # would then fork per-key histories, the exact hazard the
+        # sidecar guards.  Unlike init, rewind is NOT a
+        # reconfiguration point: it saves the STORED definition
+        # (self.* already reflects the loaded sidecar).
+        self._save_meta()

@@ -225,3 +225,35 @@ def test_scd2_table_partial_write_then_replay_converges(spark, tmp_path):
     # checkpoint replay re-delivers the FULL batch
     crashed.apply(_df(spark, batch))
     assert _canon(crashed.read()) == _canon(clean.read())
+
+
+def test_scd2_table_rewind_preserves_meta_sidecar(spark, tmp_path):
+    """rewind()'s static overwrite wipes the whole table path — it
+    must re-save _scd2_meta.json (as init does), or a later handle
+    opened with MISMATCHED constructor args silently uses its own
+    num_buckets/tracked instead of the stored definition, and a
+    dynamic apply() then hashes keys into the wrong dirs and forks
+    per-key histories (the exact hazard the sidecar guards)."""
+    from firebolt_cdc_lambda_spark.operators.scd2 import Scd2Table
+    p = str(tmp_path / "dim")
+    t = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=16)
+    t.init(_df(spark, [(k, 10, k, "a") for k in range(32)]
+               + [(k, 30, 100 + k, "b") for k in range(32)]))
+    t.rewind(30)                       # excise the second window
+    # the sidecar survived the static rewrite
+    from firebolt_cdc_lambda_spark.fsio import read_text
+    assert read_text(spark, f"{p}/{Scd2Table.META}") is not None
+    # a fresh handle with WRONG ctor args honors the stored definition
+    t2 = Scd2Table(spark, p, KEYS, ORDER, TRACKED, num_buckets=4)
+    assert t2.num_buckets == 16
+    t2.apply(_df(spark, [(5, 50, 999, "c")]))
+    out = _canon(t2.read())
+    assert (5, "c", 50, None, 2, True) in out
+    assert (5, "a", 10, 50, 1, False) in out
+    assert len(out) == 33              # 32 keys + key 5's new version
+    # and the history equals the from-scratch fold of the surviving
+    # stream + the new batch (no forked per-key history anywhere)
+    want = _canon(scd2_snapshot(
+        _df(spark, [(k, 10, k, "a") for k in range(32)]
+            + [(5, 50, 999, "c")]), KEYS, ORDER, TRACKED))
+    assert out == want
