@@ -1525,6 +1525,16 @@ class KeyedTable:
                 raise ValueError("schema_as_of requires a versioned "
                                  "table (KeyedTable(..., "
                                  "versioned=True))")
+            if as_of is not None:
+                # validate the target BEFORE the schema walk: on a
+                # purged version the walk breaks at the collapsed base
+                # entry (e = cutoff-1 > as_of) and would answer the
+                # misleading "no schema record / manifest predates
+                # round 12" error instead of the accurate purged one
+                # (advice finding, round 12) — _resolve_epochs raises
+                # exists/purged with the real message, driver-side
+                # manifest walk only
+                self._resolve_epochs(as_of)
             text = self._schema_text_as_of(as_of)
             if text is None:
                 v = "latest" if as_of is None else as_of
@@ -1656,21 +1666,27 @@ class KeyedTable:
                     "or below it); restore without restore_schema, or "
                     "rewrite once with current code to start recording")
         if materialize:
-            snap = self._read_raw(as_of=version).drop(self.BUCKET_COL)
-            if self.delta_upserts:
-                snap = self._apply_delta(snap, as_of=version)
+            # under restore_schema, read the snapshot UNDER the target
+            # version's schema record (the same scan-level override
+            # read(schema_as_of=True) uses) instead of reading under
+            # the current sidecar and projecting after: a later
+            # rewrite that DROPPED a column the target had would make
+            # F.col(name) raise on the current-schema read even though
+            # the historical files carry the column (advice finding,
+            # round 12 — the metadata-only path already handled it) —
+            # rewrite() below then stamps and saves the restored
+            # schema, so the sidecar flip rides the ordinary rewrite
+            # machinery
+            tgt = None
             if target_schema_text is not None:
-                # project to the historical column set (additive
-                # evolution means names suffice; cast pins any type a
-                # later rewrite changed) — rewrite() below then stamps
-                # and saves the narrowed schema, so the sidecar flip
-                # rides the ordinary rewrite machinery
                 import json as _json
                 from pyspark.sql import types as T
                 tgt = T.StructType.fromJson(_json.loads(target_schema_text))
-                snap = snap.select(*[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in tgt.fields if f.name != self.BUCKET_COL])
+            snap = self._read_raw(as_of=version,
+                                  schema_override=tgt).drop(self.BUCKET_COL)
+            if self.delta_upserts:
+                snap = self._apply_delta(snap, as_of=version,
+                                         schema_override=tgt)
             self.rewrite(snap)
             # stamp the entry apart from an ordinary rewrite (the audit
             # trail must distinguish a rollback from schema evolution —

@@ -816,3 +816,51 @@ def test_schema_as_of_on_delta_window(spark, tmp_path):
     by_key = {t[0]: t for t in rows(wide, "k", "v", "extra")}
     assert len(by_key) == wide.count()               # no duplicate keys
     assert by_key[2] == (2, "d2", "x")
+
+
+def test_schema_as_of_on_purged_version_raises_purged(spark, tmp_path):
+    """read(as_of=<purged>, schema_as_of=True) must answer the ACCURATE
+    'has been purged' error, not the misleading 'manifest predates
+    round 12' one the schema walk produced when it broke at the
+    purge-collapsed base entry (advice finding, round 12)."""
+    kt = make(spark, tmp_path)
+    kt.init(base_df(spark).drop("Op"))
+    kt.merge_batch(spark.createDataFrame([Row(k=1, v="b1", Op="U")]))
+    kt.merge_batch(spark.createDataFrame([Row(k=2, v="b2", Op="U")]))
+    kt.merge_batch(spark.createDataFrame([Row(k=3, v="b3", Op="U")]))
+    kt.purge_versions(keep_last=2)                   # v0, v1 purged
+    # as_of BELOW the collapse point: the schema walk alone breaks at
+    # the collapsed base entry (its epoch > as_of) with text=None —
+    # the exact shape that produced the misleading error
+    for purged in (0, 1):
+        with pytest.raises(ValueError, match="has been purged"):
+            kt.read(as_of=purged, schema_as_of=True)
+    # nonexistent versions keep their accurate error too
+    with pytest.raises(ValueError, match="does not exist"):
+        kt.read(as_of=99, schema_as_of=True)
+    # and retained versions still resolve fine
+    assert sorted(kt.read(as_of=2, schema_as_of=True).columns) == [
+        "k", "v"]
+
+
+def test_restore_schema_materialized_across_column_drop(spark, tmp_path):
+    """restore(materialize=True, restore_schema=True) to a version
+    whose schema has a column a LATER rewrite DROPPED: the snapshot
+    must be read under the target's schema record at the scan (the
+    historical files carry the column), not read under the current
+    sidecar and projected after — the current-schema read has no such
+    column to select (advice finding, round 12; the metadata-only
+    path already handled this)."""
+    for name, materialize in (("m", True), ("p", False)):
+        kt = KeyedTable(spark, str(tmp_path / name), ["k"],
+                        versioned=True, num_buckets=4)
+        kt.init(spark.createDataFrame(
+            [Row(k=i, v=f"v{i}", extra=f"e{i}") for i in range(6)]))
+        kt.rewrite(kt.snapshot_for_rewrite().drop("extra"))   # v1: DROP
+        kt.merge_batch(spark.createDataFrame(
+            [Row(k=1, v="b2", Op="U")]))                      # v2
+        kt.restore(0, restore_schema=True, materialize=materialize)
+        assert sorted(kt.read().columns) == ["extra", "k", "v"], name
+        assert rows(kt.read(), "k", "v", "extra") == [
+            (i, f"v{i}", f"e{i}") for i in range(6)], name
+        assert kt.history()[-1]["op"] == "restore"
