@@ -630,7 +630,7 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # holds); newest-row distribution r11=50, r10=50, r9=50, r8=25, r7=0
 # (50+50+50+25=175 checks; the 25 r8 rows = the 24 family-covered
 # deferrals + val_global_summary above — they lead round 12).
-# ROUND 12 (this gate) — executes the round-11 judge's order #2:
+# ROUND 12 (executed, 50/50 green) — the round-11 judge's order #2:
 #   * slots 1-25 — ALL twenty-five r8-stale rows (the documented
 #     deferral ledger): the rule-2 displacement first
 #     (val_global_summary — displaced in r11 by
@@ -685,35 +685,98 @@ for _m in (validation, cdc, joins, analytics, textops, simops, dataprep,
 # distribution r12=50, r11=49 (cdc_restore_time_travel re-gated
 # here), r10=50, r9=27, r8=0 (50+49+50+27=176 checks; the 27 r9 rows
 # = the family-covered deferrals above — they lead round 13).
+# ROUND 13 (this gate) — executes the round-12 judge's order #2:
+#   * slots 1-27 — ALL twenty-seven r9-stale rows (the documented
+#     deferral ledger above, verbatim): the sixteen TPC-H rows first
+#     (q2/q6/q7/q8/q11-q22 — plain DataFrame ops over load_table, no
+#     round-13-touched operator code), then corpus_drift_chisq,
+#     corpus_drift_jsd, the five stream-oracle rows
+#     (events_stream_dedup/join_full/join_outer/sliding/static_enrich),
+#     join_semi_active_customers, skew_salted_join,
+#     text_bpe_train_loop, val_approx_distinct.  After these land, no
+#     row is older than r10.
+#   * slots 28-32 — the five rows whose load-bearing paths round 13
+#     rewrote (re-gate before anything merely stale):
+#     cdc_shallow_clone (clone registry + index-config carry + pooled
+#     brace-glob window copy), cdc_restore_time_travel
+#     (restore-materialize schema_override + the schema_as_of purged-
+#     version pre-check in read()), cdc_scd2_history +
+#     cdc_scd2_pit_join (scd2.py gained the rewind meta re-save),
+#     cdc_time_travel (sqlapi gained command(); rides
+#     register_snapshot_view + versioned reads).
+#   * slots 33-38 — six r10 merge-family rows that ride the meta
+#     sidecar paths this round extended (_save_meta/_sync_stored_meta
+#     now carry known_clones; every KeyedTable write serializes it):
+#     cdc_merge_upsert_delete, cdc_mor_upsert, cdc_delete_vectors,
+#     cdc_pipeline_snapshot (ALSO rides the new day-partitioned
+#     default ledger through CdcPipeline), cdc_join_view,
+#     cdc_join_view_composite.
+#   * slots 39-50 — twelve r10 family heads so every family deferred
+#     to round 14 keeps a fresh member: q1_pricing_summary,
+#     q3_shipping_priority, q5_nation_revenue, q10_returned_items
+#     (with slots 1-27 the WHOLE TPC-H family is fresh this gate),
+#     dedup_exact, dedup_minhash_lsh, ann_cosine_topk,
+#     events_sessionization, val_null_counts, window_rank_family,
+#     scalar_functions_showcase, range_join_event_pairs.
+#     The THIRTY-TWO r10 rows deferred to round 14, each with a fresh
+#     family member in this gate or r11/r12: ann_hard_negatives +
+#     ann_ivf_topk + ann_lsh_bucket_topk (ann_cosine_topk here,
+#     ann_pq_topk r12), asof_event_last_order (asof_event_next_order
+#     r12), corpus_dedup_canonical + dedup_graph_triangles +
+#     dedup_simhash + dedup_embedding_cosine (dedup_exact +
+#     dedup_minhash_lsh here, dedup_minhash_containment r12),
+#     corpus_drift_hellinger (corpus_drift_chisq/jsd here),
+#     corpus_gini_balance + corpus_mixture_sampling +
+#     corpus_sequence_packing + corpus_stratified_sample +
+#     corpus_temperature_mixture (corpus_leakage_safe_split r12;
+#     corpus_prep_pipeline/weighted_sample r12),
+#     embedding_label_centroids + embedding_pseudo_label
+#     (embedding_int8_quant r12), events_ewma_smoothing +
+#     events_hourly_tumbling + events_json_extract +
+#     events_markov_transitions + events_retention_cohorts
+#     (events_sessionization here, events_funnel_steps r12),
+#     range_join — no deferral (range_join_event_pairs here),
+#     scalar — no deferral (scalar_functions_showcase here;
+#     scalar_datetime_showcase r11), sql_surface_listagg
+#     (sql_surface_in_subquery/unpivot r12), val_date_distribution +
+#     val_duplicate_pks + val_freshness + val_percentiles +
+#     val_price_histogram + val_rollup_status_priority +
+#     val_sample_rows + val_topk_orders (val_null_counts here,
+#     val_row_counts/val_checksum r12), window_range_frame +
+#     window_topn_per_segment (window_rank_family here,
+#     window_moving_frame r12).
+# Post-round arithmetic (if all 50 land green): 176 corpus queries,
+# 176/176 ever-gated; newest-row distribution r13=50, r12=46
+# (4 re-gated here), r11=48 (cdc_time_travel re-gated here), r10=32,
+# r9=0 (50+46+48+32=176 checks; the 32 r10 rows = the family-covered
+# deferrals above — they lead round 14).
 _DRIVER_PRIORITY = [
-    # slots 1-25: ALL twenty-five r8-stale rows (displacement first) ---
-    "val_global_summary",
-    "argmax_order_per_customer", "corpus_dsir_importance",
-    "corpus_prep_pipeline", "corpus_weighted_sample",
-    "dataset_split_assignment", "dedup_ngram_jaccard",
-    "embedding_int8_quant", "events_distinct_sketch_audit",
-    "gapfill_monthly_orders", "grouping_sets_status_priority",
-    "join_anti_customers_no_orders", "join_bloom_filter_audit",
-    "join_correlated_nation_counts", "sql_surface_in_subquery",
-    "sql_surface_unpivot", "text_char_diversity", "text_chunk_overlap",
-    "text_fuzzy_event_types", "text_ngram_novelty",
-    "text_pmi_collocations", "text_vocab_growth", "val_checksum",
-    "val_ingestion_seq", "window_moving_frame",
-    # slots 26-27: the rows whose query code changed this round --------
-    "cdc_restore_time_travel",      # upgraded in place: schema legs
-    "cdc_shallow_clone",            # rule 2: the round's new query
-    # slots 28-34: code-touched r9 refreshes ---------------------------
-    "cdc_zorder_box_prune", "cdc_bloom_lookup",
-    "cdc_compact_small_files", "cdc_dedup_bypass_stats",
-    "cdc_scd2_history", "cdc_scd2_pit_join", "val_expectations_report",
-    # slots 35-50: sixteen r9 family heads -----------------------------
-    "ann_pq_topk", "asof_event_next_order", "cdc_stream_changelog",
-    "events_stream_watermark", "events_stream_join",
-    "corpus_leakage_safe_split", "cube_status_priority",
-    "dedup_minhash_containment", "events_funnel_steps",
-    "events_hll_register_audit", "multimodal_png_neardup",
-    "orders_trend_ols", "q4_order_priority", "q9_product_profit",
-    "set_ops_summary", "val_row_counts",
+    # slots 1-27: ALL twenty-seven r9-stale rows ----------------------
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q11_important_stock",
+    "q12_shipping_delay_classes", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_promotion_suppliers", "q21_sole_supplier_multi_line",
+    "q22_idle_rich_customers",
+    "corpus_drift_chisq", "corpus_drift_jsd",
+    "events_stream_dedup", "events_stream_join_full",
+    "events_stream_join_outer", "events_stream_sliding",
+    "events_stream_static_enrich", "join_semi_active_customers",
+    "skew_salted_join", "text_bpe_train_loop", "val_approx_distinct",
+    # slots 28-32: code-touched re-gates (round-13 diff) --------------
+    "cdc_shallow_clone", "cdc_restore_time_travel",
+    "cdc_scd2_history", "cdc_scd2_pit_join", "cdc_time_travel",
+    # slots 33-38: r10 merge-family rows on the extended meta paths ---
+    "cdc_merge_upsert_delete", "cdc_mor_upsert", "cdc_delete_vectors",
+    "cdc_pipeline_snapshot", "cdc_join_view", "cdc_join_view_composite",
+    # slots 39-50: twelve r10 family heads ----------------------------
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q10_returned_items", "dedup_exact", "dedup_minhash_lsh",
+    "ann_cosine_topk", "events_sessionization", "val_null_counts",
+    "window_rank_family", "scalar_functions_showcase",
+    "range_join_event_pairs",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
