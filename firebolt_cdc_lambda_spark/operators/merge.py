@@ -390,7 +390,10 @@ class KeyedTable:
                  versioned: bool = False, delete_vectors: bool = False,
                  delta_upserts: bool = False):
         self.spark = spark
-        self.path = path
+        # normalized: the clone registry and root-tagged manifest refs
+        # compare roots by STRING, so "wh/t" and "wh/t/" must be the
+        # same table (Hadoop treats them identically on disk)
+        self.path = path.rstrip("/")
         self.keys = list(keys)
         self.num_buckets = num_buckets
         self.tombstones = tombstones
@@ -1036,6 +1039,28 @@ class KeyedTable:
         # "empty table" would silently drop every bucket that DOES exist
         # (found by the fresh-replay hypothesis property).
         fs, _, jvm = self._fs_and_path(self.path)
+        # FOREIGN roots only (round 13): a crashed (or in-flight)
+        # compact on a cloned SOURCE leaves its intent sidecar behind;
+        # the source's own readers roll it forward via
+        # _recover_compact, but a clone reads the source's dirs
+        # directly and could silently serve a half-swapped leaf
+        # (packed file + the small files it replaces = duplicate
+        # rows).  Recovery writes to another table — out of the
+        # single-writer contract — so the clone answers LOUDLY
+        # instead: one exists() per distinct foreign root.  (Reads
+        # concurrent with an in-flight compact are out of contract
+        # for the source's own readers too; this makes the clone
+        # side fail the same way instead of silently wrong.)
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for r in {r for (r, _e) in groups if r is not None}:
+            ip = jvm.org.apache.hadoop.fs.Path(
+                f"{r}/{self.COMPACT_SIDECAR}")
+            if ip.getFileSystem(hconf).exists(ip):
+                raise ValueError(
+                    f"shallow-clone source {r} has an unrecovered (or "
+                    "in-flight) compact — read the source once (its "
+                    "reader rolls the swap forward) before reading "
+                    "this clone, or materialize the clone")
         rschema = T.StructType(
             list(schema.fields) + [T.StructField(self.EPOCH_COL, T.IntegerType())])
         by_root: dict[str | None, list[str]] = {}
@@ -1116,6 +1141,12 @@ class KeyedTable:
         # a recreated table must not inherit a prior table's index list
         self.bloom_columns = []
         self.stats_columns = []
+        # ...nor its clone registry (same reset-point class): init
+        # deletes the old life's epoch dirs, so its clones are already
+        # broken (their reads fail loud); carrying their records
+        # forward would make the NEW table's purges refuse forever on
+        # (bucket, epoch) collisions with the dead pins
+        self.known_clones = []
         bucketed = self._with_bucket(df)
         if self.versioned:
             # wipe any prior content: init IS the reset point of history
@@ -2015,9 +2046,11 @@ class KeyedTable:
         if text is None:
             return None
         pins: set[tuple[int, int]] = set()
+        me = self.path.rstrip("/")
         for en in _json.loads(text)["epochs"]:
             for b, rec in (en.get("base") or {}).items():
-                if isinstance(rec, (list, tuple)) and rec[1] == self.path:
+                if (isinstance(rec, (list, tuple))
+                        and str(rec[1]).rstrip("/") == me):
                     pins.add((int(b), int(rec[0])))
         return pins
 

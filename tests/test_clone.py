@@ -432,3 +432,41 @@ def test_clone_carries_index_config_and_rebuild_prunes(spark, tmp_path):
         assert [r["k"] for r in df.collect()] == [123]
         allowed = {f"_bucket={b}" for b in cands}
         assert all(any(a in f for a in allowed) for f in df.inputFiles())
+
+
+def test_reinit_clears_clone_registry(spark, tmp_path):
+    """init is the reset point of the table's history: it deletes the
+    old life's epoch dirs, so the old life's clones are already broken
+    (loud reads).  Carrying their registry records forward would make
+    the NEW table's purges refuse forever on (bucket, epoch)
+    collisions with the dead pins — same reset-point class as the
+    bloom/stats registration clear."""
+    src = make_src(spark, tmp_path)
+    src.clone(str(tmp_path / "c"))
+    assert src.known_clones
+    src.init(base_df(spark))                        # re-bootstrap
+    assert src.known_clones == []
+    assert (src._load_meta() or {}).get("known_clones", []) == []
+    # the new life's maintenance runs unimpeded
+    src.merge_batch(spark.createDataFrame([Row(k=1, v="x", Op="U")]))
+    src.merge_batch(spark.createDataFrame([Row(k=2, v="y", Op="U")]))
+    assert src.purge_versions(keep_last=1)
+
+
+def test_clone_read_fails_loud_on_source_compact_intent(spark, tmp_path):
+    """A crashed/in-flight compact on the SOURCE leaves its intent
+    sidecar; the source's own readers roll the swap forward
+    (_recover_compact), but a clone reads the source's dirs directly —
+    it must fail LOUD rather than silently serve a half-swapped leaf
+    (packed file + replaced small files = duplicate rows).  Recovery
+    writes to another table (out of the single-writer contract), so
+    loud is the correct posture; the source's next read heals it."""
+    src = make_src(spark, tmp_path)
+    c = src.clone(str(tmp_path / "c"))
+    intent = f"{src.path}/{KeyedTable.COMPACT_SIDECAR}"
+    with open(intent, "w") as f:
+        f.write('{"renames": [], "staging": "x"}')
+    with pytest.raises(ValueError, match="unrecovered"):
+        c.read().collect()
+    os.remove(intent)
+    assert rowset(c.read()) == rowset(src.read())

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Ledger GC cost vs ledger size, flat vs day-partitioned layouts
+"""Ledger GC cost vs ledger size (in the production one-file-per-
+record shape), flat vs day-partitioned layouts
 (round-12 judge order #6's done-criterion: show GC cost FLAT vs ledger
 size under the day layout).
 
@@ -38,26 +39,45 @@ DAYS = 64           # history span; half expires under days_to_keep=32
 KEEP = 32
 
 
-def build(spark, path: str, n_rows: int, partitioned: bool) -> None:
-    """Bulk-build a ledger in the target layout (record() writes one
-    file per row — fine on the cadence, wrong for a 160k-row build)."""
+_TPLS: list[tuple[int, str]] = []
+
+
+def day_templates(spark) -> list[tuple[int, str]]:
+    """64 single-row per-day parquet files (distinct processed_at),
+    written through Spark ONCE per process and OS-copied from there —
+    the exact bytes record() would have produced."""
+    if _TPLS:
+        return _TPLS
     base = dt.datetime(2024, 1, 1)
-    rows = (spark.range(n_rows)
-            .select(F.concat(F.lit("fair/t/f"), "id").alias("file_key"),
-                    F.lit("completed").alias("status"),
-                    F.lit(None).cast("string").alias("error_message"),
-                    (F.lit(base) + F.make_interval(
-                        days=(F.col("id") % DAYS).cast("int")))
-                    .alias("processed_at")))
-    rows = spark.createDataFrame(rows.rdd, LEDGER_SCHEMA) \
-        if rows.schema != LEDGER_SCHEMA else rows
-    if partitioned:
-        (rows.withColumn(PDAY_COL,
-                         F.date_format("processed_at", "yyyyMMdd"))
-         .repartition(PDAY_COL).write.mode("overwrite")
-         .partitionBy(PDAY_COL).parquet(path))
-    else:
-        rows.coalesce(8).write.mode("overwrite").parquet(path)
+    tpl_root = tempfile.mkdtemp(prefix="measure_ledger_tpl_")
+    for d in range(DAYS):
+        df = spark.createDataFrame(
+            [(f"fair/t/day{d}", "completed", None,
+              base + dt.timedelta(days=d))], LEDGER_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tpl_root}/{d}")
+        part = next(n for n in os.listdir(f"{tpl_root}/{d}")
+                    if n.endswith(".parquet"))
+        _TPLS.append((d, f"{tpl_root}/{d}/{part}"))
+    return _TPLS
+
+
+def build(spark, path: str, n_rows: int, partitioned: bool) -> None:
+    """Build a ledger in the PRODUCTION file shape: record() appends
+    ONE FILE PER ROW, so a steady-state ledger at the reference's
+    ~10k files/day is hundreds of thousands of loose single-row
+    parquet files — the flat GC's real cost is listing + reading +
+    rewriting all of them, not the row count."""
+    base = dt.datetime(2024, 1, 1)
+    per_day = n_rows // DAYS
+    for d, src in day_templates(spark):
+        if partitioned:
+            day = (base + dt.timedelta(days=d)).strftime("%Y%m%d")
+            dst_dir = f"{path}/{PDAY_COL}={day}"
+        else:
+            dst_dir = path
+        os.makedirs(dst_dir, exist_ok=True)
+        for i in range(per_day):
+            shutil.copy(src, f"{dst_dir}/part-d{d}-{i}.parquet")
 
 
 def cell(spark, n_rows: int, partitioned: bool, reps: int) -> dict:
@@ -74,7 +94,8 @@ def cell(spark, n_rows: int, partitioned: bool, reps: int) -> dict:
             # half expires — the steady-state cadence shape
             led.days_to_keep = (dt.datetime.now(dt.timezone.utc)
                                 .replace(tzinfo=None)
-                                - dt.datetime(2024, 1, KEEP + 1)).days
+                                - (dt.datetime(2024, 1, 1)
+                                   + dt.timedelta(days=KEEP))).days
             t0 = time.time()
             led.maybe_cleanup(force=True)
             samples.append(time.time() - t0)
@@ -92,7 +113,7 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark(app_name="measure-ledger")
     spark.sparkContext.setLogLevel("ERROR")
-    for n in (10_000, 40_000, 160_000):
+    for n in (4_096, 16_384, 65_536):
         for part in (False, True):
             print(json.dumps(cell(spark, n, part, args.reps)))
 
