@@ -62,6 +62,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bucket-pruned snapshot merge rewrites only affected partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Partition-directory listing switches from driver-side to a
+        # distributed Spark job above this many paths.  The stock
+        # default (32) is tuned for object stores; on this engine every
+        # bucketed table root / bloom-words dataset has num_buckets
+        # (64+) dirs, so EVERY such read paid a 64-task listing job
+        # (~0.15 s of pure scheduling) for a listing the driver does in
+        # microseconds on a filesystem.  256 keeps the engine's actual
+        # local dir counts (64-256 buckets) driver-listed while a
+        # production 16k-bucket table on S3 still gets the parallel
+        # listing job exactly when it helps.  Env-overridable like the
+        # other scale knobs (round 13).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_PAR_DISCOVERY", "256"))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
     )
