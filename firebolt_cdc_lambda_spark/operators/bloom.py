@@ -301,17 +301,39 @@ class BloomIndex(SidecarIndex):
                                      f"CAST(p % {_WORD_BITS} AS INT))")
                               .alias("mask")))
         try:
-            words = self.spark.read.parquet(self.words_path)
+            # schema is pinned (the words layout is fixed at build time:
+            # (w, bits) data columns + the b partition dir) — no
+            # footer-inference job per probe
+            from pyspark.sql import types as T
+            wschema = T.StructType([
+                T.StructField("w", T.IntegerType()),
+                T.StructField("bits", T.LongType()),
+                T.StructField("b", T.IntegerType())])
+            words = self.spark.read.schema(wschema).parquet(self.words_path)
         except Exception:
             return None        # words dataset missing/unreadable: fail open
+        # ONE exchange, ONE job: the join emits at most one row per
+        # (b, vid, j) — words are unique per (b, w) and probe_rows per
+        # (vid, j) — so count(1) == the distinct-j count the k-bits test
+        # needs (countDistinct cost a second aggregate phase), and the
+        # candidate-bucket dedup happens in the driver set below instead
+        # of a second exchange.  AQE is paused for the probe: every
+        # physical choice is pinned (broadcast probe, metadata-sized
+        # agg) and per-stage re-planning turned this single action into
+        # FIVE scheduled jobs (measured round 13).
+        from .merge import _aqe_disable, _aqe_restore
         hits = (words.join(F.broadcast(probe_rows), "w")
                 .where(F.col("bits").bitwiseAND(F.col("mask"))
                        == F.col("mask"))
                 .groupBy("b", "vid")
-                .agg(F.countDistinct("j").alias("nbits"))
+                .agg(F.count(F.lit(1)).alias("nbits"))
                 .where(F.col("nbits") == self.k)
-                .select("b").distinct())
-        matched = {int(r[0]) for r in hits.collect()}
+                .select("b"))
+        _aqe_disable(self.spark)
+        try:
+            matched = {int(r[0]) for r in hits.collect()}
+        finally:
+            _aqe_restore(self.spark)
         dirty = {int(b) for b in side.get("dirty", [])}
         return sorted(matched | dirty)
 

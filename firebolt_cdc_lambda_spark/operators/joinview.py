@@ -283,6 +283,17 @@ class JoinView:
         keys = latest.select(*self.dim_keys).distinct()
         for dk in self.dim_keys:
             keys = keys.where(F.col(dk).isNotNull())
+        # ONE metadata job collects BOTH driver-side lists this leg
+        # needs: the bloom probe values AND the dim-bucket ids the later
+        # ``dim.lookup`` would otherwise re-collect (guide §1/§5 — the
+        # micro-batch paths here are job-count-bound, not data-bound).
+        # The dim-bucket hash must run on DIM-aligned key types (lossless
+        # widenings only, so the probe values' semantics are unchanged)
+        # exactly as lookup() itself would align them.
+        akeys = self.dim._align_key_types(keys)
+        dim_bcol = F.pmod(
+            F.xxhash64(*[F.col(dk) for dk in self.dim_keys]),
+            F.lit(self.dim.num_buckets)).alias("_jv_db")
         if self.composite:
             # hash the probe under the FACT's canonical fk types — a dim
             # delta arriving with drifted numeric widths must still hit
@@ -290,10 +301,11 @@ class JoinView:
             tys = self._fk_types()
             pcols = [F.col(dk).cast(tys[fk]) if fk in tys else F.col(dk)
                      for fk, dk in zip(self.fks, self.dim_keys)]
-            probe_vals = [r[0] for r in
-                          keys.select(F.xxhash64(*pcols)).collect()]
+            rows = akeys.select(F.xxhash64(*pcols), dim_bcol).collect()
         else:
-            probe_vals = [r[0] for r in keys.collect()]
+            rows = akeys.select(F.col(self.dim_keys[0]), dim_bcol).collect()
+        probe_vals = [r[0] for r in rows]
+        dim_buckets = sorted({int(r[1]) for r in rows})
         if not probe_vals:
             return 0
         affected = BloomIndex(self.table, self._bloom_col).lookup(probe_vals)
@@ -307,7 +319,7 @@ class JoinView:
                 for fk, dk in zip(self.fks, self.dim_keys)])
             affected = affected.join(F.broadcast(changed_fk),
                                      on=self.fks, how="left_semi")
-        current = self.dim.lookup(keys)
+        current = self.dim.lookup(keys, _buckets=dim_buckets)
         stored = set(self._enrich_cols())
         now = {f"{self.dim_prefix}{c}" for c in current.columns
                if c not in self.dim_keys and c not in CDC_META_COLS}

@@ -1602,7 +1602,8 @@ class KeyedTable:
             .drop(self.BUCKET_COL),
             as_of=as_of, schema_override=schema_override)
 
-    def lookup(self, keys, as_of: int | None = None) -> DataFrame:
+    def lookup(self, keys, as_of: int | None = None,
+               _buckets: Sequence[int] | None = None) -> DataFrame:
         """Point/batch lookup: the live rows for the given keys, reading
         ONLY the buckets those keys hash into — the serving-side
         primitive.  On a 100 TB / 16k-bucket snapshot a point lookup
@@ -1631,9 +1632,19 @@ class KeyedTable:
             # rebucket may have changed the count since that version;
             # hash with the count in force THEN or pruning misses keys
             _, nb = self._resolve_epochs(as_of)
-        bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(nb))
-        buckets = [int(r[0]) for r in kdf.select(bcol.alias(self.BUCKET_COL))
-                   .distinct().collect()]
+        if _buckets is not None and as_of is None:
+            # caller already collected the keys' bucket ids in a fused
+            # metadata job of its own (JoinView.apply_dim_delta) — skip
+            # this path's collect.  Latest-snapshot reads only: an
+            # as_of lookup must hash under the bucket count in force at
+            # that version, which only this method resolves.
+            buckets = sorted(int(b) for b in _buckets)
+        else:
+            bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                          F.lit(nb))
+            buckets = [int(r[0]) for r in
+                       kdf.select(bcol.alias(self.BUCKET_COL))
+                       .distinct().collect()]
         df = self._hide_tombstones(
             self._read_raw(buckets=buckets, as_of=as_of)
             .drop(self.BUCKET_COL),
