@@ -57,6 +57,20 @@ class IvfIndex:
         self.path = path.rstrip("/")
         self.n_centroids = n_centroids
         self.nprobe = nprobe
+        # per-store schema memo (cells/centroids layouts are fixed at
+        # build time): later reads pass the schema explicitly instead of
+        # paying a footer-inference job per probe (round 13, guide §1/§6)
+        self._store_schema: dict[str, object] = {}
+
+    def _read_store(self, store: str) -> DataFrame:
+        cached = self._store_schema.get(store)
+        reader = self.spark.read
+        if cached is not None:
+            reader = reader.schema(cached)
+        df = reader.parquet(f"{self.path}/{store}")
+        if cached is None:
+            self._store_schema[store] = df.schema
+        return df
 
     # -- build ------------------------------------------------------------
     def build(self, vectors: DataFrame, id_col: str = "vec_id",
@@ -87,6 +101,8 @@ class IvfIndex:
         (cells.write.mode("overwrite")
          .partitionBy("cell").parquet(f"{self.path}/cells"))
         (cents.write.mode("overwrite").parquet(f"{self.path}/centroids"))
+        # a rebuild may change the id/vector types; drop the schema memo
+        self._store_schema.clear()
 
     # -- training ---------------------------------------------------------
     def train_centroids(self, vectors: DataFrame, id_col: str = "vec_id",
@@ -192,7 +208,7 @@ class IvfIndex:
         for the nprobe/K scan-ratio claim (one aggregation job returning
         ≤ n_centroids rows).  A max/mean ratio near 1 means probes scan
         what the ratio promises; a giant cell means retrain."""
-        rows = (self.spark.read.parquet(f"{self.path}/cells")
+        rows = (self._read_store("cells")
                 .groupBy("cell").count().collect())
         return {int(r["cell"]): int(r["count"]) for r in rows}
 
@@ -202,7 +218,7 @@ class IvfIndex:
               exclude_self: bool = True) -> DataFrame:
         """Top-k cosine neighbours for each query, scanning only the
         probed cells.  Returns (query_id, vec_id, cosine, rank)."""
-        cents = self.spark.read.parquet(f"{self.path}/centroids")
+        cents = self._read_store("centroids")
         q = _prep(queries, id_col, vec_col).selectExpr(
             "vec_id AS query_id", "qv AS qq", "norm2 AS qn")
         ccos = _cosine("qq", "cv", "qn", "cn")
@@ -215,11 +231,21 @@ class IvfIndex:
                   .where(F.col("crank") <= self.nprobe)
                   .select("query_id", "qq", "qn",
                           F.col("cent_id").alias("probe_cell")))
-        probes = probes.localCheckpoint(eager=True)
-        # ≤ n_centroids values — bounded by K, not by data
-        cell_list = [r[0] for r in
-                     probes.select("probe_cell").distinct().collect()]
-        idx = (self.spark.read.parquet(f"{self.path}/cells")
+        # AQE paused for the probe's driver-side steps: the checkpoint is
+        # a map-only projection over a broadcast cross join and the cell
+        # collect is metadata-sized (≤ n_centroids rows), so per-stage
+        # re-planning only multiplies scheduled jobs (round 13, same
+        # rationale as the bloom/LSH probes)
+        from .merge import _aqe_disable, _aqe_restore
+        _aqe_disable(self.spark)
+        try:
+            probes = probes.localCheckpoint(eager=True)
+            # ≤ n_centroids values — bounded by K, not by data
+            cell_list = [r[0] for r in
+                         probes.select("probe_cell").distinct().collect()]
+        finally:
+            _aqe_restore(self.spark)
+        idx = (self._read_store("cells")
                .where(F.col("cell").isin(cell_list)))
         cos = _cosine("qq", "qv", "qn", "norm2")
         scored = (F.broadcast(probes)

@@ -60,6 +60,13 @@ class LshIndex:
         self.path = path.rstrip("/")
         self.n_shards = n_shards
         self.threshold = threshold
+        # per-store schema memo: both stores' schemas are fixed at build
+        # time (sig: doc_id/hs, buckets: doc_id/band/bucket, + the shard
+        # partition dir; append keeps them), so after the first probe the
+        # pruned shard reads pass the schema explicitly instead of paying
+        # a footer-inference job per probe (round 13, guide §1/§6 — same
+        # pin as KeyedTable's sidecar and BloomIndex's words read)
+        self._store_schema: dict[str, object] = {}
 
     # -- fingerprinting ---------------------------------------------------
     def _fingerprints(self, docs: DataFrame, id_col: str,
@@ -126,6 +133,9 @@ class LshIndex:
             self._write_fused(fused, mode)
         finally:
             fused.unpersist()
+        if mode == "overwrite":
+            # a rebuild may change the doc_id type; drop the schema memo
+            self._store_schema.clear()
 
     def _write_fused(self, fused: DataFrame, mode: str) -> None:
         (self._sig_of(fused)
@@ -172,9 +182,15 @@ class LshIndex:
         from pyspark.errors import AnalysisException
         glob = ",".join(str(s) for s in sorted(shards))
         try:
-            return (self.spark.read
-                    .option("basePath", f"{self.path}/{store}")
-                    .parquet(f"{self.path}/{store}/shard={{{glob}}}"))
+            reader = self.spark.read.option("basePath",
+                                            f"{self.path}/{store}")
+            cached = self._store_schema.get(store)
+            if cached is not None:
+                reader = reader.schema(cached)
+            df = reader.parquet(f"{self.path}/{store}/shard={{{glob}}}")
+            if cached is None:
+                self._store_schema[store] = df.schema
+            return df
         except AnalysisException as exc:
             # PATH_NOT_FOUND: store absent or no probed shard written yet.
             # UNABLE_TO_INFER_SCHEMA: shard dirs exist but hold no files
@@ -191,8 +207,17 @@ class LshIndex:
         (batch_doc_id, corpus_doc_id, jaccard) with jaccard >= threshold.
         A doc already indexed under the same id matches itself at 1.0."""
         # ONE materialization of the batch fingerprints (batch-sized);
-        # sig and buckets are free projections of it
-        fused = self._fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+        # sig and buckets are free projections of it.  AQE paused: the
+        # checkpoint's physical plan is a map-only fingerprint projection
+        # with nothing for per-stage re-planning to improve (round 13,
+        # same rationale as the merge path / bloom probe).
+        from .merge import _aqe_disable, _aqe_restore
+        _aqe_disable(self.spark)
+        try:
+            fused = (self._fingerprints(docs, id_col, text_col)
+                     .localCheckpoint(eager=True))
+        finally:
+            _aqe_restore(self.spark)
         return self.probe_fused(fused, threshold)
 
     def probe_fused(self, fused: DataFrame,
@@ -206,18 +231,30 @@ class LshIndex:
         empty = self.spark.createDataFrame(
             [], f"batch_doc_id {idt}, corpus_doc_id {idt}, jaccard DOUBLE")
 
-        shard_rows = buckets.select("shard").distinct().collect()
-        postings = self._read_shards(
-            "buckets", [int(r[0]) for r in shard_rows])
-        if postings is None:
-            return empty
-        bb = buckets.selectExpr("doc_id AS batch_doc_id", "band", "bucket")
-        cand = (postings.join(F.broadcast(bb), ["band", "bucket"])
-                .selectExpr("batch_doc_id", "doc_id AS corpus_doc_id")
-                .distinct()
-                .withColumn("cshard", self._doc_shard("corpus_doc_id"))
-                .localCheckpoint(eager=True))
-        cshard_rows = cand.select("cshard").distinct().collect()
+        # AQE paused for the probe's driver-side steps: the shard-id
+        # collects are metadata-sized aggregations over a checkpointed
+        # micro-batch and the candidate join broadcast is explicit, so
+        # adaptive per-stage re-planning only multiplies the scheduled
+        # job count (measured round 13: the bloom probe's identical
+        # shape went 5 jobs -> 1 with the same pause)
+        from .merge import _aqe_disable, _aqe_restore
+        _aqe_disable(self.spark)
+        try:
+            shard_rows = buckets.select("shard").distinct().collect()
+            postings = self._read_shards(
+                "buckets", [int(r[0]) for r in shard_rows])
+            if postings is None:
+                return empty
+            bb = buckets.selectExpr("doc_id AS batch_doc_id", "band",
+                                    "bucket")
+            cand = (postings.join(F.broadcast(bb), ["band", "bucket"])
+                    .selectExpr("batch_doc_id", "doc_id AS corpus_doc_id")
+                    .distinct()
+                    .withColumn("cshard", self._doc_shard("corpus_doc_id"))
+                    .localCheckpoint(eager=True))
+            cshard_rows = cand.select("cshard").distinct().collect()
+        finally:
+            _aqe_restore(self.spark)
         corpus_sig = self._read_shards(
             "sig", [int(r[0]) for r in cshard_rows])
         if corpus_sig is None:

@@ -70,6 +70,20 @@ class PqIndex:
         self.path = path.rstrip("/")
         self.n_subspaces = n_subspaces
         self.n_codes = n_codes
+        # per-store schema memo (codes/codebooks layouts are fixed at
+        # build time): later reads pass the schema explicitly instead of
+        # paying a footer-inference job per probe (round 13, guide §1/§6)
+        self._store_schema: dict[str, object] = {}
+
+    def _read_store(self, store: str) -> DataFrame:
+        cached = self._store_schema.get(store)
+        reader = self.spark.read
+        if cached is not None:
+            reader = reader.schema(cached)
+        df = reader.parquet(f"{self.path}/{store}")
+        if cached is None:
+            self._store_schema[store] = df.schema
+        return df
 
     # -- shared shaping ---------------------------------------------------
     def _subvectors(self, df: DataFrame, id_col: str,
@@ -124,6 +138,9 @@ class PqIndex:
                 .partitionBy("cell")
         writer.parquet(f"{self.path}/codes")
         cb.write.mode("overwrite").parquet(f"{self.path}/codebooks")
+        # a rebuild may change layout (cell partitioning, id type);
+        # drop the schema memo
+        self._store_schema.clear()
 
     # -- training ---------------------------------------------------------
     def train_codebooks(self, vectors: DataFrame, id_col: str = "vec_id",
@@ -186,7 +203,7 @@ class PqIndex:
         true vectors and the output carries ``dist`` (exact) instead of
         ``approx_dist``.  ``cell_filter`` prunes a cell-partitioned
         codes table (IVF-PQ composition)."""
-        cb = self.spark.read.parquet(f"{self.path}/codebooks")
+        cb = self._read_store("codebooks")
         qsub = self._subvectors(queries, id_col, vec_col) \
             .selectExpr("vec_id AS query_id", "m", "sv")
         dist = _l2("sv", "cb_sv")
@@ -204,7 +221,7 @@ class PqIndex:
                .agg(F.array_sort(F.collect_list(
                    F.struct("m", "row"))).alias("mr"))
                .selectExpr("query_id", "transform(mr, p -> p.row) AS luts"))
-        codes = self.spark.read.parquet(f"{self.path}/codes")
+        codes = self._read_store("codes")
         if cell_filter is not None:
             codes = codes.where(F.col("cell").isin(list(cell_filter)))
         # ONE projection computes every approximate distance: M array
@@ -243,7 +260,7 @@ class PqIndex:
         """{subspace: {code: count}} occupancy — the balance gauge (a
         subspace where one code holds everything quantizes to noise;
         retrain).  One aggregation returning <= M*Ks rows."""
-        rows = (self.spark.read.parquet(f"{self.path}/codes")
+        rows = (self._read_store("codes")
                 .selectExpr("posexplode(codes) AS (m, code)")
                 .groupBy("m", "code").count().collect())
         out: dict[int, dict[int, int]] = {}
