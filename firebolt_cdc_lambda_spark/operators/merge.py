@@ -1264,9 +1264,19 @@ class KeyedTable:
         the backup IS the committed previous state).  A missing sidecar
         reading as "no deletes" would silently resurrect every deleted
         row (advice finding, round 7)."""
+        # schema memo: the sidecar layout (keys + DV_VERSION_COL) is
+        # fixed between writes and every write goes through _write_dv,
+        # which refreshes the memo from the content it writes — so a
+        # warm handle reads entries without a footer-inference job per
+        # merge (round 13, guide §1/§6)
+        cached = getattr(self, "_dv_schema", None)
         for p in (self._dv_path, f"{self._dv_path}__old"):
             try:
-                return self.spark.read.parquet(p)
+                if cached is not None:
+                    return self.spark.read.schema(cached).parquet(p)
+                df = self.spark.read.parquet(p)
+                self._dv_schema = df.schema
+                return df
             except AnalysisException as exc:
                 if exc.getErrorClass() in ("PATH_NOT_FOUND",
                                            "UNABLE_TO_INFER_SCHEMA"):
@@ -1311,6 +1321,7 @@ class KeyedTable:
         # crash window with only the stale backup left, and _read_dv
         # would fall back to it — resurrecting cleared DELETE entries
         if dv is None:
+            self._dv_schema = None
             if fs.exists(p_bak):
                 fs.delete(p_bak, True)
             if fs.exists(p):
@@ -1318,11 +1329,14 @@ class KeyedTable:
             return
         pinned = dv.localCheckpoint(eager=True)
         if pinned.limit(1).isEmpty():
+            self._dv_schema = None
             if fs.exists(p_bak):
                 fs.delete(p_bak, True)
             if fs.exists(p):
                 fs.delete(p, True)
             return
+        # the content being written defines the next reads' schema
+        self._dv_schema = pinned.schema
         tmp = f"{self._dv_path}__tmp"
         pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
         p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
@@ -1433,7 +1447,29 @@ class KeyedTable:
                     .drop(self.DELTA_VER_COL))
         try:
             if buckets is not None:
-                return self._bucket_glob_read(self._delta_path, buckets)
+                # pin the unversioned log's schema from the table
+                # sidecar (round 13): every entry was cast to the stored
+                # schema at append and a schema evolution drops the log
+                # on rewrite, so the sidecar + the two log columns IS
+                # the file schema — no footer-inference job on the
+                # per-merge gate probe.  (The whole-log root read below
+                # still infers: it runs on the fold cadence only, and
+                # inference keeps the empty-dir → None semantics the
+                # fold's heal path relies on.)
+                pin = None
+                schema = self._load_schema()
+                if schema is not None and self.BUCKET_COL in schema.names:
+                    from pyspark.sql import types as T
+                    pin = T.StructType(
+                        [f for f in schema.fields
+                         if f.name != self.BUCKET_COL]
+                        + [T.StructField(self.DELTA_DEL_COL,
+                                         T.BooleanType()),
+                           T.StructField(self.DELTA_SEQ_COL,
+                                         T.LongType()),
+                           schema[self.BUCKET_COL]])
+                return self._bucket_glob_read(self._delta_path, buckets,
+                                              schema=pin)
             return self.spark.read.parquet(self._delta_path)
         except AnalysisException as exc:
             if exc.getErrorClass() in ("PATH_NOT_FOUND",
@@ -3130,6 +3166,16 @@ class KeyedTable:
             aggs = [F.collect_set(self.BUCKET_COL).alias("buckets"),
                     del_flag.alias("has_del"),
                     F.count(F.lit(1)).alias("n_rows")]
+            if self.delete_vectors and op_col in staging.columns:
+                # DV mode: the delete/upsert legs each need THEIR rows'
+                # bucket sets — ride the same one aggregation instead of
+                # two later distinct+collect jobs (round 13; the shared
+                # _is_delete_sql keeps the split identical to the legs')
+                isd = F.expr(_is_delete_sql(op_col, delete_values))
+                aggs.append(F.collect_set(
+                    F.when(isd, F.col(self.BUCKET_COL))).alias("dv_del_b"))
+                aggs.append(F.collect_set(
+                    F.when(~isd, F.col(self.BUCKET_COL))).alias("dv_up_b"))
             if dedup:
                 # Distinct over a STRUCT of the keys, not the bare columns:
                 # count_distinct(*cols) skips rows where any key is NULL
@@ -3158,8 +3204,25 @@ class KeyedTable:
                                   has_del=bool(agg_row["has_del"]))
                 return 0, n_rows, did_dedup
             if self.delete_vectors:
+                # bucket-set hints from the fused agg — valid only when
+                # the batch was NOT deduplicated (dedup can flip a key's
+                # surviving row between the delete and upsert legs, so
+                # the pre-dedup sets would over-read; the legs then fall
+                # back to their own exact computation)
+                dv_del_b = dv_up_b = None
+                if not did_dedup:
+                    if "dv_del_b" in agg_row.asDict():
+                        dv_del_b = sorted(int(b)
+                                          for b in agg_row["dv_del_b"])
+                        dv_up_b = sorted(int(b) for b in agg_row["dv_up_b"])
+                    else:
+                        # no op column: every row is an upsert
+                        dv_del_b = []
+                        dv_up_b = sorted(int(b) for b in buckets)
                 n_b = self._merge_dv(stg, merge_kwargs,
-                                     has_del=bool(agg_row["has_del"]))
+                                     has_del=bool(agg_row["has_del"]),
+                                     del_buckets=dv_del_b,
+                                     up_buckets_pregate=dv_up_b)
                 return n_b, n_rows, did_dedup
             # delete-free batches (the common CDC case) skip the
             # emptied-bucket bookkeeping below — one less job + no cache.
@@ -3176,7 +3239,9 @@ class KeyedTable:
             _aqe_restore(self.spark)
 
     def _merge_dv(self, stg: DataFrame, merge_kwargs: dict,
-                  has_del: bool = True) -> int:
+                  has_del: bool = True,
+                  del_buckets: Sequence[int] | None = None,
+                  up_buckets_pregate: Sequence[int] | None = None) -> int:
         """Merge-on-read delete path (``delete_vectors=True``): the
         batch's DELETE rows never rewrite a bucket — they append
         (keys, version) entries to the ``__dv`` sidecar that readers
@@ -3247,8 +3312,13 @@ class KeyedTable:
                               F.lit(False))
 
         # -- upsert leg: gate vs DV entries, revive what survives ---------
+        # the fused agg's pre-gate upsert bucket set proves emptiness up
+        # front: a delete-only batch (the mode's common case) skips the
+        # gate join, revive probe and checkpoint entirely — gating only
+        # ever REMOVES rows, so pre-gate empty ⇒ post-gate empty
+        ups_empty = up_buckets_pregate is not None and not up_buckets_pregate
         revived = None
-        if dv is not None:
+        if dv is not None and not ups_empty:
             d = F.broadcast(dv.withColumn("__dv_present", F.lit(True))
                             .alias("__dv"))
             j = ups.alias("__u").join(d, kcond("__u", "__dv"), "left_outer")
@@ -3268,15 +3338,21 @@ class KeyedTable:
             # rewritten at all; it is micro-batch-sized (broadcast join)
             if revived is not None and revived.limit(1).isEmpty():
                 revived = None
-        if dv is not None and (has_del or revived is not None):
+        if dv is not None and not ups_empty and \
+                (has_del or revived is not None):
             # pin the upsert leg BEFORE the sidecar overwrite below
             # deletes the files its plan reads (micro-batch-sized)
             ups = ups.localCheckpoint(eager=True)
 
         # -- delete leg: gate vs stored row versions (read-only) ----------
         if dels is not None and vc:
-            del_buckets = [int(r[0]) for r in
-                           dels.select(self.BUCKET_COL).distinct().collect()]
+            if del_buckets is None:
+                # no fused-agg hint (deduped batch): map-only collect of
+                # the delete rows' bucket stamps — batch-bounded, and no
+                # distinct exchange (the driver set dedups)
+                del_buckets = sorted({int(r[0]) for r in
+                                      dels.select(self.BUCKET_COL)
+                                      .collect()})
             if del_buckets:
                 stored = (self._read_raw(buckets=del_buckets)
                           .select(*self.keys, F.col(vc).alias("__t_v")))
@@ -3336,8 +3412,18 @@ class KeyedTable:
                           if entries is not None else old_kept)
             self._write_dv(new_dv)
 
-        up_buckets = [int(r[0]) for r in
-                      ups.select(self.BUCKET_COL).distinct().collect()]
+        if ups_empty:
+            up_buckets: list[int] = []
+        elif dv is None and up_buckets_pregate is not None:
+            # no sidecar ⇒ the upsert leg was never gated: the fused
+            # agg's pre-gate set is exact, zero extra jobs
+            up_buckets = list(up_buckets_pregate)
+        else:
+            # post-gate set: map-only collect of the (checkpointed)
+            # upsert rows' bucket stamps — batch-bounded, no distinct
+            # exchange (the driver set dedups)
+            up_buckets = sorted({int(r[0]) for r in
+                                 ups.select(self.BUCKET_COL).collect()})
         if not up_buckets:
             return 0
         current = self._read_raw(buckets=up_buckets).drop(self.BUCKET_COL)

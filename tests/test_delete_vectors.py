@@ -337,3 +337,49 @@ def test_merge_dv_rejects_insert_deletes_direct(spark, dv_table):
     with pytest.raises(ValueError, match="insert_deletes"):
         dv_table.merge_batch(spark.createDataFrame(
             rows([(3, "x", "D")], ts(1))), insert_deletes=True)
+
+
+def test_fused_bucket_hints_mixed_dedup_and_null_op(spark, tmp_path):
+    """Round-13 optimization regression: the delete/upsert bucket sets
+    ride _merge_impl's fused aggregation.  Three hazards pinned here:
+    (1) a RAW batch with duplicate keys (did_dedup) must NOT trust the
+    pre-dedup sets — a key whose D row loses to a newer U row belongs
+    to the upsert leg only; (2) a NULL Op row is an upsert (the
+    _is_delete_sql contract); (3) a delete-only batch takes the
+    skip-the-upsert-leg path and still lands its sidecar entries.
+    Oracle: an eager tombstone-mode twin fed the same batches."""
+    def mk(mode_kwargs, name):
+        kt = KeyedTable(spark, str(tmp_path / name), ["k"], num_buckets=4,
+                        **mode_kwargs)
+        kt.init(spark.createDataFrame(
+            rows([(i, f"v{i}", "I") for i in range(10)], ts(0))).drop("Op"))
+        return kt
+
+    dv = mk(dict(delete_vectors=True), "dv")
+    tw = mk(dict(tombstones=True), "tw")
+    # raw batch: key 3 has D then newer U (U must win end-to-end);
+    # key 4 has U then newer D (D wins); key 5 NULL Op (upsert);
+    # key 6 plain delete
+    batch = spark.createDataFrame(
+        rows([(3, "d3", "D", 1), (3, "u3", "U", 2),
+              (4, "u4", "U", 1), (4, "d4", "D", 2),
+              (5, "n5", None, 2), (6, "x6", "D", 2)]))
+    for t in (dv, tw):
+        t.merge_raw_batch(batch, version_col="load_timestamp")
+    assert state(dv) == state(tw)
+    assert (3, "u3") in state(dv) and (5, "n5") in state(dv)
+    assert not any(k in (4, 6) for k, _ in state(dv))
+    # delete-only follow-up (the skip path): entries land, state matches
+    batch2 = spark.createDataFrame(rows([(0, "x", "D"), (9, "x", "D")], ts(3)))
+    before = listing(spark, dv)
+    for t in (dv, tw):
+        t.merge_batch(batch2, version_col="load_timestamp")
+    assert listing(spark, dv) == before          # still zero rewrites
+    assert state(dv) == state(tw)
+    assert not any(k in (0, 9) for k, _ in state(dv))
+    # stale resurrection attempt for the deduped key stays gated
+    stale = spark.createDataFrame(rows([(4, "old", "U", 0)]))
+    for t in (dv, tw):
+        t.merge_batch(stale, version_col="load_timestamp")
+    assert state(dv) == state(tw)
+    assert not any(k == 4 for k, _ in state(dv))
