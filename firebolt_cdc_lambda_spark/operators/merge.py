@@ -1678,9 +1678,17 @@ class KeyedTable:
         else:
             bcol = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
                           F.lit(nb))
-            buckets = [int(r[0]) for r in
-                       kdf.select(bcol.alias(self.BUCKET_COL))
-                       .distinct().collect()]
+            # AQE paused for the metadata-sized bucket collect (the
+            # bloom-probe rationale, round 13): the distinct is over a
+            # lookup-sized key set, and per-stage re-planning turns the
+            # single action into one scheduled job per query stage
+            _aqe_disable(self.spark)
+            try:
+                buckets = [int(r[0]) for r in
+                           kdf.select(bcol.alias(self.BUCKET_COL))
+                           .distinct().collect()]
+            finally:
+                _aqe_restore(self.spark)
         df = self._hide_tombstones(
             self._read_raw(buckets=buckets, as_of=as_of)
             .drop(self.BUCKET_COL),

@@ -199,6 +199,7 @@ class StatsIndex(SidecarIndex):
          # bloom refresh_many equivalence test, round 9)
          .option("partitionOverwriteMode", "static")
          .partitionBy("b").parquet(self.stats_path))
+        self._stats_schema = stats.schema
         n_files = stats.count()
         built = sorted(self.table.file_stats())
         self._save_side({"column": self.column,
@@ -234,6 +235,7 @@ class StatsIndex(SidecarIndex):
              # STATIC, like build(): see the single-build comment
              .option("partitionOverwriteMode", "static")
              .partitionBy("b").parquet(ix.stats_path))
+            ix._stats_schema = one.schema
             ix._save_side({"column": c,
                            "table_version": ix._current_tv(),
                            "built": built, "dirty": []})
@@ -259,6 +261,7 @@ class StatsIndex(SidecarIndex):
         (one.repartition("b").write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("b").parquet(self.stats_path))
+        self._stats_schema = one.schema
         refreshed = {int(r[0]) for r in
                      one.select("b").distinct().collect()}
         fs, _, jvm = self.table._fs_and_path(self.table.path)
@@ -349,7 +352,16 @@ class StatsIndex(SidecarIndex):
         if side is None or side["table_version"] != self._current_tv():
             return None
         try:
-            stats = self.spark.read.parquet(self.stats_path)
+            # schema memo (round 13, guide §1/§6): the stats layout is
+            # fixed by the writes, which all refresh the memo — no
+            # footer-inference job per probe; first read still infers
+            cached = getattr(self, "_stats_schema", None)
+            if cached is not None:
+                stats = self.spark.read.schema(cached).parquet(
+                    self.stats_path)
+            else:
+                stats = self.spark.read.parquet(self.stats_path)
+                self._stats_schema = stats.schema
         except AnalysisException as exc:
             # ONLY verifiably-absent states degrade to a full scan
             # (registered column whose dataset was never built, or an
@@ -375,8 +387,17 @@ class StatsIndex(SidecarIndex):
             cond = cond & (F.col("lo") <= F.lit(hi))
         if lo is not None:
             cond = cond & (F.col("hi") >= F.lit(lo))
-        matched = [(int(r[0]), str(r[1])) for r in
-                   stats.where(cond).select("b", "f").collect()]
+        # AQE paused: the candidate collect is a metadata-sized filter
+        # over the (file-count-sized) stats dataset — per-stage
+        # re-planning only multiplies scheduled jobs (the bloom-probe
+        # rationale, round 13)
+        from .merge import _aqe_disable, _aqe_restore
+        _aqe_disable(self.spark)
+        try:
+            matched = [(int(r[0]), str(r[1])) for r in
+                       stats.where(cond).select("b", "f").collect()]
+        finally:
+            _aqe_restore(self.spark)
         dirty = {int(b) for b in side.get("dirty", [])}
         want = None if buckets is None else {int(b) for b in buckets}
         listing = self._listing()
@@ -412,8 +433,19 @@ class StatsIndex(SidecarIndex):
             base = t._hide_tombstones(
                 self.spark.createDataFrame([], schema)).drop(t.BUCKET_COL)
         else:
-            raw = (self.spark.read.option("basePath", t.path)
-                   .parquet(*files))
+            # pin the pruned scan's schema from the table sidecar — the
+            # same pin _read_raw gives the bucket-glob path (round 13);
+            # versioned layouts add the epoch partition dir column
+            reader = self.spark.read.option("basePath", t.path)
+            tschema = t._load_schema()
+            if tschema is not None and t.BUCKET_COL in tschema.names:
+                if t.versioned:
+                    from pyspark.sql import types as T
+                    tschema = T.StructType(
+                        list(tschema.fields)
+                        + [T.StructField(t.EPOCH_COL, T.IntegerType())])
+                reader = reader.schema(tschema)
+            raw = reader.parquet(*files)
             # the versioned layout adds the epoch partition column —
             # drop it ONLY there: on a plain table "_epoch" is a legal
             # USER column name, and an unconditional drop would
