@@ -2121,7 +2121,16 @@ def events_funnel_steps(spark, sf):
          .withColumn("s_us", F.when(
              F.col("s_val") <= F.col("v_us") + _FUNNEL_GAP_US,
              F.col("s_val")))
-         .select("user_id", "v_us", "s_us"))
+         .select("user_id", "v_us", "s_us")
+         # materialize the first funnel step ONCE (round 13): `s` feeds
+         # both the second as-of's left side (filtered) and the final
+         # left join, and the not-null pushdown makes the two subtrees
+         # canonically different — runtime exchange reuse does NOT fire
+         # (verified on the executed plan), so without this pin the
+         # view→signup step (scan + agg exchange + carry window)
+         # computed twice per run.  Per-invocation and user-level-sized;
+         # results are bit-identical (re-proven vs the DuckDB oracle).
+         .localCheckpoint(eager=True))
     purchases = e.where("event_type = 'purchase'").select(
         "user_id", F.col("tus").alias("p_ts"), F.col("tus").alias("p_val"))
     withp = (asof_join(s.where(F.col("s_us").isNotNull()), purchases,
