@@ -150,3 +150,47 @@ def test_fleet_default_ledger_is_day_partitioned(spark, tmp_path):
         ledger=FileLedger(spark, str(tmp_path / "ownledger")),
         num_buckets=4)
     assert pipe_custom.ledger.partition_by_day is False
+
+
+def test_fleet_maintenance_pooled_equals_serial(spark, tmp_path):
+    """Round-13 optimization regression: run_maintenance sweeps tables
+    CONCURRENTLY by default (pool_width auto).  The pooled sweep must
+    produce the same status map and the same on-disk table states as
+    pool_width=1 (the prior serial behavior), with real mixed debt —
+    tombstones on one table, a delete-vector sidecar on another, and a
+    null-PK bystander."""
+    from pyspark.sql import functions as F
+
+    from firebolt_cdc_lambda_spark.operators.merge import TOMBSTONE_COL
+
+    def build(tag):
+        root = str(tmp_path / f"src{tag}")
+        for t in ("users", "items"):
+            write_file(spark, root, t, "2024-01-01", "a.parquet", [
+                Row(id=i, name=f"v{i}", Op="I", load_timestamp=TS)
+                for i in range(8)])
+        write_file(spark, root, "nokeys", "2024-01-01", "a.parquet", [
+            Row(x=1, Op="I", load_timestamp=TS)])
+        pipe = CdcPipeline(
+            spark, str(tmp_path / f"wh{tag}"),
+            TableKeys.from_json(
+                '{"users": "id", "items": "id", "nokeys": null}'),
+            num_buckets=4, version_col="load_timestamp")
+        fleet = CdcFleet(pipe, root, str(tmp_path / f"ckpt{tag}"))
+        fleet.run_once(spark)
+        for t in ("users", "items"):
+            write_file(spark, root, t, "2024-01-02", "b.parquet", [
+                Row(id=1, name="x", Op="D", load_timestamp=TS2)])
+        fleet.run_once(spark)
+        return pipe, fleet
+
+    pipe_a, fleet_a = build("a")
+    pipe_b, fleet_b = build("b")
+    st_pooled = fleet_a.run_maintenance()              # default: pooled
+    st_serial = fleet_b.run_maintenance(pool_width=1)  # prior behavior
+    assert st_pooled == st_serial
+    for pipe in (pipe_a, pipe_b):
+        for t in ("users", "items"):
+            kt = pipe.target_for(t, ["id"])
+            assert kt._read_raw().where(F.col(TOMBSTONE_COL)).count() == 0
+            assert {r["id"] for r in kt.read().collect()} == set(range(2, 8)) | {0}
