@@ -1446,30 +1446,45 @@ class KeyedTable:
                     .parquet(*paths)
                     .drop(self.DELTA_VER_COL))
         try:
+            # pin the unversioned log's schema from the table sidecar
+            # (round 13; widened to the whole-log read in round 14):
+            # every entry was cast to the stored schema at append and a
+            # schema evolution drops the log on rewrite, so the sidecar
+            # + the two log columns IS the file schema — no
+            # footer-inference job on the per-merge gate probe, on a
+            # full table read with unfolded debt, or on the fold.
+            pin = None
+            schema = self._load_schema()
+            if schema is not None and self.BUCKET_COL in schema.names:
+                from pyspark.sql import types as T
+                pin = T.StructType(
+                    [f for f in schema.fields
+                     if f.name != self.BUCKET_COL]
+                    + [T.StructField(self.DELTA_DEL_COL,
+                                     T.BooleanType()),
+                       T.StructField(self.DELTA_SEQ_COL,
+                                     T.LongType()),
+                       schema[self.BUCKET_COL]])
             if buckets is not None:
-                # pin the unversioned log's schema from the table
-                # sidecar (round 13): every entry was cast to the stored
-                # schema at append and a schema evolution drops the log
-                # on rewrite, so the sidecar + the two log columns IS
-                # the file schema — no footer-inference job on the
-                # per-merge gate probe.  (The whole-log root read below
-                # still infers: it runs on the fold cadence only, and
-                # inference keeps the empty-dir → None semantics the
-                # fold's heal path relies on.)
-                pin = None
-                schema = self._load_schema()
-                if schema is not None and self.BUCKET_COL in schema.names:
-                    from pyspark.sql import types as T
-                    pin = T.StructType(
-                        [f for f in schema.fields
-                         if f.name != self.BUCKET_COL]
-                        + [T.StructField(self.DELTA_DEL_COL,
-                                         T.BooleanType()),
-                           T.StructField(self.DELTA_SEQ_COL,
-                                         T.LongType()),
-                           schema[self.BUCKET_COL]])
                 return self._bucket_glob_read(self._delta_path, buckets,
                                               schema=pin)
+            if pin is not None:
+                # whole-log read, pinned.  Inference's
+                # UNABLE_TO_INFER_SCHEMA used to supply the
+                # empty-dir → None semantics the fold's heal path
+                # relies on; with an explicit schema an empty dir would
+                # read as an empty DataFrame instead, so probe the FS
+                # for at least one committed log file first (same
+                # *.parquet convention as health_report's debt count —
+                # one driver-side listing instead of a footer job).
+                fs, _, jvm = self._fs_and_path(self._delta_path)
+                sts = fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+                    f"{self._delta_path}/{self.BUCKET_COL}=*/*.parquet"))
+                if not any(st.isFile() for st in (sts or [])):
+                    return None
+                return (self.spark.read.schema(pin)
+                        .option("basePath", self._delta_path)
+                        .parquet(self._delta_path))
             return self.spark.read.parquet(self._delta_path)
         except AnalysisException as exc:
             if exc.getErrorClass() in ("PATH_NOT_FOUND",
@@ -3744,9 +3759,16 @@ class KeyedTable:
             if fs.exists(drop):
                 fs.delete(drop, True)
             return 0
-        win = self._delta_winners(delta).localCheckpoint(eager=True)
+        # The two checkpoints below are LAZY (round 14): each
+        # materializes inside the metadata collect that follows it —
+        # one action instead of two per pin.  AQE stays ON: the fold is
+        # real data work (window + anti-join + rewrite) where runtime
+        # partition coalescing earns its keep at scale, unlike the
+        # metadata-sized probe collects the engine pauses AQE around.
+        win = self._delta_winners(delta).localCheckpoint(eager=False)
         # the append-time bucket stamp is authoritative: num_buckets
-        # cannot have changed while a log exists (rebucket folds first)
+        # cannot have changed while a log exists (rebucket folds first);
+        # this collect also materializes the win checkpoint
         buckets = sorted({int(r[0]) for r in
                           win.select(self.BUCKET_COL).distinct()
                           .collect()})
@@ -3757,8 +3779,13 @@ class KeyedTable:
             "left_anti")
         live = (win.where(~F.col(self.DELTA_DEL_COL))
                 .select(*[F.col(c) for c in raw.columns]))
-        # pin before the self-overwrite (the fold_delete_vectors rule)
-        out = base_kept.unionByName(live).localCheckpoint(eager=True)
+        # pin before the self-overwrite (the fold_delete_vectors rule):
+        # the kept-bucket collect below materializes the lazy
+        # checkpoint, so every base row is read and pinned BEFORE the
+        # dynamic overwrite deletes the files it came from (Spark
+        # completes a lazily-checkpointed RDD's missing partitions when
+        # the first job over it finishes)
+        out = base_kept.unionByName(live).localCheckpoint(eager=False)
         kept_b = {int(r[0]) for r in
                   out.select(self.BUCKET_COL).distinct().collect()}
         # flag BEFORE the rewrite commits (see _mark_index_dirty):
